@@ -1,13 +1,640 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.{DateFunctions => DF, TextFunctions => TF, VectorFunctions => VF}
+import graft.ops.{Dedup, Similarity}
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the LLM-pipeline extensions), each with a DuckDB
+  * oracle in [[oracleSql]] where ANSI-SQL-expressible.
+  *
+  * Determinism rules for oracle parity (see SURVEY §7.4.7):
+  *  - money sums go through DECIMAL(18,2) per-value casts (exact,
+  *    order-independent) and are cast back to DOUBLE at the end;
+  *  - derived ratios are `floor(x * 1e4)` BIGINTs, never `round`
+  *    (floor of an identical IEEE double is portable, round ties
+  *    are not);
+  *  - timestamps are formatted to strings on both sides;
+  *  - every ranking has a deterministic tiebreak column.
+  */
 object SparkEntry {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** exact decimal sum of a double money column, surfaced as double */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  // ------------------------------------------------------------------
+  // Query inventory
+  // ------------------------------------------------------------------
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A6/A1 — grouped aggregation with exact decimal arithmetic
+    // (ref: rt-flink ads/demo/JarSubmit.scala:72-111 batch report agg)
+    "q01_pricing_summary" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // A1 — tumbling-window visitor stats (ref: VisitorStatsApp.scala:167-200)
+    "q02_visitor_stats" -> ((s, dir) => {
+      val w = window(col("ts"), "10 minutes")
+      T(s, dir, "events")
+        .groupBy(w.as("w"), col("event_type"))
+        .agg(
+          count(lit(1)).as("pv_ct"),
+          countDistinct(col("user_id")).as("uv_ct"),
+          dsum(col("value")).as("dur_sum"))
+        .select(
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+          date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
+          col("event_type"), col("pv_ct"), col("uv_ct"), col("dur_sum"))
+    }),
+
+    // A3 — province stats: star join + windowed distinct agg
+    // (ref: ProvinceStatsSqlApp.scala:70-78)
+    "q03_province_stats" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      val c = broadcast(T(s, dir, "customer"))
+      val n = broadcast(T(s, dir, "nation"))
+      val r = broadcast(T(s, dir, "region"))
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          countDistinct(col("o_orderkey")).as("order_count"),
+          dsum(col("o_totalprice")).as("order_amount"))
+    }),
+
+    // A4 + T1 — tokenize → explode → keyword counts
+    // (ref: KeywordStatsApp.scala:65-80, KeywordUDTF.scala:17-29)
+    "q04_keyword_stats" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(col("doc_id"), explode(TF.tokenize(col("text"))).as("keyword"))
+        .groupBy(col("keyword"))
+        .agg(count(lit(1)).as("ct"), countDistinct(col("doc_id")).as("doc_ct"))
+    }),
+
+    // T2 — metric unpivot column→row (ref: KeywordProductC2RUDTF.scala:12-34)
+    "q05_metric_unpivot" -> ((s, dir) => {
+      T(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("click_ct"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("cart_ct"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("order_ct"))
+        .select(col("user_id"),
+          expr("stack(3, 'CLICK', click_ct, 'CART', cart_ct, 'ORDER', order_ct) AS (source, ct)"))
+        .filter(col("ct") > 0)
+    }),
+
+    // J1 — interval join order ⋈ line within [orderdate, +30d]
+    // (ref: OrderWideAp.scala:128-138, bound ±5s scaled to batch data)
+    "q06_order_line_interval_join" -> ((s, dir) => {
+      val o = T(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"))
+      val l = T(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"), col("l_quantity"))
+      o.join(l,
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") >= col("o_orderdate") &&
+            col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .select(col("o_orderkey"), col("l_linenumber"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"),
+          col("l_quantity").as("qty"))
+    }),
+
+    // J2 — interval join: purchase attributed to a click within the
+    // preceding 30 min (ref: PaymentWideApp.scala:73-88, [-30min, 0])
+    "q07_purchase_attribution" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+      p.join(c,
+          col("user_id") === col("c_user") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+            col("c_ts") <= col("p_ts"))
+        .select(col("purchase_id"), col("click_id"), col("user_id"))
+    }),
+
+    // J3 — dimension enrichment as broadcast joins
+    // (ref: OrderWideAp.scala:143-236 six async dim lookups)
+    "q08_dim_enrich" -> ((s, dir) => {
+      val l = T(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+      val p = broadcast(T(s, dir, "part").select(col("p_partkey"), col("p_name"), col("p_brand")))
+      val su = broadcast(T(s, dir, "supplier").select(col("s_suppkey"), col("s_name"), col("s_nationkey")))
+      val n = broadcast(T(s, dir, "nation").select(col("n_nationkey"), col("n_name"), col("n_regionkey")))
+      val r = broadcast(T(s, dir, "region").select(col("r_regionkey"), col("r_name")))
+      l.join(p, col("l_partkey") === col("p_partkey"), "left")
+        .join(su, col("l_suppkey") === col("s_suppkey"), "left")
+        .join(n, col("s_nationkey") === col("n_nationkey"), "left")
+        .join(r, col("n_regionkey") === col("r_regionkey"), "left")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("p_name"), col("p_brand"), col("s_name"), col("n_name"), col("r_name"))
+    }),
+
+    // ST1 — new-visitor flag correction, batch analog
+    // (ref: OdsBaseLogApp.scala:86-135 ValueState first-visit date)
+    "q09_new_visitor_fix" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      val w = Window.partitionBy(col("user_id"))
+      e.withColumn("first_date", min(to_date(col("ts"))).over(w))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd").as("event_date"),
+          when(to_date(col("ts")) === col("first_date"), 1L).otherwise(0L).as("is_new"))
+    }),
+
+    // ST2 — daily UV dedup (ref: UniqueVisitApp.scala:74-116)
+    "q10_daily_uv" -> ((s, dir) => {
+      T(s, dir, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("dt"))
+        .agg(countDistinct(col("user_id")).as("uv_ct"))
+    }),
+
+    // ST3 — bounce detection, batch analog: session entry with no
+    // follow-up within 30 min (ref: UserJumpDetailApp.scala:94-140,
+    // CEP timeout 10s scaled to this data's cadence)
+    "q11_bounce_detect" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      T(s, dir, "events")
+        .withColumn("next_ts", lead(col("ts"), 1).over(w))
+        .filter(col("next_ts").isNull ||
+          col("next_ts") > col("ts") + expr("INTERVAL 30 MINUTES"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"))
+    }),
+
+    // O1 — 3-way log split (ref: OdsBaseLogApp.scala:140-197):
+    // start / page / display branches as filtered projections
+    "q12_log_split_start" -> ((s, dir) => {
+      T(s, dir, "events").filter(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"))
+    }),
+    "q13_log_split_page" -> ((s, dir) => {
+      T(s, dir, "events").filter(col("event_type").isin("view", "click"))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    }),
+    // display branch: explode the nested props payload (ref exploded
+    // displays[] at OdsBaseLogApp.scala:160-171; props JSON here)
+    "q14_log_split_display" -> ((s, dir) => {
+      T(s, dir, "events").filter(col("event_type").isin("view", "click"))
+        .select(col("event_id"), col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"))
+    }),
+
+    // O2/P4 — config-driven routing with column pruning
+    // (ref: OdsBaseDbApp.scala:92-119, TableProcessFunction.scala:140-186)
+    "q15_config_router" -> ((s, dir) => {
+      import s.implicits._
+      val config = Seq(
+        ("signup", "kafka", "dwd_signup"),
+        ("purchase", "kafka", "dwd_purchase"),
+        ("view", "clickhouse", "dws_view"),
+        ("click", "clickhouse", "dws_click"),
+        ("error", "hbase", "dim_error")
+      ).toDF("source_type", "sink_type", "sink_table")
+      T(s, dir, "events")
+        .join(broadcast(config), col("event_type") === col("source_type"))
+        .groupBy(col("sink_type"), col("sink_table"))
+        .agg(count(lit(1)).as("ct"))
+    }),
+
+    // J5/P3/U1 — "full join by union": one-hot metric streams unioned
+    // then summed (ref: VisitorStatsApp.scala:39-41,90-157)
+    "q16_union_onehot" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      val pv = e.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), lit(1L).as("pv_ct"), lit(0L).as("order_ct"), lit(0L).as("err_ct"))
+      val ord = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), lit(0L).as("pv_ct"), lit(1L).as("order_ct"), lit(0L).as("err_ct"))
+      val err = e.filter(col("event_type") === "error")
+        .select(col("user_id"), lit(0L).as("pv_ct"), lit(0L).as("order_ct"), lit(1L).as("err_ct"))
+      pv.unionByName(ord).unionByName(err)
+        .groupBy(col("user_id"))
+        .agg(sum(col("pv_ct")).as("pv_ct"), sum(col("order_ct")).as("order_ct"),
+          sum(col("err_ct")).as("err_ct"))
+    }),
+
+    // §2.11 — scalar date function battery (ref: CommonTool.scala:67-150)
+    "q17_scalar_dates" -> ((s, dir) => {
+      T(s, dir, "events").select(
+        col("event_id"),
+        DF.toYmdHms(col("ts")).as("ymd_hms"),
+        DF.tenMinuteInterval(col("ts")).as("ten_min"),
+        DF.dayOfWeekName(col("ts")).as("day_name"),
+        date_format(DF.monthLastDay(col("ts")), "yyyy-MM-dd").as("month_end"),
+        date_format(date_add(to_date(col("ts")), 7), "yyyy-MM-dd").as("plus_7d"),
+        DF.midMonthBucket(to_date(col("ts"))).as("mid_month"))
+    }),
+
+    // §2.11 — emoji/char-class strip (ref: CommonTool.scala:40-47)
+    "q18_text_clean" -> ((s, dir) => {
+      T(s, dir, "documents").select(
+        col("doc_id"),
+        TF.removeEmoji(col("text")).as("clean_text"),
+        length(TF.removeEmoji(col("text"))).as("clean_len"))
+    }),
+
+    // Dedup family — exact (hash groupBy)
+    "q19_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(T(s, dir, "documents"), "doc_id", "text")),
+
+    // Text analysis — token counting + portable rolling fingerprint
+    "q20_token_stats" -> ((s, dir) => {
+      T(s, dir, "documents").select(
+        col("doc_id"),
+        TF.tokenCount(col("text")).cast("long").as("token_ct"),
+        TF.rollingFingerprint(col("text")).as("fingerprint"))
+    }),
+
+    // Text analysis — quality scoring
+    "q21_quality_score" -> ((s, dir) => {
+      T(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("char_ct"),
+        TF.qualityStopwordRatio(col("text")).as("stopword_ratio_e4"),
+        TF.meanTokenLen(col("text")).as("mean_token_len_e4"))
+    }),
+
+    // Multimodal plumbing — opaque binary columns with typed metadata:
+    // byte length + content digest (the decode step itself is stubbed in
+    // graft.ops.Multimodal; Spark-side schema/partitioning is real)
+    "q22_multimodal_meta" -> ((s, dir) => {
+      T(s, dir, "documents").select(
+        col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        sha2(col("text").cast("binary"), 256).as("digest"))
+    }),
+
+    // Similarity search — exact brute-force cosine top-k baseline
+    "q23_ann_bruteforce" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 8), emb, 5)
+    }),
+
+    // Text analysis — heuristic language ID
+    "q24_lang_id" -> ((s, dir) => {
+      T(s, dir, "documents").select(col("doc_id"), TF.langId(col("text")).as("lang_pred"))
+    }),
+
+    // §2.11 — keyword-dictionary multi-label classifier
+    // (ref: BusinessRulesTool.scala:15-68)
+    "q25_dict_classify" -> ((s, dir) => {
+      T(s, dir, "documents").select(col("doc_id"),
+        TF.dictClassify(col("text"), Seq(
+          "perf" -> Seq("fast", "slow"),
+          "storage" -> Seq("table", "row", "column"),
+          "compute" -> Seq("join", "merge", "sort", "scan"),
+          "stream" -> Seq("stream", "window", "batch"))).as("labels"))
+    }),
+
+    // A5 — daily PV/UV (ref: FlinkKafkaSource_02.scala:110-138)
+    "q26_daily_pvuv" -> ((s, dir) => {
+      T(s, dir, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("dt"))
+        .agg(count(lit(1)).as("pv"), countDistinct(col("user_id")).as("uv"),
+          max(DF.toYmdHms(col("ts"))).as("max_ts"))
+    }),
+
+    // §2.8 — batch sort + limit with deterministic total order
+    // (ref: ads/demo/JarSubmit.scala:110)
+    "q27_top_orders" -> ((s, dir) => {
+      T(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    // §2.7 generalization — session windows (gap 30 min)
+    "q28_session_window" -> ((s, dir) => {
+      T(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("n_events"))
+    }),
+
+    // beyond-reference completeness — rollup (multi-level agg)
+    "q29_rollup" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+    }),
+
+    // Dedup family — blocked n-gram Jaccard (exact within blocks)
+    "q30_dedup_ngram" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      Dedup.ngramJaccardPairs(d, "doc_id", "text",
+        Seq(col("lang"), floor(col("n_chars") / 100).cast("long")), 8000L)
+    }),
+
+    // Dedup family — MinHash + LSH (probabilistic; rows-only check)
+    "q31_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashLshPairs(T(s, dir, "documents"), "doc_id", "text",
+        shingleN = 5, k = 32, bands = 8, threshold = 0.5)),
+
+    // Dedup family — SimHash near-dup (rows-only check)
+    "q32_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(T(s, dir, "documents"), "doc_id", "text", maxHamming = 12)),
+
+    // Similarity search — LSH-bucketed ANN (rows-only check)
+    "q33_ann_lsh" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.lshTopK(emb.filter(col("vec_id") < 8), emb, 5, nPlanes = 4)
+    })
+  )
+
+  // ------------------------------------------------------------------
+  // DuckDB oracles (ANSI SQL on the same parquet tables)
+  // ------------------------------------------------------------------
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+         count(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+
+    "q02_visitor_stats" ->
+      """SELECT strftime(time_bucket(INTERVAL 10 MINUTES, ts), '%Y-%m-%d %H:%M:%S') AS stt,
+         strftime(time_bucket(INTERVAL 10 MINUTES, ts) + INTERVAL 10 MINUTES, '%Y-%m-%d %H:%M:%S') AS edt,
+         event_type,
+         count(*) AS pv_ct,
+         count(DISTINCT user_id) AS uv_ct,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS dur_sum
+         FROM events GROUP BY 1, 2, 3""",
+
+    "q03_province_stats" ->
+      """SELECT r_name, n_name,
+         count(DISTINCT o_orderkey) AS order_count,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS order_amount
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name""",
+
+    "q04_keyword_stats" ->
+      """SELECT keyword, count(*) AS ct, count(DISTINCT doc_id) AS doc_ct
+         FROM (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0)) AS keyword
+               FROM documents)
+         GROUP BY keyword""",
+
+    "q05_metric_unpivot" ->
+      """WITH m AS (
+           SELECT user_id,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click_ct,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS cart_ct,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS order_ct
+           FROM events GROUP BY user_id)
+         SELECT user_id, source, ct FROM (
+           SELECT user_id, 'CLICK' AS source, click_ct AS ct FROM m
+           UNION ALL SELECT user_id, 'CART', cart_ct FROM m
+           UNION ALL SELECT user_id, 'ORDER', order_ct FROM m)
+         WHERE ct > 0""",
+
+    "q06_order_line_interval_join" ->
+      """SELECT o_orderkey, l_linenumber,
+         strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+         l_quantity AS qty
+         FROM orders JOIN lineitem
+           ON l_orderkey = o_orderkey
+          AND l_shipdate >= o_orderdate
+          AND l_shipdate <= o_orderdate + INTERVAL 30 DAYS""",
+
+    "q07_purchase_attribution" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+         FROM events p JOIN events c
+           ON p.user_id = c.user_id
+          AND p.event_type = 'purchase' AND c.event_type = 'click'
+          AND c.ts >= p.ts - INTERVAL 30 MINUTES AND c.ts <= p.ts""",
+
+    "q08_dim_enrich" ->
+      """SELECT l_orderkey, l_linenumber, p_name, p_brand, s_name, n_name, r_name
+         FROM lineitem
+         LEFT JOIN part ON l_partkey = p_partkey
+         LEFT JOIN supplier ON l_suppkey = s_suppkey
+         LEFT JOIN nation ON s_nationkey = n_nationkey
+         LEFT JOIN region ON n_regionkey = r_regionkey""",
+
+    "q09_new_visitor_fix" ->
+      """SELECT event_id, user_id,
+         strftime(ts, '%Y-%m-%d') AS event_date,
+         CASE WHEN CAST(ts AS DATE) = min(CAST(ts AS DATE)) OVER (PARTITION BY user_id)
+              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_new
+         FROM events""",
+
+    "q10_daily_uv" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS dt, count(DISTINCT user_id) AS uv_ct
+         FROM events GROUP BY 1""",
+
+    "q11_bounce_detect" ->
+      """SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+         FROM (SELECT event_id, user_id, ts,
+                 lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+               FROM events)
+         WHERE next_ts IS NULL OR next_ts > ts + INTERVAL 30 MINUTES""",
+
+    "q12_log_split_start" ->
+      """SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+         FROM events WHERE event_type = 'signup'""",
+
+    "q13_log_split_page" ->
+      """SELECT event_id, user_id, event_type, value
+         FROM events WHERE event_type IN ('view', 'click')""",
+
+    "q14_log_split_display" ->
+      """SELECT event_id, user_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+         FROM events WHERE event_type IN ('view', 'click')""",
+
+    "q15_config_router" ->
+      """SELECT sink_type, sink_table, count(*) AS ct
+         FROM events
+         JOIN (VALUES ('signup','kafka','dwd_signup'),
+                      ('purchase','kafka','dwd_purchase'),
+                      ('view','clickhouse','dws_view'),
+                      ('click','clickhouse','dws_click'),
+                      ('error','hbase','dim_error'))
+              AS config(source_type, sink_type, sink_table)
+           ON event_type = source_type
+         GROUP BY sink_type, sink_table""",
+
+    "q16_union_onehot" ->
+      """SELECT user_id,
+         CAST(sum(CASE WHEN event_type IN ('view','click') THEN 1 ELSE 0 END) AS BIGINT) AS pv_ct,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS order_ct,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS err_ct
+         FROM events GROUP BY user_id
+         HAVING pv_ct + order_ct + err_ct > 0""",
+
+    "q17_scalar_dates" ->
+      """SELECT event_id,
+         strftime(ts, '%Y-%m-%d %H:%M:%S') AS ymd_hms,
+         substr(strftime(ts, '%H:%M'), 1, 4) || '0:00-' || substr(strftime(ts, '%H:%M'), 1, 4) || '9:59' AS ten_min,
+         dayname(ts) AS day_name,
+         strftime(last_day(CAST(ts AS DATE)), '%Y-%m-%d') AS month_end,
+         strftime(CAST(ts AS DATE) + 7, '%Y-%m-%d') AS plus_7d,
+         CASE WHEN day(CAST(ts AS DATE)) <= 15 THEN strftime(ts, '%Y-%m-15')
+              ELSE strftime(CAST(ts AS DATE) + INTERVAL 1 MONTH, '%Y-%m-15') END AS mid_month
+         FROM events""",
+
+    "q18_text_clean" ->
+      """SELECT doc_id,
+         regexp_replace(text, '[^\p{L}\p{M}\p{N}\p{P}\p{Z}\s]', '', 'g') AS clean_text,
+         length(regexp_replace(text, '[^\p{L}\p{M}\p{N}\p{P}\p{Z}\s]', '', 'g')) AS clean_len
+         FROM documents""",
+
+    "q19_dedup_exact" ->
+      """SELECT min(doc_id) AS rep_id, count(*) AS dup_ct
+         FROM documents GROUP BY text""",
+
+    "q20_token_stats" ->
+      """SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0)) AS token_ct,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0),
+               t -> CAST(length(t) AS BIGINT))),
+           (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+         FROM documents""",
+
+    "q21_quality_score" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS toks
+           FROM documents)
+         SELECT doc_id,
+           length(text) AS char_ct,
+           CAST(floor(CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','this','for','on','with','as','was','at','by'))) AS DOUBLE)
+             / CAST(greatest(len(toks), 1) AS DOUBLE) * 10000) AS BIGINT) AS stopword_ratio_e4,
+           CAST(floor(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, x -> CAST(length(x) AS BIGINT))), (a,b) -> a + b) AS DOUBLE)
+             / CAST(greatest(len(toks), 1) AS DOUBLE) * 10000) AS BIGINT) AS mean_token_len_e4
+         FROM t""",
+
+    "q22_multimodal_meta" ->
+      """SELECT doc_id,
+         octet_length(encode(text)) AS n_bytes,
+         sha256(text) AS digest
+         FROM documents""",
+
+    "q23_ann_bruteforce" ->
+      """SELECT query_id, rank, neighbor_id FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+                        c.vec_id ASC) AS rank
+           FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+           WHERE q.vec_id < 8)
+         WHERE rank <= 5""",
+
+    "q24_lang_id" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS toks
+           FROM documents),
+         r AS (
+           SELECT doc_id,
+             CAST(len(list_filter(toks, x -> x IN ('the','a','and','of','to','is'))) AS DOUBLE) / CAST(greatest(len(toks),1) AS DOUBLE) AS en,
+             CAST(len(list_filter(toks, x -> x IN ('le','la','les','et','de','un'))) AS DOUBLE) / CAST(greatest(len(toks),1) AS DOUBLE) AS fr,
+             CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ein','zu'))) AS DOUBLE) / CAST(greatest(len(toks),1) AS DOUBLE) AS de,
+             CAST(len(list_filter(toks, x -> x IN ('el','los','las','y','una','en'))) AS DOUBLE) / CAST(greatest(len(toks),1) AS DOUBLE) AS es
+           FROM t)
+         SELECT doc_id,
+           CASE WHEN en >= fr AND en >= de AND en >= es AND en > 0 THEN 'en'
+                WHEN fr >= de AND fr >= es AND fr > 0 THEN 'fr'
+                WHEN de >= es AND de > 0 THEN 'de'
+                WHEN es > 0 THEN 'es'
+                ELSE 'und' END AS lang_pred
+         FROM r""",
+
+    "q25_dict_classify" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS toks
+           FROM documents),
+         l AS (
+           SELECT doc_id,
+             concat_ws(',',
+               CASE WHEN len(list_filter(toks, x -> x IN ('fast','slow'))) > 0 THEN 'perf' END,
+               CASE WHEN len(list_filter(toks, x -> x IN ('table','row','column'))) > 0 THEN 'storage' END,
+               CASE WHEN len(list_filter(toks, x -> x IN ('join','merge','sort','scan'))) > 0 THEN 'compute' END,
+               CASE WHEN len(list_filter(toks, x -> x IN ('stream','window','batch'))) > 0 THEN 'stream' END) AS joined
+           FROM t)
+         SELECT doc_id, CASE WHEN length(joined) > 0 THEN joined ELSE 'none' END AS labels
+         FROM l""",
+
+    "q26_daily_pvuv" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS dt,
+         count(*) AS pv, count(DISTINCT user_id) AS uv,
+         max(strftime(ts, '%Y-%m-%d %H:%M:%S')) AS max_ts
+         FROM events GROUP BY 1""",
+
+    "q27_top_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+
+    "q28_session_window" ->
+      """WITH flagged AS (
+           SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTES
+                  THEN 1 ELSE 0 END AS new_session
+           FROM events),
+         sessions AS (
+           SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM flagged)
+         SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL 30 MINUTES, '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*) AS n_events
+         FROM sessions GROUP BY user_id, session_id""",
+
+    "q29_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         count(*) AS n
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+    "q30_dedup_ngram" ->
+      """WITH t AS (
+           SELECT doc_id, lang, CAST(floor(n_chars / 100) AS BIGINT) AS band,
+             list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0)) AS toks
+           FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(floor(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) * 10000) AS BIGINT) AS jaccard_e4
+         FROM t a JOIN t b
+           ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+         WHERE CAST(floor(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) * 10000) AS BIGINT) >= 8000"""
+    // q31_dedup_minhash / q32_dedup_simhash / q33_ann_lsh: probabilistic
+    // (hash-family-specific) — rows-only check by design.
+  )
 }

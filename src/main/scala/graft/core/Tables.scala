@@ -1,0 +1,48 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Central table loader for the driver-generated parquet fixtures.
+  *
+  * Every query receives `(spark, sfDir)`; all reads go through here so
+  * that column pruning / predicate pushdown stay visible in one place and
+  * so a future move to a real catalog (Hive metastore, Delta) is a
+  * one-file change. Mirrors the reference's layer of source utilities
+  * (rt-flink KafkaUtil.scala:18-23 / MySQLUtil.scala:14-61) as a single
+  * batch-parquet catalog.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Register every table as a temp view so `spark.sql` queries match the
+    * DuckDB oracle's table names 1:1.
+    */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}
+
+/** SparkSession factory with the scale-aware defaults used across the
+  * engine. Local tests run `local[32]`; on a real cluster the same code
+  * runs unchanged — AQE handles partition coalescing and skew joins.
+  */
+object GraftSession {
+  def local(cores: Int = 32): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,152 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the document pipeline.
+  *
+  * Everything here is composed from `org.apache.spark.sql.functions._`
+  * (whole-stage-codegen'd Catalyst expressions) — no Scala UDFs in the
+  * hot path. Capabilities mirror the reference's text utilities
+  * (rt-flink CommonTool.scala:17-56 emoji/char-class strippers,
+  * KeywordUtil.scala:18-42 tokenizer) re-expressed as Column exprs, plus
+  * the LLM-pipeline operators (language ID, quality scoring, token
+  * counting, fingerprinting) that a 100 TB training-data pipeline needs.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenizer: text → array of non-empty tokens.
+    * Capability parity with the reference's IK tokenizer
+    * (rt-flink KeywordUtil.scala:18-42): string → N keyword rows; the
+    * segmentation algorithm is language-specific, the operator shape
+    * (tokenize + explode) is what matters. Filter drops the empty
+    * tokens that `split` emits for repeated separators.
+    */
+  def tokenize(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** BPE-ish subword splitter: lowercase word chunks, numbers, or single
+    * punctuation — the standard pre-tokenization regex shape used by GPT
+    * style tokenizers, as a codegen'd Column expr.
+    */
+  def bpeTokenize(text: Column): Column =
+    filter(
+      split(regexp_replace(text, "([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s])", "$1"), "|\\s+"),
+      t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokenize(text))
+
+  /** Strip characters outside letters/digits/punctuation/whitespace —
+    * the reference's emoji filter (rt-flink CommonTool.scala:40-47
+    * `removeEmoji`) as a single codegen'd regexp_replace.
+    */
+  def removeEmoji(text: Column): Column =
+    regexp_replace(text, "[^\\p{L}\\p{M}\\p{N}\\p{P}\\p{Z}\\s]", "")
+
+  /** Character n-gram shingles of the whitespace-normalized text. Used by
+    * MinHash / Jaccard dedup. Implemented with a transform over
+    * substring offsets — stays inside codegen.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val norm = lower(regexp_replace(text, "\\s+", " "))
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(length(norm) - (n - 1), lit(1))),
+        i => norm.substr(i, lit(n))))
+  }
+
+  /** Word n-grams from the token array. */
+  def wordNgrams(tokens: Column, n: Int): Column =
+    filter(
+      transform(
+        sequence(lit(0), greatest(size(tokens) - n, lit(0))),
+        i => array_join(slice(tokens, i + 1, n), " ")),
+      g => length(g) > 0)
+
+  /** Stopword-hit count over a token array. */
+  def stopwordCount(tokens: Column, stopwords: Seq[String]): Column =
+    size(filter(tokens, t => t.isin(stopwords: _*)))
+
+  val EnStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "this", "for", "on", "with", "as", "was", "at", "by")
+
+  /** Heuristic language ID: score = stopword-hit ratio per language's
+    * marker set; argmax with 'und' fallback below threshold. Stays
+    * SQL-expressible (CASE over ratios) so the DuckDB oracle can
+    * replicate it exactly.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokenize(lower(text))
+    val n = greatest(size(toks), lit(1))
+    def ratio(markers: Seq[String]): Column =
+      size(filter(toks, t => t.isin(markers: _*))).cast("double") / n.cast("double")
+    val en = ratio(Seq("the", "a", "and", "of", "to", "is"))
+    val fr = ratio(Seq("le", "la", "les", "et", "de", "un"))
+    val de = ratio(Seq("der", "die", "das", "und", "ein", "zu"))
+    val es = ratio(Seq("el", "los", "las", "y", "una", "en"))
+    when(en >= fr && en >= de && en >= es && en > lit(0.0), lit("en"))
+      .when(fr >= de && fr >= es && fr > lit(0.0), lit("fr"))
+      .when(de >= es && de > lit(0.0), lit("de"))
+      .when(es > lit(0.0), lit("es"))
+      .otherwise(lit("und"))
+  }
+
+  /** Document quality signals (length / punctuation / stopword ratios) —
+    * the standard pre-training quality filters. Ratios are scaled by 1e4
+    * and floored to BIGINT so results hash identically across engines
+    * (floor of an identical IEEE double is deterministic; `round` tie
+    * behavior is not portable).
+    */
+  def qualityPunctRatio(text: Column): Column = {
+    val n = greatest(length(text), lit(1))
+    floor(size(filter(split(text, ""), c => c.rlike("[\\p{Punct}]")))
+      .cast("double") / n.cast("double") * 10000).cast("long")
+  }
+
+  def qualityStopwordRatio(text: Column): Column = {
+    val toks = tokenize(lower(text))
+    val n = greatest(size(toks), lit(1))
+    floor(stopwordCount(toks, EnStopwords).cast("double") / n.cast("double") * 10000)
+      .cast("long")
+  }
+
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokenize(text)
+    val n = greatest(size(toks), lit(1))
+    floor(aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
+      .cast("double") / n.cast("double") * 10000).cast("long")
+  }
+
+  /** Portable rolling fingerprint: polynomial hash of token lengths mod
+    * 1e9+7, left-to-right — deterministic and replicable in ANSI SQL
+    * (DuckDB list_reduce) for the oracle. For a collision-resistant
+    * fingerprint use [[contentFingerprint]].
+    */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(tokenize(text), lit(0L),
+      (acc, t) => (acc * 31 + length(t).cast("long")) % 1000000007L)
+
+  /** Collision-resistant content fingerprint: xxhash64 of the
+    * whitespace-normalized text. Engine-native (codegen'd), used for
+    * exact dedup at scale where hashing the full text into the shuffle
+    * key beats shuffling the text itself.
+    */
+  def contentFingerprint(text: Column): Column =
+    xxhash64(lower(regexp_replace(text, "\\s+", " ")))
+
+  /** Keyword-dictionary multi-label classifier — capability parity with
+    * the reference's complaint classifier
+    * (rt-flink BusinessRulesTool.scala:15-68 `getCommentType`, 5 keyword
+    * dictionaries → multi-label string). Labels are emitted in the given
+    * dictionary order, comma-joined, 'none' when nothing matches.
+    */
+  def dictClassify(text: Column, dicts: Seq[(String, Seq[String])]): Column = {
+    val toks = tokenize(lower(text))
+    val labels = dicts.map { case (label, words) =>
+      when(size(filter(toks, t => t.isin(words: _*))) > 0, lit(label)).otherwise(lit(null))
+    }
+    val joined = array_join(filter(array(labels: _*), l => l.isNotNull), ",")
+    when(length(joined) > 0, joined).otherwise(lit("none"))
+  }
+}

@@ -1,0 +1,144 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Typed event record for the stateful streaming operators — the analog
+  * of the reference's behavior-log rows keyed by device id
+  * (rt-flink bean/package.scala, OdsBaseLogApp.scala:86).
+  */
+case class PageEvent(
+    mid: String,
+    pageId: String,
+    lastPageId: Option[String],
+    isNew: String,
+    ts: Timestamp)
+
+case class VisitRecord(mid: String, pageId: String, isNew: String, ts: Timestamp)
+case class BounceRecord(mid: String, pageId: String, ts: Timestamp)
+
+/** The reference's three keyed-state streaming operators, rebuilt on
+  * `mapGroupsWithState` / `flatMapGroupsWithState` (SURVEY §2.4):
+  *
+  *  - ST1 new-visitor flag correction (OdsBaseLogApp.scala:86-135)
+  *  - ST2 daily UV dedup with 1-day TTL (UniqueVisitApp.scala:74-116)
+  *  - ST3 bounce detection via event-time timeout — the Flink-CEP
+  *    `within(10s)` pattern re-expressed without a CEP library
+  *    (UserJumpDetailApp.scala:94-140)
+  *
+  * All three shuffle once on `mid` (hash partition) and keep per-key
+  * state in the state store (RocksDB-backed on a real cluster) — the
+  * same shape Flink gives `keyBy().process()`, so the 100 TB story is
+  * unchanged: state is partitioned with the keys and never collected.
+  */
+object StatefulOps {
+
+  private def day(ts: Timestamp): String =
+    java.time.Instant.ofEpochMilli(ts.getTime)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+
+  /** ST1: if a record claims is_new=1 but the key has an earlier visit
+    * on a *different* date, rewrite is_new=0; first sighting records the
+    * date. State: first-visit date string per mid.
+    */
+  def newVisitorFix(events: Dataset[PageEvent])(implicit spark: SparkSession): Dataset[VisitRecord] = {
+    import spark.implicits._
+    events.groupByKey(_.mid).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      (mid: String, it: Iterator[PageEvent], state: GroupState[String]) => {
+        val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.pageId))
+        sorted.iterator.map { e =>
+          val d = day(e.ts)
+          val fixed = if (e.isNew == "1") {
+            state.getOption match {
+              case Some(first) if first != d => "0" // seen on an earlier day
+              case Some(_) => "1"
+              case None => state.update(d); "1"
+            }
+          } else {
+            // returning visitor with no state: backfill yesterday so a
+            // later is_new=1 replay is still corrected (ref :118-126)
+            if (!state.exists) state.update("1970-01-01")
+            "0"
+          }
+          VisitRecord(mid, e.pageId, fixed, e.ts)
+        }
+      })
+  }
+
+  /** ST2: daily unique-visit filter — emit only each mid's first
+    * session-entry event per day. State: last emitted date, with a
+    * processing-time TTL standing in for the reference's 1-day state
+    * TTL (UniqueVisitApp.scala:87-92).
+    */
+  def dailyUvFilter(events: Dataset[PageEvent])(implicit spark: SparkSession): Dataset[VisitRecord] = {
+    import spark.implicits._
+    events.groupByKey(_.mid).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
+      (mid: String, it: Iterator[PageEvent], state: GroupState[String]) => {
+        if (state.hasTimedOut) { state.remove(); Iterator.empty }
+        else {
+          val out = scala.collection.mutable.ArrayBuffer.empty[VisitRecord]
+          it.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            // only session entries count toward UV (ref :96-99)
+            if (e.lastPageId.forall(_.isEmpty)) {
+              val d = day(e.ts)
+              if (!state.getOption.contains(d)) {
+                state.update(d)
+                state.setTimeoutDuration("1 day")
+                out += VisitRecord(mid, e.pageId, e.isNew, e.ts)
+              }
+            }
+          }
+          out.iterator
+        }
+      })
+  }
+
+  /** ST3: bounce detection. A session entry (empty last_page_id) with no
+    * follow-up page from the same mid within `gapSeconds` is a bounce.
+    * Event-time timeout on the watermark replaces Flink CEP's
+    * `.within()` timeout side-output.
+    *
+    * Requires `events` to carry a watermark on `ts`.
+    */
+  def bounceDetect(events: Dataset[PageEvent], gapSeconds: Long = 10)(
+      implicit spark: SparkSession): Dataset[BounceRecord] = {
+    import spark.implicits._
+    events.groupByKey(_.mid).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+      (mid: String, it: Iterator[PageEvent], state: GroupState[PageEvent]) => {
+        if (state.hasTimedOut) {
+          // watermark passed entry+gap with no follow-up: emit bounce
+          val e = state.get
+          state.remove()
+          Iterator.single(BounceRecord(mid, e.pageId, e.ts))
+        } else {
+          val sorted = it.toSeq.sortBy(_.ts.getTime)
+          val out = scala.collection.mutable.ArrayBuffer.empty[BounceRecord]
+          sorted.foreach { e =>
+            val isEntry = e.lastPageId.forall(_.isEmpty)
+            state.getOption match {
+              case Some(pending) =>
+                if (e.ts.getTime > pending.ts.getTime + gapSeconds * 1000) {
+                  // follow-up too late: the pending entry bounced
+                  out += BounceRecord(mid, pending.pageId, pending.ts)
+                } // any event within the gap is a follow-up page (the
+                  // reference's `next` step only requires page_id != null,
+                  // UserJumpDetailApp.scala:103-110) — no bounce either way
+                state.remove()
+              case None =>
+            }
+            if (isEntry) {
+              state.update(e)
+              state.setTimeoutTimestamp(e.ts.getTime + gapSeconds * 1000)
+            }
+          }
+          out.iterator
+        }
+      })
+  }
+}
