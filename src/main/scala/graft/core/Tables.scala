@@ -16,8 +16,18 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // The driver's generator writes `events.ts` as parquet TIMESTAMP(NANOS),
+    // which Spark refuses by default. Read nanos as a long and truncate to
+    // Spark's native microsecond timestamps (every downstream comparison is
+    // at second granularity or coarser, so the truncation is observationally
+    // lossless vs the DuckDB oracle).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
 
   /** Register every table as a temp view so `spark.sql` queries match the
     * DuckDB oracle's table names 1:1.

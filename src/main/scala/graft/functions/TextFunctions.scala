@@ -60,7 +60,7 @@ object TextFunctions {
     filter(
       transform(
         sequence(lit(0), greatest(size(tokens) - n, lit(0))),
-        i => array_join(slice(tokens, i + 1, n), " ")),
+        i => array_join(slice(tokens, i + 1, lit(n)), " ")),
       g => length(g) > 0)
 
   /** Stopword-hit count over a token array. */

@@ -58,13 +58,13 @@ object VectorFunctions {
       // component_i = (murmur3(i * 1315423911 + p, seed) % 1001) / 1000 - 0.5
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) => {
-          val h = pmod(hash(i.cast("int") * 1315423911 + lit(p), lit(seed)), lit(1001))
+          val h = pmod(hash(i.cast("long") * lit(1315423911L) + lit(p.toLong), lit(seed)), lit(1001))
           x.cast("double") * (h.cast("double") / 1000.0 - 0.5)
         }),
         lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0.0, lit(1L) << p).otherwise(lit(0L))
+      when(proj >= 0.0, lit(1L << p)).otherwise(lit(0L))
     }
-    bits.reduce(_ + _)
+    bits.reduce((a, b) => a + b)
   }
 
   /** Coarse IVF-style centroid assignment: bucket by the index of the

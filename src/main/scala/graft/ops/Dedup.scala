@@ -62,9 +62,8 @@ object Dedup {
     // signature. Keys are tiny; the doc text never enters this shuffle.
     val banded = base.select(
       col("id"), col("sh"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"),
-          xxhash64(slice(col("sig"), b * r + 1, r), b).as("bucket")))).as("bb"))
+      explode(array((0 until bands).map(b => struct(lit(b).as("band"),
+        xxhash64(slice(col("sig"), b * r + 1, r), lit(b)).as("bucket"))): _*)).as("bb"))
       .select(col("id"), col("sh"), col("bb.band"), col("bb.bucket"))
     val a = banded.alias("a")
     val b = banded.alias("b")
@@ -83,24 +82,25 @@ object Dedup {
         floor(col("jac") * 10000).cast("long").as("jaccard_e4"))
   }
 
-  /** 64-bit SimHash of a token array: per bit j, sum +1/-1 weighted by
-    * bit j of xxhash64(token); bit set where the sum is positive.
-    * Composed from higher-order functions — one pass over tokens
-    * building a 64-long counter array, then folded into a single long.
+  /** 64-bit SimHash signatures, one row per document: explode tokens,
+    * xxhash64 each, then a single hash-aggregate with 64 ±1 bit-counters
+    * folded into one long. Partial (map-side) aggregation applies, so at
+    * scale the shuffle carries 64 longs per doc, never the tokens.
     */
-  def simhash64(tokens: Column): Column = {
-    val counters = aggregate(
-      tokens,
-      array_repeat(lit(0L), 64),
-      (acc, t) => {
-        val h = xxhash64(t)
-        zip_with(acc, sequence(lit(0), lit(63)),
-          (c, j) => c + when(shiftright(h, j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      })
-    aggregate(
-      zip_with(counters, sequence(lit(0), lit(63)),
-        (c, j) => when(c > 0L, shiftleft(lit(1L), j)).otherwise(lit(0L))),
-      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df
+      .select(col(idCol).as("id"),
+        explode(TextFunctions.tokenize(lower(col(textCol)))).as("tok"))
+      .select(col("id"), xxhash64(col("tok")).as("h"))
+    val counters = (0 until 64).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+        .as(s"c$j"))
+    toks.groupBy(col("id"))
+      .agg(counters.head, counters.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(j =>
+          when(col(s"c$j") > 0L, lit(1L << j)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("sh"))
   }
 
   /** SimHash near-dup pairs: block on 16-bit chunks of the simhash (two
@@ -109,12 +109,10 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val base = df.select(col(idCol).as("id"),
-      simhash64(TextFunctions.tokenize(lower(col(textCol)))).as("sh"))
+    val base = simhashSignatures(df, idCol, textCol)
     val chunked = base.select(col("id"), col("sh"),
-      explode(transform(sequence(lit(0), lit(3)),
-        c => struct(c.as("chunk"),
-          shiftright(col("sh"), c * 16).bitwiseAND(0xFFFFL).as("ckey")))).as("cc"))
+      explode(array((0 until 4).map(c => struct(lit(c).as("chunk"),
+        shiftright(col("sh"), c * 16).bitwiseAND(lit(0xFFFFL)).as("ckey"))): _*)).as("cc"))
       .select(col("id"), col("sh"), col("cc.chunk"), col("cc.ckey"))
     val a = chunked.alias("a")
     val b = chunked.alias("b")

@@ -1,0 +1,57 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run each oracle SQL
+in DuckDB over the same parquet tables and compare to the Spark result
+parquet (columns sorted by name, rows sorted, values normalized)."""
+import duckdb, json, math, sys, glob, os
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_sf0001"
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    p = f"{sf_dir}/{t}.parquet"
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v): return "nan"
+        return f"{v:.6g}"
+    if isinstance(v, bytes): return v.hex()
+    return str(v)
+
+fails = []
+for name in sorted(os.listdir(out_dir)):
+    d = f"{out_dir}/{name}"
+    if not os.path.isdir(d): continue
+    files = glob.glob(f"{d}/*.parquet")
+    got = con.execute(f"SELECT * FROM read_parquet({files!r})").fetchdf()
+    if name not in oracle:
+        print(f"{name}: rows-only ({len(got)} rows)" + (" EMPTY!" if len(got)==0 else ""))
+        if len(got) == 0: fails.append(name)
+        continue
+    try:
+        exp = con.execute(oracle[name]).fetchdf()
+    except Exception as e:
+        print(f"{name}: ORACLE SQL ERROR: {e}")
+        fails.append(name); continue
+    gcols, ecols = sorted(got.columns), sorted(exp.columns)
+    if gcols != ecols:
+        print(f"{name}: SCHEMA MISMATCH spark={gcols} duck={ecols}")
+        fails.append(name); continue
+    if len(got) != len(exp):
+        print(f"{name}: ROWCOUNT spark={len(got)} duck={len(exp)}")
+        fails.append(name); continue
+    g = sorted(tuple(norm(v) for v in row) for row in got[gcols].itertuples(index=False))
+    e = sorted(tuple(norm(v) for v in row) for row in exp[ecols].itertuples(index=False))
+    if g != e:
+        bad = next(i for i,(a,b) in enumerate(zip(g,e)) if a!=b)
+        print(f"{name}: VALUE MISMATCH at sorted row {bad}:\n  spark={g[bad]}\n  duck ={e[bad]}")
+        fails.append(name)
+    else:
+        print(f"{name}: OK ({len(got)} rows)")
+print(f"\n{len(fails)} failing: {fails}" if fails else "\nALL OK")
+sys.exit(1 if fails else 0)
