@@ -70,14 +70,23 @@ object StatefulOps {
   }
 
   /** ST2: daily unique-visit filter — emit only each mid's first
-    * session-entry event per day. State: last emitted date, with a
-    * processing-time TTL standing in for the reference's 1-day state
-    * TTL (UniqueVisitApp.scala:87-92).
+    * session-entry event per day. State: last emitted date, with an
+    * optional processing-time TTL standing in for the reference's 1-day
+    * state TTL (UniqueVisitApp.scala:87-92). The TTL only bounds state
+    * size (semantics are carried by the date comparison); pass
+    * `ttl = None` to disable it — with a pending processing-time timeout
+    * the micro-batch loop never goes idle, so `processAllAvailable()`
+    * blocks and even `Trigger.AvailableNow` queries do not
+    * self-terminate (observed: correct rows emitted, query stays alive).
     */
-  def dailyUvFilter(events: Dataset[PageEvent])(implicit spark: SparkSession): Dataset[VisitRecord] = {
+  def dailyUvFilter(events: Dataset[PageEvent], ttl: Option[String] = Some("1 day"))(
+      implicit spark: SparkSession): Dataset[VisitRecord] = {
     import spark.implicits._
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events.groupByKey(_.mid).flatMapGroupsWithState(
-      OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
+      OutputMode.Append, timeoutConf)(
       (mid: String, it: Iterator[PageEvent], state: GroupState[String]) => {
         if (state.hasTimedOut) { state.remove(); Iterator.empty }
         else {
@@ -88,7 +97,7 @@ object StatefulOps {
               val d = day(e.ts)
               if (!state.getOption.contains(d)) {
                 state.update(d)
-                state.setTimeoutDuration("1 day")
+                ttl.foreach(state.setTimeoutDuration)
                 out += VisitRecord(mid, e.pageId, e.isNew, e.ts)
               }
             }

@@ -1,0 +1,79 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(text: String) = Seq(text).toDF("t")
+
+  test("tokenize drops empty tokens from repeated separators") {
+    val toks = one("  hello   world  ").select(TextFunctions.tokenize($"t"))
+      .as[Seq[String]].head()
+    assert(toks == Seq("hello", "world"))
+  }
+
+  test("tokenCount counts non-empty tokens") {
+    val n = one("a b  c").select(TextFunctions.tokenCount($"t")).as[Int].head()
+    assert(n == 3)
+  }
+
+  test("removeEmoji strips non-text codepoints but keeps letters/punct/space") {
+    val out = one("hi 😀 there!").select(TextFunctions.removeEmoji($"t"))
+      .as[String].head()
+    assert(out == "hi  there!")
+  }
+
+  test("shingles produces distinct n-grams of the normalized text") {
+    val sh = one("abcd").select(TextFunctions.shingles($"t", 3)).as[Seq[String]].head()
+    assert(sh.toSet == Set("abc", "bcd"))
+  }
+
+  test("wordNgrams forms sliding joined n-grams") {
+    val g = one("a b c d").select(
+      TextFunctions.wordNgrams(TextFunctions.tokenize($"t"), 2)).as[Seq[String]].head()
+    assert(g == Seq("a b", "b c", "c d"))
+  }
+
+  test("langId picks the language with the highest marker ratio") {
+    val df = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "le chat et la maison de paris"),
+      (3L, "der hund und die katze"),
+      (4L, "xyzzy qwerty")
+    ).toDF("id", "t")
+    val out = df.select($"id", TextFunctions.langId($"t")).as[(Long, String)]
+      .collect().toMap
+    assert(out == Map(1L -> "en", 2L -> "fr", 3L -> "de", 4L -> "und"))
+  }
+
+  test("dictClassify emits labels in dictionary order, 'none' when empty") {
+    val dicts = Seq("perf" -> Seq("fast"), "compute" -> Seq("join", "sort"))
+    val df = Seq((1L, "a fast sort"), (2L, "nothing here")).toDF("id", "t")
+    val out = df.select($"id", TextFunctions.dictClassify($"t", dicts))
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "perf,compute", 2L -> "none"))
+  }
+
+  test("rollingFingerprint is the polynomial hash of token lengths") {
+    // tokens "ab","c" → ((0*31+2)%M)*31+1 = 63
+    val fp = one("ab c").select(TextFunctions.rollingFingerprint($"t")).as[Long].head()
+    assert(fp == 63L)
+  }
+
+  test("contentFingerprint is whitespace/case insensitive") {
+    val df = Seq(("A  b\tC"), ("a b c")).toDF("t")
+      .select(TextFunctions.contentFingerprint($"t")).as[Long].collect()
+    assert(df(0) == df(1))
+  }
+
+  test("quality ratios: stopword ratio and mean token length, floored e4") {
+    // "the cat" → 1 stopword / 2 tokens = 0.5 → 5000
+    val s = one("the cat").select(TextFunctions.qualityStopwordRatio($"t")).as[Long].head()
+    assert(s == 5000L)
+    // mean token len of "ab cd" = 2.0 → 20000
+    val m = one("ab cd").select(TextFunctions.meanTokenLen($"t")).as[Long].head()
+    assert(m == 20000L)
+  }
+}

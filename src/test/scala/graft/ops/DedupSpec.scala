@@ -1,0 +1,63 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "en", 44L),
+    (2L, "the quick brown fox jumps over the lazy dog", "en", 44L), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat", "en", 44L), // near dup of 1
+    (4L, "completely different content about spark engines", "en", 49L),
+    (5L, "unrelated short text", "en", 20L)
+  ).toDF("doc_id", "text", "lang", "n_chars")
+
+  test("exact dedup groups identical texts under the min id") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .orderBy("rep_id").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 2L), (3L, 1L), (4L, 1L), (5L, 1L)))
+  }
+
+  test("fingerprint dedup matches exact dedup on whitespace-normal text") {
+    val a = Dedup.exact(docs, "doc_id", "text")
+      .orderBy("rep_id").as[(Long, Long)].collect().toSeq
+    val b = Dedup.exactByFingerprint(docs, "doc_id", "text")
+      .orderBy("rep_id").as[(Long, Long)].collect().toSeq
+    assert(a == b)
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated pairs") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        shingleN = 5, k = 32, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "exact duplicate must collide in every band")
+    assert(!pairs.exists { case (a, b) => Set(a, b) == Set(4L, 5L) })
+    // jaccard of the exact pair is 1.0 → 10000
+    val j = Dedup.minhashLshPairs(docs, "doc_id", "text", 5, 32, 16, 0.5)
+      .filter($"id_a" === 1L && $"id_b" === 2L)
+      .select("jaccard_e4").as[Long].head()
+    assert(j == 10000L)
+  }
+
+  test("simhash signatures are equal for identical docs and pairs pass the hamming gate") {
+    val sigs = Dedup.simhashSignatures(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
+  }
+
+  test("ngram jaccard within blocks reports the near-dup pair above threshold") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        Seq(col("lang"), floor(col("n_chars") / 100).cast("long")), 5000L)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(p => (p._1, p._2))
+    // distinct tokens of 1 vs 3 differ only in dog/cat: |∩|=7, |∪|=9
+    // → floor(7/9 · 1e4) = 7777; duplicate pair (1,2) and (2,3) also qualify
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(pairs.find(p => (p._1, p._2) == (1L, 2L)).get._3 == 10000L)
+    assert(pairs.find(p => (p._1, p._2) == (1L, 3L)).get._3 == 7777L)
+  }
+}

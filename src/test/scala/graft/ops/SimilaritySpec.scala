@@ -1,0 +1,43 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // 2-D vectors at known angles: 10 ≈ 11 (1°), both far from 12 (90°),
+  // 13 opposite, 14 between (45°).
+  private def emb = Seq(
+    (10L, Seq(1.0f, 0.0f)),
+    (11L, Seq(0.9998f, 0.0175f)),
+    (12L, Seq(0.0f, 1.0f)),
+    (13L, Seq(-1.0f, 0.0f)),
+    (14L, Seq(0.7071f, 0.7071f))
+  ).toDF("vec_id", "embedding")
+
+  test("brute-force top-k ranks by exact cosine with id tiebreak") {
+    val out = Similarity.bruteForceTopK(emb.filter($"vec_id" === 10L), emb, 3)
+      .orderBy("rank").as[(Long, Int, Long)].collect().toSeq
+    assert(out == Seq((10L, 1, 11L), (10L, 2, 14L), (10L, 3, 12L)))
+  }
+
+  test("self-match is excluded and k bounds the output") {
+    val out = Similarity.bruteForceTopK(emb, emb, 2)
+    assert(out.filter($"query_id" === $"neighbor_id").count() == 0)
+    assert(out.groupBy("query_id").count().filter($"count" > 2).count() == 0)
+  }
+
+  test("lsh top-k finds the near-identical neighbor (same bucket)") {
+    val out = Similarity.lshTopK(emb.filter($"vec_id" === 10L), emb, 3, nPlanes = 2)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(out.exists(r => r._3 == 11L),
+      s"1-degree-apart vectors must share every hyperplane side; got $out")
+  }
+
+  test("cosine near-dup pairs reports sim_e4 above the floor, a<b") {
+    val pairs = Similarity.cosineNearDupPairs(emb, minSimE4 = 9000L, nPlanes = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.exists(p => p._1 == 10L && p._2 == 11L && p._3 >= 9900L))
+    assert(pairs.forall(p => p._1 < p._2))
+  }
+}

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming tests for the three keyed-state operators, driven through
+  * MemoryStream → flatMapGroupsWithState → memory sink, i.e. the real
+  * incremental execution path (state store, watermarks, timeouts) — not
+  * a batch shortcut.
+  */
+class StatefulOpsSpec extends SparkSpec {
+  implicit lazy val s2: org.apache.spark.sql.SparkSession = spark
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+  import spark.implicits._
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000)
+
+  private def runToCompletion(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    q.processAllAvailable(); q.stop()
+  }
+
+  test("ST1 new-visitor fix: is_new=1 on a later day is rewritten to 0") {
+    val input = MemoryStream[PageEvent]
+    val out = StatefulOps.newVisitorFix(input.toDS())
+    val q = out.writeStream.format("memory").queryName("st1")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    // day 1: first visit claims new → stays 1; same day repeat claims new → stays 1
+    input.addData(
+      PageEvent("m1", "home", None, "1", ts(0)),
+      PageEvent("m1", "list", None, "1", ts(10)))
+    q.processAllAvailable()
+    // day 2: still claims new → must be corrected to 0
+    input.addData(PageEvent("m1", "home", None, "1", ts(86400 + 5)))
+    // fresh mid claiming not-new: passes through as 0
+    input.addData(PageEvent("m2", "home", None, "0", ts(20)))
+    runToCompletion(q)
+    val rows = spark.table("st1").as[VisitRecord].collect()
+      .map(r => (r.mid, r.ts.getTime / 1000, r.isNew)).toSet
+    assert(rows == Set(
+      ("m1", 0L, "1"), ("m1", 10L, "1"), ("m1", 86405L, "0"), ("m2", 20L, "0")))
+  }
+
+  test("ST2 daily UV dedup: one session-entry per mid per day") {
+    val input = MemoryStream[PageEvent]
+    val out = StatefulOps.dailyUvFilter(input.toDS(), ttl = None)
+    val q = out.writeStream.format("memory").queryName("st2")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    input.addData(
+      PageEvent("m1", "home", None, "1", ts(100)),        // counted
+      PageEvent("m1", "detail", Some("home"), "1", ts(200)), // not an entry
+      PageEvent("m1", "home", None, "1", ts(300)),        // same-day dup
+      PageEvent("m2", "home", Some(""), "0", ts(100)))    // empty last page = entry
+    q.processAllAvailable()
+    input.addData(PageEvent("m1", "home", None, "1", ts(86400 + 100))) // next day
+    runToCompletion(q)
+    val rows = spark.table("st2").as[VisitRecord].collect()
+      .map(r => (r.mid, r.ts.getTime / 1000)).toSet
+    assert(rows == Set(("m1", 100L), ("m2", 100L), ("m1", 86500L)))
+  }
+
+  test("ST3 bounce detect: entry with no follow-up within gap bounces (ref fixture)") {
+    val input = MemoryStream[PageEvent]
+    val events = input.toDS().withWatermark("ts", "0 seconds")
+    val out = StatefulOps.bounceDetect(events, gapSeconds = 10)
+    val q = out.writeStream.format("memory").queryName("st3")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    // The reference's inline fixture (UserJumpDetailApp.scala:74-78):
+    // mid 101 enters once and never follows up → bounce.
+    // mid 102 enters, follows up 3 s later (no bounce), then a second
+    // entry 15 s after that with no follow-up → bounce.
+    input.addData(
+      PageEvent("101", "home", None, "1", ts(10)),
+      PageEvent("102", "home", None, "1", ts(15)),
+      PageEvent("102", "good_list", Some("home"), "1", ts(18)),
+      PageEvent("102", "good_list", None, "1", ts(33)))
+    q.processAllAvailable()
+    // push the event-time watermark far past every pending timeout
+    input.addData(PageEvent("999", "home", None, "1", ts(1000)))
+    q.processAllAvailable()
+    input.addData(PageEvent("999", "end", Some("home"), "1", ts(2000)))
+    runToCompletion(q)
+    val rows = spark.table("st3").as[BounceRecord].collect()
+      .map(r => (r.mid, r.ts.getTime / 1000)).toSet
+    assert(rows.contains(("101", 10L)), s"mid 101 must bounce; got $rows")
+    assert(rows.contains(("102", 33L)), s"mid 102's second entry must bounce; got $rows")
+    assert(!rows.contains(("102", 15L)), s"followed-up entry must not bounce; got $rows")
+  }
+}
