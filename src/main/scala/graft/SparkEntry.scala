@@ -364,6 +364,87 @@ object SparkEntry {
     "q33_ann_lsh" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       Similarity.lshTopK(emb.filter(col("vec_id") < 8), emb, 5, nPlanes = 4)
+    }),
+
+    // Multimodal decode plumbing — partition-local batch decode (stub
+    // kernel, real Spark contract; see graft.ops.Multimodal)
+    "q34_multimodal_decode" -> ((s, dir) => {
+      val media = ops.Multimodal.asMediaTable(T(s, dir, "documents"), "doc_id", "text")
+      ops.Multimodal.decodeFeatures(media)
+        .select(col("media_id"), col("width"), col("height"),
+          col("channels"), col("n_bytes"))
+    }),
+
+    // Dedup family — embedding-cosine near-dup (rows-only: LSH-family
+    // dependent candidate set)
+    // (the synthetic embeddings top out near cosine 0.51, so the floor
+    // sits at 0.30 with 2 planes to keep a meaningful candidate set)
+    "q35_cosine_neardup" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(T(s, dir, "embeddings"), minSimE4 = 3000L,
+        nPlanes = 2)),
+
+    // Similarity search — IVF-bucketed ANN, the no-broadcast scale path
+    // (rows-only: recall bounded by the cell partition)
+    "q36_ann_ivf" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 8), emb, 5, nCells = 8)
+    }),
+
+    // §2.7 beyond-reference — ranking window function, top-3 orders per
+    // customer with deterministic tiebreak
+    "q37_top_orders_per_cust" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      T(s, dir, "orders")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("o_custkey"), col("rk").cast("long").as("rk"),
+          col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    // §2.6 beyond-reference — CUBE multi-level aggregate
+    "q38_cube" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+    }),
+
+    // §2.5 beyond-reference — left-semi join: orders having any heavy line
+    "q39_semi_join" -> ((s, dir) => {
+      val heavy = T(s, dir, "lineitem").filter(col("l_quantity") > 45)
+        .select(col("l_orderkey"))
+      T(s, dir, "orders")
+        .join(heavy, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    // §2.5 beyond-reference — left-anti join: orders with NO heavy line
+    "q40_anti_join" -> ((s, dir) => {
+      val heavy = T(s, dir, "lineitem").filter(col("l_quantity") > 45)
+        .select(col("l_orderkey"))
+      T(s, dir, "orders")
+        .join(heavy, col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .select(col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    // P1 — schema'd JSON parse with from_json (the reference's
+    // String→JSONObject map, OdsBaseLogApp.scala:74-80, with an explicit
+    // StructType instead of a dynamic map)
+    "q41_json_parse" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(StructField("k", LongType)))
+      T(s, dir, "events")
+        .select(col("event_id"),
+          from_json(col("props"), schema).getField("k").as("prop_k"))
+    }),
+
+    // beyond-reference — pivot (wide one-hot aggregation)
+    "q42_pivot" -> ((s, dir) => {
+      T(s, dir, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("dt"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
     })
   )
 
@@ -633,8 +714,52 @@ object SparkEntry {
          FROM t a JOIN t b
            ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
          WHERE CAST(floor(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-             / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) * 10000) AS BIGINT) >= 8000"""
-    // q31_dedup_minhash / q32_dedup_simhash / q33_ann_lsh: probabilistic
+             / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) * 10000) AS BIGINT) >= 8000""",
+    "q34_multimodal_decode" ->
+      """SELECT doc_id AS media_id,
+         16 + ascii(substr(text, 1, 1)) % 64 AS width,
+         16 + ascii(substr(text, length(text), 1)) % 64 AS height,
+         3 AS channels,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+         FROM documents""",
+
+    "q37_top_orders_per_cust" ->
+      """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+           FROM orders)
+         WHERE rk <= 3""",
+
+    "q38_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         count(*) AS n
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+
+    "q39_semi_join" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)""",
+
+    "q40_anti_join" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)""",
+
+    "q41_json_parse" ->
+      """SELECT event_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+         FROM events""",
+
+    "q42_pivot" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS dt,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+         CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+         FROM events GROUP BY 1"""
+    // q31_dedup_minhash / q32_dedup_simhash / q33_ann_lsh /
+    // q35_cosine_neardup / q36_ann_ivf: probabilistic
     // (hash-family-specific) — rows-only check by design.
   )
 }

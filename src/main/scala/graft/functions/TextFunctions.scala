@@ -44,24 +44,39 @@ object TextFunctions {
     regexp_replace(text, "[^\\p{L}\\p{M}\\p{N}\\p{P}\\p{Z}\\s]", "")
 
   /** Character n-gram shingles of the whitespace-normalized text. Used by
-    * MinHash / Jaccard dedup. Implemented with a transform over
-    * substring offsets — stays inside codegen.
+    * MinHash / Jaccard dedup.
+    *
+    * Implementation note: higher-order functions are interpreted, and any
+    * outer expression referenced inside a lambda body is RE-EVALUATED per
+    * element (a `transform(sequence(...), i => norm.substr(i, n))` shape
+    * re-runs the `norm` regex once per shingle position — O(len) regex
+    * calls per row, catastrophic on real documents). Instead the char
+    * array is zip_with'ed against shifted slices of itself: inputs are
+    * function *arguments*, evaluated once per row, and the lambdas touch
+    * only their own elements. Windows shorter than n become null via
+    * concat's null propagation and are filtered; a document shorter than
+    * n falls back to the whole normalized string as its one shingle.
     */
   def shingles(text: Column, n: Int): Column = {
     val norm = lower(regexp_replace(text, "\\s+", " "))
-    array_distinct(
-      transform(
-        sequence(lit(1), greatest(length(norm) - (n - 1), lit(1))),
-        i => norm.substr(i, lit(n))))
+    val chars = split(norm, "")
+    val grams = (2 to n).foldLeft(chars: Column)((acc, kk) =>
+      zip_with(acc, slice(chars, lit(kk), greatest(size(chars) - (kk - 1), lit(0))),
+        (a, b) => concat(a, b)))
+    val full = filter(grams, g => g.isNotNull && length(g) === n)
+    when(size(full) === 0, array(norm)).otherwise(array_distinct(full))
   }
 
-  /** Word n-grams from the token array. */
-  def wordNgrams(tokens: Column, n: Int): Column =
-    filter(
-      transform(
-        sequence(lit(0), greatest(size(tokens) - n, lit(0))),
-        i => array_join(slice(tokens, i + 1, lit(n)), " ")),
-      g => length(g) > 0)
+  /** Word n-grams from the token array, via zip_with against shifted
+    * slices (same rationale as [[shingles]]: no outer expression inside
+    * a lambda body, so `tokens` is evaluated once per row).
+    */
+  def wordNgrams(tokens: Column, n: Int): Column = {
+    val grams = (2 to n).foldLeft(tokens)((acc, kk) =>
+      zip_with(acc, slice(tokens, lit(kk), greatest(size(tokens) - (kk - 1), lit(0))),
+        (a, b) => concat(a, lit(" "), b)))
+    filter(grams, g => g.isNotNull)
+  }
 
   /** Stopword-hit count over a token array. */
   def stopwordCount(tokens: Column, stopwords: Seq[String]): Column =

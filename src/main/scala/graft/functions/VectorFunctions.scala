@@ -14,9 +14,12 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
+  /** Native codegen'd dot product ([[org.apache.spark.sql.graft.DotProduct]]); the
+    * `aggregate(zip_with(...))` formulation is interpreted per element
+    * and ~100× slower inside pair-scoring joins.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    org.apache.spark.sql.graft.VectorExpressions.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -35,12 +38,13 @@ object VectorFunctions {
       lit(0.0), (acc, v) => acc + v))
 
   /** Unit-normalize a vector (pre-normalizing once turns cosine top-k
-    * into dot-product top-k — the standard trick for scale).
+    * into dot-product top-k — the standard trick for scale). The norm
+    * rides in via array_repeat so the lambda never references an outer
+    * expression (which interpreted HOFs would re-evaluate per element).
     */
-  def normalize(a: Column): Column = {
-    val n = norm(a)
-    transform(a, x => when(n === 0.0, lit(0.0)).otherwise(x.cast("double") / n))
-  }
+  def normalize(a: Column): Column =
+    zip_with(a, array_repeat(norm(a), size(a)),
+      (x, n) => when(n === 0.0, lit(0.0)).otherwise(x.cast("double") / n))
 
   /** Random-hyperplane LSH signature: sign bits of dot products with
     * `nPlanes` pseudo-random hyperplanes derived deterministically from

@@ -38,6 +38,11 @@ object Dedup {
 
   /** MinHash signature of a shingle-set column: k independent hash
     * functions h_i(s) = murmur3(s, i); signature[i] = min over shingles.
+    *
+    * Column-expression variant for small arrays only: higher-order
+    * functions are interpreted, and [[minhashLshPairs]] deliberately does
+    * NOT use this — it computes signatures with codegen'd row-level
+    * aggregates over exploded shingles instead.
     */
   def minhashSignature(shingleSet: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
@@ -45,35 +50,79 @@ object Dedup {
 
   /** MinHash + LSH near-duplicate pairs.
     *
-    * shingle(n) → signature(k) → band into `bands` buckets → self-join
-    * on (band, bucket) → verify candidates with exact Jaccard on the
-    * shingle sets → pairs with jaccard ≥ threshold, id_a < id_b.
+    * Pipeline (everything codegen'd, no interpreted higher-order funcs in
+    * the hot path):
+    *  1. explode shingle positions → one (id, xxhash64(shingle)) row per
+    *     position; the normalized text is computed once per doc and only
+    *     an 8-byte hash enters the aggregation (Jaccard over hashed
+    *     shingle sets equals Jaccard over shingles modulo ~2^-64
+    *     collisions);
+    *  2. ONE hash-aggregate per doc computes all k minhash components
+    *     (min over xxhash64(h, i)) AND the shingle set (collect_set) —
+    *     map-side partial aggregation means the shuffle carries partial
+    *     mins/sets, never raw positions;
+    *  3. band buckets straight from the k component columns → self-join
+    *     on (band, bucket) carrying only (id, band, bucket) → distinct
+    *     candidate pairs;
+    *  4. exact Jaccard verify: the shingle sets join in once per side,
+    *     only for deduplicated candidates.
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 5, k: Int = 32, bands: Int = 8,
                       threshold: Double = 0.8): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val r = k / bands
-    val base = df.select(
-        col(idCol).as("id"),
-        TextFunctions.shingles(col(textCol), shingleN).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), k))
-    // one row per (doc, band): bucket = hash of the band's slice of the
-    // signature. Keys are tiny; the doc text never enters this shuffle.
-    val banded = base.select(
-      col("id"), col("sh"),
-      explode(array((0 until bands).map(b => struct(lit(b).as("band"),
-        xxhash64(slice(col("sig"), b * r + 1, r), lit(b)).as("bucket"))): _*)).as("bb"))
-      .select(col("id"), col("sh"), col("bb.band"), col("bb.bucket"))
-    val a = banded.alias("a")
-    val b = banded.alias("b")
-    val candidates = a.join(b,
+    val norm = lower(regexp_replace(col(textCol), "\\s+", " "))
+    val sh = df.select(col(idCol).as("id"), norm.as("norm"))
+      .select(col("id"), col("norm"),
+        explode(sequence(lit(1),
+          greatest(length(col("norm")) - (shingleN - 1), lit(1)))).as("pos"))
+      .select(col("id"),
+        xxhash64(col("norm").substr(col("pos"), lit(shingleN))).as("h"))
+    val aggs =
+      collect_set(col("h")).as("sh") +:
+        (0 until k).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
+    // Four plan branches consume this (banding, both signature sides,
+    // the set fetch); without a persist each one re-runs the shingle
+    // explode + 33-aggregate groupBy — at scale that is four full passes
+    // over the corpus. Cached size is the deduped shingle-hash sets plus
+    // 32 longs per doc, a small fraction of the input.
+    val perDoc = sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = perDoc.select(col("id"),
+      explode(array((0 until bands).map { b =>
+        val comps = (b * r until (b + 1) * r).map(i => col(s"m$i"))
+        struct(lit(b).as("band"), xxhash64(comps :+ lit(b): _*).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+    val candidates = banded.alias("a").join(banded.alias("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
-      .dropDuplicates("id_a", "id_b")
-    candidates
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    // Cheap prefilter before the exact verify: the minhash ESTIMATE
+    // (fraction of equal signature components — k integer compares per
+    // pair, signatures are a tiny broadcastable projection) with a 3σ
+    // margin below the threshold, so essentially no true pair is lost
+    // while the bulk of low-similarity bucket collisions never touch the
+    // shingle sets. On corpora dense with near-duplicates, giant LSH
+    // buckets make this the difference between O(candidates · setsize)
+    // and O(survivors · setsize).
+    val sigA = perDoc.select(
+      col("id").as("id_a") +: (0 until k).map(i => col(s"m$i").as(s"a$i")): _*)
+    val sigB = perDoc.select(
+      col("id").as("id_b") +: (0 until k).map(i => col(s"m$i").as(s"b$i")): _*)
+    val est = (0 until k)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1.0).otherwise(0.0))
+      .reduce(_ + _) / k
+    val margin = 3.0 * math.sqrt(threshold * (1.0 - threshold) / k)
+    val survivors = candidates.join(sigA, "id_a").join(sigB, "id_b")
+      .filter(est >= threshold - margin)
+      .select(col("id_a"), col("id_b"))
+    val sets = perDoc.select(col("id"), col("sh"))
+    survivors
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jac",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
@@ -109,7 +158,11 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    // both sides of the chunk self-join consume the signatures; persist
+    // so the token explode + 64-counter aggregation runs once (the cache
+    // is two longs per doc)
     val base = simhashSignatures(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunked = base.select(col("id"), col("sh"),
       explode(array((0 until 4).map(c => struct(lit(c).as("chunk"),
         shiftright(col("sh"), c * 16).bitwiseAND(lit(0xFFFFL)).as("ckey"))): _*)).as("cc"))
@@ -127,24 +180,38 @@ object Dedup {
 
   /** Exact blocked n-gram Jaccard: pairwise token-set Jaccard within
     * blocking keys (e.g. language + length band) — the verification
-    * baseline for the probabilistic dedupers. Block sizes bound the
-    * quadratic term; blocks shuffle independently.
+    * baseline for the probabilistic dedupers.
+    *
+    * Shape: explode distinct tokens to (block, token, id, setsize) rows,
+    * self-join on (block, token) equality, and count shared tokens per
+    * id-pair — |∩| is the group count, |∪| = sz_a + sz_b − |∩|. Every
+    * step is a codegen'd hash join/aggregate; no per-pair array
+    * intersection (interpreted and allocation-heavy) ever runs. Pairs
+    * with zero shared tokens never materialize, which is exactly the
+    * pairs a positive threshold filters out anyway. Block sizes bound
+    * the quadratic term; blocks shuffle independently.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCols: Seq[Column], thresholdE4: Long): DataFrame = {
+    val keys = blockCols.indices.map(i => s"blk_$i")
     val base = df.select(
       (col(idCol).as("id") +:
         array_distinct(TextFunctions.tokenize(lower(col(textCol)))).as("toks") +:
         blockCols.zipWithIndex.map { case (c, i) => c.as(s"blk_$i") }): _*)
-    val keys = blockCols.indices.map(i => s"blk_$i")
-    val a = base.alias("a")
-    val b = base.alias("b")
-    val cond = keys.map(k => col(s"a.$k") === col(s"b.$k"))
-      .reduce(_ && _) && col("a.id") < col("b.id")
-    a.join(b, cond)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        floor(size(array_intersect(col("a.toks"), col("b.toks"))).cast("double") /
-          size(array_union(col("a.toks"), col("b.toks"))).cast("double") * 10000)
+    val toks = base.select(
+      (col("id") +: size(col("toks")).as("sz") +: keys.map(col)) :+
+        explode(col("toks")).as("tok"): _*)
+      .select((col("id") +: col("sz") +: keys.map(col)) :+
+        xxhash64(col("tok")).as("th"): _*)
+    val cond = (keys.map(k => col(s"a.$k") === col(s"b.$k")) :+
+      (col("a.th") === col("b.th")) :+ (col("a.id") < col("b.id"))).reduce(_ && _)
+    toks.alias("a").join(toks.alias("b"), cond)
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("id_a"), col("id_b"),
+        floor(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double") * 10000)
           .cast("long").as("jaccard_e4"))
       .filter(col("jaccard_e4") >= thresholdE4)
   }

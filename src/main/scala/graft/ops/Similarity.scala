@@ -21,6 +21,32 @@ import graft.functions.VectorFunctions
   */
 object Similarity {
 
+  /** Attach a random-hyperplane LSH bucket column to a (vec_id,
+    * embedding) projection via posexplode + one codegen'd aggregation —
+    * the DataFrame-level fast path for
+    * [[VectorFunctions.hyperplaneLshBucket]] (whose higher-order-function
+    * form is interpreted per element and re-evaluates per plane).
+    * Hyperplane component for (dim i, plane p): murmur3(i·1315423911+p,
+    * seed) mapped to [-0.5, 0.5] — identical weights to the Column form.
+    */
+  private[ops] def withLshBucket(df: DataFrame, idName: String, embName: String,
+                                 nPlanes: Int, seed: Int = 42): DataFrame = {
+    val exploded = df.select(col(idName), col(embName),
+        posexplode(col(embName)).as(Seq("i", "x")))
+      .select(col(idName), col("i"), col("x"))
+    val projs = (0 until nPlanes).map { p =>
+      sum(col("x").cast("double") *
+        (pmod(hash(col("i").cast("long") * lit(1315423911L) + lit(p.toLong),
+          lit(seed)), lit(1001)).cast("double") / 1000.0 - 0.5)).as(s"proj$p")
+    }
+    val buckets = exploded.groupBy(col(idName)).agg(projs.head, projs.tail: _*)
+      .select(col(idName),
+        (0 until nPlanes).map(p =>
+          when(col(s"proj$p") >= 0.0, lit(1L << p)).otherwise(lit(0L)))
+          .reduce(_ + _).as("bucket"))
+    df.join(buckets, idName)
+  }
+
   /** Exact top-k by cosine: for each query vector, the k nearest
     * candidates (self-match excluded), deterministic tiebreak on
     * candidate id.
@@ -47,11 +73,37 @@ object Similarity {
     */
   def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
               nPlanes: Int = 8): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      .withColumn("bucket", VectorFunctions.hyperplaneLshBucket(col("q_emb"), nPlanes))
-    val c = candidates.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
-      .withColumn("bucket", VectorFunctions.hyperplaneLshBucket(col("c_emb"), nPlanes))
+    val q = withLshBucket(queries.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", nPlanes)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
+    val c = withLshBucket(candidates.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", nPlanes)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"), col("bucket"))
     val scored = q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", VectorFunctions.cosine(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
+  /** IVF-style ANN: both sides are assigned a coarse cell
+    * ([[VectorFunctions.ivfCell]]); scoring happens only within the
+    * query's cell. The scale path when neither side fits a broadcast:
+    * both shuffle on the small cell id, and each cell's join is local.
+    * Recall is traded for the partition bound (a trained codebook with
+    * multi-probe would raise it; the plumbing is identical).
+    */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+              nCells: Int = 16): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .withColumn("cell", VectorFunctions.ivfCell(col("q_emb"), nCells))
+    val c = candidates.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+      .withColumn("cell", VectorFunctions.ivfCell(col("c_emb"), nCells))
+    val scored = q.join(c, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", VectorFunctions.cosine(col("q_emb"), col("c_emb")))
     val w = Window.partitionBy(col("query_id"))
@@ -64,17 +116,23 @@ object Similarity {
 
   /** All-pairs above a similarity floor (embedding near-dup detection):
     * LSH bucket join + exact verify, pairs id_a < id_b. The
-    * embedding-cosine member of the dedup family.
+    * embedding-cosine member of the dedup family. Vectors are unit-
+    * normalized once per row, so each pair costs exactly one native
+    * [[org.apache.spark.sql.graft.DotProduct]] loop — small codegen (a 64-term
+    * unpacked sum here once sent Janino's whole-stage compile into
+    * minutes), fast evaluation.
     */
   def cosineNearDupPairs(df: DataFrame, minSimE4: Long, nPlanes: Int = 10): DataFrame = {
-    val base = df.select(col("vec_id"), col("embedding"))
-      .withColumn("bucket", VectorFunctions.hyperplaneLshBucket(col("embedding"), nPlanes))
-    val a = base.alias("a")
-    val b = base.alias("b")
-    a.join(b, col("a.bucket") === col("b.bucket") &&
-        col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        floor(VectorFunctions.cosine(col("a.embedding"), col("b.embedding")) * 10000)
+    val base = withLshBucket(df.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", nPlanes)
+      .select(col("vec_id"),
+        VectorFunctions.normalize(col("embedding")).as("u"), col("bucket"))
+    val a = base.select(col("vec_id").as("id_a"), col("u").as("ua"), col("bucket"))
+    val b = base.select(col("vec_id").as("id_b"), col("u").as("ub"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        floor(org.apache.spark.sql.graft.VectorExpressions.dot(col("ua"), col("ub")) * 10000)
           .cast("long").as("sim_e4"))
       .filter(col("sim_e4") >= minSimE4)
   }

@@ -1,0 +1,24 @@
+package graft.tmp
+
+import org.apache.spark.sql.SparkSession
+
+/** Scratch: time one query by name on a given sf dir. */
+object RunOne {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
+    val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
+    println(f"RESULT $name rows=$n t=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    if (args.length > 2 && args(2) == "explain")
+      graft.SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    spark.stop()
+  }
+}
