@@ -445,6 +445,66 @@ object SparkEntry {
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
         .count()
         .na.fill(0L)
+    }),
+
+    // §2.11 — text business rules: char-class strips + blocklist flag
+    // (ref: CommonTool.scala:17-56, BusinessRulesTool.scala:98-114)
+    "q43_text_rules" -> ((s, dir) => {
+      T(s, dir, "documents").select(
+        col("doc_id"),
+        length(TF.cjkAsciiOnly(col("text"))).cast("long").as("cjk_ascii_len"),
+        length(TF.stripSurrogates(col("text"))).cast("long").as("stripped_len"),
+        TF.blocklistFlag(col("text"), Seq("table", "row")).as("allowed"))
+    }),
+
+    // §2.11 — event gaps: seconds between consecutive events per user
+    // (ref: CommonTool.getDateBetweenTime, CommonTool.scala:97-109)
+    "q44_event_gaps" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      T(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .select(col("event_id"), col("user_id"),
+          (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")))
+            .cast("long").as("gap_s"))
+    }),
+
+    // P1+O1 end-to-end — the OdsBaseLogApp head: behavior-log JSON lines
+    // (synthesized from events) → lenient envelope parse → page split.
+    // Exercises graft.apps.Pipelines under the oracle gate.
+    "q45_log_pipeline" -> ((s, dir) => {
+      val raw = T(s, dir, "events").select(to_json(struct(
+        struct(col("user_id").cast("string").as("mid"), lit("v1").as("vc"),
+          lit("web").as("ch"), lit("310000").as("ar"), lit("0").as("is_new"))
+          .as("common"),
+        struct(col("event_type").as("page_id"),
+          lit(null).cast("string").as("last_page_id"),
+          get_json_object(col("props"), "$.k").as("item"),
+          col("value").cast("long").as("during_time")).as("page"),
+        unix_millis(col("ts")).as("ts"))).as("value"))
+      apps.Pipelines.splitPage(apps.Pipelines.parseLog(raw))
+        .select(col("mid"), col("page_id"), col("item"),
+          col("during_time"), col("ts"))
+    }),
+
+    // O2/P4/P7 end-to-end — the OdsBaseDbApp head: Maxwell envelopes
+    // (synthesized from events) → config-driven routing with column
+    // pruning → per-sink counts.
+    "q46_cdc_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val cdc = T(s, dir, "events").select(
+        col("event_type").as("table"),
+        when(col("value") > 50, "bootstrap-insert").otherwise("insert").as("type"),
+        to_json(struct(col("event_id").cast("string").as("id"),
+          col("user_id").cast("string").as("uid"),
+          col("props").as("secret"))).as("data"))
+      val config = Seq(
+        ("view", "insert", "kafka", "dwd_view", "id,uid"),
+        ("click", "insert", "kafka", "dwd_click", "id,uid"),
+        ("purchase", "insert", "clickhouse", "dws_purchase", "id")
+      ).toDF("source_table", "operate_type", "sink_type", "sink_table", "sink_columns")
+      apps.Pipelines.routeCdc(cdc, config)
+        .groupBy(col("sink_type"), col("sink_table"))
+        .agg(count(lit(1)).as("ct"))
     })
   )
 
@@ -757,7 +817,38 @@ object SparkEntry {
          CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
          CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
          CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
-         FROM events GROUP BY 1"""
+         FROM events GROUP BY 1""",
+
+    "q43_text_rules" ->
+      """SELECT doc_id,
+         length(regexp_replace(text, '[^\x{4E00}-\x{9FA5}\x{F900}-\x{FA2D}\x{FF00}-\x{FFEF}\x{0000}-\x{00FF}]', '', 'g')) AS cjk_ascii_len,
+         length(trim(regexp_replace(text, '[\x{D800}-\x{DFFF}]', '', 'g'))) AS stripped_len,
+         CASE WHEN contains(text, 'table') OR contains(text, 'row')
+              THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS allowed
+         FROM documents""",
+
+    "q44_event_gaps" ->
+      """SELECT event_id, user_id,
+         CAST(floor(epoch(ts)) - floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS gap_s
+         FROM events""",
+
+    "q45_log_pipeline" ->
+      """SELECT CAST(user_id AS VARCHAR) AS mid,
+         event_type AS page_id,
+         json_extract_string(props, '$.k') AS item,
+         CAST(floor(value) AS BIGINT) AS during_time,
+         epoch_ms(ts) AS ts
+         FROM events""",
+
+    "q46_cdc_pipeline" ->
+      """SELECT sink_type, sink_table, count(*) AS ct
+         FROM events
+         JOIN (VALUES ('view','kafka','dwd_view'),
+                      ('click','kafka','dwd_click'),
+                      ('purchase','clickhouse','dws_purchase'))
+              AS config(source_table, sink_type, sink_table)
+           ON event_type = source_table
+         GROUP BY 1, 2"""
     // q31_dedup_minhash / q32_dedup_simhash / q33_ann_lsh /
     // q35_cosine_neardup / q36_ann_ivf: probabilistic
     // (hash-family-specific) — rows-only check by design.

@@ -150,6 +150,27 @@ object TextFunctions {
   def contentFingerprint(text: Column): Column =
     xxhash64(lower(regexp_replace(text, "\\s+", " ")))
 
+  /** Keep only CJK ideographs, CJK compatibility, fullwidth forms, and
+    * ASCII — the reference's `getSubsidy` emoji/foreign-char filter
+    * (rt-flink CommonTool.scala:17-37) as one codegen'd regexp_replace.
+    */
+  def cjkAsciiOnly(text: Column): Column =
+    regexp_replace(text,
+      "[^\\u4E00-\\u9FA5\\uF900-\\uFA2D\\uFF00-\\uFFEF\\u0000-\\u00FF]", "")
+
+  /** Strip UTF-16 surrogate pairs (astral-plane chars) and trim — the
+    * reference's `specialStr` (rt-flink CommonTool.scala:50-56).
+    */
+  def stripSurrogates(text: Column): Column =
+    trim(regexp_replace(text, "[\\uD800-\\uDFFF]", ""))
+
+  /** Blocklist flag: 0 when the text contains any blocked term, else 1 —
+    * the reference's product-name filter (rt-flink
+    * BusinessRulesTool.scala:98-114 `filterData`).
+    */
+  def blocklistFlag(text: Column, blocked: Seq[String]): Column =
+    when(blocked.map(b => text.contains(b)).reduce(_ || _), 0L).otherwise(1L)
+
   /** Keyword-dictionary multi-label classifier — capability parity with
     * the reference's complaint classifier
     * (rt-flink BusinessRulesTool.scala:15-68 `getCommentType`, 5 keyword
