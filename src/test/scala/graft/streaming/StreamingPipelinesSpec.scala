@@ -7,6 +7,8 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 case class Ev(user_id: Long, event_type: String, value: Double, ts: Timestamp)
+case class SOrder(id: Long, user_id: Long, event_ts: Timestamp)
+case class SDetail(detail_id: Long, order_id: Long, amount: Double, event_ts: Timestamp)
 
 class StreamingPipelinesSpec extends SparkSpec {
   implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -34,6 +36,33 @@ class StreamingPipelinesSpec extends SparkSpec {
       .collect().toSet
     assert(rows.contains(("1970-01-01 00:00:00", "view", 2L)), s"got $rows")
     assert(rows.contains(("1970-01-01 00:00:10", "click", 1L)), s"got $rows")
+  }
+
+  test("stream-stream interval join (orderWide) matches only within the time bound") {
+    val oi = MemoryStream[SOrder]
+    val od = MemoryStream[SDetail]
+    val users = Seq((100L, "alice"), (200L, "bob")).toDF("id", "user_name")
+    val joined = graft.apps.Pipelines.orderWide(
+      oi.toDF().withWatermark("event_ts", "5 seconds"),
+      od.toDF().withWatermark("event_ts", "5 seconds"),
+      Seq((users, "oi.user_id")), boundSeconds = 5)
+      .select(col("detail_id"), col("user_name"))
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("owj")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
+    def ts(sec: Long) = new Timestamp(sec * 1000)
+    oi.addData(SOrder(1L, 100L, ts(10)), SOrder(2L, 200L, ts(10)))
+    od.addData(
+      SDetail(10L, 1L, 9.5, ts(12)),   // within ±5 s of order 1
+      SDetail(11L, 2L, 3.0, ts(100)))  // 90 s after order 2 — outside
+    q.processAllAvailable()
+    // advance both watermarks past every bound
+    oi.addData(SOrder(9L, 100L, ts(1000)))
+    od.addData(SDetail(99L, 9L, 1.0, ts(2000)))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("owj").as[(Long, String)].collect().toSet
+    assert(rows.contains((10L, "alice")), s"in-bound detail must join; got $rows")
+    assert(!rows.exists(_._1 == 11L), s"out-of-bound detail must not join; got $rows")
   }
 
   test("toDynamicKafkaShape yields (topic, value-json) rows") {
