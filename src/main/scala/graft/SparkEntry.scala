@@ -505,6 +505,14 @@ object SparkEntry {
       apps.Pipelines.routeCdc(cdc, config)
         .groupBy(col("sink_type"), col("sink_table"))
         .agg(count(lit(1)).as("ct"))
+    }),
+
+    // §2.12 — custom typed Aggregator (exact distinct via a merged
+    // long-set buffer; the reference's HashSet accumulator as a UDAF)
+    "q47_custom_aggregator" -> ((s, dir) => {
+      T(s, dir, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("dt"))
+        .agg(graft.functions.Aggregators.exactDistinct(col("user_id")).as("uv_exact"))
     })
   )
 
@@ -848,7 +856,12 @@ object SparkEntry {
                       ('purchase','clickhouse','dws_purchase'))
               AS config(source_table, sink_type, sink_table)
            ON event_type = source_table
-         GROUP BY 1, 2"""
+         GROUP BY 1, 2""",
+
+    "q47_custom_aggregator" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS dt,
+         count(DISTINCT user_id) AS uv_exact
+         FROM events GROUP BY 1"""
     // q31_dedup_minhash / q32_dedup_simhash / q33_ann_lsh /
     // q35_cosine_neardup / q36_ann_ivf: probabilistic
     // (hash-family-specific) — rows-only check by design.
