@@ -260,11 +260,13 @@ object SparkEntry {
     "q19_dedup_exact" -> ((s, dir) =>
       Dedup.exact(T(s, dir, "documents"), "doc_id", "text")),
 
-    // Text analysis — token counting + portable rolling fingerprint
+    // Text analysis — whitespace + BPE-ish token counting + portable
+    // rolling fingerprint
     "q20_token_stats" -> ((s, dir) => {
       T(s, dir, "documents").select(
         col("doc_id"),
         TF.tokenCount(col("text")).cast("long").as("token_ct"),
+        size(TF.bpeTokenize(col("text"))).cast("long").as("bpe_token_ct"),
         TF.rollingFingerprint(col("text")).as("fingerprint"))
     }),
 
@@ -665,6 +667,7 @@ object SparkEntry {
     "q20_token_stats" ->
       """SELECT doc_id,
          len(list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0)) AS token_ct,
+         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS bpe_token_ct,
          list_reduce(
            list_prepend(CAST(0 AS BIGINT),
              list_transform(list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0),

@@ -25,14 +25,12 @@ object TextFunctions {
   def tokenize(text: Column): Column =
     filter(split(text, "\\s+"), t => length(t) > 0)
 
-  /** BPE-ish subword splitter: lowercase word chunks, numbers, or single
-    * punctuation — the standard pre-tokenization regex shape used by GPT
-    * style tokenizers, as a codegen'd Column expr.
+  /** BPE-ish pre-tokenizer: word chunks, digit runs, or single
+    * punctuation marks — the standard GPT-style pre-tokenization split,
+    * via regexp_extract_all (one native call per row).
     */
   def bpeTokenize(text: Column): Column =
-    filter(
-      split(regexp_replace(text, "([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s])", "$1"), "|\\s+"),
-      t => length(t) > 0)
+    regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))
 
   def tokenCount(text: Column): Column = size(tokenize(text))
 

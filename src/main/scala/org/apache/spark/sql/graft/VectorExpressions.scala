@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -21,7 +21,7 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * Catalyst extensions.
   */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(DoubleType), ArrayType(DoubleType))
@@ -66,4 +66,36 @@ object VectorExpressions {
     ExpressionUtils.column(DotProduct(
       ExpressionUtils.expression(a.cast("array<double>")),
       ExpressionUtils.expression(b.cast("array<double>"))))
+
+  /** Make `dot_product(a, b)` callable from `spark.sql` on an existing
+    * session (runtime FunctionRegistry injection; for cluster-wide
+    * config use [[GraftExtensions]] via `spark.sql.extensions`).
+    */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product",
+      exprs => {
+        require(exprs.length == 2, "dot_product requires exactly 2 arguments")
+        DotProduct(exprs(0), exprs(1))
+      },
+      "built-in")
+}
+
+/** Catalyst extension entry point: `--conf spark.sql.extensions=
+  * org.apache.spark.sql.graft.GraftExtensions` registers the engine's
+  * custom expressions on every session of the cluster — the documented
+  * injection seam for third-party expressions (injectFunction).
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "dot_product requires exactly 2 arguments")
+        DotProduct(exprs.head, exprs(1))
+      }))
+  }
 }

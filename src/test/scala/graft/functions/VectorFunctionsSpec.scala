@@ -49,6 +49,16 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(b.values.forall(v => v >= 0 && v < 256))
   }
 
+  test("dot_product is callable from spark.sql after registerSql") {
+    org.apache.spark.sql.graft.VectorExpressions.registerSql(spark)
+    vecs.createOrReplaceTempView("vfs_vecs")
+    val d = spark.sql(
+      """SELECT dot_product(a.v, b.v) AS d
+         FROM vfs_vecs a JOIN vfs_vecs b ON a.id = 1 AND b.id = 3""")
+      .as[Double].head()
+    assert(d == 3.0)
+  }
+
   test("ivf cell is stable and within range") {
     val c = vecs.select($"id", VectorFunctions.ivfCell($"v", 16).as("c"))
       .as[(Long, Long)].collect().toMap
