@@ -54,42 +54,51 @@ object Dedup {
     * the hot path):
     *  1. explode shingle positions → one (id, xxhash64(shingle)) row per
     *     position; the normalized text is computed once per doc and only
-    *     an 8-byte hash enters the aggregation (Jaccard over hashed
-    *     shingle sets equals Jaccard over shingles modulo ~2^-64
-    *     collisions);
-    *  2. ONE hash-aggregate per doc computes all k minhash components
-    *     (min over xxhash64(h, i)) AND the shingle set (collect_set) —
-    *     map-side partial aggregation means the shuffle carries partial
-    *     mins/sets, never raw positions;
-    *  3. band buckets straight from the k component columns → self-join
-    *     on (band, bucket) carrying only (id, band, bucket) → distinct
-    *     candidate pairs;
-    *  4. exact Jaccard verify: the shingle sets join in once per side,
-    *     only for deduplicated candidates.
+    *     an 8-byte hash flows on (Jaccard over hashed shingle sets
+    *     equals Jaccard over shingles modulo ~2^-64 collisions);
+    *  2. signatures via ONE pure HashAggregate — k `min(xxhash64(h, i))`
+    *     columns, fully codegen'd with map-side partials (no collect_set
+    *     here: a single TypedImperativeAggregate would force the whole
+    *     aggregation into object mode for every doc);
+    *  3. band buckets straight off the component columns → self-join on
+    *     (band, bucket) carrying only (id, band, bucket) → distinct
+    *     candidate pairs → minhash-ESTIMATE prefilter (k integer
+    *     compares per pair against the tiny signature projection, 3σ
+    *     margin below the threshold);
+    *  4. exact verify: shingle SETS are aggregated ONLY for doc ids that
+    *     survive the prefilter — on a 100 TB corpus the expensive
+    *     object-mode collect_set runs on the ~0.1% of documents that are
+    *     actually near-dup candidates, not the corpus.
+    */
+  /** @param cacheShingles persist the exploded (id, shingle-hash) rows
+    *   between the signature pass and the survivor-set pass. Right when
+    *   the corpus (×~8 bytes/char) fits the cluster's cache tier; at
+    *   true 100 TB scale leave false — the second pass re-scans, and the
+    *   collect_set still only aggregates surviving docs.
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 5, k: Int = 32, bands: Int = 8,
-                      threshold: Double = 0.8): DataFrame = {
+                      threshold: Double = 0.8,
+                      cacheShingles: Boolean = true): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val r = k / bands
     val norm = lower(regexp_replace(col(textCol), "\\s+", " "))
-    val sh = df.select(col(idCol).as("id"), norm.as("norm"))
+    val shRowsPlan = df.select(col(idCol).as("id"), norm.as("norm"))
       .select(col("id"), col("norm"),
         explode(sequence(lit(1),
           greatest(length(col("norm")) - (shingleN - 1), lit(1)))).as("pos"))
       .select(col("id"),
         xxhash64(col("norm").substr(col("pos"), lit(shingleN))).as("h"))
-    val aggs =
-      collect_set(col("h")).as("sh") +:
-        (0 until k).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
-    // Four plan branches consume this (banding, both signature sides,
-    // the set fetch); without a persist each one re-runs the shingle
-    // explode + 33-aggregate groupBy — at scale that is four full passes
-    // over the corpus. Cached size is the deduped shingle-hash sets plus
-    // 32 longs per doc, a small fraction of the input.
-    val perDoc = sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    val shRows =
+      if (cacheShingles)
+        shRowsPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else shRowsPlan
+    val minAggs = (0 until k).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
+    // three plan branches consume the signatures (banding + both
+    // prefilter sides); the cache is 33 longs per doc
+    val sigs = shRows.groupBy(col("id")).agg(minAggs.head, minAggs.tail: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = perDoc.select(col("id"),
+    val banded = sigs.select(col("id"),
       explode(array((0 until bands).map { b =>
         val comps = (b * r until (b + 1) * r).map(i => col(s"m$i"))
         struct(lit(b).as("band"), xxhash64(comps :+ lit(b): _*).as("bucket"))
@@ -100,17 +109,9 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    // Cheap prefilter before the exact verify: the minhash ESTIMATE
-    // (fraction of equal signature components — k integer compares per
-    // pair, signatures are a tiny broadcastable projection) with a 3σ
-    // margin below the threshold, so essentially no true pair is lost
-    // while the bulk of low-similarity bucket collisions never touch the
-    // shingle sets. On corpora dense with near-duplicates, giant LSH
-    // buckets make this the difference between O(candidates · setsize)
-    // and O(survivors · setsize).
-    val sigA = perDoc.select(
+    val sigA = sigs.select(
       col("id").as("id_a") +: (0 until k).map(i => col(s"m$i").as(s"a$i")): _*)
-    val sigB = perDoc.select(
+    val sigB = sigs.select(
       col("id").as("id_b") +: (0 until k).map(i => col(s"m$i").as(s"b$i")): _*)
     val est = (0 until k)
       .map(i => when(col(s"a$i") === col(s"b$i"), 1.0).otherwise(0.0))
@@ -119,7 +120,14 @@ object Dedup {
     val survivors = candidates.join(sigA, "id_a").join(sigB, "id_b")
       .filter(est >= threshold - margin)
       .select(col("id_a"), col("id_b"))
-    val sets = perDoc.select(col("id"), col("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // exact-verify sets: second shingle pass, semi-joined down to
+    // surviving doc ids BEFORE the collect_set aggregation
+    val neededIds = survivors
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct()
+    val sets = shRows.join(broadcast(neededIds), "id")
+      .groupBy(col("id")).agg(collect_set(col("h")).as("sh"))
     survivors
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")

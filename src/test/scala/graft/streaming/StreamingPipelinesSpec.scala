@@ -65,6 +65,39 @@ class StreamingPipelinesSpec extends SparkSpec {
     assert(!rows.exists(_._1 == 11L), s"out-of-bound detail must not join; got $rows")
   }
 
+  test("file streaming source → windowed stats → parquet sink, resuming from checkpoint") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("fstream").toString
+    new java.io.File(s"$dir/in").mkdirs()
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("ts", TimestampType)))
+    def writeLines(name: String, lines: Seq[String]): Unit = {
+      val p = java.nio.file.Paths.get(s"$dir/in/$name")
+      java.nio.file.Files.write(p, lines.mkString("\n").getBytes)
+    }
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).json(s"$dir/in")
+      val out = StreamingPipelines.windowedStats(
+        stream, Seq("event_type"), "10 seconds", delay = "0 seconds")
+      val q = out.writeStream.outputMode("append").format("parquet")
+        .option("path", s"$dir/out").option("checkpointLocation", s"$dir/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+    }
+    writeLines("f1.json", Seq(
+      """{"user_id":1,"event_type":"view","value":2.0,"ts":"1970-01-01T00:00:01.000Z"}""",
+      """{"user_id":2,"event_type":"view","value":3.0,"ts":"1970-01-01T00:00:04.000Z"}"""))
+    runOnce() // watermark advances to 4 s; window [0,10) still open
+    writeLines("f2.json", Seq(
+      """{"user_id":3,"event_type":"click","value":1.0,"ts":"1970-01-01T00:01:00.000Z"}"""))
+    runOnce() // resume from checkpoint: file2 closes the first window
+    val out = spark.read.parquet(s"$dir/out")
+      .select("stt", "event_type", "pv_ct")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(out.contains(("1970-01-01 00:00:00", "view", 2L)), s"got $out")
+  }
+
   test("toDynamicKafkaShape yields (topic, value-json) rows") {
     val df = Seq((1L, "signup", "dwd_signup")).toDF("id", "event_type", "sink_table")
     val shaped = StreamingPipelines.toDynamicKafkaShape(df, "sink_table")
