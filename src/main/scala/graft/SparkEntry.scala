@@ -515,6 +515,15 @@ object SparkEntry {
       T(s, dir, "events")
         .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("dt"))
         .agg(graft.functions.Aggregators.exactDistinct(col("user_id")).as("uv_exact"))
+    }),
+
+    // the documented scale switch for distinct counts: HLL sketch
+    // (mergeable, fixed memory) — rows-only check: approx values are
+    // algorithm-specific, the row set (one per day) is not
+    "q48_uv_approx" -> ((s, dir) => {
+      T(s, dir, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("dt"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("uv_approx"))
     })
   )
 

@@ -61,6 +61,31 @@ class StatefulOpsSpec extends SparkSpec {
     assert(rows == Set(("m1", 100L), ("m2", 100L), ("m1", 86500L)))
   }
 
+  test("ST2 runs on the RocksDB state store provider (reference state backend)") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[PageEvent]
+      val out = StatefulOps.dailyUvFilter(input.toDS(), ttl = None)
+      val q = out.writeStream.format("memory").queryName("st2_rocks")
+        .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+      input.addData(
+        PageEvent("r1", "home", None, "1", ts(100)),
+        PageEvent("r1", "home", None, "1", ts(200)), // same-day dup
+        PageEvent("r2", "home", None, "0", ts(150)))
+      q.processAllAvailable(); q.stop()
+      val rows = spark.table("st2_rocks").as[VisitRecord].collect()
+        .map(r => (r.mid, r.ts.getTime / 1000)).toSet
+      assert(rows == Set(("r1", 100L), ("r2", 150L)))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("ST3 bounce detect: entry with no follow-up within gap bounces (ref fixture)") {
     val input = MemoryStream[PageEvent]
     val events = input.toDS().withWatermark("ts", "0 seconds")
