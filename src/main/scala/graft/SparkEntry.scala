@@ -524,6 +524,22 @@ object SparkEntry {
       T(s, dir, "events")
         .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("dt"))
         .agg(approx_count_distinct(col("user_id"), 0.02).as("uv_approx"))
+    }),
+
+    // §2.9 — set operations beyond the reference's unions
+    "q49_intersect" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      e.filter(col("event_type") === "click").select(col("user_id"))
+        .intersect(e.filter(col("event_type") === "purchase").select(col("user_id")))
+    }),
+    // (selective predicates keep the difference non-empty at test SFs —
+    // with only ~150 users every unfiltered per-type user set is equal)
+    "q50_except" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      e.filter(col("event_type") === "purchase" && col("value") > 95)
+        .select(col("user_id"))
+        .except(e.filter(col("event_type") === "error" && col("value") > 90)
+          .select(col("user_id")))
     })
   )
 
@@ -873,7 +889,17 @@ object SparkEntry {
     "q47_custom_aggregator" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS dt,
          count(DISTINCT user_id) AS uv_exact
-         FROM events GROUP BY 1"""
+         FROM events GROUP BY 1""",
+
+    "q49_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+         INTERSECT
+         SELECT user_id FROM events WHERE event_type = 'purchase'""",
+
+    "q50_except" ->
+      """SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 95
+         EXCEPT
+         SELECT user_id FROM events WHERE event_type = 'error' AND value > 90"""
     // q31_dedup_minhash / q32_dedup_simhash / q33_ann_lsh /
     // q35_cosine_neardup / q36_ann_ivf: probabilistic
     // (hash-family-specific) — rows-only check by design.
