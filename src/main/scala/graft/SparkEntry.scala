@@ -532,6 +532,12 @@ object SparkEntry {
       e.filter(col("event_type") === "click").select(col("user_id"))
         .intersect(e.filter(col("event_type") === "purchase").select(col("user_id")))
     }),
+    // 100TB lever — two-phase salted aggregation for hot keys
+    // (decomposable sums; exact decimal partials)
+    "q51_salted_agg" -> ((s, dir) =>
+      ops.Skew.saltedSumCount(T(s, dir, "events"), Seq("event_type"), "value",
+        salts = 8)),
+
     // (selective predicates keep the difference non-empty at test SFs —
     // with only ~150 users every unfiltered per-type user set is equal)
     "q50_except" -> ((s, dir) => {
@@ -899,7 +905,13 @@ object SparkEntry {
     "q50_except" ->
       """SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 95
          EXCEPT
-         SELECT user_id FROM events WHERE event_type = 'error' AND value > 90"""
+         SELECT user_id FROM events WHERE event_type = 'error' AND value > 90""",
+
+    "q51_salted_agg" ->
+      """SELECT event_type,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+         count(*) AS row_ct
+         FROM events GROUP BY 1"""
     // q31_dedup_minhash / q32_dedup_simhash / q33_ann_lsh /
     // q35_cosine_neardup / q36_ann_ivf: probabilistic
     // (hash-family-specific) — rows-only check by design.

@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Hot-key mitigation for aggregations: two-phase salted groupBy.
+  *
+  * At 100 TB a single hot key (the reference's `keyBy(mid)` pattern
+  * with a bot device, or a null-heavy dimension) lands on one reducer
+  * and the stage runs at the speed of that task. Salting spreads the
+  * hot key over `salts` partial groups, then merges the partials —
+  * decomposable aggregates only (sum/count/min/max; avg = sum/count at
+  * the caller). AQE's skew-join handles JOIN skew; this is the
+  * aggregation-side counterpart.
+  */
+object Skew {
+
+  /** Salted sum/count aggregation: for each key in `keys`, computes
+    * `sum(c) as sum_c` and `count(*) as row_ct` over the salted
+    * partials. The salt is a deterministic hash of the value column so
+    * results are reproducible run to run; sums run over
+    * DECIMAL(18,2)-cast values (exact, order-independent — double
+    * partial sums would differ in the last bits depending on the salt
+    * grouping) and surface as DOUBLE.
+    */
+  def saltedSumCount(df: DataFrame, keys: Seq[String], valueCol: String,
+                     salts: Int = 16): DataFrame = {
+    require(salts > 0)
+    val keyCols: Seq[Column] = keys.map(col)
+    val partial = df
+      .withColumn("_salt", pmod(xxhash64(col(valueCol)), lit(salts.toLong)))
+      .groupBy(keyCols :+ col("_salt"): _*)
+      .agg(sum(col(valueCol).cast("decimal(18,2)")).as("_psum"),
+        count(lit(1)).as("_pct"))
+    partial
+      .groupBy(keyCols: _*)
+      .agg(sum(col("_psum")).cast("double").as(s"sum_$valueCol"),
+        sum(col("_pct")).as("row_ct"))
+  }
+}
