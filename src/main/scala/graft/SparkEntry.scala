@@ -538,6 +538,18 @@ object SparkEntry {
       ops.Skew.saltedSumCount(T(s, dir, "events"), Seq("event_type"), "value",
         salts = 8)),
 
+    // the dedup deliverable: near-dup pairs → connected components →
+    // one (member, representative) row per clustered doc (rows-only:
+    // label propagation isn't ANSI-SQL-expressible non-recursively)
+    "q52_dedup_clusters" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      // tight threshold: clusters of true duplicates, not topical overlap
+      val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+        Seq(col("lang"), floor(col("n_chars") / 100).cast("long")), 9500L)
+      Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("label").as("cluster_rep"))
+    }),
+
     // (selective predicates keep the difference non-empty at test SFs —
     // with only ~150 users every unfiltered per-type user set is equal)
     "q50_except" -> ((s, dir) => {

@@ -186,6 +186,66 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over a near-duplicate pair list → cluster
+    * labels, via iterative min-label propagation (each round joins the
+    * edge list against current labels and keeps the per-node minimum;
+    * converges in O(graph diameter) rounds — near-dup clusters are
+    * shallow, so a handful). The driver-side loop is over ROUNDS, not
+    * rows; every step is a distributed join+aggregate. This is the
+    * dedup deliverable at scale: pair enumeration is quadratic in
+    * cluster size, the representative set is linear.
+    *
+    * Input: (id_a, id_b) pairs. Output: (id, label) where label is the
+    * minimum id of the node's component.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // localCheckpoint (not persist) on every iteration state: persist
+    // caches the DATA but Catalyst still re-analyzes the full logical
+    // plan, which grows ~3× per round (labels appears three times) —
+    // measured super-exponential planning time by round 4. Checkpointing
+    // truncates the lineage so each round plans against a materialized
+    // leaf.
+    val edges = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    var labels = edges
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    // Convergence via the monotone invariant: min-label propagation only
+    // ever DECREASES labels, so Σ labels strictly decreases until the
+    // fixpoint — one cheap aggregate per round instead of a join.
+    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val viaA = edges.join(labels, edges("id_a") === labels("id"))
+        .select(col("id_b").as("id"), col("label"))
+      val viaB = edges.join(labels, edges("id_b") === labels("id"))
+        .select(col("id_a").as("id"), col("label"))
+      val next = labels.select(col("id"), col("label"))
+        .unionByName(viaA).unionByName(viaB)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      val nextSum = next.agg(sum(col("label"))).head().getLong(0)
+      labels = next
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      i += 1
+    }
+    labels
+  }
+
+  /** Keep one representative (the component's min id) per near-dup
+    * cluster: drops every non-representative member of `df`. Documents
+    * with no near-dup pair pass through untouched.
+    */
+  def dedupByPairs(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val dropIds = connectedComponents(pairs)
+      .filter(col("id") =!= col("label"))
+      .select(col("id"))
+    df.join(dropIds, df(idCol) === dropIds("id"), "left_anti")
+  }
+
   /** Exact blocked n-gram Jaccard: pairwise token-set Jaccard within
     * blocking keys (e.g. language + length band) — the verification
     * baseline for the probabilistic dedupers.

@@ -50,6 +50,30 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
   }
 
+  test("connected components labels chains and keeps islands separate") {
+    // chain 1-2-3 (via transitive pairs), island 4-5, singleton 9 absent
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+  }
+
+  test("dedupByPairs keeps one representative per cluster plus untouched docs") {
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val kept = Dedup.dedupByPairs(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 5L), s"got $kept")
+  }
+
+  test("end-to-end: minhash pairs → cluster → dedup collapses the dup group") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 5, 32, 16, 0.5)
+    val kept = Dedup.dedupByPairs(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    // docs 1,2,3 are mutual near-dups (pairwise jaccard ≥ 0.5) → one survivor
+    assert(kept.contains(1L) && !kept.contains(2L))
+    assert(kept.contains(4L) && kept.contains(5L))
+  }
+
   test("ngram jaccard within blocks reports the near-dup pair above threshold") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
         Seq(col("lang"), floor(col("n_chars") / 100).cast("long")), 5000L)
