@@ -271,8 +271,15 @@ object Dedup {
         explode(col("toks")).as("tok"): _*)
       .select((col("id") +: col("sz") +: keys.map(col)) :+
         xxhash64(col("tok")).as("th"): _*)
+    // size-ratio pruning, exactness-preserving: jaccard ≥ t forces
+    // |∩| ≤ min(sz) and |∩| ≥ t·|∪| ≥ t·max(sz), so min ≥ t·max —
+    // size-mismatched pairs drop inside the join, before the pair-token
+    // rows ever reach the counting shuffle
+    val t = thresholdE4.toDouble / 10000.0
     val cond = (keys.map(k => col(s"a.$k") === col(s"b.$k")) :+
-      (col("a.th") === col("b.th")) :+ (col("a.id") < col("b.id"))).reduce(_ && _)
+      (col("a.th") === col("b.th")) :+ (col("a.id") < col("b.id")) :+
+      (least(col("a.sz"), col("b.sz")).cast("double") >=
+        greatest(col("a.sz"), col("b.sz")).cast("double") * t)).reduce(_ && _)
     toks.alias("a").join(toks.alias("b"), cond)
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
