@@ -38,6 +38,23 @@ class StreamingPipelinesSpec extends SparkSpec {
     assert(rows.contains(("1970-01-01 00:00:10", "click", 1L)), s"got $rows")
   }
 
+  test("dropDuplicatesWithinWatermark dedups keys with bounded state (ST2 built-in alternative)") {
+    val input = MemoryStream[Ev]
+    val out = input.toDF()
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicatesWithinWatermark("user_id")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("ddww")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
+    input.addData(
+      Ev(1, "view", 1.0, ts(1)),
+      Ev(1, "click", 2.0, ts(3)),  // dup key within watermark window
+      Ev(2, "view", 3.0, ts(5)))
+    q.processAllAvailable(); q.stop()
+    val users = spark.table("ddww").select("user_id").as[Long].collect().toSeq
+    assert(users.sorted == Seq(1L, 2L), s"got $users")
+  }
+
   test("stream-stream interval join (orderWide) matches only within the time bound") {
     val oi = MemoryStream[SOrder]
     val od = MemoryStream[SDetail]
