@@ -526,6 +526,18 @@ object SparkEntry {
         .agg(approx_count_distinct(col("user_id"), 0.02).as("uv_approx"))
     }),
 
+    // §2.7 generalization — sliding windows (10 min length, 5 min
+    // slide: every event lands in exactly two panes)
+    "q53_sliding_window" -> ((s, dir) => {
+      T(s, dir, "events")
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("pv_ct"))
+        .select(
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+          col("event_type"), col("pv_ct"))
+    }),
+
     // §2.9 — set operations beyond the reference's unions
     "q49_intersect" -> ((s, dir) => {
       val e = T(s, dir, "events")
@@ -913,6 +925,16 @@ object SparkEntry {
       """SELECT user_id FROM events WHERE event_type = 'click'
          INTERSECT
          SELECT user_id FROM events WHERE event_type = 'purchase'""",
+
+    "q53_sliding_window" ->
+      """WITH panes AS (
+           SELECT strftime(time_bucket(INTERVAL 5 MINUTES, ts), '%Y-%m-%d %H:%M:%S') AS stt,
+                  event_type FROM events
+           UNION ALL
+           SELECT strftime(time_bucket(INTERVAL 5 MINUTES, ts) - INTERVAL 5 MINUTES, '%Y-%m-%d %H:%M:%S') AS stt,
+                  event_type FROM events)
+         SELECT stt, event_type, count(*) AS pv_ct
+         FROM panes GROUP BY 1, 2""",
 
     "q50_except" ->
       """SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 95
