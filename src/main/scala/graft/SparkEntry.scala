@@ -538,6 +538,14 @@ object SparkEntry {
           col("event_type"), col("pv_ct"))
     }),
 
+    // Similarity search — multi-table LSH (recall lever: L independent
+    // bucketings union candidates before exact re-rank; rows-only)
+    "q54_ann_lsh_multi" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.lshTopKMulti(emb.filter(col("vec_id") < 8), emb, 5,
+        nPlanes = 4, nTables = 4)
+    }),
+
     // §2.9 — set operations beyond the reference's unions
     "q49_intersect" -> ((s, dir) => {
       val e = T(s, dir, "events")

@@ -90,6 +90,38 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
+  /** Multi-table LSH ANN: L independent bucketings (different seeds)
+    * union their candidate sets before the exact re-rank — the standard
+    * recall lever (P(miss) = (1-p)^L per neighbor instead of 1-p).
+    * Costs L bucket joins of small keys; the expensive exact scoring
+    * still runs once per distinct candidate pair.
+    */
+  def lshTopKMulti(queries: DataFrame, candidates: DataFrame, k: Int,
+                   nPlanes: Int = 8, nTables: Int = 4): DataFrame = {
+    val candPairs = (0 until nTables).map { t =>
+      val seed = 42 + t * 1000003
+      val q = withLshBucket(queries.select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", nPlanes, seed)
+        .select(col("vec_id").as("query_id"), col("bucket"))
+      val c = withLshBucket(candidates.select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", nPlanes, seed)
+        .select(col("vec_id").as("neighbor_id"), col("bucket"))
+      q.join(c, Seq("bucket"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"))
+    }.reduce(_ unionByName _).distinct()
+    val qEmb = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val cEmb = candidates.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+    val scored = candPairs.join(qEmb, "query_id").join(cEmb, "neighbor_id")
+      .withColumn("sim", VectorFunctions.cosine(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
   /** IVF-style ANN: both sides are assigned a coarse cell
     * ([[VectorFunctions.ivfCell]]); scoring happens only within the
     * query's cell. The scale path when neither side fits a broadcast:

@@ -34,6 +34,17 @@ class SimilaritySpec extends SparkSpec {
       s"1-degree-apart vectors must share every hyperplane side; got $out")
   }
 
+  test("multi-table LSH recall covers at least the single-table candidate set") {
+    val single = Similarity.lshTopK(emb.filter($"vec_id" === 10L), emb, 4, nPlanes = 2)
+      .select("neighbor_id").as[Long].collect().toSet
+    val multi = Similarity.lshTopKMulti(emb.filter($"vec_id" === 10L), emb, 4,
+        nPlanes = 2, nTables = 4)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(single.subsetOf(multi) || multi.size >= single.size,
+      s"multi-table candidates must not lose recall: single=$single multi=$multi")
+    assert(multi.contains(11L), "the 1-degree neighbor must be found")
+  }
+
   test("cosine near-dup pairs reports sim_e4 above the floor, a<b") {
     val pairs = Similarity.cosineNearDupPairs(emb, minSimE4 = 9000L, nPlanes = 2)
       .as[(Long, Long, Long)].collect().toSeq
