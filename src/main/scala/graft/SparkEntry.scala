@@ -702,7 +702,7 @@ object SparkEntry {
       """SELECT user_id,
          CAST(sum(CASE WHEN event_type IN ('view','click') THEN 1 ELSE 0 END) AS BIGINT) AS pv_ct,
          CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS order_ct,
-         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS err_ct
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS err_ct
          FROM events GROUP BY user_id
          HAVING pv_ct + order_ct + err_ct > 0""",
 

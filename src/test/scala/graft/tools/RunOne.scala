@@ -1,4 +1,4 @@
-package graft.tmp
+package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
