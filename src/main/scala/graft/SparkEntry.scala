@@ -570,6 +570,16 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("label").as("cluster_rep"))
     }),
 
+    // Dedup family — prefix-filtered (AllPairs/PPJoin) exact Jaccard:
+    // same output contract as q30, candidate join restricted to each
+    // doc's rarest |A|−⌈t·|A|⌉+1 tokens — the sparse-corpus /
+    // stopword-heavy scale path, under the same exact oracle
+    "q56_dedup_ngram_prefix" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      Dedup.ngramJaccardPairsPrefix(d, "doc_id", "text",
+        Seq(col("lang"), floor(col("n_chars") / 100).cast("long")), 8000L)
+    }),
+
     // (selective predicates keep the difference non-empty at test SFs —
     // with only ~150 users every unfiltered per-type user set is equal)
     "q50_except" -> ((s, dir) => {
@@ -838,6 +848,20 @@ object SparkEntry {
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
 
     "q30_dedup_ngram" ->
+      """WITH t AS (
+           SELECT doc_id, lang, CAST(floor(n_chars / 100) AS BIGINT) AS band,
+             list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0)) AS toks
+           FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(floor(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) * 10000) AS BIGINT) AS jaccard_e4
+         FROM t a JOIN t b
+           ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+         WHERE CAST(floor(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) * 10000) AS BIGINT) >= 8000""",
+
+    // exact same semantics as q30 (prefix filtering is output-preserving)
+    "q56_dedup_ngram_prefix" ->
       """WITH t AS (
            SELECT doc_id, lang, CAST(floor(n_chars / 100) AS BIGINT) AS band,
              list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0)) AS toks
