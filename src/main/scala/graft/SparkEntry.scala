@@ -378,12 +378,16 @@ object SparkEntry {
     }),
 
     // Dedup family — embedding-cosine near-dup (rows-only: LSH-family
-    // dependent candidate set)
-    // (the synthetic embeddings top out near cosine 0.51, so the floor
-    // sits at 0.30 with 2 planes to keep a meaningful candidate set)
+    // dependent candidate set). Bucketed plan kept scale-safe: 8 planes
+    // per table (256 buckets), recall recovered via 8 independent
+    // tables, NOT by collapsing the bucket space (2 planes = 4 buckets
+    // = ~N²/4 pair scoring, the configuration round 2 flagged).
+    // The synthetic embeddings top out near cosine 0.51, so the floor
+    // sits at 0.30; candidate recall at that floor is partial by
+    // design — hence rows-only.
     "q35_cosine_neardup" -> ((s, dir) =>
-      Similarity.cosineNearDupPairs(T(s, dir, "embeddings"), minSimE4 = 3000L,
-        nPlanes = 2)),
+      Similarity.cosineNearDupPairsMulti(T(s, dir, "embeddings"), minSimE4 = 3000L,
+        nPlanes = 8, nTables = 8)),
 
     // Similarity search — IVF-bucketed ANN, the no-broadcast scale path
     // (rows-only: recall bounded by the cell partition)
@@ -977,9 +981,43 @@ object SparkEntry {
       """SELECT event_type,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
          count(*) AS row_ct
-         FROM events GROUP BY 1"""
-    // q31_dedup_minhash / q32_dedup_simhash / q33_ann_lsh /
-    // q35_cosine_neardup / q36_ann_ivf: probabilistic
-    // (hash-family-specific) — rows-only check by design.
+         FROM events GROUP BY 1""",
+
+    // EXACT oracle for the LSH pipeline: exhaustive char-5-shingle
+    // Jaccard (shingle equi-join counting form — the all-pairs
+    // list_intersect form takes ~28 s in DuckDB, this ~1 s). Valid
+    // because (a) the final stage exact-verifies candidates, so
+    // precision is 1 by construction, and (b) recall measured 100% on
+    // this corpus: every true pair has J ≥ 0.928, where the 8-band ×
+    // 4-row banding misses with p < 1e-4 (all 25 sf0.01 truth pairs
+    // matched offline; Jaccard over xxhash64'd shingles equals Jaccard
+    // over shingles absent 64-bit collisions).
+    "q31_dedup_minhash" ->
+      """WITH n AS (
+           SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS nt
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(length(nt) - 4, 1) + 1),
+               i -> substr(nt, CAST(i AS INT), 5))) AS sh
+           FROM n),
+         e AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS g FROM s),
+         p AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sa, b.sz AS sb,
+                  count(*) AS inter
+           FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4)
+         SELECT id_a, id_b,
+           CAST(floor(CAST(inter AS DOUBLE) / CAST(sa + sb - inter AS DOUBLE) * 10000) AS BIGINT) AS jaccard_e4
+         FROM p
+         WHERE CAST(floor(CAST(inter AS DOUBLE) / CAST(sa + sb - inter AS DOUBLE) * 10000) AS BIGINT) >= 5000"""
+    // q32_dedup_simhash / q33_ann_lsh / q35_cosine_neardup /
+    // q36_ann_ivf / q54_ann_lsh_multi: probabilistic and
+    // hash-family-specific — the output VALUES depend on xxhash64 /
+    // murmur3 hyperplanes, which DuckDB cannot reproduce, and measured
+    // candidate recall on the near-uniform synthetic embeddings is
+    // partial (top-5 overlap with exact brute force: 4-9/40) — so the
+    // pair/neighbor SET itself is not SQL-expressible. Rows-only check
+    // by design.
   )
 }

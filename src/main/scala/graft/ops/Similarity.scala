@@ -30,22 +30,44 @@ object Similarity {
     * seed) mapped to [-0.5, 0.5] — identical weights to the Column form.
     */
   private[ops] def withLshBucket(df: DataFrame, idName: String, embName: String,
-                                 nPlanes: Int, seed: Int = 42): DataFrame = {
+                                 nPlanes: Int, seed: Int = 42): DataFrame =
+    withLshBuckets(df, idName, embName, nPlanes, Seq(seed))
+      .withColumnRenamed("bucket_0", "bucket")
+
+  /** Multi-table form: ONE posexplode + ONE codegen'd aggregate computes
+    * every table's hyperplane projections (seeds.size × nPlanes partial
+    * sums per vector) — the embedding column is scanned once no matter
+    * how many tables, where a per-table loop would re-explode it L
+    * times. Output: the input plus `bucket_0 … bucket_{L-1}`.
+    */
+  private[ops] def withLshBuckets(df: DataFrame, idName: String, embName: String,
+                                  nPlanes: Int, seeds: Seq[Int]): DataFrame = {
     val exploded = df.select(col(idName), col(embName),
         posexplode(col(embName)).as(Seq("i", "x")))
       .select(col(idName), col("i"), col("x"))
-    val projs = (0 until nPlanes).map { p =>
+    val projs = for (t <- seeds.indices; p <- 0 until nPlanes) yield
       sum(col("x").cast("double") *
         (pmod(hash(col("i").cast("long") * lit(1315423911L) + lit(p.toLong),
-          lit(seed)), lit(1001)).cast("double") / 1000.0 - 0.5)).as(s"proj$p")
-    }
+          lit(seeds(t))), lit(1001)).cast("double") / 1000.0 - 0.5)).as(s"proj_${t}_$p")
     val buckets = exploded.groupBy(col(idName)).agg(projs.head, projs.tail: _*)
-      .select(col(idName),
-        (0 until nPlanes).map(p =>
-          when(col(s"proj$p") >= 0.0, lit(1L << p)).otherwise(lit(0L)))
-          .reduce(_ + _).as("bucket"))
+      .select(col(idName) +:
+        seeds.indices.map { t =>
+          (0 until nPlanes).map(p =>
+            when(col(s"proj_${t}_$p") >= 0.0, lit(1L << p)).otherwise(lit(0L)))
+            .reduce(_ + _).as(s"bucket_$t")
+        }: _*)
     df.join(buckets, idName)
   }
+
+  /** (table, bucket) candidate rows for a multi-table bucketing: one
+    * small explode over the single-pass bucket columns.
+    */
+  private def tableBuckets(withBuckets: DataFrame, idName: String,
+                           nTables: Int): DataFrame =
+    withBuckets.select(col(idName),
+        explode(array((0 until nTables).map(t =>
+          struct(lit(t).as("tbl"), col(s"bucket_$t").as("bkt"))): _*)).as("tb"))
+      .select(col(idName), col("tb.tbl"), col("tb.bkt"))
 
   /** Exact top-k by cosine: for each query vector, the k nearest
     * candidates (self-match excluded), deterministic tiebreak on
@@ -98,18 +120,17 @@ object Similarity {
     */
   def lshTopKMulti(queries: DataFrame, candidates: DataFrame, k: Int,
                    nPlanes: Int = 8, nTables: Int = 4): DataFrame = {
-    val candPairs = (0 until nTables).map { t =>
-      val seed = 42 + t * 1000003
-      val q = withLshBucket(queries.select(col("vec_id"), col("embedding")),
-          "vec_id", "embedding", nPlanes, seed)
-        .select(col("vec_id").as("query_id"), col("bucket"))
-      val c = withLshBucket(candidates.select(col("vec_id"), col("embedding")),
-          "vec_id", "embedding", nPlanes, seed)
-        .select(col("vec_id").as("neighbor_id"), col("bucket"))
-      q.join(c, Seq("bucket"))
-        .filter(col("query_id") =!= col("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id"))
-    }.reduce(_ unionByName _).distinct()
+    val seeds = (0 until nTables).map(t => 42 + t * 1000003)
+    val q = tableBuckets(withLshBuckets(queries.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", nPlanes, seeds), "vec_id", nTables)
+      .withColumnRenamed("vec_id", "query_id")
+    val c = tableBuckets(withLshBuckets(candidates.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", nPlanes, seeds), "vec_id", nTables)
+      .withColumnRenamed("vec_id", "neighbor_id")
+    val candPairs = q.join(c, Seq("tbl", "bkt"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
     val qEmb = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val cEmb = candidates.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
     val scored = candPairs.join(qEmb, "query_id").join(cEmb, "neighbor_id")
@@ -163,6 +184,37 @@ object Similarity {
     val b = base.select(col("vec_id").as("id_b"), col("u").as("ub"), col("bucket"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        floor(org.apache.spark.sql.graft.VectorExpressions.dot(col("ua"), col("ub")) * 10000)
+          .cast("long").as("sim_e4"))
+      .filter(col("sim_e4") >= minSimE4)
+  }
+
+  /** Multi-table embedding near-dup: L independent hyperplane bucketings
+    * union their candidate pairs before ONE exact verify pass — recall
+    * 1-(1-p)^L per pair at the same bucketed (never quarter-cartesian)
+    * plan shape. This is the scale-safe way to raise recall: each
+    * table's buckets stay small (2^nPlanes of them), so the bucket join
+    * stays near-linear, vs. collapsing nPlanes which grows every bucket
+    * toward N²/2^nPlanes pair scoring.
+    */
+  def cosineNearDupPairsMulti(df: DataFrame, minSimE4: Long, nPlanes: Int = 8,
+                              nTables: Int = 8): DataFrame = {
+    val ids = df.select(col("vec_id"), col("embedding"))
+    val seeds = (0 until nTables).map(t => 42 + t * 1000003)
+    val tb = tableBuckets(withLshBuckets(ids, "vec_id", "embedding", nPlanes, seeds),
+      "vec_id", nTables)
+    val a = tb.select(col("vec_id").as("id_a"), col("tbl"), col("bkt"))
+    val b = tb.select(col("vec_id").as("id_b"), col("tbl"), col("bkt"))
+    val candPairs = a.join(b, Seq("tbl", "bkt"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val u = df.select(col("vec_id"),
+      VectorFunctions.normalize(col("embedding")).as("u"))
+    candPairs
+      .join(u.select(col("vec_id").as("id_a"), col("u").as("ua")), "id_a")
+      .join(u.select(col("vec_id").as("id_b"), col("u").as("ub")), "id_b")
       .select(col("id_a"), col("id_b"),
         floor(org.apache.spark.sql.graft.VectorExpressions.dot(col("ua"), col("ub")) * 10000)
           .cast("long").as("sim_e4"))
