@@ -20,13 +20,18 @@ object Compaction {
     */
   def compactedWrite(df: DataFrame, outPath: String, rowsPerFile: Long,
                      partitionCols: Seq[String] = Nil): Unit = {
-    val total = df.count()
-    val nFiles = math.max(1, math.ceil(total.toDouble / rowsPerFile).toInt)
-    val writer =
-      (if (partitionCols.isEmpty) df.repartition(nFiles)
-       else df.repartition(nFiles, partitionCols.map(col): _*))
-        .write.mode(SaveMode.Overwrite)
-    (if (partitionCols.isEmpty) writer else writer.partitionBy(partitionCols: _*))
-      .parquet(outPath)
+    // cache across the sizing count and the write — one scan of the
+    // input, not two (the count's scan fills the cache the write reads)
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val total = cached.count()
+      val nFiles = math.max(1, math.ceil(total.toDouble / rowsPerFile).toInt)
+      val writer =
+        (if (partitionCols.isEmpty) cached.repartition(nFiles)
+         else cached.repartition(nFiles, partitionCols.map(col): _*))
+          .write.mode(SaveMode.Overwrite)
+      (if (partitionCols.isEmpty) writer else writer.partitionBy(partitionCols: _*))
+        .parquet(outPath)
+    } finally { cached.unpersist(); () }
   }
 }

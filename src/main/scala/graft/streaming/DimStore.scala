@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** K5/K6 — the dimension-store leg of the CDC router: dynamic DDL from
+  * config rows and a MERGE-style upsert sink.
+  *
+  * The reference keeps dims in Phoenix/HBase: `TableProcessFunction
+  * .checkTable` (rt-flink TableProcessFunction.scala:101-137) issues
+  * `CREATE TABLE IF NOT EXISTS` per config row, and `DimSink`
+  * (DimSink.scala:27-57) upserts each CDC row then invalidates the
+  * Redis cache for that key. Spark-first, the dim store is a catalog
+  * parquet table: DDL goes through the session catalog, the upsert is
+  * one distributed last-write-wins window per micro-batch, and there
+  * is no cache to invalidate — enrichment joins broadcast the CURRENT
+  * table per batch (SURVEY J3 disposition), so a completed upsert is
+  * visible to the next batch by construction.
+  *
+  * Scale notes: the upsert rewrites the table per batch — correct for
+  * dim tables (small by definition; the reference's fit in HBase
+  * regions + a Redis cache). The window partitions by key, so the
+  * shuffle carries the dim rows only. `localCheckpoint` truncates the
+  * lineage so the overwrite never reads the files it replaces. For a
+  * 100 TB FACT upsert this is the wrong tool — that path is the
+  * changelog-compaction operator ([[StreamingPipelines]]), not a dim
+  * rewrite.
+  */
+object DimStore {
+
+  /** K6 — dynamic DDL: ensure a dim table exists with the configured
+    * payload columns (all STRING — the CDC payload is schemaless JSON,
+    * typed at read; matches the reference's Phoenix VARCHAR columns)
+    * plus a BIGINT `__seq` version column. Idempotent.
+    */
+  def ensureDimTable(spark: SparkSession, db: String, table: String,
+                     payloadCols: Seq[String]): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+    val cols = payloadCols.map(c => s"`$c` STRING").mkString(", ")
+    spark.sql(
+      s"CREATE TABLE IF NOT EXISTS `$db`.`$table` ($cols, `__seq` BIGINT) USING PARQUET")
+  }
+
+  /** K5 — MERGE-style upsert: latest row per `keyCol` wins, ordered by
+    * (`__seq`, incoming-beats-existing on ties). Incoming rows must
+    * carry the table's payload columns; `__seq` is stamped here.
+    */
+  def upsert(spark: SparkSession, db: String, table: String,
+             batch: DataFrame, keyCol: String, seq: Long): Unit = {
+    val target = s"`$db`.`$table`"
+    val existing = spark.table(target)
+    val payload = existing.columns.filterNot(_ == "__seq")
+    val incoming = batch
+      .select(payload.map(c => col(c).cast(StringType).as(c)): _*)
+      .withColumn("__seq", lit(seq))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__seq").desc, col("__is_new").desc)
+    val merged = existing.withColumn("__is_new", lit(0))
+      .unionByName(incoming.withColumn("__is_new", lit(1)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__is_new")
+      // truncate lineage: the overwrite below must not read the files
+      // it replaces
+      .localCheckpoint(true)
+    merged.write.mode(SaveMode.Overwrite).insertInto(s"$db.$table")
+  }
+
+  /** Read a dim table for enrichment (broadcast at the join site). */
+  def dimTable(spark: SparkSession, db: String, table: String): DataFrame =
+    spark.table(s"`$db`.`$table`").drop("__seq")
+
+  /** The K5/K6 foreachBatch sink over [[graft.apps.Pipelines.routeCdc]]
+    * output (columns: table, type, sink_type, sink_table, routed_data):
+    * for every hbase-routed sink_table in the batch, ensure the dim
+    * table exists with the config's columns, parse the pruned JSON
+    * payload, and upsert on `keyCol`. The per-batch `collect` is over
+    * the CONFIG (a handful of table names), never the data.
+    */
+  def dimUpsertSink(spark: SparkSession, db: String,
+                    config: Map[String, Seq[String]], // sink_table -> payload cols
+                    keyCol: String = "id"): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      val persisted = batch.persist()
+      try {
+        val tables = persisted.select(col("sink_table")).distinct()
+          .collect().map(_.getString(0)).filter(config.contains)
+        tables.foreach { t =>
+          val cols = config(t)
+          ensureDimTable(spark, db, t, cols)
+          val schema = StructType(cols.map(StructField(_, StringType)))
+          val rows = persisted.filter(col("sink_table") === t)
+            .select(from_json(col("routed_data"), schema).as("r"))
+            .select(col("r.*"))
+          upsert(spark, db, t, rows, keyCol, batchId)
+        }
+      } finally { persisted.unpersist(); () }
+    }
+}
