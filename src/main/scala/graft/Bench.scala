@@ -24,7 +24,14 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // The dedup/similarity operators persist multi-branch intermediates
+      // that only an action can release (the functions return lazy plans).
+      // Dropping them between queries keeps each measurement independent —
+      // round-3 profiling showed later queries paying 2-4x for the
+      // accumulated cached blocks (storage-memory pressure + GC).
+      spark.catalog.clearCache()
+      name -> dt
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -126,7 +126,11 @@ object Dedup {
     val neededIds = survivors
       .select(explode(array(col("id_a"), col("id_b"))).as("id"))
       .distinct()
-    val sets = shRows.join(broadcast(neededIds), "id")
+    // no broadcast hint: on a sparse corpus neededIds is tiny and AQE
+    // promotes the join to broadcast at runtime; on a dense one (where
+    // the candidate set approaches the quadratic output) a forced
+    // broadcast would blow the driver limit — let AQE pick.
+    val sets = shRows.join(neededIds, "id")
       .groupBy(col("id")).agg(collect_set(col("h")).as("sh"))
     survivors
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
@@ -363,7 +367,9 @@ object Dedup {
     val neededIds = candidates
       .select(explode(array(col("id_a"), col("id_b"))).as("id"))
       .distinct()
-    val sets = tokRows.join(broadcast(neededIds), "id")
+    // no broadcast hint (same rationale as minhashLshPairs): AQE
+    // broadcasts when the candidate set is actually small
+    val sets = tokRows.join(neededIds, "id")
       .groupBy(col("id")).agg(collect_set(col("th")).as("sh"))
     candidates
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")

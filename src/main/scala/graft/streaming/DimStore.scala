@@ -46,13 +46,35 @@ object DimStore {
   /** K5 — MERGE-style upsert: latest row per `keyCol` wins, ordered by
     * (`__seq`, incoming-beats-existing on ties). Incoming rows must
     * carry the table's payload columns; `__seq` is stamped here.
+    *
+    * Within-batch ties: the reference (DimSink) applies CDC rows in
+    * stream order, so when one micro-batch carries several rows for a
+    * key the LAST one wins. Pass `ordCol` (a monotonic per-row ordinal —
+    * Kafka offset, CDC sequence) to reproduce that; without one the
+    * incoming batch is deduped per key on the lexicographically
+    * greatest payload tuple, which is arbitrary but DETERMINISTIC
+    * (shuffle order never picks the winner).
+    *
+    * `__seq` is the foreachBatch batchId: monotonic for the lifetime of
+    * a checkpoint. If the streaming checkpoint is wiped, batchId
+    * restarts at 0 and fresh rows lose to stale ones — rebuild (drop)
+    * the dim table whenever the checkpoint is reset, or feed an
+    * offset/event-time-derived `seq` instead.
     */
   def upsert(spark: SparkSession, db: String, table: String,
-             batch: DataFrame, keyCol: String, seq: Long): Unit = {
+             batch: DataFrame, keyCol: String, seq: Long,
+             ordCol: Option[String] = None): Unit = {
     val target = s"`$db`.`$table`"
     val existing = spark.table(target)
     val payload = existing.columns.filterNot(_ == "__seq")
+    val wIn = ordCol match {
+      case Some(o) => Window.partitionBy(col(keyCol)).orderBy(col(o).desc)
+      case None => Window.partitionBy(col(keyCol))
+        .orderBy(payload.filterNot(_ == keyCol).map(col(_).desc): _*)
+    }
     val incoming = batch
+      .withColumn("__in_rn", row_number().over(wIn))
+      .filter(col("__in_rn") === 1)
       .select(payload.map(c => col(c).cast(StringType).as(c)): _*)
       .withColumn("__seq", lit(seq))
     val w = Window.partitionBy(col(keyCol))
