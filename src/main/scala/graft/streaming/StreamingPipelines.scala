@@ -86,6 +86,93 @@ object StreamingPipelines {
     (batch: DataFrame, _: Long) =>
       batch.drop(transientCols: _*).write.mode("append").jdbc(url, table, props)
 
+  /** S3 — upsert-Kafka PRODUCER shape (ref: OdsCreateKafkaTable.scala:50-69,
+    * the `'connector' = 'upsert-kafka'` table with `PRIMARY KEY`).
+    * Flink's upsert-kafka emits one keyed record per changelog row: key =
+    * JSON of the PK columns, value = JSON of all columns
+    * (`'value.fields-include' = 'ALL'`), and a NULL value tombstone for
+    * deletes. Spark's Kafka sink honors `key`/`value` columns, so the
+    * whole connector is this projection. Rows where `deleteCol` is true
+    * become tombstones.
+    *
+    * Within one micro-batch the reference producer emits rows in stream
+    * order and the compacted topic keeps the last — `compactBatch`
+    * reproduces that: latest row per key by `ordCol` survives, so one
+    * record per key per batch reaches the topic (same wire state, fewer
+    * records).
+    */
+  def toUpsertKafkaShape(changelog: DataFrame, keyCols: Seq[String],
+                         deleteCol: Option[String] = None): DataFrame = {
+    val payload = changelog.columns.filterNot(deleteCol.contains)
+    val value = to_json(struct(payload.map(col): _*))
+    changelog.select(
+      to_json(struct(keyCols.map(col): _*)).as("key"),
+      deleteCol.fold(value)(d =>
+        when(col(d), lit(null: String)).otherwise(value)).as("value"))
+  }
+
+  /** S3 — keyed last-write-wins compaction of one changelog batch:
+    * latest row per `keyCols` by `ordCol` (Kafka offset / CDC sequence)
+    * wins. This is both the producer's per-batch dedup and the
+    * consumer's replay-collapse (a compacted topic read from earliest is
+    * just one big batch).
+    */
+  def compactBatch(batch: DataFrame, keyCols: Seq[String], ordCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col(ordCol).desc)
+    batch.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** S3 — upsert-Kafka CONSUMER: materialize the current table state
+    * from a changelog stream into a catalog parquet table (the Spark
+    * stand-in for Flink's dynamic table over an upsert-kafka source).
+    * Per micro-batch: compact by offset, merge against the existing
+    * state with a last-write-wins window over (`__seq`, batch ordinal),
+    * and drop keys whose WINNING record is a tombstone (`isDelete`) —
+    * Flink's `-D` row kind. Fully distributed: the only shuffle carries
+    * the table's rows, keyed.
+    */
+  def upsertKafkaMaterialize(spark: SparkSession, db: String, table: String,
+                             keyCols: Seq[String], ordCol: String,
+                             deleteCol: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      // ordCol and deleteCol are changelog METADATA (Flink row kind +
+      // offset), not table columns — consumed here, never stored.
+      val incoming = compactBatch(batch, keyCols, ordCol)
+        .withColumn("__del", col(deleteCol).cast("boolean"))
+        .withColumn("__seq", lit(batchId))
+        .drop(ordCol, deleteCol)
+      val payload = incoming.columns
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+      val targetCols = payload.map {
+        case "__seq" => "`__seq` BIGINT"
+        case "__del" => "`__del` BOOLEAN"
+        case c => s"`$c` STRING"
+      }.mkString(", ")
+      spark.sql(s"CREATE TABLE IF NOT EXISTS `$db`.`$table` ($targetCols) USING PARQUET")
+      val existing = spark.table(s"`$db`.`$table`")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(col): _*)
+        .orderBy(col("__seq").desc, col("__is_new").desc)
+      val stringified = incoming.select(payload.map {
+        case c @ ("__seq" | "__del") => col(c)
+        case c => col(c).cast("string").as(c)
+      }: _*)
+      val merged = existing.withColumn("__is_new", lit(0))
+        .unionByName(stringified.withColumn("__is_new", lit(1)))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1 && !col("__del"))
+        .drop("__rn", "__is_new")
+        .localCheckpoint(true) // don't read the files the overwrite replaces
+      merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .insertInto(s"$db.$table")
+    }
+
+  /** Read the materialized upsert-kafka table (current per-key state). */
+  def upsertKafkaTable(spark: SparkSession, db: String, table: String): DataFrame =
+    spark.table(s"`$db`.`$table`").drop("__seq", "__del")
+
   /** Start a memory-sink query for tests: append mode, processes all
     * available then returns the query for `processAllAvailable()`.
     */
