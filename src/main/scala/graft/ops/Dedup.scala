@@ -18,6 +18,32 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
+  /** Fan a narrow scan out to the session's parallel width before a
+    * row-amplifying explode (shingling multiplies rows ~300×, token
+    * explode ~50×). A small input file arrives as 1-2 scan partitions,
+    * so without this the amplified work runs on one core. Guarded: at
+    * real scale the scan already has ≥ parallelism partitions (one per
+    * file split) and the corpus is NEVER reshuffled just to fan out.
+    */
+  private def fanOutScan(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
+  /** Parallel width for small-bytes/heavy-compute shuffle outputs
+    * (candidate-pair verification: per-row array intersections). AQE's
+    * coalescing targets bytes-per-partition (64 MB advisory), which
+    * collapses a few-hundred-KB candidate list into ONE partition and
+    * serializes the verify math onto one core. An explicit repartition
+    * is exempt from AQE coalescing; width = the session's configured
+    * shuffle width (what the operator would have gotten pre-AQE).
+    */
+  private def verifyWidth(df: DataFrame): Int = {
+    val sc = df.sparkSession
+    math.max(sc.sparkContext.defaultParallelism,
+      sc.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+  }
+
   /** Exact dedup: one representative (min id) per distinct text. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(col(textCol))
@@ -83,7 +109,8 @@ object Dedup {
     require(k % bands == 0, "k must divide into bands")
     val r = k / bands
     val norm = lower(regexp_replace(col(textCol), "\\s+", " "))
-    val shRowsPlan = df.select(col(idCol).as("id"), norm.as("norm"))
+    val shRowsPlan = fanOutScan(df.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("id"), norm.as("norm"))
       .select(col("id"), col("norm"),
         explode(sequence(lit(1),
           greatest(length(col("norm")) - (shingleN - 1), lit(1)))).as("pos"))
@@ -117,9 +144,14 @@ object Dedup {
       .map(i => when(col(s"a$i") === col(s"b$i"), 1.0).otherwise(0.0))
       .reduce(_ + _) / k
     val margin = 3.0 * math.sqrt(threshold * (1.0 - threshold) / k)
+    // explicit repartition: the survivor list is a few hundred KB, so
+    // AQE would coalesce it to one partition — and every downstream
+    // per-pair set intersection would run on one core (measured 6.7 s
+    // single-task at sf0.1)
     val survivors = candidates.join(sigA, "id_a").join(sigB, "id_b")
       .filter(est >= threshold - margin)
       .select(col("id_a"), col("id_b"))
+      .repartition(verifyWidth(df), col("id_a"), col("id_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // exact-verify sets: second shingle pass, semi-joined down to
     // surviving doc ids BEFORE the collect_set aggregation
@@ -130,14 +162,22 @@ object Dedup {
     // promotes the join to broadcast at runtime; on a dense one (where
     // the candidate set approaches the quadratic output) a forced
     // broadcast would blow the driver limit — let AQE pick.
+    // persisted: BOTH pair sides consume it, and without the persist each
+    // side's broadcast build re-runs the collect_set aggregation
     val sets = shRows.join(neededIds, "id")
       .groupBy(col("id")).agg(collect_set(col("h")).as("sh"))
+      .select(col("id"), col("sh"), size(col("sh")).as("ssz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // |A∪B| = |A| + |B| − |A∩B| over sets: one array_intersect per pair,
+    // no array_union allocation
     survivors
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a"),
+        col("ssz").as("sz_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b"),
+        col("ssz").as("sz_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jac",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"),
         floor(col("jac") * 10000).cast("long").as("jaccard_e4"))
@@ -149,7 +189,7 @@ object Dedup {
     * scale the shuffle carries 64 longs per doc, never the tokens.
     */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df
+    val toks = fanOutScan(df.select(col(idCol), col(textCol)))
       .select(col(idCol).as("id"),
         explode(TextFunctions.tokenize(lower(col(textCol)))).as("tok"))
       .select(col("id"), xxhash64(col("tok")).as("h"))
@@ -276,10 +316,10 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCols: Seq[Column], thresholdE4: Long): DataFrame = {
     val keys = blockCols.indices.map(i => s"blk_$i")
-    val base = df.select(
+    val base = fanOutScan(df.select(
       (col(idCol).as("id") +:
         array_distinct(TextFunctions.tokenize(lower(col(textCol)))).as("toks") +:
-        blockCols.zipWithIndex.map { case (c, i) => c.as(s"blk_$i") }): _*)
+        blockCols.zipWithIndex.map { case (c, i) => c.as(s"blk_$i") }): _*))
     val toks = base.select(
       (col("id") +: size(col("toks")).as("sz") +: keys.map(col)) :+
         explode(col("toks")).as("tok"): _*)
@@ -335,10 +375,10 @@ object Dedup {
                               blockCols: Seq[Column], thresholdE4: Long): DataFrame = {
     val keys = blockCols.indices.map(i => s"blk_$i")
     val t = thresholdE4.toDouble / 10000.0
-    val base = df.select(
+    val base = fanOutScan(df.select(
       (col(idCol).as("id") +:
         array_distinct(TextFunctions.tokenize(lower(col(textCol)))).as("toks") +:
-        blockCols.zipWithIndex.map { case (c, i) => c.as(s"blk_$i") }): _*)
+        blockCols.zipWithIndex.map { case (c, i) => c.as(s"blk_$i") }): _*))
     val toks = base.select(
       (col("id") +: size(col("toks")).as("sz") +: keys.map(col)) :+
         explode(col("toks")).as("tok"): _*)
@@ -359,18 +399,24 @@ object Dedup {
       (col("a.th") === col("b.th")) :+ (col("a.id") < col("b.id")) :+
       (least(col("a.sz"), col("b.sz")).cast("double") >=
         greatest(col("a.sz"), col("b.sz")).cast("double") * t)).reduce(_ && _)
+    // explicit repartition before persist — same rationale as
+    // minhashLshPairs: keep the per-pair verify math at full width
+    // instead of AQE's one-small-partition coalesce
     val candidates = prefix.alias("a").join(prefix.alias("b"), cond)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
       .distinct()
+      .repartition(verifyWidth(df), col("id_a"), col("id_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val neededIds = candidates
       .select(explode(array(col("id_a"), col("id_b"))).as("id"))
       .distinct()
     // no broadcast hint (same rationale as minhashLshPairs): AQE
-    // broadcasts when the candidate set is actually small
+    // broadcasts when the candidate set is actually small. Persisted:
+    // both pair sides consume it — one collect_set pass, not two.
     val sets = tokRows.join(neededIds, "id")
       .groupBy(col("id")).agg(collect_set(col("th")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     candidates
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")

@@ -17,9 +17,26 @@ object RunOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val t0 = System.nanoTime()
-    val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
-    println(f"RESULT $name rows=$n t=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    if (sys.env.contains("RUNONE_STAGES")) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val wall = (for (a <- si.completionTime; b <- si.submissionTime)
+            yield (a - b) / 1e3).getOrElse(-1.0)
+          val run = si.taskMetrics.executorRunTime / 1e3
+          val gc = si.taskMetrics.jvmGCTime / 1e3
+          println(f"  STG ${si.stageId}%3d wall=$wall%6.2f run=$run%7.2f gc=$gc%6.2f tasks=${si.numTasks}%3d ${si.name.take(60)}")
+        }
+      })
+    }
+    val reps = sys.env.getOrElse("RUNONE_REPS", "2").toInt
+    (1 to reps).foreach { r =>
+      val t0 = System.nanoTime()
+      val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
+      println(f"RESULT $name rep=$r rows=$n t=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      spark.catalog.clearCache()
+    }
     if (args.length > 2 && args(2) == "explain")
       graft.SparkEntry.queries(name)(spark, sfDir).explain("formatted")
     spark.stop()
