@@ -83,7 +83,14 @@ object Pipelines {
     * `bootstrap-insert` normalizes to `insert` (P7). Column pruning is
     * data-driven: the payload keeps only the configured keys.
     */
-  def routeCdc(cdc: DataFrame, config: DataFrame): DataFrame = {
+  /** @param ordCol optional per-row ordinal on `cdc` (Kafka offset / CDC
+    *   sequence) carried through to the output so downstream upsert sinks
+    *   can resolve within-batch ties in STREAM order (the reference's
+    *   DimSink applies rows as they arrive). Without it, ties fall back
+    *   to the sink's deterministic-but-arbitrary payload ordering.
+    */
+  def routeCdc(cdc: DataFrame, config: DataFrame,
+               ordCol: Option[String] = None): DataFrame = {
     val normalized = cdc
       .withColumn("type",
         when(col("type") === "bootstrap-insert", "insert").otherwise(col("type")))
@@ -94,8 +101,9 @@ object Pipelines {
       .withColumn("routed_data",
         to_json(map_filter(from_json(col("data"), MapType(StringType, StringType)),
           (k, _) => array_contains(split(col("sink_columns"), ","), k))))
-      .select(col("table"), col("type"), col("sink_type"), col("sink_table"),
-        col("routed_data"))
+      .select(col("table") +: col("type") +: col("sink_type") +:
+        col("sink_table") +: col("routed_data") +:
+        ordCol.toSeq.map(col): _*)
   }
 
   /** UniqueVisitApp ST2 (batch analog) — first session-entry per mid per

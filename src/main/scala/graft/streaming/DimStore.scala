@@ -67,10 +67,16 @@ object DimStore {
     val target = s"`$db`.`$table`"
     val existing = spark.table(target)
     val payload = existing.columns.filterNot(_ == "__seq")
+    val nonKey = payload.filterNot(_ == keyCol)
     val wIn = ordCol match {
       case Some(o) => Window.partitionBy(col(keyCol)).orderBy(col(o).desc)
+      // key-only tables have no payload to order by — any row of a key
+      // is identical, so a constant ordering is both legal and correct
+      // (orderBy() with zero columns throws at runtime)
+      case None if nonKey.isEmpty =>
+        Window.partitionBy(col(keyCol)).orderBy(lit(1))
       case None => Window.partitionBy(col(keyCol))
-        .orderBy(payload.filterNot(_ == keyCol).map(col(_).desc): _*)
+        .orderBy(nonKey.map(col(_).desc): _*)
     }
     val incoming = batch
       .withColumn("__in_rn", row_number().over(wIn))
@@ -87,7 +93,7 @@ object DimStore {
       // truncate lineage: the overwrite below must not read the files
       // it replaces
       .localCheckpoint(true)
-    merged.write.mode(SaveMode.Overwrite).insertInto(s"$db.$table")
+    merged.write.mode(SaveMode.Overwrite).insertInto(s"`$db`.`$table`")
   }
 
   /** Read a dim table for enrichment (broadcast at the join site). */
@@ -101,9 +107,16 @@ object DimStore {
     * payload, and upsert on `keyCol`. The per-batch `collect` is over
     * the CONFIG (a handful of table names), never the data.
     */
+  /** @param ordCol optional per-row ordinal column present on the routed
+    *   batch (pass the same name given to `routeCdc(_, _, ordCol)`):
+    *   within-batch ties for a key then resolve in STREAM order like the
+    *   reference's DimSink, instead of the deterministic payload-tuple
+    *   fallback. Must not collide with a configured payload column.
+    */
   def dimUpsertSink(spark: SparkSession, db: String,
                     config: Map[String, Seq[String]], // sink_table -> payload cols
-                    keyCol: String = "id"): (DataFrame, Long) => Unit =
+                    keyCol: String = "id",
+                    ordCol: Option[String] = None): (DataFrame, Long) => Unit =
     (batch: DataFrame, batchId: Long) => {
       val persisted = batch.persist()
       try {
@@ -114,9 +127,10 @@ object DimStore {
           ensureDimTable(spark, db, t, cols)
           val schema = StructType(cols.map(StructField(_, StringType)))
           val rows = persisted.filter(col("sink_table") === t)
-            .select(from_json(col("routed_data"), schema).as("r"))
-            .select(col("r.*"))
-          upsert(spark, db, t, rows, keyCol, batchId)
+            .select(from_json(col("routed_data"), schema).as("r") +:
+              ordCol.toSeq.map(col): _*)
+            .select(col("r.*") +: ordCol.toSeq.map(col): _*)
+          upsert(spark, db, t, rows, keyCol, batchId, ordCol)
         }
       } finally { persisted.unpersist(); () }
     }

@@ -104,9 +104,12 @@ object StreamingPipelines {
   def toUpsertKafkaShape(changelog: DataFrame, keyCols: Seq[String],
                          deleteCol: Option[String] = None): DataFrame = {
     val payload = changelog.columns.filterNot(deleteCol.contains)
-    val value = to_json(struct(payload.map(col): _*))
+    // 'value.fields-include' = 'ALL' serializes null columns explicitly;
+    // Spark's to_json drops them by default — keep the wire formats equal
+    val jsonOpts = Map("ignoreNullFields" -> "false")
+    val value = to_json(struct(payload.map(col): _*), jsonOpts)
     changelog.select(
-      to_json(struct(keyCols.map(col): _*)).as("key"),
+      to_json(struct(keyCols.map(col): _*), jsonOpts).as("key"),
       deleteCol.fold(value)(d =>
         when(col(d), lit(null: String)).otherwise(value)).as("value"))
   }
@@ -139,8 +142,10 @@ object StreamingPipelines {
     (batch: DataFrame, batchId: Long) => {
       // ordCol and deleteCol are changelog METADATA (Flink row kind +
       // offset), not table columns — consumed here, never stored.
+      // a NULL delete flag means "not a delete" — without the coalesce,
+      // !__del filters NULL rows out and silently deletes those keys
       val incoming = compactBatch(batch, keyCols, ordCol)
-        .withColumn("__del", col(deleteCol).cast("boolean"))
+        .withColumn("__del", coalesce(col(deleteCol).cast("boolean"), lit(false)))
         .withColumn("__seq", lit(batchId))
         .drop(ordCol, deleteCol)
       val payload = incoming.columns
@@ -152,6 +157,14 @@ object StreamingPipelines {
       }.mkString(", ")
       spark.sql(s"CREATE TABLE IF NOT EXISTS `$db`.`$table` ($targetCols) USING PARQUET")
       val existing = spark.table(s"`$db`.`$table`")
+      // Fixed-schema precondition (the upsert-kafka table is DDL'd once,
+      // like the reference's CREATE TABLE): a drifting changelog fails
+      // HERE with the column diff, not mid-union with an opaque error.
+      val missing = existing.columns.toSet -- payload.toSet
+      val extra = payload.toSet -- existing.columns.toSet
+      require(missing.isEmpty && extra.isEmpty,
+        s"upsert-kafka batch schema drifted from `$db`.`$table`: " +
+          s"missing=${missing.mkString(",")} extra=${extra.mkString(",")}")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(keyCols.map(col): _*)
         .orderBy(col("__seq").desc, col("__is_new").desc)
@@ -166,7 +179,7 @@ object StreamingPipelines {
         .drop("__rn", "__is_new")
         .localCheckpoint(true) // don't read the files the overwrite replaces
       merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .insertInto(s"$db.$table")
+        .insertInto(s"`$db`.`$table`")
     }
 
   /** Read the materialized upsert-kafka table (current per-key state). */
