@@ -1,9 +1,37 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+  /** Release EVERYTHING a query left in the block manager, synchronously.
+    *
+    * Round-5 postmortem: the driver's in-sequence bench recorded q31 at
+    * 59.4 s vs 11.8 s cold-isolated on identical code — a 5× measurement
+    * artifact, not a plan problem. Cause: `catalog.clearCache()` only
+    * drops CacheManager entries, and non-blockingly, so (a) RDD blocks
+    * from `localCheckpoint` (connectedComponents' per-round lineage
+    * truncation) were never released at all, and (b) the async removal +
+    * GC of the dedup family's MEMORY_AND_DISK intermediates landed inside
+    * the NEXT query's timed window, and the storage pool stayed
+    * contaminated so later persists spilled/evicted instead of caching.
+    *
+    * This version walks `sc.getPersistentRDDs` — which holds BOTH
+    * df.persist-backed cache RDDs and localCheckpoint RDDs — and
+    * unpersists each with blocking=true, then clears the SQL cache, then
+    * GCs (twice: the first collection queues ContextCleaner work for
+    * broadcast/shuffle state, the drain sleep lets the cleaner's blocking
+    * removals finish, the second collection compacts what they freed).
+    */
+  def releaseAll(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    System.gc()
+    Thread.sleep(300)
+    System.gc()
+  }
+
+  def session(cpus: String): SparkSession = {
     // Mirror GraftSession's scale configs exactly: round-2 profiling showed
     // the dedup family (q31) paying ~2x for missing AQE partition coalescing
     // when Bench configured neither AQE nor a timezone.
@@ -17,27 +45,45 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  def runTimed(spark: SparkSession, name: String, sfDir: String): (Double, Boolean) = {
+    val t0 = System.nanoTime()
+    val err = try { SparkEntry.queries(name)(spark, sfDir).count(); false }
+      catch { case _: Throwable => true }
+    ((System.nanoTime() - t0) / 1e9, err)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = session(cpus)
+    // Single-query isolation mode (the other half of the two-mode check:
+    // a sequence time that disagrees with this by >1.3x is a measurement
+    // bug, not a regression).
+    sys.env.get("SPARK_GRAFT_BENCH_ONE").orElse(args.headOption) match {
+      case Some(one) =>
+        val (dt, err) = runTimed(spark, one, sfDir)
+        println(s"""{"metric":"one","query":"$one","value":$dt,"unit":"sec","err":$err,"sf":"$sfDir"}""")
+        spark.stop()
+        return
+      case None => ()
+    }
     // Warm the JVM/codegen/scan paths once so the first timed query
-    // doesn't absorb session startup; run in name order for stable runs.
-    try SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
-    catch { case _: Throwable => () }
-    // Measurement methodology (changed r5; r4's numbers are NOT comparable
-    // per-query): the dedup/similarity operators persist multi-branch
-    // intermediates that only an action releases, so caches are dropped
-    // between queries — but the drop and the resulting GC churn now run
-    // BEFORE the next query's timer starts. Round-4 ran clearCache()
-    // between the timer stop and the next timer start with no GC barrier,
-    // so block-free + GC cost of query N landed inside query N+1's
-    // measurement — the r4 "2-4x regression cluster" (q33-q37, q54) was
-    // exactly that, and q39's 10.9s (0.7s in isolation) likewise.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      spark.catalog.clearCache()
-      System.gc()
-      val t0 = System.nanoTime()
-      val err = try { fn(spark, sfDir).count(); false }
-        catch { case _: Throwable => true }
-      val dt = (System.nanoTime() - t0) / 1e9
-      name -> (dt, err)
+    // doesn't absorb session startup; q01 covers scan+agg, q19 covers the
+    // dedup family's explode/persist machinery so q30 (first heavy query
+    // in name order) isn't charged for it.
+    try {
+      SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
+      SparkEntry.queries("q19_dedup_exact")(spark, sfDir).count()
+    } catch { case _: Throwable => () }
+    releaseAll(spark)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, _) =>
+      val r = runTimed(spark, name, sfDir)
+      // full synchronous release OFF the timed path — see releaseAll
+      releaseAll(spark)
+      name -> r
     }
     val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -46,7 +92,7 @@ object Bench {
     // A failed query must not silently deflate the bench: err'd queries
     // are listed and their (meaningless) elapsed time excluded from total.
     val total = results.collect { case (_, (v, false)) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"method":"per-query cold cache; clearCache+System.gc off the timed path (r5)","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"method":"per-query cold; blocking unpersist of all persistent RDDs (incl. localCheckpoint blocks) + clearCache + 2xGC off the timed path (r6)","sf":"$sfDir"}""")
     spark.stop()
   }
 }

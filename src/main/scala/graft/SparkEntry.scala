@@ -550,6 +550,18 @@ object SparkEntry {
         nPlanes = 4, nTables = 4)
     }),
 
+    // §2.11 — derived age-in-years attribute (ref: rt-flink
+    // OrderWideAp.scala:151-158 computes user age from a birthday dim
+    // column at enrichment time). The test tables carry no birthday
+    // column, so the order date stands in as the anchored date; the
+    // as-of date is fixed so the oracle is deterministic.
+    "q55_age_from_birthday" -> ((s, dir) => {
+      T(s, dir, "orders").select(
+        col("o_orderkey"),
+        DF.ageFromBirthday(col("o_orderdate"),
+          lit("2026-01-01").cast("date")).as("age_years"))
+    }),
+
     // §2.9 — set operations beyond the reference's unions
     "q49_intersect" -> ((s, dir) => {
       val e = T(s, dir, "events")
@@ -982,6 +994,13 @@ object SparkEntry {
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
          count(*) AS row_ct
          FROM events GROUP BY 1""",
+
+    // Spark datediff(asOf, d)/365 is double division; DuckDB mirrors with
+    // /365.0 and CAST(floor(...)) (DuckDB CAST alone ROUNDS, Spark truncates).
+    "q55_age_from_birthday" ->
+      """SELECT o_orderkey,
+         CAST(floor(date_diff('day', o_orderdate, DATE '2026-01-01') / 365.0) AS BIGINT) AS age_years
+         FROM orders""",
 
     // EXACT oracle for the LSH pipeline: exhaustive char-5-shingle
     // Jaccard (shingle equi-join counting form — the all-pairs

@@ -35,8 +35,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // release the dedup-family persists between queries (see Bench)
-      spark.catalog.clearCache()
+      // release the dedup-family persists AND localCheckpoint blocks
+      // between queries (see Bench.releaseAll)
+      Bench.releaseAll(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -40,10 +40,13 @@ object DateFunctions {
   def dayOfWeekName(ts: Column): Column = date_format(ts, "EEEE")
 
   /** Age in whole years from a birthday column — the reference's derived
-    * dim attribute (rt-flink OrderWideAp.scala:151-158).
+    * dim attribute (rt-flink OrderWideAp.scala:151-158, which divides the
+    * millisecond delta by a 365-day year). `asOf` defaults to the wall
+    * clock like the reference; queries that need a deterministic oracle
+    * pass a fixed as-of date.
     */
-  def ageFromBirthday(birthday: Column): Column =
-    floor(datediff(current_date(), birthday) / 365).cast("long")
+  def ageFromBirthday(birthday: Column, asOf: Column = current_date()): Column =
+    floor(datediff(asOf, birthday) / 365).cast("long")
 
   /** Cross-month bucket normalization (BusinessRulesTool.getCancelDate
     * analog): days 1-15 → this month's 15th, days ≥16 → next month's

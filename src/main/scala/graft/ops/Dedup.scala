@@ -21,13 +21,23 @@ object Dedup {
   /** Fan a narrow scan out to the session's parallel width before a
     * row-amplifying explode (shingling multiplies rows ~300×, token
     * explode ~50×). A small input file arrives as 1-2 scan partitions,
-    * so without this the amplified work runs on one core. Guarded: at
-    * real scale the scan already has ≥ parallelism partitions (one per
-    * file split) and the corpus is NEVER reshuffled just to fan out.
+    * so without this the amplified work runs on one core.
+    *
+    * Conf-gated rather than probed: the old `df.rdd.getNumPartitions`
+    * guard built (and discarded) a full RDD lineage per invocation just
+    * to read a count, and the count it read was the pre-AQE one anyway.
+    * At test scale the unconditional round-robin of the (tiny,
+    * pre-explode) corpus costs microseconds; at real scale the scan
+    * already arrives one-partition-per-file-split wide, so set
+    * `graft.dedup.fanOutScan=false` (or tune
+    * `spark.sql.files.maxPartitionBytes` at read time) and no reshuffle
+    * of the corpus ever happens.
     */
   private def fanOutScan(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    val spark = df.sparkSession
+    if (spark.conf.get("graft.dedup.fanOutScan", "true") == "true")
+      df.repartition(spark.sparkContext.defaultParallelism)
+    else df
   }
 
   /** Parallel width for small-bytes/heavy-compute shuffle outputs

@@ -15,7 +15,17 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 }
 
 object SparkSpec {
-  lazy val session: SparkSession = {
+  // Rebuilt on demand if a suite (HiveCatalogSpec) stopped the shared
+  // context to test cross-session catalog persistence. Suites run
+  // sequentially in the forked test JVM, so no synchronization races.
+  private var current: SparkSession = _
+
+  def session: SparkSession = synchronized {
+    if (current == null || current.sparkContext.isStopped) current = build()
+    current
+  }
+
+  private def build(): SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")

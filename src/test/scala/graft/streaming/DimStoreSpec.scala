@@ -50,6 +50,48 @@ class DimStoreSpec extends SparkSpec {
     assert(got == ("1", "last"))
   }
 
+  test("one batch with insert+update for a key: ordCol plumbed through routeCdc resolves in stream order") {
+    // The reference's DimSink applies CDC rows in arrival order, so when
+    // one micro-batch carries insert(tier=silver) then update(tier=gold)
+    // for the same key, gold must win. The values are chosen so the
+    // no-ordCol payload-tuple fallback would pick the WRONG row
+    // ("silver" > "gold" lexicographically) — this spec fails if the
+    // ordCol plumbing drops out anywhere along routeCdc → dimUpsertSink
+    // → upsert.
+    val config = Seq(
+      ("user_info", "insert", "hbase", "dim_user_tie", "id,name,tier"),
+      ("user_info", "update", "hbase", "dim_user_tie", "id,name,tier"))
+      .toDF("source_table", "operate_type", "sink_type", "sink_table", "sink_columns")
+
+    val input = MemoryStream[(String, String, String, Long)]
+    val cdc = input.toDF().toDF("table", "type", "data", "offset")
+    val routed = graft.apps.Pipelines.routeCdc(cdc, config, ordCol = Some("offset"))
+    val sink = DimStore.dimUpsertSink(spark, db,
+      config = Map("dim_user_tie" -> Seq("id", "name", "tier")),
+      ordCol = Some("offset"))
+    val q = routed.writeStream.foreachBatch(sink)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("dimck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
+
+    input.addData(
+      ("user_info", "insert", """{"id":"9","name":"cy","tier":"silver"}""", 1L),
+      ("user_info", "update", """{"id":"9","name":"cy","tier":"gold"}""", 2L))
+    q.processAllAvailable(); q.stop()
+
+    val got = DimStore.dimTable(spark, db, "dim_user_tie")
+      .as[(String, String, String)].collect().toSet
+    assert(got == Set(("9", "cy", "gold")),
+      s"stream-order (offset) winner expected, got $got")
+
+    // next-batch enrichment observes the stream-order winner
+    val facts = Seq((200L, "9")).toDF("order_id", "user_id")
+    val dim = DimStore.dimTable(spark, db, "dim_user_tie")
+    val enriched = facts.join(broadcast(dim), facts("user_id") === dim("id"))
+      .select("order_id", "tier").as[(Long, String)].collect().toSet
+    assert(enriched == Set((200L, "gold")))
+  }
+
   test("CDC stream -> routeCdc -> dimUpsertSink; next-batch broadcast join sees the update") {
     val config = Seq(
       ("user_info", "insert", "hbase", "dim_user_info", "id,name,tier"),
