@@ -358,6 +358,23 @@ object SparkEntry {
       Dedup.minhashLshPairs(T(s, dir, "documents"), "doc_id", "text",
         shingleN = 5, k = 32, bands = 8, threshold = 0.5)),
 
+    // Dedup family — INCREMENTAL MinHash+LSH: dedup a "new batch" (odd
+    // doc_ids) against an indexed "historical corpus" (even doc_ids) —
+    // the recurring-production shape where the corpus text is only
+    // re-read for prefilter survivors. Exact oracle: q31's shingle-join
+    // Jaccard restricted to pairs touching an odd id (same recall
+    // precondition as q31 — identical banding over a subset of the same
+    // pair universe).
+    "q57_dedup_incremental" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 2 === 0)
+      val fresh = docs.filter(col("doc_id") % 2 === 1)
+      val index = Dedup.buildMinhashIndex(corpus, "doc_id", "text",
+        shingleN = 5, k = 32)
+      Dedup.minhashLshIncremental(fresh, corpus, index, "doc_id", "text",
+        shingleN = 5, k = 32, bands = 8, threshold = 0.5)
+    }),
+
     // Dedup family — SimHash near-dup (rows-only check)
     "q32_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(T(s, dir, "documents"), "doc_id", "text", maxHamming = 12)),
@@ -1029,7 +1046,31 @@ object SparkEntry {
          SELECT id_a, id_b,
            CAST(floor(CAST(inter AS DOUBLE) / CAST(sa + sb - inter AS DOUBLE) * 10000) AS BIGINT) AS jaccard_e4
          FROM p
-         WHERE CAST(floor(CAST(inter AS DOUBLE) / CAST(sa + sb - inter AS DOUBLE) * 10000) AS BIGINT) >= 5000"""
+         WHERE CAST(floor(CAST(inter AS DOUBLE) / CAST(sa + sb - inter AS DOUBLE) * 10000) AS BIGINT) >= 5000""",
+
+    // q31's exact oracle restricted to pairs touching a new-batch (odd)
+    // doc — the incremental pipeline must produce exactly the full-corpus
+    // result minus corpus-corpus pairs.
+    "q57_dedup_incremental" ->
+      """WITH n AS (
+           SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS nt
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(length(nt) - 4, 1) + 1),
+               i -> substr(nt, CAST(i AS INT), 5))) AS sh
+           FROM n),
+         e AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS g FROM s),
+         p AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sa, b.sz AS sb,
+                  count(*) AS inter
+           FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4)
+         SELECT id_a, id_b,
+           CAST(floor(CAST(inter AS DOUBLE) / CAST(sa + sb - inter AS DOUBLE) * 10000) AS BIGINT) AS jaccard_e4
+         FROM p
+         WHERE CAST(floor(CAST(inter AS DOUBLE) / CAST(sa + sb - inter AS DOUBLE) * 10000) AS BIGINT) >= 5000
+           AND (id_a % 2 = 1 OR id_b % 2 = 1)"""
     // q32_dedup_simhash / q33_ann_lsh / q35_cosine_neardup /
     // q36_ann_ivf / q54_ann_lsh_multi: probabilistic and
     // hash-family-specific — the output VALUES depend on xxhash64 /

@@ -112,35 +112,90 @@ object Dedup {
     *   true 100 TB scale leave false — the second pass re-scans, and the
     *   collect_set still only aggregates surviving docs.
     */
-  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-                      shingleN: Int = 5, k: Int = 32, bands: Int = 8,
-                      threshold: Double = 0.8,
-                      cacheShingles: Boolean = true): DataFrame = {
-    require(k % bands == 0, "k must divide into bands")
-    val r = k / bands
+  /** One (id, xxhash64(shingle)) row per character-shingle position: the
+    * normalized text is computed once per doc and only 8-byte hashes flow
+    * on (Jaccard over hashed shingle sets equals Jaccard over shingles
+    * modulo ~2^-64 collisions). Shared by the full-corpus and incremental
+    * minhash pipelines.
+    */
+  private def shingleRows(df: DataFrame, idCol: String, textCol: String,
+                          shingleN: Int): DataFrame = {
     val norm = lower(regexp_replace(col(textCol), "\\s+", " "))
-    val shRowsPlan = fanOutScan(df.select(col(idCol), col(textCol)))
+    fanOutScan(df.select(col(idCol), col(textCol)))
       .select(col(idCol).as("id"), norm.as("norm"))
       .select(col("id"), col("norm"),
         explode(sequence(lit(1),
           greatest(length(col("norm")) - (shingleN - 1), lit(1)))).as("pos"))
       .select(col("id"),
         xxhash64(col("norm").substr(col("pos"), lit(shingleN))).as("h"))
-    val shRows =
-      if (cacheShingles)
-        shRowsPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else shRowsPlan
+  }
+
+  /** Signatures via ONE pure HashAggregate — k `min(xxhash64(h, i))`
+    * columns, fully codegen'd with map-side partials.
+    */
+  private def minhashSigs(shRows: DataFrame, k: Int): DataFrame = {
     val minAggs = (0 until k).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
-    // three plan branches consume the signatures (banding + both
-    // prefilter sides); the cache is 33 longs per doc
-    val sigs = shRows.groupBy(col("id")).agg(minAggs.head, minAggs.tail: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sigs.select(col("id"),
+    shRows.groupBy(col("id")).agg(minAggs.head, minAggs.tail: _*)
+  }
+
+  /** (id, band, bucket) triples straight off the signature columns. */
+  private def bandBuckets(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+    val r = k / bands
+    sigs.select(col("id"),
       explode(array((0 until bands).map { b =>
         val comps = (b * r until (b + 1) * r).map(i => col(s"m$i"))
         struct(lit(b).as("band"), xxhash64(comps :+ lit(b): _*).as("bucket"))
       }: _*)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
+  }
+
+  /** Minhash-estimate prefilter predicate over joined signature columns
+    * a0..a(k-1) / b0..b(k-1): estimated Jaccard (fraction of agreeing
+    * components) must clear the threshold minus a 3σ binomial margin —
+    * never drops a true pair in practice, kills most false bucket
+    * collisions before the expensive exact verify.
+    */
+  private def estimatePasses(k: Int, threshold: Double): Column = {
+    val est = (0 until k)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1.0).otherwise(0.0))
+      .reduce(_ + _) / k
+    val margin = 3.0 * math.sqrt(threshold * (1.0 - threshold) / k)
+    est >= threshold - margin
+  }
+
+  /** Exact-verify tail shared by the minhash pipelines: join candidate
+    * pairs to their (persisted) shingle sets and keep pairs at or above
+    * the exact Jaccard threshold. `sets` columns: (id, sh, ssz).
+    */
+  private def exactVerify(survivors: DataFrame, sets: DataFrame,
+                          threshold: Double): DataFrame =
+    survivors
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a"),
+        col("ssz").as("sz_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b"),
+        col("ssz").as("sz_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jac",
+        col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jac") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        floor(col("jac") * 10000).cast("long").as("jaccard_e4"))
+
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int = 5, k: Int = 32, bands: Int = 8,
+                      threshold: Double = 0.8,
+                      cacheShingles: Boolean = true): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val shRowsPlan = shingleRows(df, idCol, textCol, shingleN)
+    val shRows =
+      if (cacheShingles)
+        shRowsPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else shRowsPlan
+    // three plan branches consume the signatures (banding + both
+    // prefilter sides); the cache is 33 longs per doc
+    val sigs = minhashSigs(shRows, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = bandBuckets(sigs, k, bands)
     val candidates = banded.alias("a").join(banded.alias("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
@@ -150,16 +205,12 @@ object Dedup {
       col("id").as("id_a") +: (0 until k).map(i => col(s"m$i").as(s"a$i")): _*)
     val sigB = sigs.select(
       col("id").as("id_b") +: (0 until k).map(i => col(s"m$i").as(s"b$i")): _*)
-    val est = (0 until k)
-      .map(i => when(col(s"a$i") === col(s"b$i"), 1.0).otherwise(0.0))
-      .reduce(_ + _) / k
-    val margin = 3.0 * math.sqrt(threshold * (1.0 - threshold) / k)
     // explicit repartition: the survivor list is a few hundred KB, so
     // AQE would coalesce it to one partition — and every downstream
     // per-pair set intersection would run on one core (measured 6.7 s
     // single-task at sf0.1)
     val survivors = candidates.join(sigA, "id_a").join(sigB, "id_b")
-      .filter(est >= threshold - margin)
+      .filter(estimatePasses(k, threshold))
       .select(col("id_a"), col("id_b"))
       .repartition(verifyWidth(df), col("id_a"), col("id_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -180,17 +231,92 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // |A∪B| = |A| + |B| − |A∩B| over sets: one array_intersect per pair,
     // no array_union allocation
-    survivors
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a"),
-        col("ssz").as("sz_a")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b"),
-        col("ssz").as("sz_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
-      .withColumn("jac",
-        col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
-      .filter(col("jac") >= threshold)
-      .select(col("id_a"), col("id_b"),
-        floor(col("jac") * 10000).cast("long").as("jaccard_e4"))
+    exactVerify(survivors, sets, threshold)
+  }
+
+  /** The persistable corpus-side artifact for INCREMENTAL dedup: one row
+    * per document, columns (id, m0..m(k-1)). At 100 TB this table is
+    * what a nightly pipeline writes to parquet once per corpus snapshot —
+    * k longs per document, ~10^-4 of corpus bytes — so each new batch is
+    * deduped against the whole history WITHOUT re-reading or re-hashing
+    * the historical text.
+    */
+  def buildMinhashIndex(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 5, k: Int = 32): DataFrame =
+    minhashSigs(shingleRows(df, idCol, textCol, shingleN), k)
+
+  /** Incremental MinHash+LSH dedup: near-dup pairs of `newDocs` against
+    * an existing corpus (via its precomputed [[buildMinhashIndex]]
+    * signature table) AND within the new batch itself — the recurring
+    * production shape: yesterday's 100 TB corpus is indexed once;
+    * today's 0.1 TB batch shingles, signs, and band-joins against the
+    * tiny index.
+    *
+    * Output = exactly [[minhashLshPairs]] over (corpus ∪ new) restricted
+    * to pairs touching at least one new doc (canonical id_a < id_b).
+    *
+    * Scale shape: only NEW docs are shingled up front. Banding joins the
+    * (corpus ∪ new) bucket table against the NEW bucket table — the
+    * shuffle is index-sized (k+1 longs/doc), never corpus-text-sized.
+    * The exact-verify stage re-reads corpus TEXT only for documents that
+    * survive the signature prefilter (semi-join pushes the id filter
+    * into the corpus scan) — the ~0.1% that are actual near-dup
+    * suspects.
+    *
+    * @param corpus      historical documents (idCol, textCol, ...) —
+    *                    scanned ONLY for prefilter survivors
+    * @param corpusIndex [[buildMinhashIndex]] of `corpus` (same
+    *                    shingleN/k); ids must be disjoint from newDocs'
+    */
+  def minhashLshIncremental(newDocs: DataFrame, corpus: DataFrame,
+                            corpusIndex: DataFrame,
+                            idCol: String, textCol: String,
+                            shingleN: Int = 5, k: Int = 32, bands: Int = 8,
+                            threshold: Double = 0.8): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // new-batch shingles feed the signature pass AND the verify-set pass
+    val newSh = shingleRows(newDocs, idCol, textCol, shingleN).persist(mem)
+    val newSigs = minhashSigs(newSh, k)
+    // banding + both prefilter sides consume the union: persist the
+    // (index + new signatures) table, k+1 longs per doc
+    val allSigs = corpusIndex.select(col("id") +: (0 until k).map(i => col(s"m$i")): _*)
+      .unionByName(newSigs)
+      .persist(mem)
+    val newBanded = bandBuckets(allSigs.join(
+      newDocs.select(col(idCol).as("id")), "id"), k, bands)
+    val allBanded = bandBuckets(allSigs, k, bands)
+    // one side of every candidate pair is new; canonicalize to
+    // id_a < id_b (a corpus id may be larger or smaller than a new id)
+    val candidates = allBanded.alias("a").join(newBanded.alias("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .distinct()
+    val sigA = allSigs.select(
+      col("id").as("id_a") +: (0 until k).map(i => col(s"m$i").as(s"a$i")): _*)
+    val sigB = allSigs.select(
+      col("id").as("id_b") +: (0 until k).map(i => col(s"m$i").as(s"b$i")): _*)
+    val survivors = candidates.join(sigA, "id_a").join(sigB, "id_b")
+      .filter(estimatePasses(k, threshold))
+      .select(col("id_a"), col("id_b"))
+      .repartition(verifyWidth(newDocs), col("id_a"), col("id_b"))
+      .persist(mem)
+    val neededIds = survivors
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct()
+    // corpus text is touched HERE only, semi-joined to survivors first;
+    // new-side shingles come from the persisted first pass
+    val corpusSurvivorSh = shingleRows(
+      corpus.join(neededIds, corpus(idCol) === neededIds("id"), "left_semi"),
+      idCol, textCol, shingleN)
+    val sets = newSh.join(neededIds, "id")
+      .unionByName(corpusSurvivorSh)
+      .groupBy(col("id")).agg(collect_set(col("h")).as("sh"))
+      .select(col("id"), col("sh"), size(col("sh")).as("ssz"))
+      .persist(mem)
+    exactVerify(survivors, sets, threshold)
   }
 
   /** 64-bit SimHash signatures, one row per document: explode tokens,

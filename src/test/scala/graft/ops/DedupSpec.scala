@@ -41,6 +41,28 @@ class DedupSpec extends SparkSpec {
     assert(j == 10000L)
   }
 
+  test("incremental minhash equals the full-corpus result restricted to new-touching pairs") {
+    // corpus = even ids (indexed once), new batch = odd ids; the
+    // incremental pipeline must reproduce the full run's pairs that
+    // touch at least one new doc — nothing more, nothing less — with
+    // identical exact-verified jaccard values
+    val corpus = docs.filter($"doc_id" % 2 === 0)
+    val fresh = docs.filter($"doc_id" % 2 === 1)
+    val index = Dedup.buildMinhashIndex(corpus, "doc_id", "text", shingleN = 5, k = 32)
+    val inc = Dedup.minhashLshIncremental(fresh, corpus, index, "doc_id", "text",
+        shingleN = 5, k = 32, bands = 16, threshold = 0.5)
+      .as[(Long, Long, Long)].collect().toSet
+    val full = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        shingleN = 5, k = 32, bands = 16, threshold = 0.5)
+      .as[(Long, Long, Long)].collect().toSet
+      .filter(t => t._1 % 2 == 1 || t._2 % 2 == 1)
+    assert(inc == full, s"incremental=$inc full-restricted=$full")
+    // the near-dup pair (1,3) is new-vs-new, (1,2) is new-vs-corpus:
+    // both shapes must be found
+    assert(inc.exists { case (a, b, _) => (a, b) == (1L, 2L) })
+    assert(inc.exists { case (a, b, _) => (a, b) == (1L, 3L) })
+  }
+
   test("simhash signatures are equal for identical docs and pairs pass the hamming gate") {
     val sigs = Dedup.simhashSignatures(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
