@@ -413,6 +413,17 @@ object SparkEntry {
       Similarity.ivfTopK(emb.filter(col("vec_id") < 8), emb, 5, nCells = 8)
     }),
 
+    // Similarity search — IVF with a TRAINED spherical-k-means codebook
+    // and multi-probe (rows-only: cell assignment is model-dependent;
+    // the probe-all == brute-force equivalence is pinned in
+    // SimilaritySpec instead)
+    "q58_ann_ivf_trained" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val cents = Similarity.trainCentroids(emb, nCells = 8, iters = 2)
+      Similarity.ivfTopKTrained(emb.filter(col("vec_id") < 8), emb, 5,
+        cents, nProbe = 2)
+    }),
+
     // §2.7 beyond-reference — ranking window function, top-3 orders per
     // customer with deterministic tiebreak
     "q37_top_orders_per_cust" -> ((s, dir) => {

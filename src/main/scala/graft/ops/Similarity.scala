@@ -167,6 +167,100 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
+  /** Spherical k-means codebook for trained IVF, DataFrame-native
+    * Lloyd's iterations: assignment is a broadcast nested-loop of each
+    * (unit) vector against the tiny centroid table scored with the
+    * native [[org.apache.spark.sql.graft.DotProduct]]; the update step
+    * recomputes each cell's re-normalized mean via ONE posexplode +
+    * hash-aggregate (the per-dimension sums shuffle (cell, dim) rows —
+    * never vectors). The driver loop is over ITERATIONS (a handful);
+    * per-iteration state is a nCells-row model table, localCheckpointed
+    * so the lineage doesn't compound across rounds.
+    *
+    * Determinism: init takes the nCells lowest vec_ids; every later step
+    * is pure column algebra (floating-point shuffle-order variation can
+    * flip a boundary assignment between runs, which a trained-ANN
+    * consumer tolerates by construction — the exact re-rank happens
+    * downstream).
+    *
+    * Empty cells are dropped (standard Lloyd's degeneracy); callers see
+    * ≤ nCells centroids. Output: (cell, cent) with unit-norm
+    * `array<double>` centroids.
+    */
+  def trainCentroids(candidates: DataFrame, nCells: Int = 16,
+                     iters: Int = 3): DataFrame = {
+    val unit = candidates
+      .select(col("vec_id"), VectorFunctions.normalize(col("embedding")).as("u"))
+    var cents = unit.orderBy(col("vec_id")).limit(nCells)
+      .select((row_number().over(Window.orderBy(col("vec_id"))) - 1).as("cell"),
+        col("u").as("cent"))
+      .localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val assigned = assignCells(unit, "vec_id", "u", cents, nProbe = 1)
+      cents = assigned.join(unit, "vec_id")
+        .select(col("cell"), posexplode(col("u")).as(Seq("i", "x")))
+        .groupBy(col("cell"), col("i")).agg(sum(col("x")).as("sx"))
+        .groupBy(col("cell"))
+        .agg(sort_array(collect_list(struct(col("i"), col("sx")))).as("ps"))
+        // model-sized HOF (nCells rows): interpreted eval is irrelevant here
+        .select(col("cell"),
+          VectorFunctions.normalize(transform(col("ps"), p => p.getField("sx")))
+            .as("cent"))
+        .localCheckpoint(true)
+    }
+    cents
+  }
+
+  /** Top-`nProbe` cells per vector by centroid dot product (vectors
+    * must be unit-norm for the dot to rank like cosine). Broadcast
+    * nested-loop against the model table; ties break on cell id.
+    */
+  private def assignCells(vecs: DataFrame, idName: String, uName: String,
+                          centroids: DataFrame, nProbe: Int): DataFrame = {
+    val w = Window.partitionBy(col(idName))
+      .orderBy(col("__csim").desc, col("cell").asc)
+    vecs.crossJoin(broadcast(centroids))
+      .withColumn("__csim", VectorFunctions.dot(col(uName), col("cent")))
+      .withColumn("__crn", row_number().over(w))
+      .filter(col("__crn") <= nProbe)
+      .select(col(idName), col("cell"))
+  }
+
+  /** IVF with a TRAINED codebook and multi-probe: candidates live in
+    * their single nearest cell; each query probes its `nProbe` nearest
+    * cells and exact-re-ranks only those cells' candidates. The
+    * both-sides-large scale path with a recall dial: candidate-side
+    * work is unchanged as nProbe grows (the shuffle stays keyed on the
+    * small cell id), query-side cost is ×nProbe — the textbook
+    * IVF trade. With nProbe = nCells the result equals
+    * [[bruteForceTopK]] by construction (every cell probed), which is
+    * the property the spec pins.
+    */
+  def ivfTopKTrained(queries: DataFrame, candidates: DataFrame, k: Int,
+                     centroids: DataFrame, nProbe: Int = 2): DataFrame = {
+    val cu = candidates.select(col("vec_id"),
+      VectorFunctions.normalize(col("embedding")).as("u"))
+    val cCells = assignCells(cu, "vec_id", "u", centroids, nProbe = 1)
+    val c = candidates.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+      .join(cCells.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+    val qu = queries.select(col("vec_id"),
+      VectorFunctions.normalize(col("embedding")).as("u"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .join(assignCells(qu, "vec_id", "u", centroids, nProbe)
+        .withColumnRenamed("vec_id", "query_id"), "query_id")
+    val scored = q.join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      // a query probing nProbe cells sees each candidate at most once
+      // (candidates hold ONE cell), so no distinct needed before ranking
+      .withColumn("sim", VectorFunctions.cosine(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
   /** All-pairs above a similarity floor (embedding near-dup detection):
     * LSH bucket join + exact verify, pairs id_a < id_b. The
     * embedding-cosine member of the dedup family. Vectors are unit-

@@ -45,6 +45,23 @@ class SimilaritySpec extends SparkSpec {
     assert(multi.contains(11L), "the 1-degree neighbor must be found")
   }
 
+  test("trained IVF: probe-all equals brute force; single-probe finds the near neighbor") {
+    val cents = Similarity.trainCentroids(emb, nCells = 2, iters = 2)
+    val nCells = cents.count().toInt
+    assert(nCells >= 1 && nCells <= 2)
+    // probing every cell scores every candidate → identical to the exact path
+    val probeAll = Similarity.ivfTopKTrained(emb, emb, 2, cents, nProbe = nCells)
+      .as[(Long, Int, Long)].collect().toSet
+    val brute = Similarity.bruteForceTopK(emb, emb, 2)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(probeAll == brute, s"probe-all must equal brute force: $probeAll vs $brute")
+    // the 1-degree-apart pair lands in the same trained cell
+    val one = Similarity.ivfTopKTrained(emb.filter($"vec_id" === 10L), emb, 2, cents,
+        nProbe = 1)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(one.contains(11L), s"nearest neighbor must share 10's cell; got $one")
+  }
+
   test("cosine near-dup pairs reports sim_e4 above the floor, a<b") {
     val pairs = Similarity.cosineNearDupPairs(emb, minSimE4 = 9000L, nPlanes = 2)
       .as[(Long, Long, Long)].collect().toSeq
