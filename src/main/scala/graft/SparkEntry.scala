@@ -578,6 +578,26 @@ object SparkEntry {
         nPlanes = 4, nTables = 4)
     }),
 
+    // §2.5 beyond-reference — AS-OF join: each purchase matched to the
+    // user's latest click at-or-before it (the unbounded exact form of
+    // the reference's [-30 min, 0] payment⋈order interval join,
+    // PaymentWideAp). Union+sort+carry-forward shape: one shuffle of
+    // |L|+|R| rows, never the join-then-rank candidate blowup.
+    "q59_asof_join" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("ts").as("click_ts"), col("value").as("click_value"))
+      graft.ops.AsOfJoin.asOf(purchases, clicks, Seq("user_id"),
+          "ts", "ts", Seq("click_ts", "click_value"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("pts"),
+          date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("cts"),
+          col("click_value"))
+    }),
+
     // §2.11 — derived age-in-years attribute (ref: rt-flink
     // OrderWideAp.scala:151-158 computes user age from a birthday dim
     // column at enrichment time). The test tables carry no birthday
@@ -1022,6 +1042,26 @@ object SparkEntry {
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
          count(*) AS row_ct
          FROM events GROUP BY 1""",
+
+    // As-of join oracle: the rank formulation (quadratic, fine at oracle
+    // scale). Right-side ties at one (user, ts) collapse to max(value)
+    // first — the same greatest-payload-tuple tie-break the operator
+    // applies.
+    "q59_asof_join" ->
+      """WITH p AS (
+           SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         c AS (
+           SELECT user_id, ts, CAST(max(value) AS DOUBLE) AS click_value
+           FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+         j AS (
+           SELECT p.event_id, p.user_id, p.ts AS pts, c.ts AS cts, c.click_value,
+             row_number() OVER (PARTITION BY p.event_id ORDER BY c.ts DESC) AS rn
+           FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts)
+         SELECT event_id, user_id,
+           strftime(pts, '%Y-%m-%d %H:%M:%S') AS pts,
+           strftime(cts, '%Y-%m-%d %H:%M:%S') AS cts,
+           click_value
+         FROM j WHERE rn = 1""",
 
     // Spark datediff(asOf, d)/365 is double division; DuckDB mirrors with
     // /365.0 and CAST(floor(...)) (DuckDB CAST alone ROUNDS, Spark truncates).
