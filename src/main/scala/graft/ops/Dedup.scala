@@ -165,7 +165,12 @@ object Dedup {
 
   /** Exact-verify tail shared by the minhash pipelines: join candidate
     * pairs to their (persisted) shingle sets and keep pairs at or above
-    * the exact Jaccard threshold. `sets` columns: (id, sh, ssz).
+    * the exact Jaccard threshold. `sets` columns: (id, sh, ssz), with
+    * `sh` SORTED ascending (the [[sortedSets]] builders guarantee it) —
+    * |∩| is then a codegen'd two-pointer merge
+    * ([[org.apache.spark.sql.graft.IntersectCountSorted]]) instead of
+    * `array_intersect`'s per-PAIR hash-set build; the sort runs once per
+    * document, the merge once per pair.
     */
   private def exactVerify(survivors: DataFrame, sets: DataFrame,
                           threshold: Double): DataFrame =
@@ -174,7 +179,9 @@ object Dedup {
         col("ssz").as("sz_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b"),
         col("ssz").as("sz_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("inter",
+        org.apache.spark.sql.graft.SetExpressions
+          .intersectCountSorted(col("sh_a"), col("sh_b")).cast("double"))
       .withColumn("jac",
         col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jac") >= threshold)
@@ -226,7 +233,7 @@ object Dedup {
     // persisted: BOTH pair sides consume it, and without the persist each
     // side's broadcast build re-runs the collect_set aggregation
     val sets = shRows.join(neededIds, "id")
-      .groupBy(col("id")).agg(collect_set(col("h")).as("sh"))
+      .groupBy(col("id")).agg(sort_array(collect_set(col("h"))).as("sh"))
       .select(col("id"), col("sh"), size(col("sh")).as("ssz"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // |A∪B| = |A| + |B| − |A∩B| over sets: one array_intersect per pair,
@@ -313,7 +320,7 @@ object Dedup {
       idCol, textCol, shingleN)
     val sets = newSh.join(neededIds, "id")
       .unionByName(corpusSurvivorSh)
-      .groupBy(col("id")).agg(collect_set(col("h")).as("sh"))
+      .groupBy(col("id")).agg(sort_array(collect_set(col("h"))).as("sh"))
       .select(col("id"), col("sh"), size(col("sh")).as("ssz"))
       .persist(mem)
     exactVerify(survivors, sets, threshold)
@@ -551,7 +558,7 @@ object Dedup {
     // broadcasts when the candidate set is actually small. Persisted:
     // both pair sides consume it — one collect_set pass, not two.
     val sets = tokRows.join(neededIds, "id")
-      .groupBy(col("id")).agg(collect_set(col("th")).as("sh"))
+      .groupBy(col("id")).agg(sort_array(collect_set(col("th"))).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     candidates
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
