@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.{DateFunctions => DF, TextFunctions => TF, VectorFunctions => VF}
-import graft.ops.{Dedup, Similarity}
+import graft.ops.{Dedup, Sampling, Similarity}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the LLM-pipeline extensions), each with a DuckDB
@@ -610,6 +610,15 @@ object SparkEntry {
           lit("2026-01-01").cast("date")).as("age_years"))
     }),
 
+    // Training-pipeline utility — EXACT stratified sample (20% per
+    // language), deterministic portable id-mixing so the oracle
+    // re-derives the identical row set in DuckDB.
+    "q60_stratified_sample" -> ((s, dir) => {
+      Sampling.stratifiedSampleExact(
+        T(s, dir, "documents").select(col("doc_id"), col("lang")),
+        Seq("lang"), "doc_id", 0.2)
+    }),
+
     // §2.9 — set operations beyond the reference's unions
     "q49_intersect" -> ((s, dir) => {
       val e = T(s, dir, "events")
@@ -1069,6 +1078,23 @@ object SparkEntry {
       """SELECT o_orderkey,
          CAST(floor(date_diff('day', o_orderdate, DATE '2026-01-01') / 365.0) AS BIGINT) AS age_years
          FROM orders""",
+
+    // Replays Sampling.portableBucket exactly: ((id % 1000003) *
+    // 2654435761) % 1000000007 in plain BIGINT math (every term < 2^63),
+    // then the same rank-within-stratum cut. The cutoff multiplies by a
+    // DOUBLE 0.2 to mirror Spark's IEEE arithmetic — DuckDB's bare 0.2
+    // is DECIMAL and could disagree by one row at exact boundaries.
+    "q60_stratified_sample" ->
+      """WITH m AS (
+           SELECT doc_id, lang,
+             ((doc_id % 1000003) * 2654435761) % 1000000007 AS mix
+           FROM documents),
+         r AS (
+           SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY mix, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS ct
+           FROM m)
+         SELECT doc_id, lang FROM r WHERE rn <= ceil(ct * CAST(0.2 AS DOUBLE))""",
 
     // EXACT oracle for the LSH pipeline: exhaustive char-5-shingle
     // Jaccard (shingle equi-join counting form — the all-pairs

@@ -1,0 +1,49 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ids = (0L until 10000L).toDF("id")
+
+  test("assignSplit: exhaustive, deterministic, near the requested proportions") {
+    val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = Sampling.assignSplit(ids, "id", weights)
+    val counts = a.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == 10000L, "every row gets exactly one split")
+    assert(math.abs(counts("train") - 8000L) < 200, s"train ~80%: $counts")
+    assert(math.abs(counts("val") - 1000L) < 150, s"val ~10%: $counts")
+    // determinism: a repartitioned re-evaluation assigns identically
+    val b = Sampling.assignSplit(ids.repartition(7), "id", weights)
+    assert(a.join(b.withColumnRenamed("split", "split2"), "id")
+      .filter($"split" =!= $"split2").count() == 0)
+  }
+
+  test("portable and hash bucketing both fill all buckets roughly evenly") {
+    for (portable <- Seq(true, false)) {
+      val col10 = if (portable) Sampling.portableBucket($"id", 10)
+        else Sampling.hashBucket($"id", 10)
+      val counts = ids.select(col10.as("b")).groupBy("b").count()
+        .as[(Long, Long)].collect().toMap
+      assert(counts.keySet == (0L until 10L).toSet, s"portable=$portable: $counts")
+      assert(counts.values.forall(c => c > 700 && c < 1300),
+        s"portable=$portable skew: $counts")
+    }
+  }
+
+  test("stratifiedSampleExact: exactly ceil(fraction * stratum size) per stratum") {
+    val df = (1L to 900L).map(i => (i, if (i <= 600) "en" else "de"))
+      .toDF("id", "lang")
+    val s = Sampling.stratifiedSampleExact(df, Seq("lang"), "id", 0.25)
+    val counts = s.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(counts == Map("en" -> 150L, "de" -> 75L), s"got $counts")
+    // sample is a subset and deterministic
+    assert(s.join(df, Seq("id", "lang"), "left_anti").count() == 0)
+    val again = Sampling.stratifiedSampleExact(df.repartition(5), Seq("lang"), "id", 0.25)
+      .select("id").as[Long].collect().toSet
+    assert(again == s.select("id").as[Long].collect().toSet)
+  }
+}
