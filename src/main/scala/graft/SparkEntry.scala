@@ -619,6 +619,47 @@ object SparkEntry {
         Seq("lang"), "doc_id", 0.2)
     }),
 
+    // Training-pipeline utility — deterministic train/val/test split as
+    // a pure function of the id (no rand(), no assignment table); the
+    // portable mix makes the assignment replayable in the oracle.
+    "q61_split_assign" -> ((s, dir) => {
+      Sampling.assignSplit(
+        T(s, dir, "documents").select(col("doc_id")),
+        "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+        portable = true)
+    }),
+
+    // Training-pipeline utility — corpus distribution profile: exact
+    // per-(lang, source) percentiles of document length. At 100 TB the
+    // exact `percentile` (sorts each group's values) gives way to
+    // `approx_percentile` (t-digest, one pass, mergeable partials) —
+    // same query shape, one function swap; exact here so the oracle can
+    // hash-match.
+    "q62_corpus_stats" -> ((s, dir) => {
+      T(s, dir, "documents").groupBy(col("lang"), col("source")).agg(
+        count(lit(1)).as("doc_ct"),
+        avg(col("n_chars")).as("avg_chars"),
+        expr("percentile(n_chars, 0.5D)").as("p50_chars"),
+        expr("percentile(n_chars, 0.9D)").as("p90_chars"),
+        expr("percentile(n_chars, 0.99D)").as("p99_chars"),
+        stddev(col("n_chars")).as("sd_chars"))
+    }),
+
+    // Training-pipeline utility — exact heavy hitters: top-10 tokens per
+    // language. Two-level: partial-aggregated (lang, token) counts
+    // (map-side combine absorbs the Zipf head before the shuffle), then
+    // a per-lang top-k window that WindowGroupLimit cuts map-side —
+    // never a global sort, never a driver-side collect.
+    "q63_top_tokens" -> ((s, dir) => {
+      val counts = T(s, dir, "documents")
+        .select(col("lang"), explode(TF.tokenize(col("text"))).as("token"))
+        .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("ct"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("ct").desc, col("token"))
+      counts.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 10)
+    }),
+
     // §2.9 — set operations beyond the reference's unions
     "q49_intersect" -> ((s, dir) => {
       val e = T(s, dir, "events")
@@ -1095,6 +1136,42 @@ object SparkEntry {
              count(*) OVER (PARTITION BY lang) AS ct
            FROM m)
          SELECT doc_id, lang FROM r WHERE rn <= ceil(ct * CAST(0.2 AS DOUBLE))""",
+
+    // Replays assignSplit's portable path: bucket = mix % 1e6, then the
+    // cumulative-weight cuts. 800000/900000 are the exact values of
+    // (0.8*1e6).toLong / ((0.8+0.1)*1e6).toLong under IEEE doubles.
+    "q61_split_assign" ->
+      """SELECT doc_id,
+         CASE WHEN b < 800000 THEN 'train'
+              WHEN b < 900000 THEN 'val'
+              ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+                 ((doc_id % 1000003) * 2654435761) % 1000000007 % 1000000 AS b
+               FROM documents)""",
+
+    // DuckDB quantile_cont and Spark percentile both interpolate at
+    // p*(N-1) (R-7), so exact percentiles hash-match at the driver's
+    // float normalization.
+    "q62_corpus_stats" ->
+      """SELECT lang, source,
+         count(*) AS doc_ct,
+         avg(n_chars) AS avg_chars,
+         quantile_cont(n_chars, 0.5) AS p50_chars,
+         quantile_cont(n_chars, 0.9) AS p90_chars,
+         quantile_cont(n_chars, 0.99) AS p99_chars,
+         stddev(n_chars) AS sd_chars
+         FROM documents GROUP BY 1, 2""",
+
+    "q63_top_tokens" ->
+      """WITH t AS (
+           SELECT lang,
+             unnest(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0)) AS token
+           FROM documents),
+         c AS (SELECT lang, token, count(*) AS ct FROM t GROUP BY 1, 2),
+         r AS (SELECT lang, token, ct,
+                 row_number() OVER (PARTITION BY lang ORDER BY ct DESC, token) AS rk
+               FROM c)
+         SELECT lang, token, ct, rk FROM r WHERE rk <= 10""",
 
     // EXACT oracle for the LSH pipeline: exhaustive char-5-shingle
     // Jaccard (shingle equi-join counting form — the all-pairs
