@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.{DateFunctions => DF, TextFunctions => TF, VectorFunctions => VF}
-import graft.ops.{Dedup, Sampling, Similarity}
+import graft.ops.{Dedup, Pack, Sampling, Similarity}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the LLM-pipeline extensions), each with a DuckDB
@@ -660,6 +660,50 @@ object SparkEntry {
         .filter(col("rk") <= 10)
     }),
 
+    // Training-pipeline utility — DECONTAMINATION: near-duplicate pairs
+    // (q30's exact blocked-Jaccard machinery) that straddle the
+    // test/train boundary. Both sides' splits are computed INLINE from
+    // the pair's ids ([[Sampling.splitExpr]] is a pure function) — no
+    // join against an assignment table, zero shuffles beyond q30's own.
+    "q64_decontaminate" -> ((s, dir) => {
+      val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+      val pairs = Dedup.ngramJaccardPairs(T(s, dir, "documents"), "doc_id", "text",
+        Seq(col("lang"), floor(col("n_chars") / 100).cast("long")), 8000L)
+      val sa = Sampling.splitExpr(col("id_a"), weights, portable = true)
+      val sb = Sampling.splitExpr(col("id_b"), weights, portable = true)
+      pairs
+        .withColumn("split_a", sa).withColumn("split_b", sb)
+        .filter((col("split_a") === "test" && col("split_b") === "train") ||
+                (col("split_a") === "train" && col("split_b") === "test"))
+        .select(
+          when(col("split_a") === "test", col("id_a")).otherwise(col("id_b"))
+            .as("test_doc_id"),
+          when(col("split_a") === "train", col("id_a")).otherwise(col("id_b"))
+            .as("train_doc_id"),
+          col("jaccard_e4"))
+    }),
+
+    // Training-pipeline utility — greedy token-budget sequence packing
+    // within (lang, shard-of-16) groups; the id-derived shard bounds the
+    // per-partition sort at scale and keeps the oracle replayable.
+    "q65_pack_sequences" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        TF.tokenCount(col("text")).cast("long").as("token_ct"),
+        Sampling.portableBucket(col("doc_id"), 16).as("shard"))
+      Pack.packGreedy(d, Seq("lang", "shard"), "doc_id", "token_ct", 2048L)
+    }),
+
+    // Training-pipeline utility — EXACT dataset mixing: a different
+    // keep-fraction per language (power-of-two fractions so no decimal
+    // vs double ambiguity), exact counts per stratum.
+    "q66_dataset_mix" -> ((s, dir) => {
+      Sampling.sampleByExact(
+        T(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "lang", "doc_id",
+        Map("en" -> 1.0, "zh" -> 0.5, "de" -> 0.5, "fr" -> 0.25, "es" -> 0.25))
+    }),
+
     // §2.9 — set operations beyond the reference's unions
     "q49_intersect" -> ((s, dir) => {
       val e = T(s, dir, "events")
@@ -1172,6 +1216,59 @@ object SparkEntry {
                  row_number() OVER (PARTITION BY lang ORDER BY ct DESC, token) AS rk
                FROM c)
          SELECT lang, token, ct, rk FROM r WHERE rk <= 10""",
+
+    // q30's exact pair oracle + the q61 split CASE applied to both ids.
+    "q64_decontaminate" ->
+      """WITH t AS (
+           SELECT doc_id, lang, CAST(floor(n_chars / 100) AS BIGINT) AS band,
+             list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0)) AS toks,
+             CASE WHEN ((doc_id % 1000003) * 2654435761) % 1000000007 % 1000000 < 800000 THEN 'train'
+                  WHEN ((doc_id % 1000003) * 2654435761) % 1000000007 % 1000000 < 900000 THEN 'val'
+                  ELSE 'test' END AS split
+           FROM documents),
+         p AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.split AS split_a, b.split AS split_b,
+             CAST(floor(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+               / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) * 10000) AS BIGINT) AS jaccard_e4
+           FROM t a JOIN t b
+             ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id)
+         SELECT CASE WHEN split_a = 'test' THEN id_a ELSE id_b END AS test_doc_id,
+                CASE WHEN split_a = 'train' THEN id_a ELSE id_b END AS train_doc_id,
+                jaccard_e4
+         FROM p
+         WHERE jaccard_e4 >= 8000
+           AND ((split_a = 'test' AND split_b = 'train')
+             OR (split_a = 'train' AND split_b = 'test'))""",
+
+    "q65_pack_sequences" ->
+      """WITH t AS (
+           SELECT doc_id, lang,
+             CAST(len(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0)) AS BIGINT) AS token_ct,
+             ((doc_id % 1000003) * 2654435761) % 1000000007 % 16 AS shard
+           FROM documents),
+         c AS (
+           SELECT doc_id, lang, token_ct, shard,
+             CAST(COALESCE(sum(token_ct) OVER (PARTITION BY lang, shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+           FROM t)
+         SELECT doc_id, lang, token_ct, shard, tokens_before,
+           CAST(tokens_before // 2048 AS BIGINT) AS seq_id
+         FROM c""",
+
+    "q66_dataset_mix" ->
+      """WITH m AS (
+           SELECT doc_id, lang,
+             ((doc_id % 1000003) * 2654435761) % 1000000007 AS mix,
+             CASE lang WHEN 'en' THEN 1.0 WHEN 'zh' THEN 0.5 WHEN 'de' THEN 0.5
+                       WHEN 'fr' THEN 0.25 WHEN 'es' THEN 0.25 ELSE 0.0 END AS frac
+           FROM documents),
+         r AS (
+           SELECT doc_id, lang, frac,
+             row_number() OVER (PARTITION BY lang ORDER BY mix, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS ct
+           FROM m)
+         SELECT doc_id, lang FROM r WHERE rn <= ceil(ct * CAST(frac AS DOUBLE))""",
 
     // EXACT oracle for the LSH pipeline: exhaustive char-5-shingle
     // Jaccard (shingle equi-join counting form — the all-pairs

@@ -39,25 +39,33 @@ object Sampling {
     pmod(pmod(pmod(id, lit(1000003L)) * lit(2654435761L), lit(1000000007L)),
       lit(nBuckets.toLong))
 
-  /** Deterministic named split (train/val/test): cumulative weight
-    * ranges over a 1e6-bucket mix of the id. A row's split never
-    * changes across runs, repartitions, or cluster sizes; no shuffle,
-    * no state. Weights must sum to 1 (±1e-9).
+  /** The split label for an id as a standalone column expression:
+    * cumulative weight ranges over a 1e6-bucket mix. Because the split
+    * is a pure function of the id, a leakage/decontamination check can
+    * compute BOTH sides' splits inline from the pair's ids — no join
+    * against a materialized assignment table, ever.
     */
-  def assignSplit(df: DataFrame, idCol: String,
-                  weights: Seq[(String, Double)],
-                  portable: Boolean = false): DataFrame = {
+  def splitExpr(id: Column, weights: Seq[(String, Double)],
+                portable: Boolean = false): Column = {
     require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9, "weights must sum to 1")
     val n = 1000000
-    val b = if (portable) portableBucket(col(idCol), n) else hashBucket(col(idCol), n)
+    val b = if (portable) portableBucket(id, n) else hashBucket(id, n)
     val cuts = weights.scanLeft(0.0)(_ + _._2).map(c => (c * n).toLong)
-    val expr = weights.zipWithIndex.foldRight(lit(weights.last._1)) {
+    weights.zipWithIndex.foldRight(lit(weights.last._1)) {
       case (((name, _), i), els) =>
         if (i == weights.size - 1) els
         else when(b < lit(cuts(i + 1)), lit(name)).otherwise(els)
     }
-    df.withColumn("split", expr)
   }
+
+  /** Deterministic named split (train/val/test): [[splitExpr]] as a
+    * `split` column. A row's split never changes across runs,
+    * repartitions, or cluster sizes; no shuffle, no state.
+    */
+  def assignSplit(df: DataFrame, idCol: String,
+                  weights: Seq[(String, Double)],
+                  portable: Boolean = false): DataFrame =
+    df.withColumn("split", splitExpr(col(idCol), weights, portable))
 
   /** EXACT stratified sample: precisely ⌈fraction × |stratum|⌉ rows per
     * stratum, chosen by the deterministic id mix (ties broken by id) —
@@ -82,6 +90,30 @@ object Sampling {
     df.withColumn("__rn", row_number().over(w))
       .withColumn("__ct", count(lit(1)).over(cw))
       .filter(col("__rn") <= ceil(col("__ct") * fraction))
+      .drop("__rn", "__ct")
+  }
+
+  /** EXACT per-stratum sampling with a DIFFERENT fraction per stratum
+    * value — dataset mixing: up-weight curated sources, down-weight web
+    * crawl, drop unlisted strata (fraction 0, `sampleBy` semantics).
+    * Same windowed-rank machinery as [[stratifiedSampleExact]]; the
+    * fraction is a when-chain on the stratum value, so the whole mix
+    * spec rides in the plan as literals — no fractions table, no join.
+    */
+  def sampleByExact(df: DataFrame, strataCol: String, idCol: String,
+                    fractions: Map[String, Double],
+                    portable: Boolean = true): DataFrame = {
+    require(fractions.values.forall(f => f >= 0.0 && f <= 1.0))
+    val frac = fractions.toSeq.sortBy(_._1).foldLeft(lit(0.0)) {
+      case (els, (k, f)) => when(col(strataCol) === lit(k), lit(f)).otherwise(els)
+    }
+    val mix = if (portable) portableBucket(col(idCol), 1000000007)
+      else pmod(xxhash64(col(idCol)), lit(Long.MaxValue))
+    val w = Window.partitionBy(col(strataCol)).orderBy(mix, col(idCol))
+    val cw = Window.partitionBy(col(strataCol))
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__ct", count(lit(1)).over(cw))
+      .filter(col("__rn") <= ceil(col("__ct") * frac))
       .drop("__rn", "__ct")
   }
 }

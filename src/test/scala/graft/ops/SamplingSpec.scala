@@ -46,4 +46,22 @@ class SamplingSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(again == s.select("id").as[Long].collect().toSet)
   }
+
+  test("sampleByExact: per-stratum fractions, unlisted strata dropped") {
+    val df = (1L to 1000L).map { i =>
+      (i, if (i <= 400) "web" else if (i <= 800) "wiki" else "other")
+    }.toDF("id", "src")
+    val s = Sampling.sampleByExact(df, "src", "id",
+      Map("web" -> 0.25, "wiki" -> 1.0))
+    val counts = s.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(counts == Map("web" -> 100L, "wiki" -> 400L), s"got $counts")
+  }
+
+  test("splitExpr computed inline equals assignSplit's column") {
+    val w = Seq("train" -> 0.9, "test" -> 0.1)
+    val viaDf = Sampling.assignSplit(ids, "id", w, portable = true)
+    val inline = ids.select($"id",
+      Sampling.splitExpr($"id", w, portable = true).as("s2"))
+    assert(viaDf.join(inline, "id").filter($"split" =!= $"s2").count() == 0)
+  }
 }
