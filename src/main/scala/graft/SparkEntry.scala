@@ -704,6 +704,60 @@ object SparkEntry {
         Map("en" -> 1.0, "zh" -> 0.5, "de" -> 0.5, "fr" -> 0.25, "es" -> 0.25))
     }),
 
+    // Training-pipeline utility — PII redaction. The synthetic corpus
+    // carries no PII, so the query injects a deterministic email/IP/
+    // phone suffix per doc and redacts it — exercising all three
+    // patterns on real text while staying oracle-replayable.
+    "q67_pii_redact" -> ((s, dir) => {
+      val injected = concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com or 10.0."),
+        pmod(col("doc_id"), lit(256L)), lit(".7 tel 555-867-5309"))
+      T(s, dir, "documents").select(
+        col("doc_id"), TF.redactPii(injected).as("redacted"))
+    }),
+
+    // Training-pipeline utility — repetition metrics (the Gopher-style
+    // repetition filters): duplicate-token fraction and most-common-
+    // token fraction per doc. One explode + two aggregations; ratios
+    // floored at 1e4 so they hash identically across engines.
+    "q68_repetition" -> ((s, dir) => {
+      val counts = T(s, dir, "documents")
+        .select(col("doc_id"), explode(TF.tokenize(lower(col("text")))).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("ct"))
+      counts.groupBy(col("doc_id")).agg(
+        sum(col("ct")).as("total_toks"),
+        count(lit(1)).as("distinct_toks"),
+        max(col("ct")).as("top_tok_ct"))
+        .select(col("doc_id"), col("total_toks"), col("distinct_toks"),
+          floor((lit(1.0) - col("distinct_toks").cast("double")
+            / col("total_toks").cast("double")) * 10000).cast("long")
+            .as("dup_ratio_e4"),
+          col("top_tok_ct"),
+          floor(col("top_tok_ct").cast("double")
+            / col("total_toks").cast("double") * 10000).cast("long")
+            .as("top_tok_frac_e4"))
+    }),
+
+    // Training-pipeline utility — composed quality gate: the C4-style
+    // keep/drop decision with a first-failing-reason label, built from
+    // the already-oracle-replayable scalar signals. One narrow
+    // projection; the whole policy rides in the plan as literals.
+    "q69_quality_gate" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("char_ct"),
+        TF.meanTokenLen(col("text")).as("mtl_e4"),
+        TF.qualityStopwordRatio(col("text")).as("stop_e4"))
+      d.select(
+        col("doc_id"),
+        when(col("char_ct") < 200, "too_short")
+          .when(col("char_ct") > 20000, "too_long")
+          .when(col("mtl_e4") < 20000 || col("mtl_e4") > 120000, "token_len_out_of_range")
+          .when(col("stop_e4") < 100, "low_stopword_density")
+          .otherwise("keep").as("reason"))
+        .withColumn("keep", (col("reason") === "keep").cast("boolean"))
+    }),
+
     // §2.9 — set operations beyond the reference's unions
     "q49_intersect" -> ((s, dir) => {
       val e = T(s, dir, "events")
@@ -1269,6 +1323,58 @@ object SparkEntry {
              count(*) OVER (PARTITION BY lang) AS ct
            FROM m)
          SELECT doc_id, lang FROM r WHERE rn <= ceil(ct * CAST(frac AS DOUBLE))""",
+
+    // Same regex chain, RE2/Java-shared syntax; 'g' = replace-all to
+    // match Spark's regexp_replace semantics.
+    "q67_pii_redact" ->
+      """SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(
+           text || ' contact user' || doc_id || '@example.com or 10.0.' || (doc_id % 256) || '.7 tel 555-867-5309',
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+           '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b', '<PHONE>', 'g') AS redacted
+         FROM documents""",
+
+    "q68_repetition" ->
+      """WITH c AS (
+           SELECT doc_id, tok, count(*) AS ct
+           FROM (SELECT doc_id,
+                   unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0)) AS tok
+                 FROM documents)
+           GROUP BY doc_id, tok),
+         a AS (
+           SELECT doc_id, CAST(sum(ct) AS BIGINT) AS total_toks,
+             count(*) AS distinct_toks, CAST(max(ct) AS BIGINT) AS top_tok_ct
+           FROM c GROUP BY doc_id)
+         SELECT doc_id, total_toks, distinct_toks,
+           CAST(floor((CAST(1 AS DOUBLE) - CAST(distinct_toks AS DOUBLE) / CAST(total_toks AS DOUBLE)) * 10000) AS BIGINT) AS dup_ratio_e4,
+           top_tok_ct,
+           CAST(floor(CAST(top_tok_ct AS DOUBLE) / CAST(total_toks AS DOUBLE) * 10000) AS BIGINT) AS top_tok_frac_e4
+         FROM a""",
+
+    // q21's replayed signal expressions feeding the gate's CASE.
+    "q69_quality_gate" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS toks
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+             length(text) AS char_ct,
+             CAST(floor(CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','this','for','on','with','as','was','at','by'))) AS DOUBLE)
+               / CAST(greatest(len(toks), 1) AS DOUBLE) * 10000) AS BIGINT) AS stop_e4,
+             CAST(floor(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, x -> CAST(length(x) AS BIGINT))), (a,b) -> a + b) AS DOUBLE)
+               / CAST(greatest(len(toks), 1) AS DOUBLE) * 10000) AS BIGINT) AS mtl_e4
+           FROM t),
+         r AS (
+           SELECT doc_id,
+             CASE WHEN char_ct < 200 THEN 'too_short'
+                  WHEN char_ct > 20000 THEN 'too_long'
+                  WHEN mtl_e4 < 20000 OR mtl_e4 > 120000 THEN 'token_len_out_of_range'
+                  WHEN stop_e4 < 100 THEN 'low_stopword_density'
+                  ELSE 'keep' END AS reason
+           FROM m)
+         SELECT doc_id, reason, reason = 'keep' AS keep FROM r""",
 
     // EXACT oracle for the LSH pipeline: exhaustive char-5-shingle
     // Jaccard (shingle equi-join counting form — the all-pairs

@@ -148,6 +148,26 @@ object TextFunctions {
   def contentFingerprint(text: Column): Column =
     xxhash64(lower(regexp_replace(text, "\\s+", " ")))
 
+  /** PII redaction for training corpora: emails, IPv4 addresses, and
+    * phone-shaped digit runs replaced with typed placeholder tokens.
+    * Three codegen'd `regexp_replace` passes (each replaces ALL
+    * occurrences), ordered email → IP → phone so an address's digits
+    * are never half-eaten by the later patterns. Patterns stay in the
+    * syntax subset Java regex and RE2 share, so the oracle replays them
+    * verbatim. This is the scrub-shape: swap in jurisdiction-specific
+    * patterns per deployment; the chain stays one narrow projection.
+    */
+  def redactPii(text: Column): Column = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip    = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val phone = "\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b"
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, email, "<EMAIL>"),
+        ip, "<IP>"),
+      phone, "<PHONE>")
+  }
+
   /** Keep only CJK ideographs, CJK compatibility, fullwidth forms, and
     * ASCII — the reference's `getSubsidy` emoji/foreign-char filter
     * (rt-flink CommonTool.scala:17-37) as one codegen'd regexp_replace.

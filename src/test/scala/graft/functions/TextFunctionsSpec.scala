@@ -76,4 +76,17 @@ class TextFunctionsSpec extends SparkSpec {
     val m = one("ab cd").select(TextFunctions.meanTokenLen($"t")).as[Long].head()
     assert(m == 20000L)
   }
+
+  test("redactPii replaces every email, IPv4, and phone occurrence") {
+    def red(t: String): String =
+      one(t).select(TextFunctions.redactPii($"t")).as[String].head()
+    assert(red("mail a.b+c@x-y.co and d@e.org now") == "mail <EMAIL> and <EMAIL> now")
+    assert(red("host 192.168.0.1 or 10.0.0.255.") == "host <IP> or <IP>.")
+    assert(red("call 555-867-5309 / 021.1234.5678") == "call <PHONE> / <PHONE>")
+    // email wins over the phone/IP patterns inside an address
+    assert(red("x 555.867.5309@example.com y") == "x <EMAIL> y")
+    // \b keeps longer digit runs from being half-matched as an IP
+    assert(red("build 1234.5.6.7890 stays") == "build 1234.5.6.7890 stays")
+    assert(red("no pii here") == "no pii here")
+  }
 }
