@@ -758,6 +758,34 @@ object SparkEntry {
         .withColumn("keep", (col("reason") === "keep").cast("boolean"))
     }),
 
+    // Vector family under the EXACT gate (the ANN queries are rows-only
+    // by design): per-embedding L2 norm via the codegen'd DotProduct
+    // (double accumulation in index order — replayable bit-for-bit by
+    // the oracle's list_reduce) and the max-|component| quantization
+    // scale. Zero shuffles; the whole row streams through codegen.
+    "q70_embedding_norms" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      e.select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        floor(sqrt(VF.dot(col("embedding"), col("embedding"))) * 10000)
+          .cast("long").as("l2_norm_e4"),
+        floor(array_max(transform(col("embedding"), x => abs(x))).cast("double") * 10000)
+          .cast("long").as("amax_e4"))
+    }),
+
+    // 100 TB layout lever — the Z-order (Morton) clustering key as a
+    // pure BIGINT expression (ops.ZOrder; writeZClustered uses it to
+    // range-cluster files into small (a, b) boxes for two-dimension
+    // file pruning). Zero shuffles; exact oracle replays the bit math.
+    "q71_zorder_key" -> ((s, dir) => {
+      T(s, dir, "orders").select(
+        col("o_orderkey"),
+        pmod(col("o_custkey"), lit(1024L)).as("bucket_a"),
+        pmod(floor(col("o_totalprice")).cast("long"), lit(1024L)).as("bucket_b"))
+        .withColumn("zval", ops.ZOrder.zValue(col("bucket_a"), col("bucket_b"), 10))
+    }),
+
     // §2.9 — set operations beyond the reference's unions
     "q49_intersect" -> ((s, dir) => {
       val e = T(s, dir, "events")
@@ -1375,6 +1403,27 @@ object SparkEntry {
                   ELSE 'keep' END AS reason
            FROM m)
          SELECT doc_id, reason, reason = 'keep' AS keep FROM r""",
+
+    // Mirrors DotProduct's evaluation exactly: widen float→double
+    // (exact), square, accumulate left-to-right; sqrt/floor are
+    // correctly-rounded IEEE ops in both engines.
+    "q70_embedding_norms" ->
+      """SELECT vec_id,
+         CAST(len(embedding) AS BIGINT) AS dim,
+         CAST(floor(sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) * 10000) AS BIGINT) AS l2_norm_e4,
+         CAST(floor(CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) * 10000) AS BIGINT) AS amax_e4
+         FROM embeddings""",
+
+    // floor() spelled explicitly in both engines: DuckDB CAST alone
+    // ROUNDS decimals where Spark truncates. The interleave sum is
+    // generated by ZOrder.zValueSql — identical bit math both sides.
+    "q71_zorder_key" ->
+      s"""SELECT o_orderkey,
+         (o_custkey % 1024) AS bucket_a,
+         (CAST(floor(o_totalprice) AS BIGINT) % 1024) AS bucket_b,
+         ${ops.ZOrder.zValueSql("(o_custkey % 1024)",
+           "(CAST(floor(o_totalprice) AS BIGINT) % 1024)", 10)} AS zval
+         FROM orders""",
 
     // EXACT oracle for the LSH pipeline: exhaustive char-5-shingle
     // Jaccard (shingle equi-join counting form — the all-pairs
