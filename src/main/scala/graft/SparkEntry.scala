@@ -743,18 +743,9 @@ object SparkEntry {
     // the already-oracle-replayable scalar signals. One narrow
     // projection; the whole policy rides in the plan as literals.
     "q69_quality_gate" -> ((s, dir) => {
-      val d = T(s, dir, "documents").select(
+      T(s, dir, "documents").select(
         col("doc_id"),
-        length(col("text")).cast("long").as("char_ct"),
-        TF.meanTokenLen(col("text")).as("mtl_e4"),
-        TF.qualityStopwordRatio(col("text")).as("stop_e4"))
-      d.select(
-        col("doc_id"),
-        when(col("char_ct") < 200, "too_short")
-          .when(col("char_ct") > 20000, "too_long")
-          .when(col("mtl_e4") < 20000 || col("mtl_e4") > 120000, "token_len_out_of_range")
-          .when(col("stop_e4") < 100, "low_stopword_density")
-          .otherwise("keep").as("reason"))
+        ops.Quality.gateReason(col("text")).as("reason"))
         .withColumn("keep", (col("reason") === "keep").cast("boolean"))
     }),
 

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** End-to-end streaming ingest: gate → redact → dedup-vs-history →
+  * corpus append, across micro-batches. The properties that only the
+  * composition can break: gated-out docs never reach the index, stored
+  * text is redacted BEFORE the dedup comparison, and cross-batch
+  * near-dups still surface after redaction.
+  */
+class IngestPipelineSpec extends SparkSpec {
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+  import spark.implicits._
+
+  private val db = "graft_ingest_spec"
+
+  override def afterAll(): Unit = {
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    super.afterAll()
+  }
+
+  // passes the gate: >200 chars, stopword-bearing, ordinary token lengths
+  private def goodDoc(tail: String): String =
+    ("the data pipeline is a set of stages that move and transform " +
+      "records from a source to a sink and it is built to keep the " +
+      "results of each stage correct and fast for all of the users " +
+      "that depend on it every day ") + tail
+
+  test("gate, redaction, and cross-batch dedup compose in one ingest loop") {
+    val pairsByBatch = scala.collection.mutable.Map[Long, Set[(Long, Long)]]()
+    val droppedByBatch = scala.collection.mutable.Map[Long, Long]()
+    val sink = IngestPipeline.trainingIngestSink(spark, db,
+        "ing_corpus", "ing_index", "doc_id", "text",
+        shingleN = 5, k = 32, bands = 16, threshold = 0.5) {
+      (pairs, dropped, batchId) =>
+        pairsByBatch(batchId) = pairs.select("id_a", "id_b")
+          .as[(Long, Long)].collect().toSet
+        droppedByBatch(batchId) = dropped
+    }
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(sink)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ingck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
+
+    // batch 0: one good doc (with an email to scrub) + one gate reject
+    input.addData(
+      (1L, goodDoc("reach us at ops@example.com for help")),
+      (2L, "tiny"))
+    q.processAllAvailable()
+    // batch 1: a near-dup of doc 1 — different contact address, so the
+    // match must happen on the REDACTED text
+    input.addData(
+      (3L, goodDoc("reach us at other.person@elsewhere.org for help")))
+    q.processAllAvailable(); q.stop()
+
+    assert(droppedByBatch(0L) == 1L, s"gate should drop doc 2: $droppedByBatch")
+    assert(pairsByBatch(0L) == Set.empty)
+    assert(pairsByBatch(1L) == Set((1L, 3L)),
+      s"cross-batch near-dup of the redacted docs expected: ${pairsByBatch(1L)}")
+
+    // the rejected doc never entered corpus or index
+    val corpus = spark.table(s"`$db`.`ing_corpus`")
+    assert(corpus.count() == 2L)
+    assert(corpus.filter($"id" === 2L).count() == 0L)
+    assert(spark.table(s"`$db`.`ing_index`").filter($"id" === 2L).count() == 0L)
+
+    // stored text is scrubbed — no raw addresses anywhere in the corpus
+    val texts = corpus.select("text").as[String].collect()
+    assert(texts.forall(t => t.contains("<EMAIL>") && !t.contains("@example.com")
+      && !t.contains("@elsewhere.org")), texts.mkString("; "))
+  }
+}
