@@ -777,6 +777,20 @@ object SparkEntry {
         .withColumn("zval", ops.ZOrder.zValue(col("bucket_a"), col("bucket_b"), 10))
     }),
 
+    // Range join (beyond ref — the non-equi join Spark plans as a
+    // nested-loop): overlapping price bands resolved via bucketed
+    // equi-join + residual (ops.RangeJoin), never a BNLJ/cartesian.
+    "q72_range_join" -> ((s, dir) => {
+      val bands = s.range(0, 40).select(
+        col("id").as("band_id"),
+        (col("id") * 20000L - 5000L).as("lo"),
+        (col("id") * 20000L + 25000L).as("hi"))
+      val o = T(s, dir, "orders").select(col("o_orderkey"),
+        floor(col("o_totalprice")).cast("long").as("price"))
+      ops.RangeJoin.pointInInterval(o, "price", bands, "lo", "hi", 30000L)
+        .select(col("o_orderkey"), col("price"), col("band_id"))
+    }),
+
     // §2.9 — set operations beyond the reference's unions
     "q49_intersect" -> ((s, dir) => {
       val e = T(s, dir, "events")
@@ -1415,6 +1429,18 @@ object SparkEntry {
          ${ops.ZOrder.zValueSql("(o_custkey % 1024)",
            "(CAST(floor(o_totalprice) AS BIGINT) % 1024)", 10)} AS zval
          FROM orders""",
+
+    "q72_range_join" ->
+      """WITH b AS (
+           SELECT CAST(i AS BIGINT) AS band_id,
+             CAST(i * 20000 - 5000 AS BIGINT) AS lo,
+             CAST(i * 20000 + 25000 AS BIGINT) AS hi
+           FROM range(0, 40) t(i)),
+         o AS (
+           SELECT o_orderkey, CAST(floor(o_totalprice) AS BIGINT) AS price
+           FROM orders)
+         SELECT o.o_orderkey, o.price, b.band_id
+         FROM o JOIN b ON o.price >= b.lo AND o.price <= b.hi""",
 
     // EXACT oracle for the LSH pipeline: exhaustive char-5-shingle
     // Jaccard (shingle equi-join counting form — the all-pairs
