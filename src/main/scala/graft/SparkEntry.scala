@@ -791,6 +791,30 @@ object SparkEntry {
         .select(col("o_orderkey"), col("price"), col("band_id"))
     }),
 
+    // Interval-overlap join (the two-sided range join): shipment
+    // transit windows [shipdate, receiptdate] against overlapping
+    // 45-day calendar windows — same bucketed equi-join machinery,
+    // pair ownership by the overlap's left-edge bucket (no dedup).
+    "q73_interval_overlap" -> ((s, dir) => {
+      val transit = T(s, dir, "lineitem")
+        .withColumn("ship_d",
+          datediff(col("l_shipdate"), lit("1993-01-01").cast("date")).cast("long"))
+        .select(
+          col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("ship_d"),
+          // no receipt date in the test schema: a deterministic 0-29 day
+          // transit span derived from the quantity stands in
+          (col("ship_d") + pmod(floor(col("l_quantity")).cast("long"), lit(30L)))
+            .as("rcpt_d"))
+      val windows = s.range(0, 60).select(
+        col("id").as("window_id"),
+        (col("id") * 30L).as("w_lo"),
+        (col("id") * 30L + 44L).as("w_hi"))
+      ops.RangeJoin.intervalOverlap(transit, "ship_d", "rcpt_d",
+        windows, "w_lo", "w_hi", 32L)
+        .select(col("l_orderkey"), col("l_linenumber"), col("window_id"))
+    }),
+
     // §2.9 — set operations beyond the reference's unions
     "q49_intersect" -> ((s, dir) => {
       val e = T(s, dir, "events")
@@ -1441,6 +1465,20 @@ object SparkEntry {
            FROM orders)
          SELECT o.o_orderkey, o.price, b.band_id
          FROM o JOIN b ON o.price >= b.lo AND o.price <= b.hi""",
+
+    "q73_interval_overlap" ->
+      """WITH t AS (
+           SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+             CAST(date_diff('day', DATE '1993-01-01', l_shipdate) AS BIGINT) AS ship_d,
+             CAST(date_diff('day', DATE '1993-01-01', l_shipdate) AS BIGINT)
+               + (CAST(floor(l_quantity) AS BIGINT) % 30) AS rcpt_d
+           FROM lineitem),
+         w AS (
+           SELECT CAST(i AS BIGINT) AS window_id,
+             CAST(i * 30 AS BIGINT) AS w_lo, CAST(i * 30 + 44 AS BIGINT) AS w_hi
+           FROM range(0, 60) t(i))
+         SELECT t.l_orderkey, t.l_linenumber, w.window_id
+         FROM t JOIN w ON t.ship_d <= w.w_hi AND w.w_lo <= t.rcpt_d""",
 
     // EXACT oracle for the LSH pipeline: exhaustive char-5-shingle
     // Jaccard (shingle equi-join counting form — the all-pairs

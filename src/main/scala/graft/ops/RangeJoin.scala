@@ -43,4 +43,28 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__bkt")
   }
+
+  /** Interval × interval overlap join: every (left, right) pair with
+    * `l.lo <= r.hi && r.lo <= l.hi`. Both sides explode into covering
+    * buckets; an overlapping pair shares EVERY bucket in the overlap
+    * region, so the pair is claimed by exactly one owner — the bucket
+    * containing `max(l.lo, r.lo)` (the overlap's left edge, which both
+    * covers contain by definition) — instead of a post-join dedup
+    * shuffle. Column names must be disjoint across the two inputs.
+    */
+  def intervalOverlap(left: DataFrame, lloCol: String, lhiCol: String,
+                      right: DataFrame, rloCol: String, rhiCol: String,
+                      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0)
+    def cover(df: DataFrame, lo: String, hi: String) =
+      df.withColumn("__bkt", explode(sequence(
+        floor(col(lo).cast("double") / bucketWidth).cast("long"),
+        floor(col(hi).cast("double") / bucketWidth).cast("long"))))
+    cover(left, lloCol, lhiCol).join(cover(right, rloCol, rhiCol), "__bkt")
+      .filter(col(lloCol) <= col(rhiCol) && col(rloCol) <= col(lhiCol))
+      .filter(col("__bkt") ===
+        floor(greatest(col(lloCol), col(rloCol)).cast("double") / bucketWidth)
+          .cast("long"))
+      .drop("__bkt")
+  }
 }

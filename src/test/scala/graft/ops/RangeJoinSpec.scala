@@ -27,6 +27,21 @@ class RangeJoinSpec extends SparkSpec {
       plan.take(400))
   }
 
+  test("intervalOverlap equals the naive overlap join, each pair once") {
+    val left = Seq((1L, 0L, 100L), (2L, 50L, 60L), (3L, 200L, 300L),
+      (4L, -80L, -10L)).toDF("lid", "llo", "lhi")
+    val right = Seq((10L, 90L, 250L), (11L, 55L, 58L), (12L, 400L, 500L),
+      (13L, -20L, 5L)).toDF("rid", "rlo", "rhi")
+    val fast = RangeJoin.intervalOverlap(left, "llo", "lhi", right, "rlo", "rhi", 64L)
+      .select("lid", "rid").as[(Long, Long)].collect().sorted.toSeq
+    val naive = left.join(right, $"llo" <= $"rhi" && $"rlo" <= $"lhi")
+      .select("lid", "rid").as[(Long, Long)].collect().sorted.toSeq
+    assert(fast == naive, s"fast=$fast naive=$naive")
+    assert(fast.distinct == fast, "each overlapping pair exactly once")
+    // wide overlaps spanning many buckets still appear once
+    assert(fast.contains((1L, 10L)) && fast.contains((3L, 10L)))
+  }
+
   test("inclusive bounds and bucket-boundary points") {
     val points = Seq(0L, 63L, 64L, 128L).toDF("v")
     val intervals = Seq((1L, 64L, 128L)).toDF("iid", "lo", "hi")
