@@ -815,6 +815,20 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"), col("window_id"))
     }),
 
+    // Training-pipeline utility — corpus snapshot diff (versioning):
+    // two deterministic views of the corpus stand in for releases N and
+    // N+1; the diff shuffles (id, fingerprint) only. The oracle
+    // compares normalized text where the operator compares xxhash64
+    // fingerprints — identical output absent 64-bit collisions.
+    "q74_snapshot_diff" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val oldSnap = d.filter(pmod(col("doc_id"), lit(10L)) =!= 3L)
+      val newSnap = d.filter(pmod(col("doc_id"), lit(10L)) =!= 7L)
+        .withColumn("text", when(pmod(col("doc_id"), lit(5L)) === 0L,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      ops.Snapshot.diff(oldSnap, newSnap, "doc_id", "text")
+    }),
+
     // §2.9 — set operations beyond the reference's unions
     "q49_intersect" -> ((s, dir) => {
       val e = T(s, dir, "events")
@@ -1479,6 +1493,25 @@ object SparkEntry {
            FROM range(0, 60) t(i))
          SELECT t.l_orderkey, t.l_linenumber, w.window_id
          FROM t JOIN w ON t.ship_d <= w.w_hi AND w.w_lo <= t.rcpt_d""",
+
+    "q74_snapshot_diff" ->
+      """WITH o AS (
+           SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS nt
+           FROM documents WHERE doc_id % 10 <> 3),
+         n AS (
+           SELECT doc_id,
+             lower(regexp_replace(
+               CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END,
+               '\s+', ' ', 'g')) AS nt
+           FROM documents WHERE doc_id % 10 <> 7),
+         j AS (
+           SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN o.nt <> n.nt THEN 'changed'
+                  ELSE 'unchanged' END AS change
+           FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+         SELECT doc_id, change FROM j WHERE change <> 'unchanged'""",
 
     // EXACT oracle for the LSH pipeline: exhaustive char-5-shingle
     // Jaccard (shingle equi-join counting form — the all-pairs
