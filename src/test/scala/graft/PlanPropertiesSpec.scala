@@ -1,0 +1,77 @@
+package graft
+
+/** Locks the scale-critical physical-plan properties documented in
+  * SCALE.md: these are the shapes that make the operators viable at
+  * 100 TB, and a silent regression (a lost broadcast, a nested loop, a
+  * dropped map-side cut, a widened scan) is a correctness bug for the
+  * scale contract even when row-level results stay right.
+  */
+class PlanPropertiesSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  private def exchanges(p: String): Int =
+    p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+
+  test("q08 dim enrichment: all-broadcast, zero shuffle exchanges") {
+    val p = plan("q08_dim_enrich")
+    assert(p.contains("BroadcastHashJoin"), p.take(300))
+    assert(exchanges(p) == 0, s"dim enrichment must not shuffle the fact side:\n${p.take(600)}")
+  }
+
+  test("q61 split assignment and q67/q69 scrubbing are shuffle-free projections") {
+    for (q <- Seq("q61_split_assign", "q67_pii_redact", "q69_quality_gate")) {
+      val p = plan(q)
+      assert(exchanges(p) == 0, s"$q must be a narrow projection:\n${p.take(400)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"), q)
+    }
+  }
+
+  test("q63 top-k tokens: WindowGroupLimit cuts before the final window") {
+    val p = plan("q63_top_tokens")
+    assert(p.contains("WindowGroupLimit"), p.take(600))
+    assert(p.contains("Partial"), "map-side (Partial) group-limit expected:\n" + p.take(600))
+  }
+
+  test("range-join family never plans a nested loop or cartesian") {
+    for (q <- Seq("q72_range_join", "q73_interval_overlap")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q:\n${p.take(400)}")
+    }
+  }
+
+  test("scans prune to the referenced columns") {
+    // q01 touches 5 of lineitem's columns; the scan must not read more
+    // (the ReadSchema field is elided in toString, so parse the
+    // FileScan's complete output-column bracket instead)
+    val p1 = plan("q01_pricing_summary")
+    val read = "FileScan parquet \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(p1).map(_.group(1)).getOrElse("")
+    assert(read.nonEmpty && read.split(",").length <= 5, s"q01 scan too wide: $read")
+    // q60 reads only (doc_id, lang) from documents — never text
+    val p2 = plan("q60_stratified_sample")
+    val read2 = "FileScan parquet \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(p2).map(_.group(1)).getOrElse("")
+    assert(read2.nonEmpty && !read2.contains("text"), s"q60 must not read text: $read2")
+  }
+
+  test("q13 pushes the event-type predicate into the parquet scan") {
+    val p = plan("q13_log_split_page")
+    assert(p.contains("PushedFilters: [") && p.contains("event_type"),
+      p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+  }
+
+  test("q31 minhash: text never appears in an exchange") {
+    // shuffles carry ids/hashes/signatures; the raw text column must not
+    // be a field of any Exchange's output
+    val p = plan("q31_dedup_minhash")
+    val shufflesWithText = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .filter(_.contains("text#"))
+    assert(shufflesWithText.isEmpty, shufflesWithText.mkString("\n"))
+  }
+}
