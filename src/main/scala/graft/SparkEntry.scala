@@ -829,6 +829,16 @@ object SparkEntry {
       ops.Snapshot.diff(oldSnap, newSnap, "doc_id", "text")
     }),
 
+    // Training-pipeline utility — domain capping ("at most N docs per
+    // source"): deterministic rank-and-cut inside each stratum. Which
+    // rows survive is a pure function of the ids, so a grown domain
+    // never evicts previously kept docs arbitrarily.
+    "q75_domain_cap" -> ((s, dir) => {
+      Sampling.capPerStratum(
+        T(s, dir, "documents").select(col("doc_id"), col("source")),
+        Seq("source"), "doc_id", 20L)
+    }),
+
     // §2.9 — set operations beyond the reference's unions
     "q49_intersect" -> ((s, dir) => {
       val e = T(s, dir, "events")
@@ -1512,6 +1522,17 @@ object SparkEntry {
                   ELSE 'unchanged' END AS change
            FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
          SELECT doc_id, change FROM j WHERE change <> 'unchanged'""",
+
+    "q75_domain_cap" ->
+      """WITH m AS (
+           SELECT doc_id, source,
+             ((doc_id % 1000003) * 2654435761) % 1000000007 AS mix
+           FROM documents),
+         r AS (
+           SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY mix, doc_id) AS rn
+           FROM m)
+         SELECT doc_id, source FROM r WHERE rn <= 20""",
 
     // EXACT oracle for the LSH pipeline: exhaustive char-5-shingle
     // Jaccard (shingle equi-join counting form — the all-pairs

@@ -43,6 +43,22 @@ object Layout {
       .parquet(path)
   }
 
+  /** Write the corpus in deterministic epoch-shuffled training order:
+    * range-partition and sort by [[Sampling.epochShuffleKey]], so
+    * reading the files in range order IS the epoch's shuffled order —
+    * no permutation table, no driver-side shuffle, reproducible across
+    * retries, and a different (equally reproducible) order per epoch.
+    */
+  def writeShuffled(df: DataFrame, path: String, idCol: String,
+                    epoch: Int, numFiles: Int): Unit = {
+    require(numFiles > 0)
+    df.withColumn("__shuf", Sampling.epochShuffleKey(col(idCol), epoch))
+      .repartitionByRange(numFiles, col("__shuf"))
+      .sortWithinPartitions(col("__shuf"), col(idCol))
+      .drop("__shuf")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Hive-style directory partitioning on `partCols` (the coarse prune:
     * a `WHERE dt = ...` never lists the other directories), clustered
     * and sorted on `sortCols` within each partition. One range shuffle

@@ -93,6 +93,34 @@ object Sampling {
       .drop("__rn", "__ct")
   }
 
+  /** Cap each stratum at an ABSOLUTE row count (the web-corpus "at most
+    * N documents per domain" policy): rows are ranked inside their
+    * stratum by the deterministic id mix and the rank is cut at
+    * `maxRows`. Which rows survive is stable across runs and engines —
+    * a re-crawl that adds documents to a domain never evicts the
+    * previously kept ones unless their mix order says so.
+    */
+  def capPerStratum(df: DataFrame, strataCols: Seq[String], idCol: String,
+                    maxRows: Long, portable: Boolean = true): DataFrame = {
+    require(maxRows > 0)
+    val mix = if (portable) portableBucket(col(idCol), 1000000007)
+      else pmod(xxhash64(col(idCol)), lit(Long.MaxValue))
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(mix, col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxRows)
+      .drop("__rn")
+  }
+
+  /** Deterministic epoch-shuffle key: a training run orders the corpus
+    * by this key instead of materializing a permutation — different
+    * epochs get different (but each reproducible) orders by folding the
+    * epoch into the portable mix before multiplying.
+    */
+  def epochShuffleKey(id: Column, epoch: Int): Column =
+    pmod(pmod(pmod(id + lit(epoch.toLong), lit(1000003L)) * lit(2654435761L),
+      lit(1000000007L)), lit(1000000007L))
+
   /** EXACT per-stratum sampling with a DIFFERENT fraction per stratum
     * value — dataset mixing: up-weight curated sources, down-weight web
     * crawl, drop unlisted strata (fraction 0, `sampleBy` semantics).

@@ -55,6 +55,35 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("writeShuffled: file-range order IS the epoch's shuffle, per-epoch distinct") {
+    val df = (0L until 2000L).map(i => (i, s"d$i")).toDF("id", "payload")
+    val p1 = tmp("shuf-e1"); val p2 = tmp("shuf-e2")
+    Layout.writeShuffled(df, p1, "id", epoch = 1, numFiles = 4)
+    Layout.writeShuffled(df, p2, "id", epoch = 2, numFiles = 4)
+
+    // read the dataset ordered by the epoch key and compare against the
+    // per-file concatenation in range order
+    val expected1 = df.withColumn("k", Sampling.epochShuffleKey($"id", 1))
+      .orderBy("k", "id").select("id").as[Long].collect().toSeq
+    val files1 = new java.io.File(p1).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    val chunks1 = files1.map { f =>
+      spark.read.parquet(f).withColumn("k", Sampling.epochShuffleKey($"id", 1))
+        .select("k", "id").as[(Long, Long)].collect().toSeq
+    }.sortBy(c => c.head._1)
+    chunks1.foreach { c => assert(c == c.sortBy(identity), "rows sorted in-file") }
+    assert(chunks1.flatten.map(_._2).toSeq == expected1,
+      "concatenating files in range order must replay the epoch order")
+
+    // same epoch → identical layout; different epoch → different order
+    val all1 = spark.read.parquet(p1).select("id").as[Long].collect().sorted
+    val all2 = spark.read.parquet(p2).select("id").as[Long].collect().sorted
+    assert(all1.sameElements(all2), "no rows lost")
+    val e2order = df.withColumn("k", Sampling.epochShuffleKey($"id", 2))
+      .orderBy("k", "id").select("id").as[Long].collect().toSeq
+    assert(expected1 != e2order)
+  }
+
   test("writePartitionedClustered: directory per partition value, pruned scan") {
     val df = (0L until 3000L)
       .map(i => (s"2026-01-0${i % 3 + 1}", i, s"u${i % 97}"))

@@ -57,6 +57,28 @@ class SamplingSpec extends SparkSpec {
     assert(counts == Map("web" -> 100L, "wiki" -> 400L), s"got $counts")
   }
 
+  test("capPerStratum: exact cap per stratum, stable under growth") {
+    val df = (1L to 300L).map(i => (i, if (i <= 200) "big" else "small"))
+      .toDF("id", "src")
+    val capped = Sampling.capPerStratum(df, Seq("src"), "id", 50L)
+    val counts = capped.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(counts == Map("big" -> 50L, "small" -> 50L), counts.toString)
+    // deterministic: identical survivor set under repartition
+    val again = Sampling.capPerStratum(df.repartition(7), Seq("src"), "id", 50L)
+      .select("id").as[Long].collect().toSet
+    assert(again == capped.select("id").as[Long].collect().toSet)
+  }
+
+  test("epochShuffleKey: per-epoch orders differ, each deterministic") {
+    val keyed = (e: Int) => ids.select($"id",
+      Sampling.epochShuffleKey($"id", e).as("k"))
+      .orderBy("k", "id").select("id").as[Long].collect().toSeq
+    val e1a = keyed(1); val e1b = keyed(1); val e2 = keyed(2)
+    assert(e1a == e1b, "same epoch must give the same order")
+    assert(e1a != e2, "different epochs must permute differently")
+    assert(e1a.toSet == e2.toSet, "a shuffle never drops rows")
+  }
+
   test("splitExpr computed inline equals assignSplit's column") {
     val w = Seq("train" -> 0.9, "test" -> 0.1)
     val viaDf = Sampling.assignSplit(ids, "id", w, portable = true)
