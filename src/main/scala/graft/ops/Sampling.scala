@@ -118,8 +118,10 @@ object Sampling {
     * epoch into the portable mix before multiplying.
     */
   def epochShuffleKey(id: Column, epoch: Int): Column =
-    pmod(pmod(pmod(id + lit(epoch.toLong), lit(1000003L)) * lit(2654435761L),
-      lit(1000000007L)), lit(1000000007L))
+    // the epoch folds in AFTER the first pmod: `id + epoch` on the raw
+    // column overflows under ANSI mode at Long.MaxValue
+    pmod(pmod(pmod(id, lit(1000003L)) + lit(epoch.toLong % 1000003L),
+      lit(1000003L)) * lit(2654435761L), lit(1000000007L))
 
   /** EXACT per-stratum sampling with a DIFFERENT fraction per stratum
     * value — dataset mixing: up-weight curated sources, down-weight web

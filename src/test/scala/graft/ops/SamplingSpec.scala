@@ -79,6 +79,26 @@ class SamplingSpec extends SparkSpec {
     assert(e1a.toSet == e2.toSet, "a shuffle never drops rows")
   }
 
+  test("mixers and splits stay in range for arbitrary longs (negatives, extremes)") {
+    val rnd = new scala.util.Random(42)
+    val hostile = Seq(Long.MinValue, Long.MinValue + 1, -1L, 0L, 1L,
+      Long.MaxValue, Long.MaxValue - 1) ++ Seq.fill(5000)(rnd.nextLong())
+    val df = hostile.toDF("id")
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = df.select(
+      Sampling.portableBucket($"id", 1000).as("pb"),
+      Sampling.hashBucket($"id", 1000).as("hb"),
+      Sampling.epochShuffleKey($"id", 7).as("ek"),
+      Sampling.splitExpr($"id", w, portable = true).as("sp"),
+      Sampling.splitExpr($"id", w, portable = false).as("sh"))
+      .as[(Long, Long, Long, String, String)].collect()
+    out.foreach { case (pb, hb, ek, sp, sh) =>
+      assert(pb >= 0 && pb < 1000 && hb >= 0 && hb < 1000)
+      assert(ek >= 0 && ek < 1000000007L)
+      assert(Set("train", "val", "test")(sp) && Set("train", "val", "test")(sh))
+    }
+  }
+
   test("splitExpr computed inline equals assignSplit's column") {
     val w = Seq("train" -> 0.9, "test" -> 0.1)
     val viaDf = Sampling.assignSplit(ids, "id", w, portable = true)

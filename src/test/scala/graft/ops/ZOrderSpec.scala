@@ -25,6 +25,25 @@ class ZOrderSpec extends SparkSpec {
     assert(got.map(_._3).distinct.length == 256)
   }
 
+  test("zValue round-trips: every input bit is recoverable from the code") {
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq((0L, 0L), ((1L << 31) - 1, (1L << 31) - 1), (0L, (1L << 31) - 1)) ++
+      Seq.fill(2000)((rnd.nextLong().abs % (1L << 31), rnd.nextLong().abs % (1L << 31)))
+    val got = pairs.toDF("a", "b")
+      .withColumn("z", ZOrder.zValue($"a", $"b", 31))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (a, b, z) =>
+      assert(z == mortonRef(a, b, 31), s"($a,$b)")
+      // decode: de-interleave must give back the inputs
+      var da = 0L; var db = 0L
+      (0 until 31).foreach { i =>
+        da |= ((z >> (2 * i)) & 1L) << i
+        db |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      assert(da == a && db == b, s"decode($z) = ($da,$db) != ($a,$b)")
+    }
+  }
+
   test("zValueSql replays zValue exactly") {
     val df = (0L until 200L).map(i => (i % 32, (i * 7) % 32)).toDF("a", "b")
     df.createOrReplaceTempView("zt")
