@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
@@ -432,6 +433,26 @@ object Dedup {
       .filter(col("id") =!= col("label"))
       .select(col("id"))
     df.join(dropIds, df(idCol) === dropIds("id"), "left_anti")
+  }
+
+  /** Keep the BEST-scoring member per near-dup cluster (production
+    * keep-policy: the cleanest copy survives, not the lowest id) —
+    * ties broken by id for determinism. Rows without any near-dup pair
+    * pass through. The score column must already be on `df`; only the
+    * clustered minority joins against the component labels, the rest
+    * of the corpus streams through a left join + filter.
+    */
+  def dedupByPairsScored(df: DataFrame, idCol: String, scoreCol: String,
+                         pairs: DataFrame): DataFrame = {
+    val labels = connectedComponents(pairs) // (id, label)
+    val labeled = df.join(labels, df(idCol) === labels("id"), "left")
+      .withColumn("__grp", coalesce(col("label"), df(idCol)))
+      .drop("id", "label")
+    val w = Window.partitionBy(col("__grp"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    labeled.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__rk", "__grp")
   }
 
   /** Exact blocked n-gram Jaccard: pairwise token-set Jaccard within

@@ -87,6 +87,17 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 4L, 5L), s"got $kept")
   }
 
+  test("dedupByPairsScored keeps the best-scoring member, ties by id") {
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val scored = Seq((1L, 0.2), (2L, 0.9), (3L, 0.9), (4L, 0.1), (5L, 0.5))
+      .toDF("doc_id", "score")
+    val kept = Dedup.dedupByPairsScored(scored, "doc_id", "score", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    // cluster {1,2,3}: best score 0.9 shared by 2 and 3 → lower id 2 wins;
+    // 4 and 5 are unclustered and pass through
+    assert(kept == Set(2L, 4L, 5L), s"got $kept")
+  }
+
   test("end-to-end: minhash pairs → cluster → dedup collapses the dup group") {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 5, 32, 16, 0.5)
     val kept = Dedup.dedupByPairs(docs, "doc_id", pairs)
