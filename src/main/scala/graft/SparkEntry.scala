@@ -839,6 +839,41 @@ object SparkEntry {
         Seq("source"), "doc_id", 20L)
     }),
 
+    // Funnel analysis (beyond ref, same e-commerce domain): per user,
+    // the ordered view → click → purchase progression. Three stacked
+    // windows over ONE user partitioning (a single exchange): each
+    // stage's timestamp is the min event time strictly after the
+    // previous stage's. Output: users reaching each stage.
+    "q76_funnel" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+      val e = T(s, dir, "events")
+        .withColumn("t1", min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("t2", min(when(col("event_type") === "click" &&
+          col("value") > 90 && col("ts") > col("t1"), col("ts"))).over(w))
+        .withColumn("t3", min(when(col("event_type") === "purchase" &&
+          col("value") > 97 && col("ts") > col("t2"), col("ts"))).over(w))
+      e.agg(
+        count_distinct(when(col("t1").isNotNull, col("user_id"))).as("n_view"),
+        count_distinct(when(col("t2").isNotNull, col("user_id"))).as("n_click_after_view"),
+        count_distinct(when(col("t3").isNotNull, col("user_id"))).as("n_purchase_after_click"))
+    }),
+
+    // Cohort retention (beyond ref, same domain): users bucketed by
+    // first-seen day, activity counted per (cohort, day offset). One
+    // window for the cohort + one grouped aggregate — two exchanges on
+    // a 100 TB event log, both carrying (user, day)-level partials.
+    "q77_retention" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+      T(s, dir, "events")
+        .withColumn("day", to_date(col("ts")))
+        .withColumn("cohort", min(col("day")).over(w))
+        .withColumn("day_offset", datediff(col("day"), col("cohort")).cast("long"))
+        .filter(col("day_offset") <= 7)
+        .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+          col("day_offset"))
+        .agg(count_distinct(col("user_id")).as("active_users"))
+    }),
+
     // §2.9 — set operations beyond the reference's unions
     "q49_intersect" -> ((s, dir) => {
       val e = T(s, dir, "events")
@@ -1533,6 +1568,38 @@ object SparkEntry {
              row_number() OVER (PARTITION BY source ORDER BY mix, doc_id) AS rn
            FROM m)
          SELECT doc_id, source FROM r WHERE rn <= 20""",
+
+    "q76_funnel" ->
+      """WITH e1 AS (
+           SELECT user_id, event_type, ts, value,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t1
+           FROM events),
+         e2 AS (
+           SELECT *, min(CASE WHEN event_type = 'click' AND value > 90 AND ts > t1 THEN ts END)
+               OVER (PARTITION BY user_id) AS t2
+           FROM e1),
+         e3 AS (
+           SELECT *, min(CASE WHEN event_type = 'purchase' AND value > 97 AND ts > t2 THEN ts END)
+               OVER (PARTITION BY user_id) AS t3
+           FROM e2)
+         SELECT
+           count(DISTINCT CASE WHEN t1 IS NOT NULL THEN user_id END) AS n_view,
+           count(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END) AS n_click_after_view,
+           count(DISTINCT CASE WHEN t3 IS NOT NULL THEN user_id END) AS n_purchase_after_click
+         FROM e3""",
+
+    "q77_retention" ->
+      """WITH d AS (
+           SELECT user_id, CAST(ts AS DATE) AS day,
+             min(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS cohort
+           FROM events)
+         SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+           CAST(date_diff('day', cohort, day) AS BIGINT) AS day_offset,
+           count(DISTINCT user_id) AS active_users
+         FROM d
+         WHERE date_diff('day', cohort, day) <= 7
+         GROUP BY 1, 2""",
 
     // EXACT oracle for the LSH pipeline: exhaustive char-5-shingle
     // Jaccard (shingle equi-join counting form — the all-pairs
