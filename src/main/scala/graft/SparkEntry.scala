@@ -874,6 +874,25 @@ object SparkEntry {
         .agg(count_distinct(col("user_id")).as("active_users"))
     }),
 
+    // Training-pipeline utility — token-rarity scoring (the
+    // LM-perplexity-filter stand-in with EXACT arithmetic: corpus
+    // frequencies are BIGINT counts, so the score is reproducible
+    // across engines, where sums of logs diverge in the last ulp).
+    // A doc of common words scores high, OOV-ish gibberish low. At
+    // 100 TB the token join is Zipf-skewed — AQE skew-join splits the
+    // head, or broadcast a capped top-K vocab with an OOV default.
+    "q78_token_rarity" -> ((s, dir) => {
+      val toks = T(s, dir, "documents")
+        .select(col("doc_id"), explode(TF.tokenize(lower(col("text")))).as("tok"))
+      val freqs = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      toks.join(freqs, "tok")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_toks"), sum(col("freq")).as("sum_freq"))
+        .select(col("doc_id"), col("n_toks"), col("sum_freq"),
+          floor(col("sum_freq").cast("double") / col("n_toks").cast("double") * 100)
+            .cast("long").as("mean_freq_e2"))
+    }),
+
     // §2.9 — set operations beyond the reference's unions
     "q49_intersect" -> ((s, dir) => {
       val e = T(s, dir, "events")
@@ -1600,6 +1619,18 @@ object SparkEntry {
          FROM d
          WHERE date_diff('day', cohort, day) <= 7
          GROUP BY 1, 2""",
+
+    "q78_token_rarity" ->
+      """WITH t AS (
+           SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0)) AS tok
+           FROM documents),
+         f AS (SELECT tok, count(*) AS freq FROM t GROUP BY tok)
+         SELECT t.doc_id, count(*) AS n_toks,
+           CAST(sum(f.freq) AS BIGINT) AS sum_freq,
+           CAST(floor(CAST(sum(f.freq) AS DOUBLE) / CAST(count(*) AS DOUBLE) * 100) AS BIGINT) AS mean_freq_e2
+         FROM t JOIN f ON t.tok = f.tok
+         GROUP BY t.doc_id""",
 
     // EXACT oracle for the LSH pipeline: exhaustive char-5-shingle
     // Jaccard (shingle equi-join counting form — the all-pairs
