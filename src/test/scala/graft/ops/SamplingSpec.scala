@@ -57,7 +57,7 @@ class SamplingSpec extends SparkSpec {
     assert(counts == Map("web" -> 100L, "wiki" -> 400L), s"got $counts")
   }
 
-  test("capPerStratum: exact cap per stratum, stable under growth") {
+  test("capPerStratum: exact cap per stratum, deterministic under repartition") {
     val df = (1L to 300L).map(i => (i, if (i <= 200) "big" else "small"))
       .toDF("id", "src")
     val capped = Sampling.capPerStratum(df, Seq("src"), "id", 50L)
