@@ -92,7 +92,13 @@ object Bench {
     // A failed query must not silently deflate the bench: err'd queries
     // are listed and their (meaningless) elapsed time excluded from total.
     val total = results.collect { case (_, (v, false)) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"method":"per-query cold; blocking unpersist of all persistent RDDs (incl. localCheckpoint blocks) + clearCache + 2xGC off the timed path (r6)","sf":"$sfDir"}""")
+    // Two lines, per-query detail FIRST and the total LAST and SHORT:
+    // the driver's tail capture truncates long lines from the front (r6
+    // and r7 both lost the official total to a single ~4 KB line), and
+    // it parses the final JSON line — so the final line must stay well
+    // under any capture limit.
+    println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"errors":$errs,"method":"per-query cold; blocking releaseAll off the timed path","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -439,20 +439,32 @@ object Dedup {
     * keep-policy: the cleanest copy survives, not the lowest id) —
     * ties broken by id for determinism. Rows without any near-dup pair
     * pass through. The score column must already be on `df`; only the
-    * clustered minority joins against the component labels, the rest
-    * of the corpus streams through a left join + filter.
+    * clustered minority enters the ranking window (an exchange+sort of
+    * |labels| rows), the rest of the corpus streams through a
+    * broadcast-able anti join — no full-corpus shuffle, ever.
     */
   def dedupByPairsScored(df: DataFrame, idCol: String, scoreCol: String,
                          pairs: DataFrame): DataFrame = {
-    val labels = connectedComponents(pairs) // (id, label)
-    val labeled = df.join(labels, df(idCol) === labels("id"), "left")
-      .withColumn("__grp", coalesce(col("label"), df(idCol)))
-      .drop("id", "label")
-    val w = Window.partitionBy(col("__grp"))
+    // (id, label) — only ids that appear in a near-dup pair; at scale a
+    // vanishing fraction of the corpus. Persisted: both the inner join
+    // (clustered minority) and the anti join (majority) consume it, and
+    // its size lets AQE broadcast both joins.
+    val labels = connectedComponents(pairs)
+      .select(col("id").as("__cc_id"), col("label").as("__cc_grp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // rank ONLY the clustered minority: the window exchange + sort
+    // carries |labels| rows, never the corpus — the unclustered majority
+    // must not pay a full-corpus shuffle to rank its singleton groups
+    val w = Window.partitionBy(col("__cc_grp"))
       .orderBy(col(scoreCol).desc, col(idCol))
-    labeled.withColumn("__rk", row_number().over(w))
+    val bestPerCluster = df.join(labels, df(idCol) === labels("__cc_id"))
+      .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") === 1)
-      .drop("__rk", "__grp")
+      .drop("__rk", "__cc_id", "__cc_grp")
+    // the rest streams through a (broadcast-able) anti join — narrow per
+    // corpus partition, no shuffle of df
+    val untouched = df.join(labels, df(idCol) === labels("__cc_id"), "left_anti")
+    untouched.unionByName(bestPerCluster)
   }
 
   /** Exact blocked n-gram Jaccard: pairwise token-set Jaccard within

@@ -65,6 +65,31 @@ class PlanPropertiesSpec extends SparkSpec {
       p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
   }
 
+  test("dedupByPairsScored windows only the clustered minority") {
+    import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti}
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
+    import org.apache.spark.sql.functions._
+    val docs = spark.range(0, 1000)
+      .select(col("id").as("doc_id"), (col("id") % 7).cast("double").as("score"))
+    val pairs = spark.range(0, 4)
+      .select((col("id") * 2).as("id_a"), (col("id") * 2 + 1).as("id_b"))
+    val out = ops.Dedup.dedupByPairsScored(docs, "doc_id", "score", pairs)
+    val lp = out.queryExecution.optimizedPlan
+    // exactly one ranking window, and it sits ABOVE the inner label join —
+    // i.e. the window exchange carries only rows that matched a cluster
+    val windows = lp.collect { case w: LWindow => w }
+    assert(windows.size == 1, s"expected one window:\n$lp")
+    val innerUnderWindow = windows.head.collectFirst {
+      case j: Join if j.joinType == Inner => j }
+    assert(innerUnderWindow.nonEmpty,
+      s"window must rank the label-joined minority, not the corpus:\n$lp")
+    // the majority branch is an anti join with NO window beneath or above it
+    val antis = lp.collect { case j: Join if j.joinType == LeftAnti => j }
+    assert(antis.size == 1, s"expected one anti join:\n$lp")
+    assert(antis.head.collectFirst { case w: LWindow => w }.isEmpty,
+      s"unclustered majority must stream through without a window:\n$lp")
+  }
+
   test("q31 minhash: text never appears in an exchange") {
     // shuffles carry ids/hashes/signatures; the raw text column must not
     // be a field of any Exchange's output
