@@ -375,9 +375,12 @@ object SparkEntry {
         shingleN = 5, k = 32, bands = 8, threshold = 0.5)
     }),
 
-    // Dedup family — SimHash near-dup (rows-only check)
+    // Dedup family — SimHash near-dup. Portable bit mix → the DuckDB
+    // oracle replays the 64-bit signature (md5-head token hash +
+    // multiplicative-mod per-bit mix) and the exact pair list.
     "q32_dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(T(s, dir, "documents"), "doc_id", "text", maxHamming = 12)),
+      Dedup.simhashPairs(T(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 12, portable = true)),
 
     // Similarity search — LSH-bucketed ANN (rows-only check)
     "q33_ann_lsh" -> ((s, dir) => {
@@ -385,10 +388,16 @@ object SparkEntry {
       Similarity.lshTopK(emb.filter(col("vec_id") < 8), emb, 5, nPlanes = 4)
     }),
 
-    // Multimodal decode plumbing — partition-local batch decode (stub
-    // kernel, real Spark contract; see graft.ops.Multimodal)
+    // Multimodal decode — REAL header parse: payloads are synthesized
+    // PNGs (signature + IHDR) with row-derived dimensions, and the
+    // decode kernel reads width/height/channels back out of the actual
+    // bytes. The oracle recomputes the dimensions arithmetically, so a
+    // parser regression (endianness, offset, channel map) hash-fails.
     "q34_multimodal_decode" -> ((s, dir) => {
-      val media = ops.Multimodal.asMediaTable(T(s, dir, "documents"), "doc_id", "text")
+      val docs = T(s, dir, "documents")
+      val media = ops.Multimodal.asPngMediaTable(docs, "doc_id",
+        lit(16) + pmod(col("doc_id"), lit(64L)),
+        lit(16) + pmod(col("n_chars"), lit(64L)))
       ops.Multimodal.decodeFeatures(media)
         .select(col("media_id"), col("width"), col("height"),
           col("channels"), col("n_bytes"))
@@ -906,8 +915,8 @@ object SparkEntry {
         salts = 8)),
 
     // the dedup deliverable: near-dup pairs → connected components →
-    // one (member, representative) row per clustered doc (rows-only:
-    // label propagation isn't ANSI-SQL-expressible non-recursively)
+    // one (member, representative) row per clustered doc. Exact oracle:
+    // DuckDB WITH RECURSIVE transitive closure + min reachable id.
     "q52_dedup_clusters" -> ((s, dir) => {
       val d = T(s, dir, "documents")
       // tight threshold: clusters of true duplicates, not topical overlap
@@ -1220,12 +1229,15 @@ object SparkEntry {
            ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
          WHERE CAST(floor(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
              / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) * 10000) AS BIGINT) >= 8000""",
+    // the payload is a synthesized PNG: 8-byte signature + len + "IHDR"
+    // + 13 data bytes + CRC = 33 bytes; decoded dims must equal the
+    // arithmetic the payload was built from, channels = 3 (color type 2)
     "q34_multimodal_decode" ->
       """SELECT doc_id AS media_id,
-         16 + ascii(substr(text, 1, 1)) % 64 AS width,
-         16 + ascii(substr(text, length(text), 1)) % 64 AS height,
+         16 + doc_id % 64 AS width,
+         16 + n_chars % 64 AS height,
          3 AS channels,
-         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+         CAST(33 AS BIGINT) AS n_bytes
          FROM documents""",
 
     "q37_top_orders_per_cust" ->
@@ -1632,6 +1644,70 @@ object SparkEntry {
          FROM t JOIN f ON t.tok = f.tok
          GROUP BY t.doc_id""",
 
+    // EXACT oracle for the portable simhash: recompute the 64 ±1
+    // bit-counters from the md5-head token hash and the same per-bit
+    // multipliers g^(j+1) mod p (the VALUES list below is generated
+    // from Dedup.SimhashMults — every product < p² < 2^60, exact in
+    // BIGINT), pack the four 16-bit chunks, and replay the
+    // chunk-blocked hamming join. Chunk values, not a packed 64-bit
+    // long, so no 1<<63 sign games in either engine.
+    "q32_dedup_simhash" ->
+      s"""WITH m(j, mult) AS (VALUES ${
+           ops.Dedup.SimhashMults.zipWithIndex
+             .map { case (mu, j) => s"($j, ${mu}::BIGINT)" }.mkString(", ")
+         }),
+         t AS (
+           SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0)) AS tok
+           FROM documents),
+         h AS (
+           SELECT doc_id,
+             CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % 1000000007 AS ti
+           FROM t),
+         c AS (
+           SELECT doc_id, j,
+             sum(CASE WHEN ((ti * mult) % 1000000007) % 2 = 1
+                 THEN 1 ELSE -1 END) AS cnt
+           FROM h CROSS JOIN m
+           GROUP BY doc_id, j),
+         s AS (
+           SELECT doc_id,
+             sum(CASE WHEN j BETWEEN 0  AND 15 AND cnt > 0 THEN (1::BIGINT << CAST(j AS INT))      ELSE 0 END) AS ch0,
+             sum(CASE WHEN j BETWEEN 16 AND 31 AND cnt > 0 THEN (1::BIGINT << CAST(j - 16 AS INT)) ELSE 0 END) AS ch1,
+             sum(CASE WHEN j BETWEEN 32 AND 47 AND cnt > 0 THEN (1::BIGINT << CAST(j - 32 AS INT)) ELSE 0 END) AS ch2,
+             sum(CASE WHEN j BETWEEN 48 AND 63 AND cnt > 0 THEN (1::BIGINT << CAST(j - 48 AS INT)) ELSE 0 END) AS ch3
+           FROM c GROUP BY doc_id)
+         SELECT id_a, id_b, hamming FROM (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             bit_count(xor(a.ch0, b.ch0)) + bit_count(xor(a.ch1, b.ch1))
+               + bit_count(xor(a.ch2, b.ch2)) + bit_count(xor(a.ch3, b.ch3)) AS hamming
+           FROM s a JOIN s b ON a.doc_id < b.doc_id
+             AND (a.ch0 = b.ch0 OR a.ch1 = b.ch1 OR a.ch2 = b.ch2 OR a.ch3 = b.ch3))
+         WHERE hamming <= 12""",
+
+    // EXACT oracle for the clustering deliverable: q30-style pair
+    // enumeration at the q52 threshold, then connected components as a
+    // recursive transitive closure — reach(id, r) grows by one edge hop
+    // per iteration (UNION dedups, so it terminates at the closure) and
+    // min(r) per id is exactly min-label propagation's fixpoint.
+    "q52_dedup_clusters" ->
+      """WITH RECURSIVE t AS (
+           SELECT doc_id, lang, CAST(floor(n_chars / 100) AS BIGINT) AS band,
+             list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0)) AS toks
+           FROM documents),
+         p AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM t a JOIN t b
+             ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+           WHERE CAST(floor(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+               / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) * 10000) AS BIGINT) >= 9500),
+         e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+         reach(id, r) AS (
+           SELECT src, src FROM e
+           UNION
+           SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id)
+         SELECT id AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY id""",
+
     // EXACT oracle for the LSH pipeline: exhaustive char-5-shingle
     // Jaccard (shingle equi-join counting form — the all-pairs
     // list_intersect form takes ~28 s in DuckDB, this ~1 s). Valid
@@ -1684,13 +1760,13 @@ object SparkEntry {
          FROM p
          WHERE CAST(floor(CAST(inter AS DOUBLE) / CAST(sa + sb - inter AS DOUBLE) * 10000) AS BIGINT) >= 5000
            AND (id_a % 2 = 1 OR id_b % 2 = 1)"""
-    // q32_dedup_simhash / q33_ann_lsh / q35_cosine_neardup /
-    // q36_ann_ivf / q54_ann_lsh_multi: probabilistic and
-    // hash-family-specific — the output VALUES depend on xxhash64 /
-    // murmur3 hyperplanes, which DuckDB cannot reproduce, and measured
-    // candidate recall on the near-uniform synthetic embeddings is
-    // partial (top-5 overlap with exact brute force: 4-9/40) — so the
-    // pair/neighbor SET itself is not SQL-expressible. Rows-only check
-    // by design.
+    // q33_ann_lsh / q35_cosine_neardup / q36_ann_ivf /
+    // q54_ann_lsh_multi: probabilistic and hash-family-specific — the
+    // output VALUES depend on xxhash64 / murmur3 hyperplanes, which
+    // DuckDB cannot reproduce, and measured candidate recall on the
+    // near-uniform synthetic embeddings is partial (top-5 overlap with
+    // exact brute force: 4-9/40) — so the pair/neighbor SET itself is
+    // not SQL-expressible. Rows-only check by design (the recall floor
+    // vs brute force is pinned in SimilaritySpec instead).
   )
 }

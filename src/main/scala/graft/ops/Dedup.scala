@@ -327,19 +327,55 @@ object Dedup {
     exactVerify(survivors, sets, threshold)
   }
 
+  /** Modulus and per-bit multipliers for the PORTABLE simhash flavor:
+    * bit j of token t is parity(md5head(t) · g^(j+1) mod p), with
+    * g = 2654435761 mod p. Multiplicative per-bit constants, NOT an
+    * additive step: an additive step s ≪ p makes adjacent bits
+    * alternate deterministically between wraps (the j-walk spans 64·s
+    * ≪ p, so wraps are rare) — every token then carries ~1 bit of
+    * entropy and the signature space collapses (measured: 44× too many
+    * pairs at sf0.01). Distinct powers of g decorrelate the bits.
+    * Every product stays below p² < 2^60 — exact BIGINT in any engine.
+    */
+  private[graft] val SimhashP = 1000000007L
+  private[graft] val SimhashMults: IndexedSeq[Long] = {
+    val g = 2654435761L % SimhashP
+    Iterator.iterate(g)(m => m * g % SimhashP).take(64).toIndexedSeq
+  }
+
   /** 64-bit SimHash signatures, one row per document: explode tokens,
-    * xxhash64 each, then a single hash-aggregate with 64 ±1 bit-counters
+    * hash each, then a single hash-aggregate with 64 ±1 bit-counters
     * folded into one long. Partial (map-side) aggregation applies, so at
     * scale the shuffle carries 64 longs per doc, never the tokens.
+    *
+    * Two bit-source flavors (mirrors [[Sampling.portableBucket]]):
+    *  - default: bit j of `xxhash64(token)` — full avalanche, the
+    *    production path;
+    *  - `portable = true`: the token's md5 head (15 hex chars → a
+    *    60-bit BIGINT, identical in any engine with a standard md5)
+    *    mixed per-bit with [[SimhashMults]] — so the ENTIRE signature
+    *    is replayable in plain ANSI-ish SQL (the DuckDB oracle for q32
+    *    recomputes it exactly).
     */
-  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        portable: Boolean = false): DataFrame = {
+    val tokHash =
+      if (portable)
+        // md5 → first 15 hex chars → BIGINT (< 2^60) → pre-mod so the
+        // per-bit multiply below cannot overflow under ANSI
+        pmod(conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"),
+          lit(SimhashP))
+      else xxhash64(col("tok"))
     val toks = fanOutScan(df.select(col(idCol), col(textCol)))
       .select(col(idCol).as("id"),
         explode(TextFunctions.tokenize(lower(col(textCol)))).as("tok"))
-      .select(col("id"), xxhash64(col("tok")).as("h"))
+      .select(col("id"), tokHash.as("h"))
+    def bitSet(j: Int): Column =
+      if (portable)
+        pmod(pmod(col("h") * lit(SimhashMults(j)), lit(SimhashP)), lit(2L)) === 1L
+      else shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L
     val counters = (0 until 64).map(j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-        .as(s"c$j"))
+      sum(when(bitSet(j), 1L).otherwise(-1L)).as(s"c$j"))
     toks.groupBy(col("id"))
       .agg(counters.head, counters.tail: _*)
       .select(col("id"),
@@ -353,11 +389,11 @@ object Dedup {
     * one of 4 exact 16-bit chunks — pigeonhole), verify with bit_count.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, portable: Boolean = false): DataFrame = {
     // both sides of the chunk self-join consume the signatures; persist
     // so the token explode + 64-counter aggregation runs once (the cache
     // is two longs per doc)
-    val base = simhashSignatures(df, idCol, textCol)
+    val base = simhashSignatures(df, idCol, textCol, portable)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunked = base.select(col("id"), col("sh"),
       explode(array((0 until 4).map(c => struct(lit(c).as("chunk"),

@@ -1,19 +1,19 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed per-partition in batches.
   *
-  * The actual media decode (JPEG decode, resampling, frame sampling)
-  * requires native libraries not present in this environment, so the
-  * decode kernel is a clearly-marked deterministic STUB — but the
-  * Spark-side contract is real and tested: schema, partition-batch
-  * shape (`mapPartitions` over row batches ≈ `mapInPandas` batch
-  * semantics), and metadata extraction stay exactly what a production
-  * decode would use; swapping the kernel does not change the plan.
+  * The decode kernel parses real image headers — PNG IHDR and JPEG
+  * SOF0/1/2 frame headers are dependency-free big-endian reads — and
+  * falls back to deterministic byte statistics for payloads that are
+  * not a recognized image (the "opaque blob" path: the pipeline must
+  * not die on a corrupt or foreign payload at row 10^9 of a 100 TB
+  * scan). Full pixel decode (IDAT inflate, DCT) would need codec libs;
+  * the header carries everything the metadata pipeline consumes.
   *
   * At 100 TB the shape matters: media bytes never enter a shuffle —
   * decode/feature-extract is a narrow per-partition map, and only the
@@ -41,22 +41,109 @@ object Multimodal {
       lit(null).cast("int").as("meta_height"),
       lit(null).cast("long").as("meta_duration_ms"))
 
-  /** STUB decode kernel: a real implementation would decode the payload
-    * (e.g. libjpeg) and emit (width, height, channels, feature vector).
-    * The deterministic fake derives pseudo-dimensions from the payload
-    * bytes so tests have stable expectations. Marked clearly:
+  /** A REAL (synthesized) PNG payload as a column expression: the 8-byte
+    * PNG signature plus a well-formed IHDR chunk carrying the given
+    * dimensions, 8-bit truecolor (3 channels). Built from codegen'd hex
+    * string ops — no UDF. The CRC bytes are left zero (header parsers,
+    * including [[parseImageHeader]], don't checksum), and there is no
+    * IDAT: this is the header-complete prefix a metadata pipeline reads.
     */
-  private def decodeStub(payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
-    // ??? <- real decoder goes here; deterministic fake below
+  def syntheticPng(width: Column, height: Column): Column =
+    unhex(concat(
+      lit("89504E470D0A1A0A"), // signature
+      lit("0000000D"),         // IHDR data length = 13
+      lit("49484452"),         // "IHDR"
+      lpad(hex(width.cast("long")), 8, "0"),
+      lpad(hex(height.cast("long")), 8, "0"),
+      lit("0802000000"),       // bit depth 8, color type 2 (truecolor), compression/filter/interlace 0
+      lit("00000000")))        // CRC placeholder
+
+  /** Media table whose payloads are real synthesized PNGs with
+    * row-derived dimensions — [[decodeFeatures]] then exercises the real
+    * header parser, and an external oracle can verify the decoded
+    * dimensions arithmetically from the source columns.
+    */
+  def asPngMediaTable(df: DataFrame, idCol: String,
+                      width: Column, height: Column): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      lit("image").as("media_type"),
+      syntheticPng(width, height).as("payload"),
+      width.cast("int").as("meta_width"),
+      height.cast("int").as("meta_height"),
+      lit(null).cast("long").as("meta_duration_ms"))
+
+  private def be32(p: Array[Byte], i: Int): Int =
+    ((p(i) & 0xFF) << 24) | ((p(i + 1) & 0xFF) << 16) |
+      ((p(i + 2) & 0xFF) << 8) | (p(i + 3) & 0xFF)
+
+  private def be16(p: Array[Byte], i: Int): Int =
+    ((p(i) & 0xFF) << 8) | (p(i + 1) & 0xFF)
+
+  /** Parse (width, height, channels) from a real image header; None if
+    * the payload is not a recognized image.
+    *
+    *  - PNG (ISO 15948 §5.2/§11.2.2): 8-byte signature, then the IHDR
+    *    chunk is REQUIRED first — width/height as big-endian u32 at
+    *    offsets 16/20, color type at 25 (0 gray, 2 truecolor, 3 palette,
+    *    4 gray+alpha, 6 RGBA).
+    *  - JPEG (ITU T.81 §B): FF D8 then marker segments; walk lengths to
+    *    the first SOFn (C0-CF except C4/C8/CC): [len][precision]
+    *    [height u16][width u16][n components].
+    */
+  private[ops] def parseImageHeader(p: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (p.length >= 26 &&
+        (p(0) & 0xFF) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G' &&
+        p(4) == 0x0D && p(5) == 0x0A && p(6) == 0x1A && p(7) == 0x0A &&
+        p(12) == 'I' && p(13) == 'H' && p(14) == 'D' && p(15) == 'R') {
+      val channels = (p(25) & 0xFF) match {
+        case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+        case _ => return None
+      }
+      Some((be32(p, 16), be32(p, 20), channels))
+    } else if (p.length >= 4 && (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8) {
+      var i = 2
+      while (i + 3 < p.length) {
+        if ((p(i) & 0xFF) != 0xFF) return None // marker desync: not a JPEG we can walk
+        val marker = p(i + 1) & 0xFF
+        if (marker == 0xFF) { i += 1 } // fill byte
+        else if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD9)) { i += 2 } // standalone
+        else {
+          val len = be16(p, i + 2)
+          if (len < 2) return None
+          val isSof = marker >= 0xC0 && marker <= 0xCF &&
+            marker != 0xC4 && marker != 0xC8 && marker != 0xCC
+          if (isSof) {
+            if (i + 9 >= p.length) return None
+            return Some((be16(p, i + 7), be16(p, i + 5), p(i + 9) & 0xFF))
+          }
+          i += 2 + len
+        }
+      }
+      None
+    } else None
+  }
+
+  /** Decode kernel: real header parse, with a deterministic byte-stat
+    * fallback for unrecognized payloads (pseudo-dimensions from the
+    * first/last byte — stable test expectations for text-as-media
+    * fixtures, and a never-throws path for corrupt media at scale).
+    * The 8-bucket byte histogram stands in for a feature vector in both
+    * paths.
+    */
+  private def decodeKernel(payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
     if (payload == null || payload.isEmpty) (0, 0, 0, Array.empty[Float])
     else {
       val n = payload.length
-      val w = 16 + (math.abs(payload(0).toInt) % 64)
-      val h = 16 + (math.abs(payload(n - 1).toInt) % 64)
-      // "feature" = 8 byte-histogram buckets, normalized
       val hist = new Array[Float](8)
       payload.foreach(b => hist((b & 0xFF) / 32) += 1f)
-      (w, h, 3, hist.map(_ / n))
+      val feats = hist.map(_ / n)
+      parseImageHeader(payload) match {
+        case Some((w, h, c)) => (w, h, c, feats)
+        case None =>
+          (16 + (math.abs(payload(0).toInt) % 64),
+            16 + (math.abs(payload(n - 1).toInt) % 64), 3, feats)
+      }
     }
   }
 
@@ -78,7 +165,7 @@ object Multimodal {
         rows.map { r =>
           val id = r.getLong(0)
           val payload = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
-          val (w, h, c, feat) = decodeStub(payload)
+          val (w, h, c, feat) = decodeKernel(payload)
           Row(id, w, h, c, payload.length.toLong, feat.toSeq)
         }
       }(enc)

@@ -72,6 +72,37 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
   }
 
+  test("portable simhash matches engine-neutral reference arithmetic") {
+    // recompute doc 1's signature in plain JVM arithmetic from the md5
+    // head — the same computation the DuckDB oracle runs — and compare
+    // chunk-blocked pairs behave like the xxhash flavor
+    val sigs = Dedup.simhashSignatures(docs, "doc_id", "text", portable = true)
+      .as[(Long, Long)].collect().toMap
+    def tokHash(tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 15), 16) % 1000000007L
+    }
+    def refSig(text: String): Long = {
+      // multipliers re-derived independently: g^(j+1) mod p
+      val p = 1000000007L
+      val g = 2654435761L % p
+      val mults = Iterator.iterate(g)(m => m * g % p).take(64).toIndexedSeq
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      (0 until 64).map { j =>
+        val c = toks.map { t =>
+          if (tokHash(t) * mults(j) % p % 2 == 1) 1 else -1
+        }.sum
+        if (c > 0) 1L << j else 0L
+      }.reduce(_ | _)
+    }
+    assert(sigs(1L) == refSig("the quick brown fox jumps over the lazy dog"))
+    assert(sigs(1L) == sigs(2L))
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3, portable = true)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
+  }
+
   test("connected components labels chains and keeps islands separate") {
     // chain 1-2-3 (via transitive pairs), island 4-5, singleton 9 absent
     val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")

@@ -14,6 +14,45 @@ class MultimodalSpec extends SparkSpec {
     assert(m.count() == 2)
   }
 
+  test("parseImageHeader reads real PNG IHDR dimensions and channel map") {
+    // hand-built 640×480 RGBA PNG header (color type 6 → 4 channels)
+    val png = Array[Int](0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 0x02, 0x80, // width 640
+      0, 0, 0x01, 0xE0, // height 480
+      8, 6, 0, 0, 0,    // bit depth 8, color type 6 (RGBA)
+      0, 0, 0, 0).map(_.toByte)
+    assert(Multimodal.parseImageHeader(png).contains((640, 480, 4)))
+  }
+
+  test("parseImageHeader walks JPEG segments to SOF0 past APP0") {
+    // FFD8, APP0 (16 bytes of JFIF), SOF0: precision 8, 480×640, 3 comps
+    val jpeg = (Array[Int](0xFF, 0xD8,
+      0xFF, 0xE0, 0x00, 0x10) ++ Array.fill(14)(0x4A) ++
+      Array[Int](0xFF, 0xC0, 0x00, 0x11, 0x08,
+        0x01, 0xE0, // height 480
+        0x02, 0x80, // width 640
+        0x03)).map(_.toByte)
+    assert(Multimodal.parseImageHeader(jpeg).contains((640, 480, 3)))
+  }
+
+  test("parseImageHeader rejects non-image payloads") {
+    assert(Multimodal.parseImageHeader("plain text payload".getBytes).isEmpty)
+    assert(Multimodal.parseImageHeader(Array[Byte](0x89.toByte, 'P', 'N')).isEmpty)
+  }
+
+  test("synthesized PNG payloads round-trip through the real decoder") {
+    import org.apache.spark.sql.functions._
+    val src = Seq((3L, 17L), (4L, 99L)).toDF("doc_id", "n")
+    val media = Multimodal.asPngMediaTable(src, "doc_id",
+      lit(16) + pmod(col("doc_id"), lit(64L)),
+      lit(16) + pmod(col("n"), lit(64L)))
+    val out = Multimodal.decodeFeatures(media)
+      .select("media_id", "width", "height", "channels", "n_bytes")
+      .as[(Long, Int, Int, Int, Long)].collect().toSet
+    assert(out == Set((3L, 19, 33, 3, 33L), (4L, 20, 51, 3, 33L)))
+  }
+
   test("decodeFeatures emits deterministic metadata and drops the payload") {
     val m = Multimodal.asMediaTable(docs, "doc_id", "text")
     val d = Multimodal.decodeFeatures(m)
