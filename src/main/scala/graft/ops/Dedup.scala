@@ -557,6 +557,50 @@ object Dedup {
       .filter(col("jaccard_e4") >= thresholdE4)
   }
 
+  /** Exact blocked n-gram Jaccard with ALGORITHM DISPATCH: measure the
+    * counting join's joined-row amplification Σ_(block,token) f² /
+    * |token rows| with ONE cheap aggregate over the token counts, then
+    * run [[ngramJaccardPairs]] (dense/blocked regime) or
+    * [[ngramJaccardPairsPrefix]] (stopword-dominated regime) — both
+    * produce identical output, so the dispatch is purely physical.
+    *
+    * Threshold calibration (sf0.1, local[32], see SCALE.md): at
+    * amplification 948 the counting join still beats the prefix path
+    * 3–4× (1.1 s vs 4.3 s — the prefix path's window-rank + distinct +
+    * collect_set passes are ~3 extra shuffles of fixed cost), and its
+    * measured throughput is ~10⁸ joined rows/s, so the crossover sits
+    * where amplification ≈ several thousand. Above that the quadratic
+    * term dominates everything (an unblocked stopword at corpus scale
+    * has f ≈ N, amplification ≈ N — the counting join is infeasible,
+    * which is precisely the case prefix filtering exists for).
+    * Conf-gated: `graft.dedup.jaccard.maxAmp` (default 4000).
+    *
+    * The statistic job scans only the (id, block, token-hash) rows —
+    * at 100 TB it is one partial-aggregated pass over 8-byte hashes,
+    * ~10⁻⁴ of the corpus bytes, and decides a job that is 10–1000× its
+    * cost in either direction.
+    */
+  def ngramJaccardPairsAuto(df: DataFrame, idCol: String, textCol: String,
+                            blockCols: Seq[Column], thresholdE4: Long): DataFrame = {
+    val keys = blockCols.indices.map(i => s"blk_$i")
+    val toks = df.select(
+      (col(idCol).as("id") +:
+        array_distinct(TextFunctions.tokenize(lower(col(textCol)))).as("toks") +:
+        blockCols.zipWithIndex.map { case (c, i) => c.as(s"blk_$i") }): _*)
+      .select((col("id") +: keys.map(col)) :+ explode(col("toks")).as("tok"): _*)
+      .select(keys.map(col) :+ xxhash64(col("tok")).as("th"): _*)
+    val agg = toks.groupBy((keys.map(col) :+ col("th")): _*)
+      .agg(count(lit(1)).as("f"))
+      .agg(sum(col("f") * col("f")).as("f2"), sum(col("f")).as("n"))
+      .head()
+    val amp = if (agg.isNullAt(1) || agg.getLong(1) == 0L) 0.0
+      else agg.getLong(0).toDouble / agg.getLong(1)
+    val maxAmp = df.sparkSession.conf
+      .get("graft.dedup.jaccard.maxAmp", "4000").toDouble
+    if (amp <= maxAmp) ngramJaccardPairs(df, idCol, textCol, blockCols, thresholdE4)
+    else ngramJaccardPairsPrefix(df, idCol, textCol, blockCols, thresholdE4)
+  }
+
   /** Exact blocked n-gram Jaccard with PREFIX FILTERING (the
     * AllPairs/PPJoin candidate bound, Bayardo et al. WWW'07; Xiao et
     * al. WWW'08) — same output as [[ngramJaccardPairs]], different

@@ -138,6 +138,19 @@ class DedupSpec extends SparkSpec {
     assert(kept.contains(4L) && kept.contains(5L))
   }
 
+  test("auto Jaccard dispatch yields identical pairs in both regimes") {
+    val blocks = Seq(col("lang"), floor(col("n_chars") / 100).cast("long"))
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().toSet
+    val base = collect(Dedup.ngramJaccardPairs(docs, "doc_id", "text", blocks, 5000L))
+    // tiny corpus → amplification ~1 → counting path
+    assert(collect(Dedup.ngramJaccardPairsAuto(docs, "doc_id", "text", blocks, 5000L)) == base)
+    // force the prefix path: identical output, different physical plan
+    spark.conf.set("graft.dedup.jaccard.maxAmp", "0")
+    try assert(collect(Dedup.ngramJaccardPairsAuto(docs, "doc_id", "text", blocks, 5000L)) == base)
+    finally spark.conf.unset("graft.dedup.jaccard.maxAmp")
+  }
+
   test("ngram jaccard within blocks reports the near-dup pair above threshold") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
         Seq(col("lang"), floor(col("n_chars") / 100).cast("long")), 5000L)

@@ -62,6 +62,28 @@ class SimilaritySpec extends SparkSpec {
     assert(one.contains(11L), s"nearest neighbor must share 10's cell; got $one")
   }
 
+  test("recall@5 floor vs brute force on the sf0.01 corpus (q33/q54 defaults)") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.col
+    val embC = graft.core.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val q = embC.filter(col("vec_id") < 8)
+    val truth = Similarity.bruteForceTopK(q, embC, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(df: DataFrame): Double =
+      truth.intersect(df.select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect().toSet).size.toDouble / truth.size
+    // q54's production multi-table path: a silent recall collapse on a
+    // params change must fail the BUILD, not surface in a bench later.
+    // (Deterministic hyperplanes → the measured 0.975 is reproducible.)
+    val multi = recall(Similarity.lshTopKMulti(q, embC, 5, nPlanes = 4, nTables = 16))
+    assert(multi >= 0.9, f"q54-default multi-table recall@5 $multi%.3f < 0.9")
+    // q33's single-table baseline is candidate GENERATION, not the
+    // production recall path — near-uniform synthetic embeddings are
+    // LSH's worst case; floor documents the measured 0.125
+    val single = recall(Similarity.lshTopK(q, embC, 5, nPlanes = 4))
+    assert(single >= 0.1, f"q33-default single-table recall@5 $single%.3f < 0.1")
+  }
+
   test("cosine near-dup pairs reports sim_e4 above the floor, a<b") {
     val pairs = Similarity.cosineNearDupPairs(emb, minSimE4 = 9000L, nPlanes = 2)
       .as[(Long, Long, Long)].collect().toSeq
