@@ -90,6 +90,30 @@ class PlanPropertiesSpec extends SparkSpec {
       s"unclustered majority must stream through without a window:\n$lp")
   }
 
+  test("q78 token rarity: one tokenize pass, head joins broadcast") {
+    // ONE explode feeds the cached per-(doc,token) counts: in the
+    // optimized plan every consumer must read the InMemoryRelation
+    // (a leaf — collect does not descend into cachedPlan), so any
+    // Generate OUTSIDE a cache means the tokenize pass is recomputed
+    val lp = SparkEntry.queries("q78_token_rarity")(spark, sf)
+      .queryExecution.optimizedPlan
+    val gens = lp.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g }.size
+    assert(gens == 0, s"tokenize explode recomputed outside the cache:\n$lp")
+    val caches = lp.collect {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m }.size
+    assert(caches >= 1, s"expected the token-count cache in the plan:\n$lp")
+    val p = plan("q78_token_rarity")
+    // the Zipf head (and the anti join defining the tail) joins by
+    // broadcast — a sort-merge join on the raw token key is the skew
+    // shape this query exists to avoid
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    val tokenSmj = p.linesIterator.exists(l =>
+      l.contains("SortMergeJoin") && l.contains("tok#"))
+    assert(!tokenSmj, "no sort-merge join keyed on the raw token column:\n" +
+      p.linesIterator.filter(_.contains("SortMergeJoin")).mkString("\n"))
+  }
+
   test("q31 minhash: text never appears in an exchange") {
     // shuffles carry ids/hashes/signatures; the raw text column must not
     // be a field of any Exchange's output
