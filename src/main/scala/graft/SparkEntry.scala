@@ -964,6 +964,109 @@ object SparkEntry {
         Seq(col("lang"), floor(col("n_chars") / 100).cast("long")), 8000L)
     }),
 
+    // Dedup family — exact shared-substring pairs (windows-at-stride
+    // reformulation of suffix-array substring dedup): docs sharing a
+    // 40-char window sampled every 4 chars. Hash-bucketed candidates
+    // (8-byte fingerprints in the exchange, never text), exact
+    // window-string verify on candidate docs only.
+    "q80_shared_window_pairs" -> ((s, dir) =>
+      Dedup.sharedWindowPairs(T(s, dir, "documents"), "doc_id", "text",
+        k = 40, stride = 4)),
+
+    // Per-doc distinctive terms: top-3 by (tf desc, df asc, term) —
+    // the integer-exact tf-idf rank (float log idf would disagree
+    // across engines in the last ulp; the RANKING it induces at fixed
+    // tf is df asc, which is exact). Same Zipf-skew design as q78:
+    // per-(doc,term) pre-aggregation, then head vocabulary by
+    // broadcast, bounded-frequency tail by shuffle join.
+    "q81_distinctive_terms" -> ((s, dir) => {
+      val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val tf = T(s, dir, "documents")
+        .select(col("doc_id"), explode(TF.tokenize(lower(col("text")))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .persist(mem) // feeds the df agg AND both join probes
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val head = dfreq.orderBy(col("df").desc, col("term")).limit(1024)
+        .persist(mem)
+      val tail = dfreq.join(head.select(col("term")), Seq("term"), "left_anti")
+      val joined = tf.join(broadcast(head), Seq("term"))
+        .unionByName(tf.join(tail, Seq("term")))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+      joined.withColumn("term_rank", row_number().over(w).cast("long"))
+        .filter(col("term_rank") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("term_rank"))
+    }),
+
+    // Vector family under the EXACT gate — int8 scalar quantization
+    // (the 4× vector-memory lever for ANN at 100 TB): per-vector
+    // max-abs scale, q_i = ⌊x_i·127/amax⌋, integer summaries + the
+    // reconstruction error in index-ordered fold — every step a
+    // correctly-rounded IEEE double op, replayable bit-for-bit.
+    "q82_quantize_embeddings" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val amax = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+      e.select(col("vec_id"), col("embedding"), amax.as("amax"))
+        .withColumn("q", transform(col("embedding"), x =>
+          when(col("amax") === 0.0, lit(0L)).otherwise(
+            floor(x.cast("double") * 127.0 / col("amax")))))
+        .select(
+          col("vec_id"),
+          array_min(col("q")).as("qmin"),
+          array_max(col("q")).as("qmax"),
+          aggregate(col("q"), lit(0L), (a, v) => a + v).as("qsum"),
+          aggregate(col("q"), lit(0L), (a, v) => a + v * v).as("ql2"),
+          floor(aggregate(
+            zip_with(col("embedding"), col("q"), (x, qi) => {
+              val d = x.cast("double") - qi.cast("double") * col("amax") / 127.0
+              d * d
+            }),
+            lit(0.0), (a, v) => a + v) * 1e9).cast("long").as("err_e9"))
+    }),
+
+    // Dedup family — exact blocked containment (asymmetric Jaccard):
+    // the subset/quote detector symmetric Jaccard cannot see (a short
+    // doc inside a long one). Blocks on language only — a length band
+    // would split exactly the pairs this exists to find.
+    "q83_containment_pairs" -> ((s, dir) =>
+      Dedup.containmentPairs(T(s, dir, "documents"), "doc_id", "text",
+        Seq(col("lang")), 9000L, minSize = 30)),
+
+    // Curriculum/data-mix utility — per-language quality deciles via
+    // ntile over a deterministic total order (metric, then id: ntile
+    // bucket boundaries are positional, so ties MUST be broken for a
+    // portable answer). One shuffle on the language key.
+    "q84_quality_deciles" -> ((s, dir) =>
+      T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"),
+        ntile(10).over(Window.partitionBy(col("lang"))
+          .orderBy(col("n_chars"), col("doc_id"))).cast("long").as("decile"))),
+
+    // Decontamination, bloom-prefiltered two-phase EXACT shape (see
+    // ops.Decontaminate): bloom negatives are flagged clean map-side
+    // with zero exchange; only bloom positives (matches + ~fpp of the
+    // corpus) pay the exact content-key join. Same answer as the plain
+    // anti/semi join — the bloom changes the plan, never the result.
+    "q85_bloom_decontaminate" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val contam = d.filter(col("doc_id") % 7 === 0)
+      ops.Decontaminate.flag(
+        d.select(col("doc_id"), col("text")), col("text"),
+        contam, col("text"))
+        .select(col("doc_id"), col("contaminated"))
+    }),
+
+    // Multimodal audio leg: REAL synthesized RIFF/WAV headers with
+    // row-derived params, parsed back by the real LE chunk walker
+    // (ops.Multimodal.parseWavHeader) — the q34 pattern: Spark
+    // round-trips actual bytes, the oracle replays the arithmetic.
+    "q86_audio_meta" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val media = ops.Multimodal.asWavMediaTable(docs, "doc_id",
+        lit(8000L) + pmod(col("doc_id"), lit(8L)) * 1000L,
+        lit(1L) + pmod(col("doc_id"), lit(2L)))
+      ops.Multimodal.decodeAudioMeta(media)
+    }),
+
     // (selective predicates keep the difference non-empty at test SFs —
     // with only ~150 users every unfiltered per-type user set is equal)
     "q50_except" -> ((s, dir) => {
@@ -1801,7 +1904,95 @@ object SparkEntry {
            CAST(floor(CAST(inter AS DOUBLE) / CAST(sa + sb - inter AS DOUBLE) * 10000) AS BIGINT) AS jaccard_e4
          FROM p
          WHERE CAST(floor(CAST(inter AS DOUBLE) / CAST(sa + sb - inter AS DOUBLE) * 10000) AS BIGINT) >= 5000
-           AND (id_a % 2 = 1 OR id_b % 2 = 1)"""
+           AND (id_a % 2 = 1 OR id_b % 2 = 1)""",
+
+    // exact by construction: candidate fingerprints can only ADD pairs
+    // (collisions), the window-string verify removes them — so the
+    // oracle is the plain windows-at-stride self-join. range() end is
+    // exclusive: range(0, len-39, 4) ≡ Spark sequence(0, len-40, 4).
+    "q80_shared_window_pairs" ->
+      """WITH w AS (
+           SELECT DISTINCT doc_id, substr(text, CAST(o AS INT) + 1, 40) AS win
+           FROM (SELECT doc_id, text,
+                   unnest(range(0, CAST(length(text) AS BIGINT) - 39, 4)) AS o
+                 FROM documents WHERE length(text) >= 40))
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_ct
+         FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id
+         GROUP BY 1, 2""",
+
+    "q81_distinctive_terms" ->
+      """WITH tk AS (
+           SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0)) AS term
+           FROM documents),
+         tfm AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+         dfm AS (SELECT term, count(*) AS df FROM tfm GROUP BY 1),
+         r AS (
+           SELECT tfm.doc_id, tfm.term, tfm.tf, dfm.df,
+             CAST(row_number() OVER (PARTITION BY tfm.doc_id
+               ORDER BY tfm.tf DESC, dfm.df ASC, tfm.term ASC) AS BIGINT) AS term_rank
+           FROM tfm JOIN dfm USING (term))
+         SELECT doc_id, term, tf, df, term_rank FROM r WHERE term_rank <= 3""",
+
+    // list_reduce has no init value, so a typed 0 is prepended — the
+    // fold then runs 0+e0+e1+… in index order, exactly Spark's
+    // aggregate(init=0) accumulation.
+    "q82_quantize_embeddings" ->
+      """WITH m AS (
+           SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+           FROM embeddings),
+         q AS (
+           SELECT vec_id, embedding, amax,
+             list_transform(embedding, x -> CASE WHEN amax = 0 THEN 0
+               ELSE CAST(floor(CAST(x AS DOUBLE) * 127.0 / amax) AS BIGINT) END) AS qv
+           FROM m)
+         SELECT vec_id,
+           list_min(qv) AS qmin, list_max(qv) AS qmax,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), qv), (a, b) -> a + b) AS qsum,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(qv, v -> v * v)), (a, b) -> a + b) AS ql2,
+           CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(list_zip(embedding, qv),
+               p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * amax / 127.0)
+                  * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * amax / 127.0))),
+             (a, b) -> a + b) * 1e9) AS BIGINT) AS err_e9
+         FROM q""",
+
+    "q83_containment_pairs" ->
+      """WITH t AS (
+           SELECT doc_id, lang,
+             list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0)) AS toks
+           FROM documents),
+         f AS (SELECT * FROM t WHERE len(toks) >= 30)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(floor(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) * 10000.0
+             / CAST(least(len(a.toks), len(b.toks)) AS DOUBLE)) AS BIGINT) AS containment_e4
+         FROM f a JOIN f b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         WHERE CAST(floor(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) * 10000.0
+             / CAST(least(len(a.toks), len(b.toks)) AS DOUBLE)) AS BIGINT) >= 9000""",
+
+    "q84_quality_deciles" ->
+      """SELECT doc_id, lang, n_chars,
+         CAST(ntile(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS BIGINT) AS decile
+         FROM documents""",
+
+    // the bloom is plan-level only (no false negatives; false positives
+    // cleared by the exact phase), so the oracle is the plain
+    // content-membership predicate
+    "q85_bloom_decontaminate" ->
+      """SELECT doc_id,
+         text IN (SELECT text FROM documents WHERE doc_id % 7 = 0) AS contaminated
+         FROM documents""",
+
+    // replays the WAV synthesis arithmetic; the Spark side actually
+    // round-trips through RIFF bytes (q34's oracle pattern)
+    "q86_audio_meta" ->
+      """SELECT doc_id AS media_id,
+         CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate,
+         CAST(1 + doc_id % 2 AS INT) AS channels,
+         16 AS bits_per_sample,
+         CAST(44 AS BIGINT) AS n_bytes
+         FROM documents"""
     // q33_ann_lsh / q35_cosine_neardup / q36_ann_ivf /
     // q54_ann_lsh_multi: probabilistic and hash-family-specific — the
     // output VALUES depend on xxhash64 / murmur3 hyperplanes, which

@@ -683,4 +683,116 @@ object Dedup {
           .cast("long").as("jaccard_e4"))
       .filter(col("jaccard_e4") >= thresholdE4)
   }
+
+  /** Exact shared-substring dedup: doc pairs sharing at least one
+    * character window of length `k`, sampled at offsets 0, stride,
+    * 2·stride, … (stride = 1 ⇒ any shared k-char substring). This is
+    * the "exact substring duplication" family from the training-data
+    * dedup literature (Lee et al., ACL'22 — there via suffix arrays on
+    * a single machine); windows-at-stride is the shuffle-friendly
+    * reformulation: a shared span of length ≥ k + stride − 1 always
+    * contains an aligned shared window, so stride trades recall
+    * granularity for a 1/stride row-count reduction.
+    *
+    * Shape (same doctrine as the Jaccard family):
+    *  1. per-doc DISTINCT window fingerprints — 8-byte xxhash64 of each
+    *     window; the only thing that ever enters an exchange. O(len/stride)
+    *     rows per doc.
+    *  2. candidate pairs: self-equi-join on the fingerprint, id_a < id_b,
+    *     distinct. Hash collisions can only ADD candidates here, never
+    *     drop a true pair.
+    *  3. exact verify on candidates only: window STRINGS are re-derived
+    *     for candidate docs alone (semi-join first — a vanishing
+    *     fraction of a mostly-unique corpus), collect_set'd, and
+    *     intersected per pair. `shared_ct` counts distinct shared
+    *     window strings, so a colliding fingerprint pair that shares no
+    *     actual window drops out — output is collision-free exact.
+    *
+    * At 100 TB step 1 is the dominant shuffle: len/stride × 16 bytes
+    * per doc (~4% of corpus bytes at k=40, stride=4 on ~250-char docs;
+    * shrinks linearly with stride). The corpus text itself is never
+    * exchanged.
+    */
+  def sharedWindowPairs(df: DataFrame, idCol: String, textCol: String,
+                        k: Int, stride: Int): DataFrame = {
+    require(k > 0 && stride > 0, s"k=$k stride=$stride must be positive")
+    val base = fanOutScan(df.select(col(idCol).as("id"), col(textCol).as("txt"))
+      .filter(length(col("txt")) >= k))
+    val offs = base.select(col("id"), col("txt"),
+      explode(sequence(lit(0), length(col("txt")) - k, lit(stride))).as("off"))
+    val wh = offs
+      .select(col("id"), xxhash64(substring(col("txt"), col("off") + 1, lit(k))).as("wh"))
+      .distinct()
+    val candidates = wh.alias("a").join(wh.alias("b"),
+        col("a.wh") === col("b.wh") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+      .repartition(verifyWidth(df), col("id_a"), col("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val neededIds = candidates
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct()
+    val winSets = offs.join(neededIds, "id")
+      .select(col("id"), substring(col("txt"), col("off") + 1, lit(k)).as("win"))
+      .groupBy(col("id")).agg(sort_array(collect_set(col("win"))).as("wins"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    candidates
+      .join(winSets.select(col("id").as("id_a"), col("wins").as("w_a")), "id_a")
+      .join(winSets.select(col("id").as("id_b"), col("wins").as("w_b")), "id_b")
+      .withColumn("shared_ct", size(array_intersect(col("w_a"), col("w_b"))).cast("long"))
+      .filter(col("shared_ct") >= 1L)
+      .select(col("id_a"), col("id_b"), col("shared_ct"))
+  }
+
+  /** Exact blocked containment (asymmetric Jaccard): for each in-block
+    * pair, C = |A∩B| / min(|A|,|B|) over distinct token sets — the
+    * subset/quote detector. A 50-token excerpt pasted into a 5000-token
+    * page scores C ≈ 1 while its symmetric Jaccard ≈ 0.01, which is why
+    * [[ngramJaccardPairs]] cannot find it and why this operator blocks
+    * on language only (a length band would split exactly the pairs it
+    * exists to find).
+    *
+    * Same counting-join shape as [[ngramJaccardPairs]] — |∩| is a
+    * codegen'd group count over (token-hash)-equality joined rows; no
+    * per-pair array math on the full corpus. The size-ratio pruning is
+    * deliberately ABSENT (containment has no size bound by design), so
+    * the quadratic cost term is the unmitigated Σ f² per (block, token);
+    * on stopword-heavy corpora feed this pre-filtered tokens (drop
+    * document-frequency > x% tokens upstream) — rarity filtering
+    * changes the token universe, not the operator.
+    *
+    * Scoring: containment_e4 = ⌊|∩| · 10000 / min(sz)⌋ — the operands
+    * are small integers exactly representable as doubles, so the
+    * division is identically rounded in any IEEE engine and the floor
+    * is engine-portable (same argument as the Jaccard family).
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       blockCols: Seq[Column], thresholdE4: Long,
+                       minSize: Int = 0): DataFrame = {
+    val keys = blockCols.indices.map(i => s"blk_$i")
+    // both pair members must have ≥ minSize distinct tokens (containment
+    // of a near-empty set is trivially 1), so sub-minSize docs can be
+    // dropped before the explode — an exactness-preserving pre-filter
+    val base = fanOutScan(df.select(
+      (col(idCol).as("id") +:
+        array_distinct(TextFunctions.tokenize(lower(col(textCol)))).as("toks") +:
+        blockCols.zipWithIndex.map { case (c, i) => c.as(s"blk_$i") }): _*)
+      .filter(size(col("toks")) >= minSize))
+    val toks = base.select(
+      (col("id") +: size(col("toks")).as("sz") +: keys.map(col)) :+
+        explode(col("toks")).as("tok"): _*)
+      .select((col("id") +: col("sz") +: keys.map(col)) :+
+        xxhash64(col("tok")).as("th"): _*)
+    val cond = (keys.map(k => col(s"a.$k") === col(s"b.$k")) :+
+      (col("a.th") === col("b.th")) :+ (col("a.id") < col("b.id"))).reduce(_ && _)
+    toks.alias("a").join(toks.alias("b"), cond)
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("id_a"), col("id_b"),
+        floor(col("inter").cast("double") * 10000.0 /
+          least(col("sz_a"), col("sz_b")).cast("double"))
+          .cast("long").as("containment_e4"))
+      .filter(col("containment_e4") >= thresholdE4)
+  }
 }

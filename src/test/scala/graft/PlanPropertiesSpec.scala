@@ -123,4 +123,22 @@ class PlanPropertiesSpec extends SparkSpec {
       .filter(_.contains("text#"))
     assert(shufflesWithText.isEmpty, shufflesWithText.mkString("\n"))
   }
+
+  test("q80 shared windows: candidate pairing shuffles fingerprints, not text") {
+    // the candidate self-join must exchange only (id, 8-byte window
+    // hash); window STRINGS appear in exchanges only downstream of the
+    // survivor semi-join (the collect_set verify on candidate docs)
+    val p = plan("q80_shared_window_pairs")
+    val textShuffles = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .filter(l => l.contains("text#") || l.contains("txt#"))
+    assert(textShuffles.isEmpty, textShuffles.mkString("\n"))
+  }
+
+  test("q85 bloom decontamination: native bloom probe, no corpus-wide join fallback") {
+    val p = plan("q85_bloom_decontaminate")
+    assert(p.contains("might_contain"), "bloom probe must be the codegen'd " +
+      s"BloomFilterMightContain expression:\n${p.take(600)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(600))
+  }
 }

@@ -1,0 +1,59 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = (0L until 200L).map(i => (i, s"doc body number ${i % 50}"))
+    .toDF("id", "text") // ids 0..199 over 50 distinct texts (4 copies each)
+
+  private def contam = Seq("doc body number 7", "doc body number 13",
+    "doc body number 49", "not in the corpus at all")
+    .toDF("bad_text")
+
+  test("bloom antiJoin equals the plain exact anti join") {
+    val got = Decontaminate.antiJoin(corpus, col("text"), contam, col("bad_text"))
+      .select("id").as[Long].collect().toSet
+    val want = corpus.join(contam, col("text") === col("bad_text"), "left_anti")
+      .select("id").as[Long].collect().toSet
+    assert(got == want)
+    assert(got.size == 200 - 3 * 4) // 3 contaminated texts × 4 copies
+  }
+
+  test("bloom antiJoin stays exact when the bloom is saturated with false positives") {
+    // fpp=0.4 on 4 keys → the sketch is tiny and lies constantly; the
+    // phase-2 verify must clear every false positive
+    val got = Decontaminate.antiJoin(corpus, col("text"), contam, col("bad_text"),
+        fpp = 0.4)
+      .select("id").as[Long].collect().toSet
+    val want = corpus.join(contam, col("text") === col("bad_text"), "left_anti")
+      .select("id").as[Long].collect().toSet
+    assert(got == want)
+  }
+
+  test("flag marks exactly the contaminated rows and keeps every row") {
+    val out = Decontaminate.flag(corpus, col("text"), contam, col("bad_text"))
+      .select("id", "contaminated").as[(Long, Boolean)].collect()
+    assert(out.length == 200)
+    val flagged = out.filter(_._2).map(_._1).toSet
+    val want = corpus.join(contam, col("text") === col("bad_text"), "left_semi")
+      .select("id").as[Long].collect().toSet
+    assert(flagged == want)
+  }
+
+  test("the probe is the native codegen'd bloom expression, not a UDF") {
+    // the physical plan collapses over a LocalRelation fixture
+    // (ConvertToLocalRelation folds the filter at optimization time —
+    // itself evidence the probe is a pure Catalyst expression); the
+    // analyzed plan keeps the expression visible. The parquet-backed
+    // physical-plan assertion lives in PlanPropertiesSpec (q85).
+    val qe = Decontaminate.antiJoin(corpus, col("text"), contam, col("bad_text"))
+      .queryExecution
+    assert(qe.analyzed.toString.contains("might_contain"),
+      qe.analyzed.toString.take(600))
+    val p = qe.executedPlan.toString
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("UDF"), p.take(600))
+  }
+}

@@ -161,4 +161,47 @@ class DedupSpec extends SparkSpec {
     assert(pairs.find(p => (p._1, p._2) == (1L, 2L)).get._3 == 10000L)
     assert(pairs.find(p => (p._1, p._2) == (1L, 3L)).get._3 == 7777L)
   }
+
+  test("sharedWindowPairs finds docs sharing an aligned window, verifies away collisions") {
+    // docs 1/2/3 share the 40-char prefix window at offset 0 ("…lazy "
+    // is common; dog/cat differ only past offset 40); 4 and 5 share
+    // nothing; 5 is shorter than k and must emit no windows at all
+    val pairs = Dedup.sharedWindowPairs(docs, "doc_id", "text", k = 40, stride = 4)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(p => (p._1, p._2))
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    // doc len 43 → offsets {0} only at stride 4 → exactly one shared window
+    assert(pairs.forall(_._3 == 1L))
+  }
+
+  test("containmentPairs detects a short doc quoted inside a long one") {
+    val quoteDocs = Seq(
+      (1L, "alpha beta gamma delta", "en"),
+      (2L, "alpha beta gamma delta plus lots of framing text around the quote body here", "en"),
+      (3L, "totally disjoint vocabulary set", "en")
+    ).toDF("doc_id", "text", "lang")
+    val out = Dedup.containmentPairs(quoteDocs, "doc_id", "text",
+        Seq(col("lang")), 9000L, minSize = 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    // 1 ⊂ 2: containment = 4/4 = 1.0; no other qualifying pair
+    assert(out == Seq((1L, 2L, 10000L)), s"got $out")
+    // symmetric Jaccard of the same pair is 4/13 ≈ 0.31 — the point of
+    // the operator: q30's family cannot see this pair at any useful
+    // threshold
+    val j = Dedup.ngramJaccardPairs(quoteDocs, "doc_id", "text",
+        Seq(col("lang")), 3000L)
+      .filter($"id_a" === 1L && $"id_b" === 2L)
+      .select("jaccard_e4").as[Long].collect().toSeq
+    assert(j.headOption.forall(_ < 5000L))
+  }
+
+  test("containmentPairs minSize drops trivially-contained tiny docs") {
+    val tiny = Seq(
+      (1L, "alpha beta", "en"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta", "en")
+    ).toDF("doc_id", "text", "lang")
+    assert(Dedup.containmentPairs(tiny, "doc_id", "text",
+      Seq(col("lang")), 9000L, minSize = 3).count() == 0)
+    assert(Dedup.containmentPairs(tiny, "doc_id", "text",
+      Seq(col("lang")), 9000L, minSize = 0).count() == 1)
+  }
 }

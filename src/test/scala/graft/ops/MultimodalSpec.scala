@@ -53,6 +53,33 @@ class MultimodalSpec extends SparkSpec {
     assert(out == Set((3L, 19, 33, 3, 33L), (4L, 20, 51, 3, 33L)))
   }
 
+  test("synthesized WAV payloads round-trip through the real RIFF walker") {
+    import org.apache.spark.sql.functions._
+    val src = Seq(Tuple1(0L), Tuple1(5L)).toDF("doc_id")
+    val media = Multimodal.asWavMediaTable(src, "doc_id",
+      lit(8000L) + pmod(col("doc_id"), lit(8L)) * 1000L,
+      lit(1L) + pmod(col("doc_id"), lit(2L)))
+    val out = Multimodal.decodeAudioMeta(media)
+      .as[(Long, Int, Int, Int, Long)].collect().toSet
+    assert(out == Set((0L, 8000, 1, 16, 44L), (5L, 13000, 2, 16, 44L)))
+  }
+
+  test("parseWavHeader walks preceding chunks and rejects malformed payloads") {
+    // a LIST chunk (odd size → word-aligned walk) before fmt
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val fmt = "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++
+      le32(44100) ++ le32(44100 * 4) ++ le16(4) ++ le16(16)
+    val withList = "RIFF".getBytes ++ le32(0) ++ "WAVE".getBytes ++
+      ("LIST".getBytes ++ le32(3) ++ Array[Byte](1, 2, 3, 0)) ++ fmt
+    assert(Multimodal.parseWavHeader(withList).contains((44100, 2, 16)))
+    assert(Multimodal.parseWavHeader("RIFFxxxxNOPE".getBytes).isEmpty)
+    assert(Multimodal.parseWavHeader(
+      "RIFF".getBytes ++ le32(0) ++ "WAVE".getBytes ++ "fmt ".getBytes ++ le32(16) ++
+        le16(99) ++ le16(1) ++ le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16)).isEmpty,
+      "non-PCM format codes must be rejected")
+  }
+
   test("decodeFeatures emits deterministic metadata and drops the payload") {
     val m = Multimodal.asMediaTable(docs, "doc_id", "text")
     val d = Multimodal.decodeFeatures(m)
