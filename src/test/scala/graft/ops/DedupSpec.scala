@@ -194,6 +194,44 @@ class DedupSpec extends SparkSpec {
     assert(j.headOption.forall(_ < 5000L))
   }
 
+  test("sharedWindowPairs equals the naive window cross-join on real data") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = Dedup.sharedWindowPairs(real, "doc_id", "text", k = 40, stride = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    // naive reference: window strings joined directly (no fingerprints)
+    val wins = real.filter(length($"text") >= 40)
+      .select($"doc_id",
+        explode(sequence(lit(0), length($"text") - 40, lit(4))).as("off"),
+        $"text")
+      .select($"doc_id", substring($"text", $"off" + 1, lit(40)).as("win"))
+      .distinct()
+    val naive = wins.alias("a").join(wins.alias("b"),
+        $"a.win" === $"b.win" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+      .agg(count(lit(1)).as("shared_ct"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == naive && got.nonEmpty, s"got ${got.size} naive ${naive.size}")
+  }
+
+  test("containmentPairs equals the naive array-intersect join on real data") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = Dedup.containmentPairs(real, "doc_id", "text",
+        Seq(col("lang")), 9000L, minSize = 30)
+      .as[(Long, Long, Long)].collect().toSet
+    val t = real.select($"doc_id", $"lang",
+        array_distinct(graft.functions.TextFunctions.tokenize(lower($"text"))).as("toks"))
+      .filter(size($"toks") >= 30)
+    val naive = t.alias("a").join(t.alias("b"),
+        $"a.lang" === $"b.lang" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+        floor(size(array_intersect($"a.toks", $"b.toks")).cast("double") * 10000.0 /
+          least(size($"a.toks"), size($"b.toks")).cast("double"))
+          .cast("long").as("containment_e4"))
+      .filter($"containment_e4" >= 9000L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == naive && got.nonEmpty, s"got ${got.size} naive ${naive.size}")
+  }
+
   test("containmentPairs minSize drops trivially-contained tiny docs") {
     val tiny = Seq(
       (1L, "alpha beta", "en"),
