@@ -22,7 +22,7 @@ import org.apache.spark.sql.graft.BloomProbe
   *  1. BLOOM PREFILTER, zero shuffles: an ~n·log₂(1/fpp)·1.44-bit
   *     bloom sketch of the contamination keys is built (one partial-agg
   *     pass over the small side), shipped in the task binary, and
-  *     probed by a codegen'd [[BloomFilterMightContain]] on
+  *     probed by a codegen'd `BloomFilterMightContain` on
   *     `xxhash64(key)` — the corpus streams through map-side, no
   *     exchange. Bloom negatives are DEFINITE non-members: those rows
   *     are clean, done, never shuffled.
@@ -36,60 +36,81 @@ import org.apache.spark.sql.graft.BloomProbe
   * physical plan, never the answer. fpp trades sketch bits against
   * phase-2 shuffle rows: at fpp=1% the verify shuffle is ~1% of corpus
   * rows, at ~12 bits per contamination key.
+  *
+  * [[Decontaminate.prepare]] builds the sketch ONCE and returns a
+  * reusable filter — the shape for recurring jobs and streaming
+  * micro-batches, where rebuilding the bloom per batch would re-scan
+  * the contamination list every trigger.
   */
 object Decontaminate {
 
-  /** Serialized bloom sketch of `xxhash64(keyCol)` over `contam`,
-    * wrapped as a might-contain Column probe for `probeKey`. The probe
-    * is Catalyst's own codegen'd bloom expression — the same kernel
-    * injected by Spark's runtime row-level filtering — so it inlines
-    * into whole-stage codegen on the corpus scan.
+  /** A built contamination filter: the serialized bloom sketch plus the
+    * distinct key list for the exact phase. Reusable across any number
+    * of corpora/batches keyed by the same domain.
     */
-  private def mightContain(contam: DataFrame, keyCol: Column,
-                           probeKey: Column, fpp: Double): Column = {
-    val hashed = contam.select(xxhash64(keyCol).as("__ck")).distinct()
+  final class Prepared private[Decontaminate](bloomBytes: Array[Byte],
+                                              keys: DataFrame) {
+
+    /** Codegen'd map-side membership probe for `corpusKey`. */
+    def mightContain(corpusKey: Column): Column =
+      BloomProbe.mightContainLong(bloomBytes, xxhash64(corpusKey))
+
+    /** Exact `corpus ANTI JOIN contam`, corpus-side shuffle reduced to
+      * bloom-positive rows.
+      */
+    def antiJoin(corpus: DataFrame, corpusKey: Column): DataFrame = {
+      val mc = mightContain(corpusKey)
+      // definite non-members stream straight through — no exchange
+      val clean = corpus.filter(!mc)
+      // bloom positives (true matches + ~fpp of corpus) get the exact check
+      val cleared = corpus.filter(mc)
+        .join(keys, corpusKey === col("__k"), "left_anti")
+      clean.unionByName(cleared)
+    }
+
+    /** Keep-everything variant: flags each corpus row with
+      * `contaminated` instead of dropping it (audit / lineage mode).
+      * Bloom negatives are flagged false map-side; only bloom positives
+      * pay the exact semi/anti joins.
+      */
+    def flag(corpus: DataFrame, corpusKey: Column): DataFrame = {
+      val mc = mightContain(corpusKey)
+      val positives = corpus.filter(mc)
+      val confirmed = positives
+        .join(keys, corpusKey === col("__k"), "left_semi")
+        .withColumn("contaminated", lit(true))
+      val falsePos = positives
+        .join(keys, corpusKey === col("__k"), "left_anti")
+        .withColumn("contaminated", lit(false))
+      corpus.filter(!mc).withColumn("contaminated", lit(false))
+        .unionByName(confirmed).unionByName(falsePos)
+    }
+  }
+
+  /** Build the bloom sketch (one aggregation pass over the
+    * contamination list) and capture the distinct keys for the exact
+    * phase. `keys` is persisted by the caller's lifecycle if reused —
+    * it is a plain DataFrame, re-evaluated per use otherwise.
+    */
+  def prepare(contam: DataFrame, contamKey: Column,
+              fpp: Double = 0.01): Prepared = {
+    val hashed = contam.select(xxhash64(contamKey).as("__ck")).distinct()
     val n = math.max(hashed.count(), 1L)
     val bloom = hashed.stat.bloomFilter("__ck", n, fpp)
     val os = new java.io.ByteArrayOutputStream()
     bloom.writeTo(os)
-    BloomProbe.mightContainLong(os.toByteArray, xxhash64(probeKey))
+    new Prepared(os.toByteArray, contam.select(contamKey.as("__k")).distinct())
   }
 
-  /** Exact `corpus ANTI JOIN contam` with the corpus-side shuffle
-    * reduced to bloom-positive rows only. `corpusKey`/`contamKey` are
-    * key expressions over their respective frames.
-    */
+  /** One-shot exact `corpus ANTI JOIN contam` (see [[Prepared.antiJoin]]). */
   def antiJoin(corpus: DataFrame, corpusKey: Column,
                contam: DataFrame, contamKey: Column,
-               fpp: Double = 0.01): DataFrame = {
-    val mc = mightContain(contam, contamKey, corpusKey, fpp)
-    // definite non-members stream straight through — no exchange
-    val clean = corpus.filter(!mc)
-    // bloom positives (true matches + ~fpp of corpus) get the exact check
-    val keys = contam.select(contamKey.as("__k")).distinct()
-    val cleared = corpus.filter(mc)
-      .join(keys, corpusKey === col("__k"), "left_anti")
-    clean.unionByName(cleared)
-  }
+               fpp: Double = 0.01): DataFrame =
+    prepare(contam, contamKey, fpp).antiJoin(corpus, corpusKey)
 
-  /** Same two-phase shape, keep-everything variant: flags each corpus
-    * row with `contaminated` instead of dropping it (audit / lineage
-    * mode). Bloom negatives are flagged false map-side; only bloom
-    * positives pay the exact semi-join.
-    */
+  /** One-shot flag variant (see [[Prepared.flag]]). */
   def flag(corpus: DataFrame, corpusKey: Column,
            contam: DataFrame, contamKey: Column,
-           fpp: Double = 0.01): DataFrame = {
-    val mc = mightContain(contam, contamKey, corpusKey, fpp)
-    val keys = contam.select(contamKey.as("__k")).distinct()
-    val positives = corpus.filter(mc)
-    val confirmed = positives
-      .join(keys, corpusKey === col("__k"), "left_semi")
-      .withColumn("contaminated", lit(true))
-    val falsePos = positives
-      .join(keys, corpusKey === col("__k"), "left_anti")
-      .withColumn("contaminated", lit(false))
-    corpus.filter(!mc).withColumn("contaminated", lit(false))
-      .unionByName(confirmed).unionByName(falsePos)
-  }
+           fpp: Double = 0.01): DataFrame =
+    prepare(contam, contamKey, fpp).flag(corpus, corpusKey)
 }

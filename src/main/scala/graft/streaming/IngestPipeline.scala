@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.ops.Quality
+import graft.ops.{Decontaminate, Quality}
 
 /** The end-to-end streaming training-data ingest loop: each micro-batch
   * is quality-gated, PII-scrubbed, and near-dup-checked against every
@@ -22,32 +22,59 @@ import graft.ops.Quality
   */
 object IngestPipeline {
 
-  /** foreachBatch sink: gate → redact → incremental dedup → index/corpus
-    * append. `onBatch(cleanPairs, droppedCount, batchId)` receives the
-    * batch's near-dup pairs (vs all history) and how many rows the gate
-    * dropped; it must materialize `cleanPairs` before returning.
+  /** foreachBatch sink: gate → redact → decontaminate → incremental
+    * dedup → index/corpus append. `onBatch(cleanPairs, droppedCount,
+    * batchId)` receives the batch's near-dup pairs (vs all history) and
+    * how many rows were dropped (gate rejects + contamination matches);
+    * it must materialize `cleanPairs` before returning.
+    *
+    * `contam`: optional (frame, key-column) benchmark/test-set list —
+    * its bloom sketch is built ONCE here, outside the closure, so each
+    * micro-batch pays only the map-side probe plus the exact verify on
+    * bloom positives (never a batch-wide shuffle, never a re-scan of
+    * the contamination list). Matching runs on REDACTED text — the
+    * same form the corpus stores and consumers read.
     */
   def trainingIngestSink(spark: SparkSession, db: String,
                          corpusTable: String, indexTable: String,
                          idCol: String, textCol: String,
                          shingleN: Int = 5, k: Int = 32, bands: Int = 8,
-                         threshold: Double = 0.8)
+                         threshold: Double = 0.8,
+                         contam: Option[(DataFrame, String)] = None)
                         (onBatch: (DataFrame, Long, Long) => Unit): (DataFrame, Long) => Unit = {
+    val contamFilter = contam.map { case (c, keyCol) =>
+      Decontaminate.prepare(c, col(keyCol))
+    }
     (batch: DataFrame, batchId: Long) => {
       val gated = batch
         .withColumn("__reason", Quality.gateReason(col(textCol)))
         .persist()
-      val dropped = gated.filter(col("__reason") =!= "keep").count()
-      val cleaned = gated.filter(col("__reason") === "keep")
+      val droppedGate = gated.filter(col("__reason") =!= "keep").count()
+      val redacted = gated.filter(col("__reason") === "keep")
         .drop("__reason")
         .withColumn(textCol, TextFunctions.redactPii(col(textCol)))
+      // persisted when the contamination filter is on: the frame feeds
+      // the dropped-count AND the dedup pass, and the bloom+verify must
+      // not re-run per consumer
+      val cleaned = contamFilter match {
+        case Some(f) => f.antiJoin(redacted, col(textCol)).persist()
+        case None => redacted
+      }
+      val dropped = contamFilter match {
+        case Some(_) => droppedGate + (redacted.count() - cleaned.count())
+        case None => droppedGate
+      }
       val dedup = StreamingDedup.incrementalDedupSink(spark, db,
         corpusTable, indexTable, idCol, textCol,
         shingleN, k, bands, threshold) {
         (pairs, id) => onBatch(pairs, dropped, id)
       }
       try dedup(cleaned, batchId)
-      finally { gated.unpersist(); () }
+      finally {
+        gated.unpersist()
+        if (contamFilter.isDefined) cleaned.unpersist()
+        ()
+      }
     }
   }
 }

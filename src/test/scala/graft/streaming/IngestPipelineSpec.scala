@@ -72,4 +72,40 @@ class IngestPipelineSpec extends SparkSpec {
     assert(texts.forall(t => t.contains("<EMAIL>") && !t.contains("@example.com")
       && !t.contains("@elsewhere.org")), texts.mkString("; "))
   }
+
+  test("contamination list blocks matching docs from the corpus, matched on redacted form") {
+    // the incoming doc carries raw PII; the contamination list stores
+    // the REDACTED form (as a published benchmark would) — the match
+    // only fires if decontamination runs AFTER redaction
+    val incoming = goodDoc(
+      "benchmark item from eval.owner@example.com what is the answer to item 7")
+    val contamList = Seq(
+      goodDoc("benchmark item from <EMAIL> what is the answer to item 7"),
+      "some other benchmark item never seen in the stream")
+      .toDF("bad_text")
+    val droppedByBatch = scala.collection.mutable.Map[Long, Long]()
+    val sink = IngestPipeline.trainingIngestSink(spark, db,
+        "ing2_corpus", "ing2_index", "doc_id", "text",
+        shingleN = 5, k = 32, bands = 16, threshold = 0.5,
+        contam = Some((contamList, "bad_text"))) {
+      (pairs, dropped, batchId) =>
+        pairs.count(); droppedByBatch(batchId) = dropped
+    }
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(sink)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ingck2").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
+    input.addData(
+      (1L, incoming),                      // matches after redaction
+      (2L, goodDoc("a perfectly ordinary clean document body")),
+      (3L, "tiny"))                        // gate reject
+    q.processAllAvailable(); q.stop()
+
+    assert(droppedByBatch(0L) == 2L,
+      s"gate reject + contamination match: $droppedByBatch")
+    val corpus = spark.table(s"`$db`.`ing2_corpus`")
+    assert(corpus.select("id").as[Long].collect().toSet == Set(2L))
+  }
 }
