@@ -906,14 +906,9 @@ object SparkEntry {
         .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
         .persist(mem) // feeds the freq agg AND both join probes
       val freqs = tokCounts.groupBy(col("tok")).agg(sum(col("c")).as("freq"))
-      val head = freqs.orderBy(col("freq").desc, col("tok")).limit(1024)
-        .persist(mem) // broadcast side + the anti-join that defines the tail
-      val tail = freqs.join(head.select(col("tok")), Seq("tok"), "left_anti")
-      val contrib = tokCounts.join(broadcast(head), Seq("tok"))
+      ops.Skew.headTailJoin(tokCounts, freqs, "tok", col("freq"), topK = 1024)
         .select(col("doc_id"), col("c"), (col("c") * col("freq")).as("cf"))
-        .unionByName(tokCounts.join(tail, Seq("tok"))
-          .select(col("doc_id"), col("c"), (col("c") * col("freq")).as("cf")))
-      contrib.groupBy(col("doc_id"))
+        .groupBy(col("doc_id"))
         .agg(sum(col("c")).as("n_toks"), sum(col("cf")).as("sum_freq"))
         .select(col("doc_id"), col("n_toks"), col("sum_freq"),
           floor(col("sum_freq").cast("double") / col("n_toks").cast("double") * 100)
@@ -986,11 +981,7 @@ object SparkEntry {
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
         .persist(mem) // feeds the df agg AND both join probes
       val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val head = dfreq.orderBy(col("df").desc, col("term")).limit(1024)
-        .persist(mem)
-      val tail = dfreq.join(head.select(col("term")), Seq("term"), "left_anti")
-      val joined = tf.join(broadcast(head), Seq("term"))
-        .unionByName(tf.join(tail, Seq("term")))
+      val joined = ops.Skew.headTailJoin(tf, dfreq, "term", col("df"), topK = 1024)
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tf").desc, col("df").asc, col("term").asc)
       joined.withColumn("term_rank", row_number().over(w).cast("long"))

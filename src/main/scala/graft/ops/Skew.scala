@@ -37,4 +37,35 @@ object Skew {
       .agg(sum(col("_psum")).cast("double").as(s"sum_$valueCol"),
         sum(col("_pct")).as("row_ct"))
   }
+
+  /** Zipf-safe enrichment join — the JOIN-side counterpart of
+    * [[saltedSumCount]] for the case AQE's skew-join cannot fix at
+    * plan time: a probe stream joined to per-key statistics on a
+    * power-law key (token → corpus frequency, term → document
+    * frequency). The hottest keys are precisely the ones every
+    * partition probes, so a plain shuffle join hotspots on the head
+    * no matter how the tail is split.
+    *
+    * Head/tail split instead, exact by construction (head ∪ tail
+    * partitions `right`, both legs are the same inner join):
+    *  - HEAD: the `topK` hottest right-side keys (caller-supplied
+    *    hotness column, deterministic tiebreak on the key) join by
+    *    BROADCAST — the head is bounded (topK rows) regardless of
+    *    corpus size, and broadcast joins cannot skew.
+    *  - TAIL: every remaining key joins by shuffle; each tail key's
+    *    frequency is ≤ the K-th hotness by construction, so the
+    *    worst shuffle partition is bounded.
+    *
+    * The head frame is persisted (it feeds both the broadcast and the
+    * anti-join defining the tail); session cache hygiene owns its
+    * lifecycle, same as the dedup family's intermediates.
+    */
+  def headTailJoin(left: DataFrame, right: DataFrame, key: String,
+                   hotness: Column, topK: Int = 1024): DataFrame = {
+    val head = right.orderBy(hotness.desc, col(key)).limit(topK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tail = right.join(head.select(col(key)), Seq(key), "left_anti")
+    left.join(broadcast(head), Seq(key))
+      .unionByName(left.join(tail, Seq(key)))
+  }
 }

@@ -20,6 +20,23 @@ class ScaleOpsSpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("headTailJoin equals the plain join and broadcasts the head") {
+    // Zipf-ish: token t1 in 500 rows, t2 in 50, the rest rare
+    val probe = ((1L to 500L).map(i => (i, "t1")) ++
+      (1L to 50L).map(i => (i, "t2")) ++
+      (1L to 5L).map(i => (i, s"rare$i"))).toDF("id", "tok")
+    val stats = probe.groupBy($"tok").agg(count(lit(1)).as("freq"))
+    val got = Skew.headTailJoin(probe, stats, "tok", $"freq", topK = 2)
+    val want = probe.join(stats, "tok")
+    assert(got.count() == want.count())
+    assert(got.select("tok", "id", "freq").as[(String, Long, Long)].collect().toSet ==
+      want.select("tok", "id", "freq").as[(String, Long, Long)].collect().toSet)
+    // the head leg is a broadcast join; the raw hot key never drives a
+    // shuffled join alone
+    val p = got.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     assert(wh != null)
