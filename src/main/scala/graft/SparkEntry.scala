@@ -1046,6 +1046,27 @@ object SparkEntry {
         .select(col("doc_id"), col("contaminated"))
     }),
 
+    // Within-doc self-repetition at window granularity (the
+    // boilerplate/template signal the pair-wise window dedup can't
+    // give): duplicated-40-char-window fraction per doc as PURE array
+    // expressions — sequence → transform(substring) → size vs
+    // size(array_distinct), zero shuffles, whole row streams through
+    // codegen. Complements q68's token-level repetition metrics.
+    "q87_self_repetition" -> ((s, dir) => {
+      val k = 40
+      val wins = transform(
+        sequence(lit(0), greatest(length(col("text")) - k, lit(0)), lit(4)),
+        o => substring(col("text"), o + 1, lit(k)))
+      T(s, dir, "documents")
+        .filter(length(col("text")) >= k)
+        .select(col("doc_id"),
+          size(wins).cast("long").as("n_windows"),
+          size(array_distinct(wins)).cast("long").as("n_distinct"))
+        .withColumn("dup_frac_e4",
+          floor((col("n_windows") - col("n_distinct")).cast("double") * 10000.0 /
+            col("n_windows").cast("double")).cast("long"))
+    }),
+
     // Multimodal audio leg: REAL synthesized RIFF/WAV headers with
     // row-derived params, parsed back by the real LE chunk walker
     // (ops.Multimodal.parseWavHeader) — the q34 pattern: Spark
@@ -1974,6 +1995,19 @@ object SparkEntry {
       """SELECT doc_id,
          text IN (SELECT text FROM documents WHERE doc_id % 7 = 0) AS contaminated
          FROM documents""",
+
+    "q87_self_repetition" ->
+      """WITH w AS (
+           SELECT doc_id,
+             list_transform(range(0, CAST(length(text) AS BIGINT) - 39, 4),
+               o -> substr(text, CAST(o AS INT) + 1, 40)) AS wins
+           FROM documents WHERE length(text) >= 40)
+         SELECT doc_id,
+           CAST(len(wins) AS BIGINT) AS n_windows,
+           CAST(len(list_distinct(wins)) AS BIGINT) AS n_distinct,
+           CAST(floor(CAST(len(wins) - len(list_distinct(wins)) AS DOUBLE) * 10000.0
+             / CAST(len(wins) AS DOUBLE)) AS BIGINT) AS dup_frac_e4
+         FROM w""",
 
     // replays the WAV synthesis arithmetic; the Spark side actually
     // round-trips through RIFF bytes (q34's oracle pattern)
