@@ -1067,6 +1067,24 @@ object SparkEntry {
             col("n_windows").cast("double")).cast("long"))
     }),
 
+    // Per-label embedding centroids in fixed point — the ANN family's
+    // first hash-green TRAINING artifact (Similarity.trainCentroids'
+    // k-means statistic, made engine-portable): components are floored
+    // to e6 BIGINTs BEFORE summing, so the per-(label, dim) sums are
+    // order-independent integers — no float accumulation-order
+    // divergence — and map-side partial aggregation collapses the
+    // posexplode's ×dim rows to |labels|×dim partials per partition
+    // before the only shuffle.
+    "q88_label_centroids" -> ((s, dir) =>
+      T(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim_idx", "v")))
+        .select(col("label"), col("dim_idx").cast("long").as("dim_idx"),
+          floor(col("v").cast("double") * 1000000.0).cast("long").as("v_e6"))
+        .groupBy(col("label"), col("dim_idx"))
+        .agg(count(lit(1)).as("n"), sum(col("v_e6")).as("sum_e6"))
+        .withColumn("centroid_e6",
+          floor(col("sum_e6").cast("double") / col("n").cast("double")).cast("long"))),
+
     // Multimodal audio leg: REAL synthesized RIFF/WAV headers with
     // row-derived params, parsed back by the real LE chunk walker
     // (ops.Multimodal.parseWavHeader) — the q34 pattern: Spark
@@ -1995,6 +2013,20 @@ object SparkEntry {
       """SELECT doc_id,
          text IN (SELECT text FROM documents WHERE doc_id % 7 = 0) AS contaminated
          FROM documents""",
+
+    // fixed-point BEFORE the sum: integer sums are order-independent,
+    // so engine-side aggregation order cannot diverge
+    "q88_label_centroids" ->
+      """WITH e AS (
+           SELECT label,
+             unnest(range(0, len(embedding))) AS dim_idx,
+             unnest(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))) AS v_e6
+           FROM embeddings)
+         SELECT label, CAST(dim_idx AS BIGINT) AS dim_idx,
+           count(*) AS n,
+           CAST(sum(v_e6) AS BIGINT) AS sum_e6,
+           CAST(floor(CAST(sum(v_e6) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS centroid_e6
+         FROM e GROUP BY 1, 2""",
 
     "q87_self_repetition" ->
       """WITH w AS (
