@@ -1067,6 +1067,23 @@ object SparkEntry {
             col("n_windows").cast("double")).cast("long"))
     }),
 
+    // Context-window chunking (training/RAG prep): 64-token chunks at
+    // stride 48 (16-token overlap), trailing partial kept. Pure
+    // explode + projection — zero shuffles; chunk identity is
+    // (doc_id, chunk_idx), deterministic for downstream dedup/packing.
+    "q89_chunk_documents" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"), TF.tokenize(lower(col("text"))).as("toks"))
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)), lit(48)))
+            .as("off"))
+        .select(col("doc_id"),
+          (col("off") / 48).cast("long").as("chunk_idx"),
+          slice(col("toks"), col("off") + 1, lit(64)).as("chunk"))
+        .select(col("doc_id"), col("chunk_idx"),
+          array_join(col("chunk"), " ").as("chunk_text"),
+          size(col("chunk")).cast("long").as("n_tokens"))),
+
     // Per-label embedding centroids in fixed point — the ANN family's
     // first hash-green TRAINING artifact (Similarity.trainCentroids'
     // k-means statistic, made engine-portable): components are floored
@@ -2013,6 +2030,21 @@ object SparkEntry {
       """SELECT doc_id,
          text IN (SELECT text FROM documents WHERE doc_id % 7 = 0) AS contaminated
          FROM documents""",
+
+    // list_slice end-index is INCLUSIVE (Spark slice takes a length)
+    "q89_chunk_documents" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS toks
+           FROM documents),
+         c AS (
+           SELECT doc_id, toks,
+             unnest(range(0, CAST(len(toks) AS BIGINT), 48)) AS o
+           FROM t)
+         SELECT doc_id, o // 48 AS chunk_idx,
+           array_to_string(list_slice(toks, CAST(o AS INT) + 1, CAST(o AS INT) + 64), ' ') AS chunk_text,
+           CAST(len(list_slice(toks, CAST(o AS INT) + 1, CAST(o AS INT) + 64)) AS BIGINT) AS n_tokens
+         FROM c""",
 
     // fixed-point BEFORE the sum: integer sums are order-independent,
     // so engine-side aggregation order cannot diverge

@@ -24,7 +24,7 @@ class PlanPropertiesSpec extends SparkSpec {
 
   test("q61 split assignment and q67/q69/q87 scrubbing are shuffle-free projections") {
     for (q <- Seq("q61_split_assign", "q67_pii_redact", "q69_quality_gate",
-                  "q87_self_repetition")) {
+                  "q87_self_repetition", "q89_chunk_documents")) {
       val p = plan(q)
       assert(exchanges(p) == 0, s"$q must be a narrow projection:\n${p.take(400)}")
       assert(!p.contains("BroadcastNestedLoopJoin"), q)
