@@ -1084,6 +1084,23 @@ object SparkEntry {
           array_join(col("chunk"), " ").as("chunk_text"),
           size(col("chunk")).cast("long").as("n_tokens"))),
 
+    // Exact within-label cosine pairs — the hash-checked brute-force
+    // BASELINE the LSH/IVF near-dup variants (q35 et al.) are measured
+    // against: blocking on the label bounds the quadratic term to
+    // n²/|labels| (the same role lang×length bands play for q30), and
+    // every pair's cosine runs through the codegen'd DotProduct —
+    // index-ordered double accumulation the oracle replays exactly.
+    "q90_cosine_pairs_label" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), col("embedding"))
+      e.alias("a").join(e.alias("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          floor(VF.cosine(col("a.embedding"), col("b.embedding")) * 10000)
+            .cast("long").as("cos_e4"))
+        .filter(col("cos_e4") >= 3000L)
+    }),
+
     // Per-label embedding centroids in fixed point — the ANN family's
     // first hash-green TRAINING artifact (Similarity.trainCentroids'
     // k-means statistic, made engine-portable): components are floored
@@ -2030,6 +2047,22 @@ object SparkEntry {
       """SELECT doc_id,
          text IN (SELECT text FROM documents WHERE doc_id % 7 = 0) AS contaminated
          FROM documents""",
+
+    // mirrors VF.cosine's composition exactly: zip-product fold for
+    // the dot (index order = Spark's DotProduct loop), sqrt'd
+    // self-dots, (dot / (na*nb)) * 1e4 floored — correctly-rounded
+    // IEEE ops end to end, so the floors agree bit-for-bit
+    "q90_cosine_pairs_label" ->
+      """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+         p AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(floor(
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (x, y) -> x + y)
+               / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (x, y) -> x + y))
+                * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (x, y) -> x + y)))
+               * 10000) AS BIGINT) AS cos_e4
+           FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+         SELECT * FROM p WHERE cos_e4 >= 3000""",
 
     // list_slice end-index is INCLUSIVE (Spark slice takes a length)
     "q89_chunk_documents" ->
