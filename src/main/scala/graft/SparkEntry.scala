@@ -1101,6 +1101,46 @@ object SparkEntry {
         .filter(col("cos_e4") >= 3000L)
     }),
 
+    // Nearest-centroid assignment (the k-means E-step over q88's
+    // fixed-point centroids), hash-green: distances are index-ordered
+    // IEEE folds against the e6 centroid (cast back to double — both
+    // engines compute c/1e6 identically), and the argmin is
+    // min(struct(dist, label)) — a MAP-SIDE-COMBINABLE aggregate, so
+    // the shuffle carries one (vec, best-so-far) partial per partition
+    // instead of the |vecs|×|centroids| distance rows a window-rank
+    // argmin would exchange. Tiebreak = lower label, same total order
+    // as the oracle's (dist, label) rank (no ties in the data; the
+    // order is defined anyway).
+    "q91_nearest_centroid" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val cent = e
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim_idx", "v")))
+        .select(col("label"), col("dim_idx"),
+          floor(col("v").cast("double") * 1000000.0).cast("long").as("v_e6"))
+        .groupBy(col("label"), col("dim_idx"))
+        .agg(count(lit(1)).as("n"), sum(col("v_e6")).as("sum_e6"))
+        .select(col("label").as("c_label"), col("dim_idx"),
+          floor(col("sum_e6").cast("double") / col("n").cast("double"))
+            .cast("long").as("c_e6"))
+        .groupBy(col("c_label"))
+        .agg(transform(array_sort(collect_list(struct(col("dim_idx"), col("c_e6")))),
+          x => x.getField("c_e6")).as("cvec"))
+      e.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("c_label"),
+          aggregate(
+            zip_with(col("embedding"), col("cvec"), (x, c) => {
+              val d = x.cast("double") - c.cast("double") / 1000000.0
+              d * d
+            }),
+            lit(0.0), (a, v) => a + v).as("dist"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("c_label"))).as("best"))
+        .select(col("vec_id"),
+          col("best.c_label").as("nearest_label"),
+          floor(col("best.dist") * 1000000.0).cast("long").as("dist_e6"))
+    }),
+
     // Per-label embedding centroids in fixed point — the ANN family's
     // first hash-green TRAINING artifact (Similarity.trainCentroids'
     // k-means statistic, made engine-portable): components are floored
@@ -2047,6 +2087,37 @@ object SparkEntry {
       """SELECT doc_id,
          text IN (SELECT text FROM documents WHERE doc_id % 7 = 0) AS contaminated
          FROM documents""",
+
+    // window-rank argmin on (dist, label): the same total order as the
+    // engine's min(struct(dist, label)) — equal when no per-vec
+    // distance ties (none in this data; both orders break ties by
+    // lower label anyway)
+    "q91_nearest_centroid" ->
+      """WITH x AS (
+           SELECT label, unnest(range(0, len(embedding))) AS dim_idx,
+             unnest(list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT))) AS v_e6
+           FROM embeddings),
+         c AS (
+           SELECT label AS c_label, dim_idx,
+             CAST(floor(CAST(sum(v_e6) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS c_e6
+           FROM x GROUP BY 1, 2),
+         cv AS (
+           SELECT c_label, list(c_e6 ORDER BY dim_idx) AS cvec FROM c GROUP BY 1),
+         d AS (
+           SELECT e.vec_id, cv.c_label,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(list_zip(e.embedding, cv.cvec),
+                 p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) / 1000000.0)
+                    * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) / 1000000.0))),
+               (a, b) -> a + b) AS dist
+           FROM embeddings e CROSS JOIN cv),
+         r AS (
+           SELECT vec_id, c_label, dist,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_label) AS rn
+           FROM d)
+         SELECT vec_id, c_label AS nearest_label,
+           CAST(floor(dist * 1000000.0) AS BIGINT) AS dist_e6
+         FROM r WHERE rn = 1""",
 
     // mirrors VF.cosine's composition exactly: zip-product fold for
     // the dot (index order = Spark's DotProduct loop), sqrt'd
