@@ -1084,6 +1084,28 @@ object SparkEntry {
           array_join(col("chunk"), " ").as("chunk_text"),
           size(col("chunk")).cast("long").as("n_tokens"))),
 
+    // BPE-style adjacent-pair statistics (the aggregate a tokenizer
+    // merge step maximizes): zip each doc's token stream with its own
+    // 1-shift, count globally, rank with a deterministic tiebreak.
+    // One shuffle carrying (pair, partial-count) — map-side combine
+    // absorbs the Zipf head; TakeOrderedAndProject cuts the top-k
+    // per partition before the driver merge.
+    "q92_bpe_pair_counts" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(TF.tokenize(lower(col("text"))).as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("pair_ct"))
+        // TakeOrderedAndProject first (per-partition heap of 20), THEN
+        // rank the 20 survivors — a global window over the full
+        // vocabulary would single-partition-sort the Zipf tail
+        .orderBy(col("pair_ct").desc, col("pair").asc).limit(20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("pair_ct").desc, col("pair").asc)).cast("long"))),
+
     // Exact within-label cosine pairs — the hash-checked brute-force
     // BASELINE the LSH/IVF near-dup variants (q35 et al.) are measured
     // against: blocking on the label bounds the quadratic term to
@@ -2087,6 +2109,21 @@ object SparkEntry {
       """SELECT doc_id,
          text IN (SELECT text FROM documents WHERE doc_id % 7 = 0) AS contaminated
          FROM documents""",
+
+    "q92_bpe_pair_counts" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS toks
+           FROM documents),
+         p AS (
+           SELECT unnest(list_transform(
+             list_zip(list_slice(toks, 1, len(toks) - 1), list_slice(toks, 2, len(toks))),
+             z -> z[1] || ' ' || z[2])) AS pair
+           FROM t WHERE len(toks) >= 2),
+         c AS (SELECT pair, count(*) AS pair_ct FROM p GROUP BY 1)
+         SELECT pair, pair_ct,
+           CAST(row_number() OVER (ORDER BY pair_ct DESC, pair ASC) AS BIGINT) AS rank
+         FROM c ORDER BY pair_ct DESC, pair ASC LIMIT 20""",
 
     // window-rank argmin on (dist, label): the same total order as the
     // engine's min(struct(dist, label)) — equal when no per-vec
