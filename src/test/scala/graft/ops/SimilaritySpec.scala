@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
@@ -89,5 +90,43 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(pairs.exists(p => p._1 == 10L && p._2 == 11L && p._3 >= 9900L))
     assert(pairs.forall(p => p._1 < p._2))
+  }
+
+  test("q91's combinable min(struct) argmin equals a window-rank argmin on real data") {
+    // the scale claim: the map-side-combinable aggregate and the
+    // window rank induce the same (dist, label) total order — pinned
+    // here so a tiebreak drift in either form fails the build
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("q91_nearest_centroid")(spark, sf)
+      .as[(Long, Int, Long)].collect().toSet
+    // independent reference: same distances, argmin via window rank
+    val e = graft.core.Tables.load(spark, sf, "embeddings")
+    val cent = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim_idx", "v")))
+      .select(col("label"), col("dim_idx"),
+        floor(col("v").cast("double") * 1000000.0).cast("long").as("v_e6"))
+      .groupBy(col("label"), col("dim_idx"))
+      .agg(count(lit(1)).as("n"), sum(col("v_e6")).as("sum_e6"))
+      .select(col("label").as("c_label"), col("dim_idx"),
+        floor(col("sum_e6").cast("double") / col("n").cast("double"))
+          .cast("long").as("c_e6"))
+      .groupBy(col("c_label"))
+      .agg(transform(array_sort(collect_list(struct(col("dim_idx"), col("c_e6")))),
+        x => x.getField("c_e6")).as("cvec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("dist"), col("c_label"))
+    val want = e.select(col("vec_id"), col("embedding")).crossJoin(cent)
+      .select(col("vec_id"), col("c_label"),
+        aggregate(
+          zip_with(col("embedding"), col("cvec"), (x, c) => {
+            val d = x.cast("double") - c.cast("double") / 1000000.0
+            d * d
+          }),
+          lit(0.0), (a, v) => a + v).as("dist"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_label").as("nearest_label"),
+        floor(col("dist") * 1000000.0).cast("long").as("dist_e6"))
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got == want && got.nonEmpty)
   }
 }
