@@ -765,10 +765,18 @@ object Dedup {
     * are small integers exactly representable as doubles, so the
     * division is identically rounded in any IEEE engine and the floor
     * is engine-portable (same argument as the Jaccard family).
+    *
+    * `maxDfFrac` is the scale knob for the quadratic term: tokens
+    * present in more than that fraction of the block's docs (the
+    * stopwords that drive Σf²) are dropped BEFORE the join. Set-sizes
+    * keep counting the full distinct sets, so every reported score is
+    * a LOWER BOUND on the true containment — the capped output is a
+    * subset of the exact output (missed pairs possible, spurious pairs
+    * impossible; pinned in `DedupSpec`). Default 1.0 = exact.
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        blockCols: Seq[Column], thresholdE4: Long,
-                       minSize: Int = 0): DataFrame = {
+                       minSize: Int = 0, maxDfFrac: Double = 1.0): DataFrame = {
     val keys = blockCols.indices.map(i => s"blk_$i")
     // both pair members must have ≥ minSize distinct tokens (containment
     // of a near-empty set is trivially 1), so sub-minSize docs can be
@@ -783,9 +791,21 @@ object Dedup {
         explode(col("toks")).as("tok"): _*)
       .select((col("id") +: col("sz") +: keys.map(col)) :+
         xxhash64(col("tok")).as("th"): _*)
+    // df-cap: drop block-stopwords before the self-join. toks rows are
+    // distinct per (id, th), so the per-(block, th) count IS document
+    // frequency; both stat frames are token-hash-sized aggregates.
+    val joinable = if (maxDfFrac >= 1.0) toks else {
+      val blockDocs = toks.select(keys.map(col) :+ col("id"): _*).distinct()
+        .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__bd"))
+      val dfc = toks.groupBy((keys.map(col) :+ col("th")): _*)
+        .agg(count(lit(1)).as("__dfc"))
+      toks.join(dfc, keys :+ "th").join(blockDocs, keys)
+        .filter(col("__dfc").cast("double") <= col("__bd").cast("double") * maxDfFrac)
+        .select((col("id") +: col("sz") +: keys.map(col)) :+ col("th"): _*)
+    }
     val cond = (keys.map(k => col(s"a.$k") === col(s"b.$k")) :+
       (col("a.th") === col("b.th")) :+ (col("a.id") < col("b.id"))).reduce(_ && _)
-    toks.alias("a").join(toks.alias("b"), cond)
+    joinable.alias("a").join(joinable.alias("b"), cond)
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
       .agg(count(lit(1)).as("inter"))

@@ -232,6 +232,37 @@ class DedupSpec extends SparkSpec {
     assert(got == naive && got.nonEmpty, s"got ${got.size} naive ${naive.size}")
   }
 
+  test("df-capped containment is a subset of exact and keeps rare-token subsets") {
+    // subset property on real data: capped scores are lower bounds, so
+    // no pair can appear under the cap that exact doesn't report
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = Dedup.containmentPairs(real, "doc_id", "text",
+        Seq(col("lang")), 9000L, minSize = 30)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val capped = Dedup.containmentPairs(real, "doc_id", "text",
+        Seq(col("lang")), 9000L, minSize = 30, maxDfFrac = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped.subsetOf(exact), s"capped must lower-bound exact: ${capped -- exact}")
+    // a subset pair built ONLY from rare tokens survives any cap that
+    // keeps tokens of df ≤ 2/5: the stopword "filler" (in all 5 docs)
+    // is dropped from the join, the rare quote tokens are not
+    // every doc passes minSize (so the full block of 5 sets the df
+    // denominator): "filler" df 5/5 dropped, "unrelated body" df 3/5
+    // dropped, the four quote tokens df 2/5 kept
+    val docs = Seq(
+      (1L, "filler aquila borealis cygnus draco", "en"),
+      (2L, "filler aquila borealis cygnus draco plus more framing text here", "en"),
+      (3L, "filler one unrelated body extra3", "en"),
+      (4L, "filler two unrelated body extra4", "en"),
+      (5L, "filler three unrelated body extra5", "en")
+    ).toDF("doc_id", "text", "lang")
+    val out = Dedup.containmentPairs(docs, "doc_id", "text",
+        Seq(col("lang")), 8000L, minSize = 5, maxDfFrac = 0.5)
+      .as[(Long, Long, Long)].collect().toSeq
+    // |∩ after cap| = 4 rare tokens, min(sz) = 5 → 8000 exactly
+    assert(out == Seq((1L, 2L, 8000L)), s"got $out")
+  }
+
   test("containmentPairs minSize drops trivially-contained tiny docs") {
     val tiny = Seq(
       (1L, "alpha beta", "en"),
