@@ -939,6 +939,19 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("label").as("cluster_rep"))
     }),
 
+    // Dedup observability — the cluster-SIZE distribution (how much
+    // mass dedup will remove, the number a pipeline operator actually
+    // watches): q52's components regrouped twice. Both aggregations
+    // are tiny (clustered docs, then distinct sizes).
+    "q93_cluster_size_histogram" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+        Seq(col("lang"), floor(col("n_chars") / 100).cast("long")), 9500L)
+      Dedup.connectedComponents(pairs)
+        .groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+    }),
+
     // Dedup family — prefix-filtered (AllPairs/PPJoin) exact Jaccard:
     // same output contract as q30, candidate join restricted to each
     // doc's rarest |A|−⌈t·|A|⌉+1 tokens — the sparse-corpus /
@@ -1978,6 +1991,27 @@ object SparkEntry {
            UNION
            SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id)
          SELECT id AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY id""",
+
+    // q52's transitive closure regrouped into the size histogram
+    "q93_cluster_size_histogram" ->
+      """WITH RECURSIVE t AS (
+           SELECT doc_id, lang, CAST(floor(n_chars / 100) AS BIGINT) AS band,
+             list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0)) AS toks
+           FROM documents),
+         p AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM t a JOIN t b
+             ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+           WHERE CAST(floor(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+               / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) * 10000) AS BIGINT) >= 9500),
+         e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+         reach(id, r) AS (
+           SELECT src, src FROM e
+           UNION
+           SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+         labels AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+         sizes AS (SELECT rep, count(*) AS cluster_size FROM labels GROUP BY rep)
+         SELECT cluster_size, count(*) AS n_clusters FROM sizes GROUP BY 1""",
 
     // EXACT oracle for the LSH pipeline: exhaustive char-5-shingle
     // Jaccard (shingle equi-join counting form — the all-pairs
