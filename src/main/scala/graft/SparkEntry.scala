@@ -1087,6 +1087,9 @@ object SparkEntry {
     "q89_chunk_documents" -> ((s, dir) =>
       T(s, dir, "documents")
         .select(col("doc_id"), TF.tokenize(lower(col("text"))).as("toks"))
+        // zero-token docs emit NO chunk (the oracle's range(0, 0, 48) is
+        // empty; sequence(0, greatest(-1, 0), 48) would emit offset 0)
+        .filter(size(col("toks")) >= 1)
         .select(col("doc_id"), col("toks"),
           explode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)), lit(48)))
             .as("off"))

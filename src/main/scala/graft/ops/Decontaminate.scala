@@ -59,11 +59,18 @@ object Decontaminate {
       * bloom-positive rows.
       */
     def antiJoin(corpus: DataFrame, corpusKey: Column): DataFrame = {
-      val mc = mightContain(corpusKey)
-      // definite non-members stream straight through — no exchange
-      val clean = corpus.filter(!mc)
+      // NULL-safe routing: a NULL corpus key can never equal a
+      // contamination key (SQL null semantics — a plain left_anti KEEPS
+      // null-key rows), so null keys belong on the clean leg
+      // unconditionally. The probe itself feeds xxhash64 (never null),
+      // but the coalesce makes the contract independent of the hash's
+      // null behavior rather than an accident of it.
+      val mc = coalesce(mightContain(corpusKey), lit(false))
+      // definite non-members (and null keys) stream straight through —
+      // no exchange
+      val clean = corpus.filter(!mc || corpusKey.isNull)
       // bloom positives (true matches + ~fpp of corpus) get the exact check
-      val cleared = corpus.filter(mc)
+      val cleared = corpus.filter(mc && corpusKey.isNotNull)
         .join(keys, corpusKey === col("__k"), "left_anti")
       clean.unionByName(cleared)
     }
@@ -74,15 +81,18 @@ object Decontaminate {
       * pay the exact semi/anti joins.
       */
     def flag(corpus: DataFrame, corpusKey: Column): DataFrame = {
-      val mc = mightContain(corpusKey)
-      val positives = corpus.filter(mc)
+      // same NULL-safe routing as antiJoin: null keys are definitionally
+      // uncontaminated and must not be dropped ("keeps every row")
+      val mc = coalesce(mightContain(corpusKey), lit(false))
+      val positives = corpus.filter(mc && corpusKey.isNotNull)
       val confirmed = positives
         .join(keys, corpusKey === col("__k"), "left_semi")
         .withColumn("contaminated", lit(true))
       val falsePos = positives
         .join(keys, corpusKey === col("__k"), "left_anti")
         .withColumn("contaminated", lit(false))
-      corpus.filter(!mc).withColumn("contaminated", lit(false))
+      corpus.filter(!mc || corpusKey.isNull)
+        .withColumn("contaminated", lit(false))
         .unionByName(confirmed).unionByName(falsePos)
     }
   }

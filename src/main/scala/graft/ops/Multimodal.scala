@@ -199,17 +199,22 @@ object Multimodal {
         !(p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F') ||
         !(p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E')) None
     else {
-      var i = 12
+      // cursor walked as Long: a garbage chunk size near Int.MaxValue
+      // would wrap `i + 8 + size + pad` negative as an Int, re-pass the
+      // bounds guard, and throw on p(i) — one adversarial RIFF payload
+      // must not kill a 100 TB scan (never-throws contract)
+      var i = 12L
       while (i + 8 <= p.length) {
-        val size = le32(p, i + 4)
+        val ii = i.toInt
+        val size = le32(p, ii + 4)
         if (size < 0) return None
-        if (p(i) == 'f' && p(i + 1) == 'm' && p(i + 2) == 't' && p(i + 3) == ' ') {
+        if (p(ii) == 'f' && p(ii + 1) == 'm' && p(ii + 2) == 't' && p(ii + 3) == ' ') {
           if (size < 16 || i + 8 + 16 > p.length) return None
-          val fmt = le16(p, i + 8)
+          val fmt = le16(p, ii + 8)
           if (fmt != 1 && fmt != 3) return None
-          return Some((le32(p, i + 12), le16(p, i + 10), le16(p, i + 22)))
+          return Some((le32(p, ii + 12), le16(p, ii + 10), le16(p, ii + 22)))
         }
-        i += 8 + size + (size & 1)
+        i += 8L + size.toLong + (size & 1)
       }
       None
     }

@@ -43,6 +43,24 @@ class DecontaminateSpec extends SparkSpec {
     assert(flagged == want)
   }
 
+  test("null corpus keys survive antiJoin and are flagged clean") {
+    // SQL null semantics: a NULL key never equals a contamination key,
+    // so a plain left_anti KEEPS null-key rows — the bloom two-phase
+    // form must match that exactly (no silent loss on nullable keys)
+    val withNulls = corpus.select(col("id"),
+      when(col("id") % 10 === 0, lit(null)).otherwise(col("text")).as("text"))
+    val got = Decontaminate.antiJoin(withNulls, col("text"), contam, col("bad_text"))
+      .select("id").as[Long].collect().toSet
+    val want = withNulls.join(contam, col("text") === col("bad_text"), "left_anti")
+      .select("id").as[Long].collect().toSet
+    assert(got == want)
+    assert((0L until 200L by 10L).toSet.subsetOf(got), "null-key rows must be kept")
+    val flagged = Decontaminate.flag(withNulls, col("text"), contam, col("bad_text"))
+      .select("id", "contaminated").as[(Long, Boolean)].collect()
+    assert(flagged.length == 200, "flag keeps every row, including null keys")
+    assert(flagged.filter(r => r._1 % 10 == 0).forall(!_._2))
+  }
+
   test("the probe is the native codegen'd bloom expression, not a UDF") {
     // the physical plan collapses over a LocalRelation fixture
     // (ConvertToLocalRelation folds the filter at optimization time —

@@ -78,6 +78,12 @@ class MultimodalSpec extends SparkSpec {
       "RIFF".getBytes ++ le32(0) ++ "WAVE".getBytes ++ "fmt ".getBytes ++ le32(16) ++
         le16(99) ++ le16(1) ++ le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16)).isEmpty,
       "non-PCM format codes must be rejected")
+    // adversarial chunk size near Int.MaxValue: an Int cursor would wrap
+    // negative (8 + size + pad), re-pass the bounds guard, and throw
+    // ArrayIndexOutOfBounds — must return None, never throw
+    val overflow = "RIFF".getBytes ++ le32(0) ++ "WAVE".getBytes ++
+      ("JUNK".getBytes ++ le32(Int.MaxValue - 4)) ++ fmt
+    assert(Multimodal.parseWavHeader(overflow).isEmpty)
   }
 
   test("decodeFeatures emits deterministic metadata and drops the payload") {
