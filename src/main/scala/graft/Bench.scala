@@ -79,26 +79,42 @@ object Bench {
       SparkEntry.queries("q19_dedup_exact")(spark, sfDir).count()
     } catch { case _: Throwable => () }
     releaseAll(spark)
+    // MEDIAN OF N COLD REPS per query (round-9 instrument fix): single-
+    // shot cold timing of the checkpoint-loop queries swung ±85% on
+    // byte-identical code between rounds (q52: 4.76 → 8.79 s in r7→r8),
+    // drowning every real perf signal. Each rep is fully cold —
+    // releaseAll between reps — and the median kills the one-sided GC/
+    // page-cache outliers a mean would absorb.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, _) =>
-      val r = runTimed(spark, name, sfDir)
-      // full synchronous release OFF the timed path — see releaseAll
-      releaseAll(spark)
-      name -> r
+      val runs = (0 until reps).map { _ =>
+        val r = runTimed(spark, name, sfDir)
+        // full synchronous release OFF the timed path — see releaseAll
+        releaseAll(spark)
+        r
+      }
+      val median = runs.map(_._1).sorted.apply(reps / 2)
+      (name, median, runs.map(_._1), runs.exists(_._2))
     }
-    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val errs = results.collect { case (k, (_, true)) => "\"" + k + "\"" }
+    val detail = results.map { case (k, _, runs, _) =>
+      "\"" + k + "\":[" + runs.map(v => f"$v%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, true) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     // A failed query must not silently deflate the bench: err'd queries
     // are listed and their (meaningless) elapsed time excluded from total.
-    val total = results.collect { case (_, (v, false)) => v }.sum
-    // Two lines, per-query detail FIRST and the total LAST and SHORT:
-    // the driver's tail capture truncates long lines from the front (r6
-    // and r7 both lost the official total to a single ~4 KB line), and
-    // it parses the final JSON line — so the final line must stay well
-    // under any capture limit.
-    println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"errors":$errs,"method":"per-query cold; blocking releaseAll off the timed path","sf":"$sfDir"}""")
+    val total = results.collect { case (_, m, _, false) => m }.sum
+    // Two lines, all-reps detail FIRST and the parseable line LAST: the
+    // driver's tail capture truncates long lines from the front (r6 and
+    // r7 both lost the official total to a single ~4 KB line) and parses
+    // the FINAL JSON line — so the final line carries the per-query
+    // MEDIANS under millisecond-truncated values and "qNN" short keys
+    // (~1.3 KB for 93 queries, well under the ~2 KB capture window).
+    val medians = results.map { case (k, m, _, _) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + f"$m%.3f"
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"rep_detail","reps":$reps,"queries":$detail,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$medians,"errors":$errs,"method":"median of $reps cold reps; blocking releaseAll off the timed path","sf":"$sfDir"}""")
     spark.stop()
   }
 }
