@@ -23,6 +23,10 @@ object Bench {
     * removals finish, the second collection compacts what they freed).
     */
   def releaseAll(spark: SparkSession): Unit = {
+    // drain the operator-level registry first (the targeted release a
+    // long-lived session would use); the block-manager walk below is
+    // the belt-and-braces sweep for anything unregistered
+    ops.CacheScope.release(spark)
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = true))

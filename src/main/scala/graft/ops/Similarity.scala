@@ -191,23 +191,29 @@ object Similarity {
                      iters: Int = 3): DataFrame = {
     val unit = candidates
       .select(col("vec_id"), VectorFunctions.normalize(col("embedding")).as("u"))
-    var cents = unit.orderBy(col("vec_id")).limit(nCells)
-      .select((row_number().over(Window.orderBy(col("vec_id"))) - 1).as("cell"),
-        col("u").as("cent"))
-      .localCheckpoint(true)
+    var (cents, centRdds) = CacheScope.localCheckpointTracked(
+      unit.orderBy(col("vec_id")).limit(nCells)
+        .select((row_number().over(Window.orderBy(col("vec_id"))) - 1).as("cell"),
+          col("u").as("cent")))
     for (_ <- 0 until iters) {
       val assigned = assignCells(unit, "vec_id", "u", cents, nProbe = 1)
-      cents = assigned.join(unit, "vec_id")
-        .select(col("cell"), posexplode(col("u")).as(Seq("i", "x")))
-        .groupBy(col("cell"), col("i")).agg(sum(col("x")).as("sx"))
-        .groupBy(col("cell"))
-        .agg(sort_array(collect_list(struct(col("i"), col("sx")))).as("ps"))
-        // model-sized HOF (nCells rows): interpreted eval is irrelevant here
-        .select(col("cell"),
-          VectorFunctions.normalize(transform(col("ps"), p => p.getField("sx")))
-            .as("cent"))
-        .localCheckpoint(true)
+      val (next, nextRdds) = CacheScope.localCheckpointTracked(
+        assigned.join(unit, "vec_id")
+          .select(col("cell"), posexplode(col("u")).as(Seq("i", "x")))
+          .groupBy(col("cell"), col("i")).agg(sum(col("x")).as("sx"))
+          .groupBy(col("cell"))
+          .agg(sort_array(collect_list(struct(col("i"), col("sx")))).as("ps"))
+          // model-sized HOF (nCells rows): interpreted eval is irrelevant here
+          .select(col("cell"),
+            VectorFunctions.normalize(transform(col("ps"), p => p.getField("sx")))
+              .as("cent")))
+      // eager checkpoint: the previous iteration's model blocks are dead
+      CacheScope.unpersistRdds(centRdds)
+      cents = next
+      centRdds = nextRdds
     }
+    // the final model backs the returned frame — caller releases
+    CacheScope.registerRdds(candidates.sparkSession, centRdds)
     cents
   }
 
@@ -292,6 +298,76 @@ object Similarity {
     * stays near-linear, vs. collapsing nPlanes which grows every bucket
     * toward N²/2^nPlanes pair scoring.
     */
+  /** Exact within-label cosine pairs with a MEASURED scale guard — the
+    * q79 dispatch doctrine applied to vectors. ONE cheap aggregate
+    * computes the largest label block; at or below the conf-gated bound
+    * (`graft.sim.maxBlock`, default 65536) the exact within-label
+    * self-join runs — quadratic in block size, the hash-checkable
+    * baseline. Above the bound that quadratic is infeasible (a fixed
+    * label set at 100× data is 10,000× pair work), so the LABEL-BLOCKED
+    * multi-table LSH path runs instead: candidate keys are
+    * (label, table, bucket) — pairs can never cross labels — and every
+    * candidate is exactly verified, so precision stays 1 and the output
+    * is a high-recall SUBSET of the exact answer. Unlike q79's purely
+    * physical dispatch, crossing this bound deliberately trades
+    * exactness for feasibility — which is the only honest option for a
+    * quadratic operator (recall per pair is 1-(1-p)^L, the standard
+    * multi-table lever; see SCALE.md for the measured crossover).
+    *
+    * The statistic pass aggregates (label, count) — one map-side-
+    * combinable scan, ~10⁻⁵ of the vector bytes — and decides a job
+    * that is unboundedly more expensive in the wrong regime.
+    */
+  def cosinePairsLabelAuto(df: DataFrame, labelCol: String, minSimE4: Long,
+                           nPlanes: Int = 0, nTables: Int = 8): DataFrame = {
+    val maxBlock = df.sparkSession.conf.get("graft.sim.maxBlock", "65536").toLong
+    // Threshold-adaptive plane count (nPlanes <= 0 = derive): a pair at
+    // exactly the floor agrees with a random hyperplane w.p.
+    // p = 1 - acos(s)/π, survives a k-plane table w.p. p^k, and L
+    // tables miss it w.p. (1-p^k)^L — so the largest k with
+    // 1-(1-p^k)^L >= 0.9 is k = ln(1 - 0.1^(1/L)) / ln(p). A loose
+    // floor (0.3) forces k=2 (few, fat buckets — LSH buys little,
+    // which is information-theoretic, not an implementation artifact);
+    // a production near-dup floor (0.85+) gets k≈7 and real pruning.
+    val k = if (nPlanes > 0) nPlanes else {
+      val p = 1.0 - math.acos(math.min(minSimE4 / 10000.0, 1.0)) / math.Pi
+      math.max(2, (math.log(1.0 - math.pow(0.1, 1.0 / nTables)) / math.log(p)).toInt)
+    }
+    val biggest = df.groupBy(col(labelCol)).agg(count(lit(1)).as("__n"))
+      .agg(coalesce(max(col("__n")), lit(0L)).as("m")).head().getLong(0)
+    val e = df.select(col("vec_id"), col(labelCol).as("__lbl"), col("embedding"))
+    if (biggest <= maxBlock) {
+      e.alias("a").join(e.alias("b"),
+          col("a.__lbl") === col("b.__lbl") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          floor(VectorFunctions.cosine(col("a.embedding"), col("b.embedding")) * 10000)
+            .cast("long").as("cos_e4"))
+        .filter(col("cos_e4") >= minSimE4)
+    } else {
+      val seeds = (0 until nTables).map(t => 42 + t * 1000003)
+      val wb = withLshBuckets(e, "vec_id", "embedding", k, seeds)
+      val tb = wb.select(col("vec_id"), col("__lbl"),
+          explode(array((0 until nTables).map(t =>
+            struct(lit(t).as("tbl"), col(s"bucket_$t").as("bkt"))): _*)).as("tb"))
+        .select(col("vec_id"), col("__lbl"), col("tb.tbl"), col("tb.bkt"))
+      val a = tb.select(col("vec_id").as("id_a"), col("__lbl"), col("tbl"), col("bkt"))
+      val b = tb.select(col("vec_id").as("id_b"), col("__lbl"), col("tbl"), col("bkt"))
+      val candPairs = a.join(b, Seq("__lbl", "tbl", "bkt"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+        .distinct()
+      val u = df.select(col("vec_id"),
+        VectorFunctions.normalize(col("embedding")).as("u"))
+      candPairs
+        .join(u.select(col("vec_id").as("id_a"), col("u").as("ua")), "id_a")
+        .join(u.select(col("vec_id").as("id_b"), col("u").as("ub")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          floor(org.apache.spark.sql.graft.VectorExpressions.dot(col("ua"), col("ub")) * 10000)
+            .cast("long").as("cos_e4"))
+        .filter(col("cos_e4") >= minSimE4)
+    }
+  }
+
   def cosineNearDupPairsMulti(df: DataFrame, minSimE4: Long, nPlanes: Int = 8,
                               nTables: Int = 8): DataFrame = {
     val ids = df.select(col("vec_id"), col("embedding"))

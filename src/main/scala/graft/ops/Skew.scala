@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.ops.CacheScope.TrackedPersist
 
 /** Hot-key mitigation for aggregations: two-phase salted groupBy.
   *
@@ -63,7 +64,7 @@ object Skew {
   def headTailJoin(left: DataFrame, right: DataFrame, key: String,
                    hotness: Column, topK: Int = 1024): DataFrame = {
     val head = right.orderBy(hotness.desc, col(key)).limit(topK)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val tail = right.join(head.select(col(key)), Seq(key), "left_anti")
     left.join(broadcast(head), Seq(key))
       .unionByName(left.join(tail, Seq(key)))

@@ -129,6 +129,31 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(2L, 4L, 5L), s"got $kept")
   }
 
+  test("report artifact: clusters/histogram/keep-policy views are mutually consistent") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val rep = Dedup.report(pairs)
+    // clusters view ≡ a direct CC run
+    val direct = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(rep.clusters.as[(Long, Long)].collect().toMap == direct)
+    // histogram view ≡ the clusters view regrouped (one compute, two views)
+    val hist = rep.sizeHistogram.as[(Long, Long)].collect().toMap
+    assert(hist == Map(3L -> 1L, 2L -> 1L), s"got $hist")
+    // keep-policy views match the pair-based forms
+    val scored = Seq((1L, 0.2), (2L, 0.9), (3L, 0.9), (4L, 0.1), (5L, 0.5))
+      .toDF("doc_id", "score")
+    val keep = rep.keepBest(scored, "doc_id", "score")
+      .select("doc_id").as[Long].collect().toSet
+    // {1,2,3}: 2 and 3 tie at 0.9 → lower id 2; {4,5}: 5 wins at 0.5
+    assert(keep == Set(2L, 5L))
+    val dropped = rep.dropDuplicates(docs, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(dropped == Set(1L, 4L))
+    // the artifact survives a full cache sweep: views are parquet-backed
+    graft.Bench.releaseAll(spark)
+    assert(rep.clusters.count() == 5L)
+  }
+
   test("end-to-end: minhash pairs → cluster → dedup collapses the dup group") {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 5, 32, 16, 0.5)
     val kept = Dedup.dedupByPairs(docs, "doc_id", pairs)

@@ -92,6 +92,31 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.forall(p => p._1 < p._2))
   }
 
+  test("cosinePairsLabelAuto: exact below the block bound, label-blocked LSH subset above") {
+    val embL = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val exact = Similarity.cosinePairsLabelAuto(embL, "label", 3000L)
+      .as[(Long, Long, Long)].collect().toSet
+    // default bound (65536) keeps every test-scale block on the exact
+    // quadratic path — the oracle-replayable baseline
+    assert(exact.nonEmpty)
+    try {
+      spark.conf.set("graft.sim.maxBlock", "2")
+      val approx = Similarity.cosinePairsLabelAuto(embL, "label", 3000L)
+        .as[(Long, Long, Long)].collect().toSet
+      // over the bound: exact-verified candidates only — precision 1
+      // (a SUBSET of the exact answer), and usable recall on this corpus
+      assert(approx.map(p => (p._1, p._2))
+        .subsetOf(exact.map(p => (p._1, p._2))),
+        "dispatched path must never emit a pair the exact path rejects")
+      val rec = approx.size.toDouble / exact.size
+      assert(rec >= 0.5, f"label-blocked LSH recall $rec%.3f collapsed")
+      // and the plan is the bucketed join, not the within-label cross
+      val plan = Similarity.cosinePairsLabelAuto(embL, "label", 3000L)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("bkt"), "expected the bucket-keyed candidate join")
+    } finally spark.conf.unset("graft.sim.maxBlock")
+  }
+
   test("q91's combinable min(struct) argmin equals a window-rank argmin on real data") {
     // the scale claim: the map-side-combinable aggregate and the
     // window rank induce the same (dist, label) total order — pinned
