@@ -15,15 +15,18 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokenizer: text → array of non-empty tokens.
-    * Capability parity with the reference's IK tokenizer
-    * (rt-flink KeywordUtil.scala:18-42): string → N keyword rows; the
-    * segmentation algorithm is language-specific, the operator shape
-    * (tokenize + explode) is what matters. Filter drops the empty
-    * tokens that `split` emits for repeated separators.
+  /** Tokenizer: text → array of non-empty tokens. Whitespace-split,
+    * with CJK runs dictionary-segmented by greedy longest match
+    * ([[CjkSegmenter]] — parity with the reference's IK smart-mode
+    * tokenizer, rt-flink KeywordUtil.scala:18-42, on its own
+    * "Apple手机"-shaped fixtures). Non-CJK text tokenizes EXACTLY as
+    * the plain `\s+` split did (same Java regex, empties dropped), so
+    * every whitespace-tokenization oracle replays unchanged; one
+    * codegen'd expression call per row, no interpreted HOFs under the
+    * simhash/Jaccard/keyword hot paths.
     */
   def tokenize(text: Column): Column =
-    filter(split(text, "\\s+"), t => length(t) > 0)
+    org.apache.spark.sql.graft.TextExpressions.cjkTokenize(text)
 
   /** BPE-ish pre-tokenizer: word chunks, digit runs, or single
     * punctuation marks — the standard GPT-style pre-tokenization split,

@@ -14,6 +14,22 @@ class TextFunctionsSpec extends SparkSpec {
     assert(toks == Seq("hello", "world"))
   }
 
+  test("tokenize segments CJK runs by dictionary longest-match (IK fixture shape)") {
+    // the reference's own fixture shape (rt-flink KeywordUtil: "Apple手机")
+    def toks(s: String): Seq[String] = Seq(s).toDF("t")
+      .select(TextFunctions.tokenize(col("t"))).as[Seq[String]].head()
+    assert(toks("Apple手机") == Seq("Apple", "手机"))
+    // longest match beats the 2-char prefixes (平板电脑 over 平板+电脑)
+    assert(toks("三星平板电脑保护套") == Seq("三星", "平板电脑", "保护套"))
+    // out-of-vocabulary CJK falls back to single-char tokens
+    assert(toks("数据线两条装") == Seq("数据线", "两", "条", "装"))
+    // mixed chunk: latin run + CJK run + whitespace chunking
+    assert(toks("华为手机充电器 fast delivery") ==
+      Seq("华为", "手机", "充电器", "fast", "delivery"))
+    // non-CJK text tokenizes exactly as the plain \s+ split did
+    assert(toks("  a  b\tc ") == Seq("a", "b", "c"))
+  }
+
   test("tokenCount counts non-empty tokens") {
     val n = one("a b  c").select(TextFunctions.tokenCount($"t")).as[Int].head()
     assert(n == 3)
