@@ -60,6 +60,23 @@ object SparkEntry {
   private def dedupReport(s: SparkSession, dir: String): Dedup.DedupReport =
     Option(dedupReports.get((s, dir))).getOrElse(rebuildDedupReport(s, dir))
 
+  /** Driver-visible recall gate for the probabilistic queries (q94-q98):
+    * measured recall of `got` vs the exact `truth` set on `keys`,
+    * surfaced as a single (floor_e4, meets_floor) row whose oracle is a
+    * CONSTANT — the driver's hash compare then checks the floor
+    * NUMERICALLY every round instead of trusting the spec suite. A
+    * hash/params regression that collapses recall flips meets_floor and
+    * fails the round's correctness gate.
+    */
+  private def recallGate(got: DataFrame, truth: DataFrame,
+                         keys: Seq[String], floorE4: Long): DataFrame = {
+    val hits = truth.join(got, keys, "left_semi").agg(count(lit(1)).as("hits"))
+    val total = truth.agg(count(lit(1)).as("total"))
+    hits.crossJoin(total).select(
+      lit(floorE4).as("floor_e4"),
+      (col("hits") * 10000L >= col("total") * floorE4).as("meets_floor"))
+  }
+
   // ------------------------------------------------------------------
   // Query inventory
   // ------------------------------------------------------------------
@@ -1229,6 +1246,115 @@ object SparkEntry {
         .select(col("user_id"))
         .except(e.filter(col("event_type") === "error" && col("value") > 90)
           .select(col("user_id")))
+    }),
+
+    // ------------------------------------------------------------------
+    // q94-q99: DRIVER-VISIBLE floors for the six rows-only probabilistic
+    // queries. Each re-runs the approximate operator alongside its exact
+    // Spark baseline and emits the measured bound as data under a
+    // CONSTANT oracle — the correctness gate now checks recall/error
+    // numerically every round (previously only the spec suite did).
+    // Floors are calibrated against measured values at sf0.01 AND sf0.1
+    // (GateProbe): a floor sits well under the measured value, so it
+    // catches collapse (hash/params regressions), not noise — and the
+    // measurements are deterministic anyway (seeded hyperplanes).
+    // ------------------------------------------------------------------
+
+    // q33's gate — single-table LSH is candidate GENERATION (measured
+    // recall@5: 0.125 @ sf0.01, 0.10 @ sf0.1 on near-uniform synthetic
+    // embeddings, LSH's worst case); the floor documents that honestly
+    "q94_lsh_recall_gate" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+      recallGate(Similarity.lshTopK(q, emb, 5, nPlanes = 4),
+        Similarity.bruteForceTopK(q, emb, 5),
+        Seq("query_id", "neighbor_id"), 500L)
+    }),
+
+    // q54's gate — the production multi-table path (measured 0.975 @
+    // sf0.01, 0.90 @ sf0.1)
+    "q95_lsh_multi_recall_gate" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+      recallGate(Similarity.lshTopKMulti(q, emb, 5, nPlanes = 4, nTables = 16),
+        Similarity.bruteForceTopK(q, emb, 5),
+        Seq("query_id", "neighbor_id"), 9000L)
+    }),
+
+    // q36's gate — untrained single-probe IVF trades recall for the
+    // partition bound (measured 0.175 @ sf0.01, 0.075 @ sf0.1); the
+    // trained+multi-probe form (q58/q97) is the production path
+    "q96_ivf_recall_gate" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+      recallGate(Similarity.ivfTopK(q, emb, 5, nCells = 8),
+        Similarity.bruteForceTopK(q, emb, 5),
+        Seq("query_id", "neighbor_id"), 500L)
+    }),
+
+    // q58's gate — trained codebook + 2-probe (measured 0.90 @ sf0.01,
+    // 0.975 @ sf0.1)
+    "q97_ivf_trained_recall_gate" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+      val cents = Similarity.trainCentroids(emb, nCells = 8, iters = 2)
+      recallGate(Similarity.ivfTopKTrained(q, emb, 5, cents, nProbe = 2),
+        Similarity.bruteForceTopK(q, emb, 5),
+        Seq("query_id", "neighbor_id"), 8500L)
+    }),
+
+    // q35's gate — pair recall vs the exact within-label baseline
+    // (q90's quadratic). Measured 0.144 @ sf0.01, 0.159 @ sf0.1: at the
+    // loose 0.30 floor on near-uniform vectors bucketed LSH is recall-
+    // poor by information theory (hyperplane agreement p ≈ 0.60 at
+    // cos 0.3 → p^8 per table) — the floor documents that; production
+    // near-dup floors (0.85+) sit in the regime where the same plan
+    // shape has high recall (see cosinePairsLabelAuto's derivation)
+    "q98_cosine_neardup_recall_gate" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val e = emb.select(col("vec_id"), col("label"), col("embedding"))
+      val truth = e.alias("a").join(e.alias("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          floor(VF.cosine(col("a.embedding"), col("b.embedding")) * 10000)
+            .cast("long").as("cos_e4"))
+        .filter(col("cos_e4") >= 3000L)
+        .select(col("id_a"), col("id_b"))
+      recallGate(
+        Similarity.cosineNearDupPairsMulti(emb, minSimE4 = 3000L,
+          nPlanes = 8, nTables = 8),
+        truth, Seq("id_a", "id_b"), 1000L)
+    }),
+
+    // q48's gate — per-day HLL relative error vs the exact distinct
+    // (measured max 0.8% @ sf0.01, 1.4% @ sf0.1 at rsd 0.02; bound 5%).
+    // Fully SQL-expressible day set, so the oracle checks every day.
+    "q99_uv_approx_error_gate" -> ((s, dir) =>
+      T(s, dir, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("dt"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("a"),
+          countDistinct(col("user_id")).as("x"))
+        .select(col("dt"),
+          (abs(col("a") - col("x")) * 10000L <= col("x") * 500L).as("within_bound"))),
+
+    // T1 at CJK parity — the reference's own fixture shape ("Apple手机"
+    // product titles through IK → keyword rows, KeywordUtil.scala:18-42):
+    // deterministic CJK titles keyed by doc_id flow through the
+    // codegen'd FMM dictionary tokenizer (CjkSegmenter), explode, and
+    // count. The oracle hand-pins the expected segmentation of each
+    // template — longest-match priority (平板电脑 over 平板+电脑),
+    // latin/CJK run splitting, and OOV single-char fallback are all
+    // under the hash gate end-to-end.
+    "q100_cjk_keywords" -> ((s, dir) => {
+      val titles = array(
+        lit("Apple手机壳促销"), lit("华为手机充电器"), lit("小米蓝牙耳机"),
+        lit("三星平板电脑保护套"), lit("苹果笔记本电脑"), lit("无线键盘鼠标套装"),
+        lit("智能手表运动版"), lit("数据线两条装"))
+      T(s, dir, "documents")
+        .select(element_at(titles, pmod(col("doc_id"), lit(8L)).cast("int") + 1)
+          .as("title"))
+        .select(explode(TF.tokenize(lower(col("title")))).as("kw"))
+        .groupBy(col("kw")).agg(count(lit(1)).as("kw_ct"))
     })
   )
 
@@ -2271,14 +2397,56 @@ object SparkEntry {
          CAST(1 + doc_id % 2 AS INT) AS channels,
          16 AS bits_per_sample,
          CAST(44 AS BIGINT) AS n_bytes
-         FROM documents"""
+         FROM documents""",
+
+    // q94-q98: the measured-recall gates for the probabilistic family.
+    // The MEASUREMENT happens on the Spark side (approx operator vs its
+    // exact baseline, both computed in the query); the oracle pins the
+    // contract — the floor constant and that it is met. A recall
+    // collapse flips meets_floor and hash-fails the round.
+    "q94_lsh_recall_gate" ->
+      "SELECT CAST(500 AS BIGINT) AS floor_e4, true AS meets_floor",
+    "q95_lsh_multi_recall_gate" ->
+      "SELECT CAST(9000 AS BIGINT) AS floor_e4, true AS meets_floor",
+    "q96_ivf_recall_gate" ->
+      "SELECT CAST(500 AS BIGINT) AS floor_e4, true AS meets_floor",
+    "q97_ivf_trained_recall_gate" ->
+      "SELECT CAST(8500 AS BIGINT) AS floor_e4, true AS meets_floor",
+    "q98_cosine_neardup_recall_gate" ->
+      "SELECT CAST(1000 AS BIGINT) AS floor_e4, true AS meets_floor",
+
+    // q48's error gate: the day set is exact SQL; the bound check on
+    // the Spark side must hold for every day
+    "q99_uv_approx_error_gate" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS dt, true AS within_bound
+         FROM events GROUP BY 1""",
+
+    // hand-derived FMM segmentation of the 8 fixture titles (the
+    // MEASUREMENT — actual dictionary segmentation through the codegen'd
+    // expression — happens Spark-side; the oracle pins expected tokens)
+    "q100_cjk_keywords" ->
+      """WITH t AS (
+           SELECT CASE CAST(doc_id % 8 AS INT)
+             WHEN 0 THEN 'apple 手机壳 促销'
+             WHEN 1 THEN '华为 手机 充电器'
+             WHEN 2 THEN '小米 蓝牙耳机'
+             WHEN 3 THEN '三星 平板电脑 保护套'
+             WHEN 4 THEN '苹果 笔记本电脑'
+             WHEN 5 THEN '无线 键盘 鼠标 套装'
+             WHEN 6 THEN '智能手表 运动 版'
+             ELSE '数据线 两 条 装' END AS segged
+           FROM documents)
+         SELECT kw, count(*) AS kw_ct
+         FROM (SELECT unnest(string_split(segged, ' ')) AS kw FROM t)
+         GROUP BY 1"""
     // q33_ann_lsh / q35_cosine_neardup / q36_ann_ivf /
     // q54_ann_lsh_multi: probabilistic and hash-family-specific — the
     // output VALUES depend on xxhash64 / murmur3 hyperplanes, which
     // DuckDB cannot reproduce, and measured candidate recall on the
     // near-uniform synthetic embeddings is partial (top-5 overlap with
     // exact brute force: 4-9/40) — so the pair/neighbor SET itself is
-    // not SQL-expressible. Rows-only check by design (the recall floor
-    // vs brute force is pinned in SimilaritySpec instead).
+    // not SQL-expressible. Rows-only checks remain by design for the
+    // neighbor/pair SETS; their floors are now gated numerically by
+    // q94-q98 above (and the spec suite pins them at build time too).
   )
 }

@@ -1,0 +1,61 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+
+/** Scratch: measure the six probabilistic-query gates (recall vs exact
+  * baseline / HLL error) at an sf dir, to calibrate the q94-q99
+  * oracle-gated floors.
+  */
+object GateProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val emb = graft.core.Tables.load(spark, sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") < 8)
+    val truth = Similarity.bruteForceTopK(q, emb, 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(df: DataFrame): Double = {
+      val got = df.select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      truth.intersect(got).size.toDouble / truth.size
+    }
+    println(f"q33 lshTopK(4): ${recall(Similarity.lshTopK(q, emb, 5, nPlanes = 4))}%.4f")
+    println(f"q54 lshTopKMulti(4,16): ${recall(Similarity.lshTopKMulti(q, emb, 5, nPlanes = 4, nTables = 16))}%.4f")
+    println(f"q36 ivfTopK(8): ${recall(Similarity.ivfTopK(q, emb, 5, nCells = 8))}%.4f")
+    val cents = Similarity.trainCentroids(emb, nCells = 8, iters = 2)
+    println(f"q58 ivfTopKTrained(probe2): ${recall(Similarity.ivfTopKTrained(q, emb, 5, cents, nProbe = 2))}%.4f")
+
+    // q35: pair recall vs the exact within-label baseline (q90's output)
+    val e = emb.select(col("vec_id"), col("label"), col("embedding"))
+    val exactPairs = e.alias("a").join(e.alias("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        floor(graft.functions.VectorFunctions.cosine(col("a.embedding"), col("b.embedding")) * 10000)
+          .cast("long").as("cos_e4"))
+      .filter(col("cos_e4") >= 3000L)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshPairs = Similarity.cosineNearDupPairsMulti(emb, minSimE4 = 3000L,
+        nPlanes = 8, nTables = 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pr = exactPairs.intersect(lshPairs).size.toDouble / math.max(exactPairs.size, 1)
+    println(f"q35 pair recall vs within-label exact: $pr%.4f (truth ${exactPairs.size})")
+
+    // q48: HLL per-day relative error vs exact distinct
+    val ev = graft.core.Tables.load(spark, sfDir, "events")
+    val errs = ev.groupBy(date_format(col("ts"), "yyyy-MM-dd").as("dt"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("a"),
+        countDistinct(col("user_id")).as("x"))
+      .select((abs(col("a") - col("x")) * 10000.0 / col("x")).as("err_e4"))
+      .collect().map(_.getDouble(0))
+    println(f"q48 HLL err_e4: max ${errs.max}%.1f over ${errs.length} days")
+    spark.stop()
+  }
+}
