@@ -72,10 +72,21 @@ object Similarity {
   /** Exact top-k by cosine: for each query vector, the k nearest
     * candidates (self-match excluded), deterministic tiebreak on
     * candidate id.
+    *
+    * The query side broadcasts only while it is a bounded query SET
+    * (`graft.sim.maxBroadcastQueries`, default 10⁵ — ~50 MB of 64-dim
+    * doubles): a caller passing a large query frame gets a plain join
+    * (AQE picks the strategy) instead of a driver OOM. The guard's
+    * count is one aggregate over ids — noise next to the |Q|×|C|
+    * scoring this operator exists to do.
     */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col("vec_id").as("query_id"),
-      col("embedding").as("q_emb")))
+    val maxBcast = queries.sparkSession.conf
+      .get("graft.sim.maxBroadcastQueries", "100000").toLong
+    val qProj = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"))
+    val q = if (queries.select(col("vec_id")).limit((maxBcast + 1).toInt)
+        .count() <= maxBcast) broadcast(qProj) else qProj
     val c = candidates.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("c_emb"))
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
