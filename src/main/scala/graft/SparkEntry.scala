@@ -1355,7 +1355,18 @@ object SparkEntry {
           .as("title"))
         .select(explode(TF.tokenize(lower(col("title")))).as("kw"))
         .groupBy(col("kw")).agg(count(lit(1)).as("kw_ct"))
-    })
+    }),
+
+    // The production KEEP-POLICY under the exact gate: one survivor per
+    // q52 near-dup cluster, chosen by score (longest doc wins, ties by
+    // id) — a derived view over the shared report artifact, so the pair
+    // + CC pipeline is not recomputed. Unclustered docs pass through an
+    // anti join untouched; only the clustered minority is windowed
+    // (plan-locked for dedupByPairsScored, same core).
+    "q101_dedup_keep_best" -> ((s, dir) =>
+      dedupReport(s, dir)
+        .keepBest(T(s, dir, "documents"), "doc_id", "n_chars")
+        .select(col("doc_id"), col("lang"), col("n_chars")))
   )
 
   // ------------------------------------------------------------------
@@ -2438,7 +2449,37 @@ object SparkEntry {
            FROM documents)
          SELECT kw, count(*) AS kw_ct
          FROM (SELECT unnest(string_split(segged, ' ')) AS kw FROM t)
-         GROUP BY 1"""
+         GROUP BY 1""",
+
+    // q52's recursive transitive closure + keep-policy rank: the best-
+    // scoring member (n_chars desc, doc_id asc) survives per cluster;
+    // docs in no cluster pass through
+    "q101_dedup_keep_best" ->
+      """WITH RECURSIVE t AS (
+           SELECT doc_id, lang, CAST(floor(n_chars / 100) AS BIGINT) AS band,
+             list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0)) AS toks
+           FROM documents),
+         p AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM t a JOIN t b
+             ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+           WHERE CAST(floor(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+               / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) * 10000) AS BIGINT) >= 9500),
+         e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+         reach(id, r) AS (
+           SELECT src, src FROM e
+           UNION
+           SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+         labels AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+         ranked AS (
+           SELECT d.doc_id, d.lang, d.n_chars,
+             row_number() OVER (PARTITION BY l.rep
+               ORDER BY d.n_chars DESC, d.doc_id) AS rk
+           FROM documents d JOIN labels l ON d.doc_id = l.id)
+         SELECT doc_id, lang, n_chars FROM ranked WHERE rk = 1
+         UNION ALL
+         SELECT doc_id, lang, n_chars FROM documents
+         WHERE doc_id NOT IN (SELECT id FROM labels)"""
     // q33_ann_lsh / q35_cosine_neardup / q36_ann_ivf /
     // q54_ann_lsh_multi: probabilistic and hash-family-specific — the
     // output VALUES depend on xxhash64 / murmur3 hyperplanes, which

@@ -91,6 +91,29 @@ class PlanPropertiesSpec extends SparkSpec {
       s"unclustered majority must stream through without a window:\n$lp")
   }
 
+  test("q93/q101 derive from the report artifact: no pair-join recompute") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val sf = "/root/testdata/sf0.001"
+    // q52 builds + memoizes the labels artifact for this (session, dir)
+    SparkEntry.queries("q52_dedup_clusters")(spark, sf).count()
+    // the histogram view is two aggregations over a parquet scan of the
+    // labels table — NO join anywhere (the r8 shape recomputed the
+    // whole quadratic pair enumeration + CC loop)
+    val hist = SparkEntry.queries("q93_cluster_size_histogram")(spark, sf)
+    val lp93 = hist.queryExecution.optimizedPlan
+    assert(lp93.collect { case j: Join => j }.isEmpty,
+      s"q93 must not recompute pairs/CC:\n$lp93")
+    assert(hist.count() >= 1)
+    // keep-best reads the same artifact: its only joins attach labels to
+    // the corpus (inner + anti) — no self-join of the token table (the
+    // pair enumeration's signature shape)
+    val keep = SparkEntry.queries("q101_dedup_keep_best")(spark, sf)
+    val joins93 = keep.queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins93.size == 2,
+      s"q101 expects exactly the label inner join + the anti join:\n" +
+        keep.queryExecution.optimizedPlan)
+  }
+
   test("q78 token rarity: one tokenize pass, head joins broadcast") {
     // ONE explode feeds the cached per-(doc,token) counts: in the
     // optimized plan every consumer must read the InMemoryRelation
