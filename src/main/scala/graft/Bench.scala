@@ -23,13 +23,17 @@ object Bench {
     * removals finish, the second collection compacts what they freed).
     */
   def releaseAll(spark: SparkSession): Unit = {
-    // drain the operator-level registry first (the targeted release a
-    // long-lived session would use); the block-manager walk below is
-    // the belt-and-braces sweep for anything unregistered
-    ops.CacheScope.release(spark)
     spark.catalog.clearCache()
+    // the blocking block-manager walk runs FIRST: CacheScope.release
+    // would remove registered RDDs from getPersistentRDDs before the
+    // walk saw them, and its non-blocking removals could then land
+    // inside the NEXT timed window — the round-5 bleed all over again.
+    // After the blocking sweep, draining the registry is pure
+    // bookkeeping (every block is already gone; unpersist is
+    // idempotent).
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = true))
+    ops.CacheScope.release(spark)
     System.gc()
     Thread.sleep(300)
     System.gc()
@@ -89,7 +93,17 @@ object Bench {
     // drowning every real perf signal. Each rep is fully cold —
     // releaseAll between reps — and the median kills the one-sided GC/
     // page-cache outliers a mean would absorb.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    // true median for even rep counts (mean of the middle two) — taking
+    // the upper middle would bias one-sided, defeating the instrument
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    // Locale.ROOT: the f interpolator uses the JVM default locale, and a
+    // comma decimal separator would corrupt the machine-parsed JSON
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, _) =>
       val runs = (0 until reps).map { _ =>
         val r = runTimed(spark, name, sfDir)
@@ -97,11 +111,10 @@ object Bench {
         releaseAll(spark)
         r
       }
-      val median = runs.map(_._1).sorted.apply(reps / 2)
-      (name, median, runs.map(_._1), runs.exists(_._2))
+      (name, median(runs.map(_._1)), runs.map(_._1), runs.exists(_._2))
     }
     val detail = results.map { case (k, _, runs, _) =>
-      "\"" + k + "\":[" + runs.map(v => f"$v%.3f").mkString(",") + "]"
+      "\"" + k + "\":[" + runs.map(fmt).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, _, true) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
@@ -115,7 +128,7 @@ object Bench {
     // MEDIANS under millisecond-truncated values and "qNN" short keys
     // (~1.3 KB for 93 queries, well under the ~2 KB capture window).
     val medians = results.map { case (k, m, _, _) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + f"$m%.3f"
+      "\"" + k.takeWhile(_ != '_') + "\":" + fmt(m)
     }.mkString("{", ",", "}")
     println(s"""{"metric":"rep_detail","reps":$reps,"queries":$detail,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$medians,"errors":$errs,"method":"median of $reps cold reps; blocking releaseAll off the timed path","sf":"$sfDir"}""")

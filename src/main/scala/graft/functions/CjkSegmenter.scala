@@ -63,6 +63,10 @@ object CjkSegmenter {
 
   private def isCjk(c: Char): Boolean = c >= '一' && c <= '龥'
 
+  // hoisted: String.split("\\s+") would Pattern.compile per ROW on the
+  // hottest path in the library (tokenize feeds simhash/Jaccard/keyword)
+  private val Whitespace = java.util.regex.Pattern.compile("\\s+")
+
   /** Greedy longest-match over one CJK run. */
   private def segmentRun(run: String, out: java.util.ArrayList[UTF8String]): Unit = {
     var i = 0
@@ -86,7 +90,7 @@ object CjkSegmenter {
   def tokenize(s: UTF8String): ArrayData = {
     val str = s.toString
     val out = new java.util.ArrayList[UTF8String](16)
-    val chunks = str.split("\\s+")
+    val chunks = Whitespace.split(str)
     var ci = 0
     while (ci < chunks.length) {
       val chunk = chunks(ci)

@@ -455,8 +455,13 @@ object Dedup {
     // Convergence via the monotone invariant: min-label propagation only
     // ever DECREASES labels, so Σ labels strictly decreases until the
     // fixpoint — one cheap aggregate per round instead of a join.
-    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
-    var converged = false
+    // coalesce: sum over an EMPTY labels frame is NULL (a pair list with
+    // no pairs — an all-unique corpus — must yield an empty cluster map,
+    // not an NPE); an empty frame is already converged at sum 0.
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
+    var prevSum = labelSum(labels)
+    var converged = labels.isEmpty
     var i = 0
     while (!converged && i < maxIter) {
       val viaEdge = edges.join(labels, edges("src") === labels("id"))
@@ -465,7 +470,7 @@ object Dedup {
         labels.select(col("id"), col("label"))
           .unionByName(viaEdge)
           .groupBy(col("id")).agg(min(col("label")).as("label")))
-      val nextSum = next.agg(sum(col("label"))).head().getLong(0)
+      val nextSum = labelSum(next)
       // `next` is eagerly materialized, so the previous round's blocks
       // are dead — drop them NOW instead of leaking one checkpoint per
       // round until a session-wide sweep

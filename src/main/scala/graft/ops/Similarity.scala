@@ -329,6 +329,23 @@ object Similarity {
     * combinable scan, ~10⁻⁵ of the vector bytes — and decides a job
     * that is unboundedly more expensive in the wrong regime.
     */
+  /** The exact within-label pair baseline: every same-label pair scored
+    * with `floor(cosine · 10⁴)`. Quadratic in block size — ONE
+    * definition, shared by the oracle-gated query (q90), the auto
+    * dispatch's below-bound branch, and the recall gate's truth side
+    * (q98), so a scoring change can never diverge them.
+    */
+  def cosinePairsLabelExact(df: DataFrame, labelCol: String,
+                            minSimE4: Long): DataFrame = {
+    val e = df.select(col("vec_id"), col(labelCol).as("__lbl"), col("embedding"))
+    e.alias("a").join(e.alias("b"),
+        col("a.__lbl") === col("b.__lbl") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        floor(VectorFunctions.cosine(col("a.embedding"), col("b.embedding")) * 10000)
+          .cast("long").as("cos_e4"))
+      .filter(col("cos_e4") >= minSimE4)
+  }
+
   def cosinePairsLabelAuto(df: DataFrame, labelCol: String, minSimE4: Long,
                            nPlanes: Int = 0, nTables: Int = 8): DataFrame = {
     val maxBlock = df.sparkSession.conf.get("graft.sim.maxBlock", "65536").toLong
@@ -347,14 +364,8 @@ object Similarity {
     val biggest = df.groupBy(col(labelCol)).agg(count(lit(1)).as("__n"))
       .agg(coalesce(max(col("__n")), lit(0L)).as("m")).head().getLong(0)
     val e = df.select(col("vec_id"), col(labelCol).as("__lbl"), col("embedding"))
-    if (biggest <= maxBlock) {
-      e.alias("a").join(e.alias("b"),
-          col("a.__lbl") === col("b.__lbl") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-          floor(VectorFunctions.cosine(col("a.embedding"), col("b.embedding")) * 10000)
-            .cast("long").as("cos_e4"))
-        .filter(col("cos_e4") >= minSimE4)
-    } else {
+    if (biggest <= maxBlock) cosinePairsLabelExact(df, labelCol, minSimE4)
+    else {
       val seeds = (0 until nTables).map(t => 42 + t * 1000003)
       val wb = withLshBuckets(e, "vec_id", "embedding", k, seeds)
       val tb = wb.select(col("vec_id"), col("__lbl"),
@@ -367,13 +378,16 @@ object Similarity {
         .filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"))
         .distinct()
-      val u = df.select(col("vec_id"),
-        VectorFunctions.normalize(col("embedding")).as("u"))
+      // verify with the SAME expression on the RAW embeddings as the
+      // exact branch — dot-of-normalized rounds differently in the last
+      // ulp, which at the floor boundary could emit a pair the exact
+      // path rejects and break the documented subset contract
+      val raw = df.select(col("vec_id"), col("embedding"))
       candPairs
-        .join(u.select(col("vec_id").as("id_a"), col("u").as("ua")), "id_a")
-        .join(u.select(col("vec_id").as("id_b"), col("u").as("ub")), "id_b")
+        .join(raw.select(col("vec_id").as("id_a"), col("embedding").as("ea")), "id_a")
+        .join(raw.select(col("vec_id").as("id_b"), col("embedding").as("eb")), "id_b")
         .select(col("id_a"), col("id_b"),
-          floor(org.apache.spark.sql.graft.VectorExpressions.dot(col("ua"), col("ub")) * 10000)
+          floor(VectorFunctions.cosine(col("ea"), col("eb")) * 10000)
             .cast("long").as("cos_e4"))
         .filter(col("cos_e4") >= minSimE4)
     }

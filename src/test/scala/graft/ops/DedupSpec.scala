@@ -129,6 +129,20 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(2L, 4L, 5L), s"got $kept")
   }
 
+  test("connectedComponents and report handle an EMPTY pair list (all-unique corpus)") {
+    // sum over an empty labels frame is NULL — must yield an empty
+    // cluster map, not an NPE (reachable from q52/q93/q101 on any
+    // corpus with no near-dup pair at the threshold)
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(empty).count() == 0L)
+    val rep = Dedup.report(empty)
+    assert(rep.clusters.count() == 0L)
+    assert(rep.sizeHistogram.count() == 0L)
+    val kept = rep.keepBest(docs, "doc_id", "n_chars")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L, 4L, 5L), "all docs pass through untouched")
+  }
+
   test("report artifact: clusters/histogram/keep-policy views are mutually consistent") {
     val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
     val rep = Dedup.report(pairs)

@@ -33,14 +33,9 @@ object GateProbe {
     val cents = Similarity.trainCentroids(emb, nCells = 8, iters = 2)
     println(f"q58 ivfTopKTrained(probe2): ${recall(Similarity.ivfTopKTrained(q, emb, 5, cents, nProbe = 2))}%.4f")
 
-    // q35: pair recall vs the exact within-label baseline (q90's output)
-    val e = emb.select(col("vec_id"), col("label"), col("embedding"))
-    val exactPairs = e.alias("a").join(e.alias("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        floor(graft.functions.VectorFunctions.cosine(col("a.embedding"), col("b.embedding")) * 10000)
-          .cast("long").as("cos_e4"))
-      .filter(col("cos_e4") >= 3000L)
+    // q35: pair recall vs the exact within-label baseline (q90's output,
+    // the ONE shared definition)
+    val exactPairs = Similarity.cosinePairsLabelExact(emb, "label", 3000L)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lshPairs = Similarity.cosineNearDupPairsMulti(emb, minSimE4 = 3000L,
         nPlanes = 8, nTables = 8)
