@@ -39,27 +39,24 @@ object Bench {
     System.gc()
   }
 
-  def session(cpus: String): SparkSession = {
-    // Mirror GraftSession's scale configs exactly: round-2 profiling showed
-    // the dedup family (q31) paying ~2x for missing AQE partition coalescing
-    // when Bench configured neither AQE nor a timezone.
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    spark
-  }
+  // ONE definition of the session configs (round-2 postmortem: Bench
+  // hand-copying them drifted once already — no AQE, no timezone — and
+  // cost the dedup family 2x)
+  def session(cpus: String): SparkSession =
+    graft.core.GraftSession.local(cpus.toInt)
 
   def runTimed(spark: SparkSession, name: String, sfDir: String): (Double, Boolean) = {
     val t0 = System.nanoTime()
-    val err = try { SparkEntry.queries(name)(spark, sfDir).count(); false }
-      catch { case _: Throwable => true }
+    // materialize through toRdd.count(), NOT Dataset.count(): a count
+    // aggregate on top lets ColumnPruning delete every deterministic
+    // projection below it, so the scalar-expression queries (text
+    // scrubbing, quantization, z-values) would time a column-less scan
+    // and a 100x expression regression would never move the bench.
+    // toRdd executes the compiled plan as-is and the RDD count consumes
+    // every row.
+    val err = try {
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count(); false
+    } catch { case _: Throwable => true }
     ((System.nanoTime() - t0) / 1e9, err)
   }
 

@@ -44,6 +44,15 @@ object TextFunctions {
   def removeEmoji(text: Column): Column =
     regexp_replace(text, "[^\\p{L}\\p{M}\\p{N}\\p{P}\\p{Z}\\s]", "")
 
+  /** THE whitespace normalization: lowercase, runs of whitespace → one
+    * space. One definition shared by shingling, content fingerprinting,
+    * and the dedup family's shingle pipeline — the DuckDB oracles
+    * (q31/q57/q74) replay exactly this expression, so the three users
+    * must never drift apart.
+    */
+  def normalizeWs(text: Column): Column =
+    lower(regexp_replace(text, "\\s+", " "))
+
   /** Character n-gram shingles of the whitespace-normalized text. Used by
     * MinHash / Jaccard dedup.
     *
@@ -59,7 +68,7 @@ object TextFunctions {
     * n falls back to the whole normalized string as its one shingle.
     */
   def shingles(text: Column, n: Int): Column = {
-    val norm = lower(regexp_replace(text, "\\s+", " "))
+    val norm = normalizeWs(text)
     val chars = split(norm, "")
     val grams = (2 to n).foldLeft(chars: Column)((acc, kk) =>
       zip_with(acc, slice(chars, lit(kk), greatest(size(chars) - (kk - 1), lit(0))),
@@ -149,7 +158,7 @@ object TextFunctions {
     * key beats shuffling the text itself.
     */
   def contentFingerprint(text: Column): Column =
-    xxhash64(lower(regexp_replace(text, "\\s+", " ")))
+    xxhash64(normalizeWs(text))
 
   /** PII redaction for training corpora: emails, IPv4 addresses, and
     * phone-shaped digit runs replaced with typed placeholder tokens.

@@ -84,7 +84,13 @@ object Decontaminate {
       // same NULL-safe routing as antiJoin: null keys are definitionally
       // uncontaminated and must not be dropped ("keeps every row")
       val mc = coalesce(mightContain(corpusKey), lit(false))
-      val positives = corpus.filter(mc && corpusKey.isNotNull)
+      // persisted: BOTH verify legs (semi + anti) consume the positives —
+      // unpersisted, each leg re-scans the full corpus through the bloom
+      // probe (three 100 TB scans instead of one + a tiny cached frame;
+      // positives are |matches| + fpp·|corpus| rows by construction).
+      // Lifecycle: CacheScope.release after the consuming action.
+      val positives = CacheScope.persist(
+        corpus.filter(mc && corpusKey.isNotNull))
       val confirmed = positives
         .join(keys, corpusKey === col("__k"), "left_semi")
         .withColumn("contaminated", lit(true))

@@ -122,7 +122,7 @@ object Dedup {
     */
   private def shingleRows(df: DataFrame, idCol: String, textCol: String,
                           shingleN: Int): DataFrame = {
-    val norm = lower(regexp_replace(col(textCol), "\\s+", " "))
+    val norm = TextFunctions.normalizeWs(col(textCol))
     fanOutScan(df.select(col(idCol), col(textCol)))
       .select(col(idCol).as("id"), norm.as("norm"))
       .select(col("id"), col("norm"),
@@ -387,6 +387,18 @@ object Dedup {
   /** SimHash near-dup pairs: block on 16-bit chunks of the simhash (two
     * docs within hamming distance ≤ 3 of a 64-bit hash share at least
     * one of 4 exact 16-bit chunks — pigeonhole), verify with bit_count.
+    *
+    * RECALL CONTRACT: the pigeonhole guarantee is complete only for
+    * `maxHamming` ≤ 3. For larger radii (q32 runs 12) the output is the
+    * CHUNK-BLOCKED subset — pairs within the hamming radius that also
+    * share at least one exact 16-bit chunk; its oracle replays the
+    * identical blocking, so the gate checks exactly this contract. A
+    * complete large-radius search is a different algorithm (Manku et
+    * al. WWW'07 multi-index over permuted chunk tables — ~C(c, h)
+    * tables); at hamming 12/64 the bit-budget per block drops to ~4
+    * bits and candidate generation degenerates toward all-pairs, which
+    * is why the production near-dup radius for 64-bit simhash is ≤ 3
+    * and larger radii are an explicitly partial screen.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, portable: Boolean = false): DataFrame = {
@@ -483,6 +495,14 @@ object Dedup {
     }
     // the edge list is dead once the loop exits
     CacheScope.unpersistRdds(edgeRdds)
+    // near-dup clusters are shallow, so non-convergence means a
+    // pathological chain (diameter > maxIter) — the labels are then
+    // PARTIAL (one true cluster reported as several) and silence would
+    // turn that into duplicate "representatives" downstream
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents did not converge in $maxIter rounds; " +
+          "labels are partial — raise maxIter for deep-chain graphs")
     (labels, labelRdds)
   }
 
@@ -689,12 +709,16 @@ object Dedup {
         blockCols.zipWithIndex.map { case (c, i) => c.as(s"blk_$i") }): _*)
       .select((col("id") +: keys.map(col)) :+ explode(col("toks")).as("tok"): _*)
       .select(keys.map(col) :+ xxhash64(col("tok")).as("th"): _*)
+    // f as double BEFORE squaring: an unblocked corpus-scale stopword
+    // (f ≈ 4·10⁹) overflows Long at f² — precisely the regime this
+    // statistic exists to detect; doubles lose ulps, not the magnitude
     val agg = toks.groupBy((keys.map(col) :+ col("th")): _*)
       .agg(count(lit(1)).as("f"))
-      .agg(sum(col("f") * col("f")).as("f2"), sum(col("f")).as("n"))
+      .agg(sum(col("f").cast("double") * col("f").cast("double")).as("f2"),
+        sum(col("f")).as("n"))
       .head()
     val amp = if (agg.isNullAt(1) || agg.getLong(1) == 0L) 0.0
-      else agg.getLong(0).toDouble / agg.getLong(1)
+      else agg.getDouble(0) / agg.getLong(1)
     val maxAmp = df.sparkSession.conf
       .get("graft.dedup.jaccard.maxAmp", "4000").toDouble
     if (amp <= maxAmp) ngramJaccardPairs(df, idCol, textCol, blockCols, thresholdE4)

@@ -85,7 +85,10 @@ object Similarity {
       .get("graft.sim.maxBroadcastQueries", "100000").toLong
     val qProj = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb"))
-    val q = if (queries.select(col("vec_id")).limit((maxBcast + 1).toInt)
+    // clamp before toInt: a conf >= Int.MaxValue would wrap negative
+    // and make limit() throw at analysis
+    val probe = math.min(maxBcast + 1, Int.MaxValue.toLong).toInt
+    val q = if (queries.select(col("vec_id")).limit(probe)
         .count() <= maxBcast) broadcast(qProj) else qProj
     val c = candidates.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("c_emb"))

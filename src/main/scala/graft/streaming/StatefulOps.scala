@@ -128,9 +128,32 @@ object StatefulOps {
         } else {
           val sorted = it.toSeq.sortBy(_.ts.getTime)
           val out = scala.collection.mutable.ArrayBuffer.empty[BounceRecord]
+          // a timeout at-or-before the watermark throws; clamping to
+          // watermark+1 fires it on the next trigger instead — same
+          // bounce, one trigger later (late entries whose gap already
+          // passed)
+          def arm(e: PageEvent): Unit = {
+            state.update(e)
+            state.setTimeoutTimestamp(math.max(
+              e.ts.getTime + gapSeconds * 1000,
+              state.getCurrentWatermarkMs() + 1))
+          }
           sorted.foreach { e =>
             val isEntry = e.lastPageId.forall(_.isEmpty)
             state.getOption match {
+              case Some(pending) if e.ts.getTime < pending.ts.getTime =>
+                // LATE arrival that PRECEDES the pending entry: not a
+                // follow-up to it — counting it as one silently cancels
+                // a real bounce. The pending entry stays armed — and must
+                // be RE-armed: Spark clears a group's timeout on every
+                // invocation that carries data, so skipping the re-arm
+                // here would silently drop the pending bounce too. If the
+                // late event is itself an entry, the pending entry is ITS
+                // follow-up candidate (beyond the gap → it bounced).
+                if (isEntry &&
+                    pending.ts.getTime > e.ts.getTime + gapSeconds * 1000)
+                  out += BounceRecord(mid, e.pageId, e.ts)
+                arm(pending)
               case Some(pending) =>
                 if (e.ts.getTime > pending.ts.getTime + gapSeconds * 1000) {
                   // follow-up too late: the pending entry bounced
@@ -139,11 +162,9 @@ object StatefulOps {
                   // reference's `next` step only requires page_id != null,
                   // UserJumpDetailApp.scala:103-110) — no bounce either way
                 state.remove()
+                if (isEntry) arm(e)
               case None =>
-            }
-            if (isEntry) {
-              state.update(e)
-              state.setTimeoutTimestamp(e.ts.getTime + gapSeconds * 1000)
+                if (isEntry) arm(e)
             }
           }
           out.iterator

@@ -30,4 +30,24 @@ class CompactionSpec extends SparkSpec {
     assert(subdirs == Set("par=even", "par=odd"))
     assert(spark.read.parquet(s"$dir/out").count() == 100L)
   }
+
+  test("a hot partition value is split across files instead of one giant straggler") {
+    val dir = Files.createTempDirectory("compacts").toString
+    // 9:1 skew: dt=hot has 900 rows, dt=cold has 100
+    val df = (1L to 1000L)
+      .map(i => (i, s"payload $i", if (i <= 900) "hot" else "cold"))
+      .toDF("id", "v", "dt")
+    Compaction.compactedWrite(df, s"$dir/out", rowsPerFile = 250,
+      partitionCols = Seq("dt"))
+    def parquets(sub: String) = new java.io.File(s"$dir/out/$sub").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    // hot: ceil(900/250) = 4 salt buckets → up to 4 files, and at least
+    // 2 (one file would mean the salt never split the hot value)
+    assert(parquets("dt=hot").length >= 2 && parquets("dt=hot").length <= 4,
+      s"hot partition files: ${parquets("dt=hot").length}")
+    // cold: one salt bucket → exactly one file
+    assert(parquets("dt=cold").length == 1,
+      s"cold partition files: ${parquets("dt=cold").length}")
+    assert(spark.read.parquet(s"$dir/out").count() == 1000L)
+  }
 }

@@ -113,4 +113,29 @@ class StatefulOpsSpec extends SparkSpec {
     assert(rows.contains(("102", 33L)), s"mid 102's second entry must bounce; got $rows")
     assert(!rows.contains(("102", 15L)), s"followed-up entry must not bounce; got $rows")
   }
+
+  test("ST3: a LATE event preceding the pending entry does not cancel its bounce") {
+    val input = MemoryStream[PageEvent]
+    // 1-hour watermark delay so an out-of-order event is still admitted
+    val events = input.toDS().withWatermark("ts", "1 hour")
+    val out = StatefulOps.bounceDetect(events, gapSeconds = 10)
+    val q = out.writeStream.format("memory").queryName("st3late")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    // batch 1: entry at t=100 (never followed up → must bounce)
+    input.addData(PageEvent("201", "home", None, "1", ts(100)))
+    q.processAllAvailable()
+    // batch 2: LATE non-entry event at t=50 — BEFORE the pending entry;
+    // treating it as a follow-up would silently cancel the real bounce
+    input.addData(PageEvent("201", "stray", Some("elsewhere"), "1", ts(50)))
+    q.processAllAvailable()
+    // advance the watermark far past entry+gap so the timeout fires
+    input.addData(PageEvent("999", "home", None, "1", ts(10000)))
+    q.processAllAvailable()
+    input.addData(PageEvent("999", "end", Some("home"), "1", ts(20000)))
+    runToCompletion(q)
+    val rows = spark.table("st3late").as[BounceRecord].collect()
+      .map(r => (r.mid, r.ts.getTime / 1000)).toSet
+    assert(rows.contains(("201", 100L)),
+      s"late pre-entry event must not cancel the bounce; got $rows")
+  }
 }
