@@ -108,8 +108,10 @@ class SimilaritySpec extends SparkSpec {
       assert(approx.map(p => (p._1, p._2))
         .subsetOf(exact.map(p => (p._1, p._2))),
         "dispatched path must never emit a pair the exact path rejects")
+      // deterministic hyperplanes: measured 0.951 on this corpus (0.991
+      // at sf0.01) — the 1-(1-p^k)^L >= 0.9 plane derivation holding
       val rec = approx.size.toDouble / exact.size
-      assert(rec >= 0.5, f"label-blocked LSH recall $rec%.3f collapsed")
+      assert(rec >= 0.9, f"label-blocked LSH recall $rec%.3f collapsed")
       // and the plan is the bucketed join, not the within-label cross
       val plan = Similarity.cosinePairsLabelAuto(embL, "label", 3000L)
         .queryExecution.executedPlan.toString

@@ -43,6 +43,15 @@ object GateProbe {
     val pr = exactPairs.intersect(lshPairs).size.toDouble / math.max(exactPairs.size, 1)
     println(f"q35 pair recall vs within-label exact: $pr%.4f (truth ${exactPairs.size})")
 
+    // q90's over-bound dispatch: label-blocked LSH with threshold-
+    // adaptive planes vs the same exact truth
+    spark.conf.set("graft.sim.maxBlock", "2")
+    val dispatched = Similarity.cosinePairsLabelAuto(emb, "label", 3000L)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.unset("graft.sim.maxBlock")
+    val dr = exactPairs.intersect(dispatched).size.toDouble / math.max(exactPairs.size, 1)
+    println(f"q90 dispatched-path recall vs exact: $dr%.4f")
+
     // q48: HLL per-day relative error vs exact distinct
     val ev = graft.core.Tables.load(spark, sfDir, "events")
     val errs = ev.groupBy(date_format(col("ts"), "yyyy-MM-dd").as("dt"))
