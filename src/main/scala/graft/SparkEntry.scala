@@ -1398,7 +1398,18 @@ object SparkEntry {
     "q101_dedup_keep_best" -> ((s, dir) =>
       dedupReport(s, dir)
         .keepBest(T(s, dir, "documents"), "doc_id", "n_chars")
-        .select(col("doc_id"), col("lang"), col("n_chars")))
+        .select(col("doc_id"), col("lang"), col("n_chars"))),
+
+    // Substring-level duplicate REMOVAL (Lee et al. ACL'22 made
+    // shuffle-friendly): every 40-char window at stride 4 occurring in
+    // >3 distinct docs is CUT from its carriers (boilerplate scrub —
+    // the surgical counterpart of q80's pair detection); the per-doc
+    // surgery is one zero-shuffle fold over the sorted hot offsets.
+    // The oracle reconstructs each document character-by-character
+    // against the same hot-window set — full clean-text equality.
+    "q102_scrub_spans" -> ((s, dir) =>
+      ops.SpanScrub.scrubRepeatedSpans(T(s, dir, "documents"),
+        "doc_id", "text", k = 40, stride = 4, maxDf = 3))
   )
 
   // ------------------------------------------------------------------
@@ -2511,7 +2522,37 @@ object SparkEntry {
          SELECT doc_id, lang, n_chars FROM ranked WHERE rk = 1
          UNION ALL
          SELECT doc_id, lang, n_chars FROM documents
-         WHERE doc_id NOT IN (SELECT id FROM labels)"""
+         WHERE doc_id NOT IN (SELECT id FROM labels)""",
+
+    // character-level reconstruction against the same hot-window set:
+    // a char survives iff no hot window of its own doc covers it
+    "q102_scrub_spans" ->
+      """WITH w AS (
+           SELECT doc_id, CAST(o AS INT) AS o,
+             substr(text, CAST(o AS INT) + 1, 40) AS win
+           FROM (SELECT doc_id, text,
+                   unnest(range(0, CAST(length(text) AS BIGINT) - 39, 4)) AS o
+                 FROM documents WHERE length(text) >= 40)),
+         wdf AS (
+           SELECT win FROM (SELECT DISTINCT doc_id, win FROM w)
+           GROUP BY win HAVING count(*) > 3),
+         hot AS (SELECT DISTINCT w.doc_id, w.o FROM w JOIN wdf USING (win)),
+         pos AS (
+           SELECT doc_id, text,
+             CAST(unnest(range(1, CAST(length(text) AS BIGINT) + 1)) AS INT) AS p
+           FROM documents),
+         kept AS (
+           SELECT pos.doc_id, pos.p, substr(pos.text, pos.p, 1) AS ch
+           FROM pos
+           WHERE NOT EXISTS (SELECT 1 FROM hot h
+             WHERE h.doc_id = pos.doc_id AND pos.p > h.o AND pos.p <= h.o + 40))
+         SELECT d.doc_id,
+           coalesce(k.clean_text, '') AS clean_text,
+           CAST(length(d.text) - length(coalesce(k.clean_text, '')) AS BIGINT)
+             AS removed_chars
+         FROM documents d LEFT JOIN (
+           SELECT doc_id, string_agg(ch, '' ORDER BY p) AS clean_text
+           FROM kept GROUP BY doc_id) k USING (doc_id)"""
     // q33_ann_lsh / q35_cosine_neardup / q36_ann_ivf /
     // q54_ann_lsh_multi: probabilistic and hash-family-specific — the
     // output VALUES depend on xxhash64 / murmur3 hyperplanes, which

@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Substring-level duplicate REMOVAL — the "exact substring dedup"
+  * deliverable from the training-data literature (Lee et al., ACL'22:
+  * dedup the duplicated SPAN, keep the document), as the surgical
+  * counterpart of [[Dedup.sharedWindowPairs]] (which only reports doc
+  * pairs): every k-char window sampled at `stride` that occurs in more
+  * than `maxDf` distinct documents (boilerplate headers, license
+  * blocks, templated navigation) is cut from every document carrying
+  * it; the unique remainder is kept and re-joined.
+  *
+  * Shape (the family doctrine):
+  *  1. one explode pass → (id, off, window) rows, O(len/stride) per
+  *     doc;
+  *  2. window document-frequency via a distinct + count aggregate —
+  *     this variant keys on the window STRING so an external engine
+  *     can replay it exactly (the 100 TB swap is keying steps 2-3 on
+  *     `xxhash64(win)` — 8-byte keys in the exchange, same pattern as
+  *     the portable/production simhash flavors);
+  *  3. hot offsets per doc: windows with df > maxDf, collected and
+  *     sorted per document — rows exist ONLY for docs that carry hot
+  *     spans (at scale a small minority);
+  *  4. span surgery per row, zero shuffles: a single `aggregate` fold
+  *     over the sorted offsets walks the text left-to-right with a
+  *     (cursor, acc) state, appending the text between merged hot
+  *     intervals — overlapping spans merge naturally because the
+  *     cursor only moves forward. Docs with no hot span pass through
+  *     the left join untouched.
+  *
+  * The fold's lambdas only touch attribute references (no recomputed
+  * expressions inside the loop — the [[graft.functions.TextFunctions.shingles]]
+  * hazard), and the per-element work is O(span) substring copies.
+  */
+object SpanScrub {
+
+  def scrubRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                         k: Int, stride: Int, maxDf: Long): DataFrame = {
+    require(k > 0 && stride > 0, s"k=$k stride=$stride must be positive")
+    val text = col(textCol)
+    val wins = df.select(col(idCol).as("__id"), text.as("__t"))
+      .filter(length(col("__t")) >= k)
+      .select(col("__id"),
+        explode(sequence(lit(0), length(col("__t")) - k, lit(stride))).as("off"),
+        col("__t"))
+      .select(col("__id"), col("off"),
+        col("__t").substr(col("off") + 1, lit(k)).as("win"))
+    // document frequency per window: distinct (id, win) first so a
+    // window repeated WITHIN one doc counts once
+    val wdf = wins.select(col("__id"), col("win")).distinct()
+      .groupBy(col("win")).agg(count(lit(1)).as("wdf"))
+      .filter(col("wdf") > maxDf)
+    val hotOffs = wins.join(wdf, "win")
+      .groupBy(col("__id"))
+      .agg(array_sort(collect_set(col("off"))).as("__offs"))
+    val joined = df.join(hotOffs, df(idCol) === hotOffs("__id"), "left")
+    // left-to-right surgery: state (cur, acc); for each hot offset o,
+    // keep text(cur, o) if the cursor hasn't already passed o (overlap
+    // merge), then jump the cursor past the span
+    val zero = struct(lit(0).as("cur"), lit("").as("acc"))
+    val folded = aggregate(col("__offs"), zero,
+      (st, o) => struct(
+        greatest(st.getField("cur"), o + k).as("cur"),
+        concat(st.getField("acc"),
+          when(o > st.getField("cur"),
+            text.substr(st.getField("cur") + 1, o - st.getField("cur")))
+            .otherwise(lit(""))).as("acc")),
+      st => concat(st.getField("acc"),
+        when(length(text) > st.getField("cur"),
+          text.substr(st.getField("cur") + 1, length(text) - st.getField("cur")))
+          .otherwise(lit(""))))
+    joined.select(
+      df(idCol),
+      when(col("__offs").isNull, text).otherwise(folded).as("clean_text"),
+      length(text).as("__len"))
+      .withColumn("removed_chars",
+        (col("__len") - length(col("clean_text"))).cast("long"))
+      .drop("__len")
+  }
+}
