@@ -1409,7 +1409,17 @@ object SparkEntry {
     // against the same hot-window set — full clean-text equality.
     "q102_scrub_spans" -> ((s, dir) =>
       ops.SpanScrub.scrubRepeatedSpans(T(s, dir, "documents"),
-        "doc_id", "text", k = 40, stride = 4, maxDf = 3))
+        "doc_id", "text", k = 40, stride = 4, maxDf = 3)),
+
+    // Temperature-based dataset mixing (the mT5 multilingual recipe):
+    // ~300 docs sampled with per-language targets ∝ n^0.5 — small
+    // languages up-weighted vs proportional. Every step engine-exact
+    // (e3 fixed-point sqrt weights, integer floor-division targets,
+    // portable-mix rank), so the oracle replays the full selection.
+    "q103_temperature_mix" -> ((s, dir) =>
+      Sampling.temperatureMix(T(s, dir, "documents"), "lang", "doc_id",
+          totalN = 300)
+        .select(col("doc_id"), col("lang")))
   )
 
   // ------------------------------------------------------------------
@@ -2552,7 +2562,25 @@ object SparkEntry {
              AS removed_chars
          FROM documents d LEFT JOIN (
            SELECT doc_id, string_agg(ch, '' ORDER BY p) AS clean_text
-           FROM kept GROUP BY doc_id) k USING (doc_id)"""
+           FROM kept GROUP BY doc_id) k USING (doc_id)""",
+
+    // full replay of the temperature-mix selection: e3 fixed-point sqrt
+    // weights summed as integers, floor-division targets capped at the
+    // stratum size, portable-mix rank (same mix as the split/sample
+    // oracles)
+    "q103_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+         w AS (SELECT lang, n,
+           CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000) AS BIGINT) AS s FROM c),
+         t AS (SELECT lang,
+           least(n, (300 * s) // (SELECT sum(s) FROM w)) AS target FROM w),
+         r AS (SELECT d.doc_id, d.lang,
+           row_number() OVER (PARTITION BY d.lang
+             ORDER BY ((d.doc_id % 1000003) * 2654435761) % 1000000007,
+               d.doc_id) AS rn
+           FROM documents d)
+         SELECT r.doc_id, r.lang FROM r JOIN t USING (lang)
+         WHERE rn <= target"""
     // q33_ann_lsh / q35_cosine_neardup / q36_ann_ivf /
     // q54_ann_lsh_multi: probabilistic and hash-family-specific — the
     // output VALUES depend on xxhash64 / murmur3 hyperplanes, which

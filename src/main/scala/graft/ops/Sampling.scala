@@ -146,4 +146,56 @@ object Sampling {
       .filter(col("__rn") <= ceil(col("__ct") * frac))
       .drop("__rn", "__ct")
   }
+
+  /** Temperature-based dataset mixing (the mT5/T5 multilingual recipe):
+    * sample `target_i ∝ n_i^alpha` rows from each stratum, ~`totalN`
+    * overall — alpha < 1 up-weights small strata (low-resource
+    * languages) relative to proportional sampling, alpha = 0 is uniform
+    * per stratum, alpha = 1 is proportional.
+    *
+    * Engine-exact arithmetic (the oracle replays every step):
+    *  - weights floored to e3 fixed-point BIGINTs BEFORE summing
+    *    (order-independent integer total — a double Σ would differ in
+    *    the last ulp between engines and flip a floor);
+    *  - targets by integer floor division `(totalN * s_i) div S`,
+    *    capped at n_i (headroom: s_i ≤ √10¹⁰·10³ = 10⁸, so totalN up
+    *    to ~9·10¹⁰ before 64-bit overflow);
+    *  - row selection = the deterministic portable-mix rank within the
+    *    stratum (same selection machinery as [[sampleByExact]]).
+    * Default alpha 0.5 uses `sqrt` (IEEE-correctly-rounded in any
+    * engine); arbitrary alpha uses `pow`, whose last ulp is libm-
+    * dependent — fine in production, not under a cross-engine oracle.
+    *
+    * One aggregation + one broadcastable strata-table join + one
+    * window over the strata partitioning: the corpus shuffles once.
+    */
+  def temperatureMix(df: DataFrame, strataCol: String, idCol: String,
+                     totalN: Long, alpha: Double = 0.5,
+                     portable: Boolean = true): DataFrame = {
+    require(totalN >= 0 && alpha >= 0.0)
+    val weight =
+      if (alpha == 0.5) sqrt(col("__n").cast("double"))
+      else if (alpha == 1.0) col("__n").cast("double")
+      else if (alpha == 0.0) lit(1.0)
+      else pow(col("__n").cast("double"), lit(alpha))
+    val weighted = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__s", floor(weight * 1000.0).cast("long"))
+    // the weight total is a driver-side statistic over the model-sized
+    // strata table (same doctrine as the q79 dispatch statistic) —
+    // a crossJoin against an agg of the same lineage trips Spark's
+    // self-join ambiguity resolution
+    val totalS = math.max(1L,
+      weighted.agg(coalesce(sum(col("__s")), lit(0L))).head().getLong(0))
+    val targets = weighted
+      .withColumn("__target",
+        least(col("__n"), expr(s"(${totalN}L * __s) div ${totalS}L")))
+      .select(col(strataCol), col("__target"))
+    val mix = if (portable) portableBucket(col(idCol), 1000000007)
+      else pmod(xxhash64(col(idCol)), lit(Long.MaxValue))
+    val w = Window.partitionBy(col(strataCol)).orderBy(mix, col(idCol))
+    df.join(broadcast(targets), strataCol)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("__target"))
+      .drop("__rn", "__target")
+  }
 }

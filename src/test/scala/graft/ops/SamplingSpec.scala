@@ -69,6 +69,30 @@ class SamplingSpec extends SparkSpec {
     assert(again == capped.select("id").as[Long].collect().toSet)
   }
 
+  test("temperatureMix: targets ∝ n^alpha, deterministic, capped at stratum size") {
+    // strata: 100 'lo' rows, 400 'hi' rows → sqrt weights 10:20 →
+    // s = 10000 : 20000, S = 30000; totalN 30 → targets 10 and 20
+    val df = (0L until 500L)
+      .map(i => (i, if (i < 100) "lo" else "hi")).toDF("id", "stratum")
+    val out = Sampling.temperatureMix(df, "stratum", "id", totalN = 30)
+    val byStratum = out.groupBy("stratum").count()
+      .as[(String, Long)].collect().toMap
+    assert(byStratum == Map("lo" -> 10L, "hi" -> 20L), s"got $byStratum")
+    // alpha=0.5 up-weights the small stratum vs proportional (6:24)
+    val prop = Sampling.temperatureMix(df, "stratum", "id", totalN = 30, alpha = 1.0)
+      .groupBy("stratum").count().as[(String, Long)].collect().toMap
+    assert(prop("lo") < byStratum("lo"), s"proportional got $prop")
+    // deterministic: same rows across runs and under repartition
+    val again = Sampling.temperatureMix(df.repartition(7), "stratum", "id", totalN = 30)
+      .select("id").as[Long].collect().toSet
+    assert(again == out.select("id").as[Long].collect().toSet)
+    // targets cap at the stratum size (tiny stratum, huge totalN)
+    val tiny = (0L until 12L).map(i => (i, if (i < 2) "a" else "b")).toDF("id", "stratum")
+    val capped = Sampling.temperatureMix(tiny, "stratum", "id", totalN = 100)
+      .groupBy("stratum").count().as[(String, Long)].collect().toMap
+    assert(capped("a") <= 2L && capped("b") <= 10L)
+  }
+
   test("epochShuffleKey: per-epoch orders differ, each deterministic") {
     val keyed = (e: Int) => ids.select($"id",
       Sampling.epochShuffleKey($"id", e).as("k"))
