@@ -178,24 +178,36 @@ object Sampling {
       else if (alpha == 1.0) col("__n").cast("double")
       else if (alpha == 0.0) lit(1.0)
       else pow(col("__n").cast("double"), lit(alpha))
-    val weighted = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+    // ONE corpus aggregation: the strata table is model-sized, so it is
+    // collected once and both the weight total and the per-stratum
+    // targets derive from the collected rows (the q79 statistic
+    // doctrine) — a lazy targets frame over the same lineage would
+    // re-run the full-corpus groupBy when the result executes
+    val strata = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
       .withColumn("__s", floor(weight * 1000.0).cast("long"))
-    // the weight total is a driver-side statistic over the model-sized
-    // strata table (same doctrine as the q79 dispatch statistic) —
-    // a crossJoin against an agg of the same lineage trips Spark's
-    // self-join ambiguity resolution
-    val totalS = math.max(1L,
-      weighted.agg(coalesce(sum(col("__s")), lit(0L))).head().getLong(0))
-    val targets = weighted
-      .withColumn("__target",
-        least(col("__n"), expr(s"(${totalN}L * __s) div ${totalS}L")))
-      .select(col(strataCol), col("__target"))
+      .select(col(strataCol), col("__n"), col("__s"))
+      .collect()
+    val totalS = math.max(1L, strata.map(_.getLong(2)).sum)
+    val targetRows = strata.map { r =>
+      org.apache.spark.sql.Row(r.get(0),
+        math.min(r.getLong(1), totalN * r.getLong(2) / totalS))
+    }
+    val spark = df.sparkSession
+    val targets = spark.createDataFrame(
+      java.util.Arrays.asList(targetRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        df.schema(strataCol).copy(name = "__stratum"),
+        org.apache.spark.sql.types.StructField("__target",
+          org.apache.spark.sql.types.LongType, nullable = false))))
     val mix = if (portable) portableBucket(col(idCol), 1000000007)
       else pmod(xxhash64(col(idCol)), lit(Long.MaxValue))
     val w = Window.partitionBy(col(strataCol)).orderBy(mix, col(idCol))
-    df.join(broadcast(targets), strataCol)
+    // null-safe join: a NULL stratum (missing language id — common in
+    // web crawls) is a first-class stratum like in the sibling
+    // samplers, not a silently-dropped row set
+    df.join(broadcast(targets), df(strataCol) <=> targets("__stratum"))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= col("__target"))
-      .drop("__rn", "__target")
+      .drop("__rn", "__target", "__stratum")
   }
 }

@@ -56,21 +56,26 @@ object SpanScrub {
       .groupBy(col("__id"))
       .agg(array_sort(collect_set(col("off"))).as("__offs"))
     val joined = df.join(hotOffs, df(idCol) === hotOffs("__id"), "left")
-    // left-to-right surgery: state (cur, acc); for each hot offset o,
-    // keep text(cur, o) if the cursor hasn't already passed o (overlap
-    // merge), then jump the cursor past the span
-    val zero = struct(lit(0).as("cur"), lit("").as("acc"))
-    val folded = aggregate(col("__offs"), zero,
-      (st, o) => struct(
-        greatest(st.getField("cur"), o + k).as("cur"),
-        concat(st.getField("acc"),
-          when(o > st.getField("cur"),
-            text.substr(st.getField("cur") + 1, o - st.getField("cur")))
-            .otherwise(lit(""))).as("acc")),
-      st => concat(st.getField("acc"),
-        when(length(text) > st.getField("cur"),
-          text.substr(st.getField("cur") + 1, length(text) - st.getField("cur")))
-          .otherwise(lit(""))))
+    // left-to-right surgery, O(len) total per doc: all spans have
+    // length k and the offsets are sorted ascending, so after
+    // processing offset o the cursor is exactly o + k — the kept slice
+    // BEFORE element i is text(offs[i-1] + k, offs[i]), empty when the
+    // spans overlap. transform + array_join assembles the slices with
+    // one pass (a (cursor, acc)-state fold would rebuild the
+    // accumulated string per element: O(len × nSpans) on exactly the
+    // template-heavy docs this operator targets).
+    val pieces = transform(col("__offs"), (o, i) =>
+      when(i === 0, text.substr(lit(1), o))
+        .otherwise {
+          val prevEnd = element_at(col("__offs"), i) + k // offs[i-1] + k
+          when(o > prevEnd, text.substr(prevEnd + 1, o - prevEnd))
+            .otherwise(lit(""))
+        })
+    val lastEnd = element_at(col("__offs"), -1) + k
+    val folded = concat(array_join(pieces, ""),
+      when(length(text) > lastEnd,
+        text.substr(lastEnd + 1, length(text) - lastEnd))
+        .otherwise(lit("")))
     joined.select(
       df(idCol),
       when(col("__offs").isNull, text).otherwise(folded).as("clean_text"),

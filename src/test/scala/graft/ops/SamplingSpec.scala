@@ -91,6 +91,14 @@ class SamplingSpec extends SparkSpec {
     val capped = Sampling.temperatureMix(tiny, "stratum", "id", totalN = 100)
       .groupBy("stratum").count().as[(String, Long)].collect().toMap
     assert(capped("a") <= 2L && capped("b") <= 10L)
+    // NULL stratum (missing language id) is a first-class stratum —
+    // 100 null + 400 'hi' is the same 10:20 split as the lo/hi case
+    val withNull = (0L until 500L)
+      .map(i => (i, if (i < 100) null else "hi")).toDF("id", "stratum")
+    val nullMix = Sampling.temperatureMix(withNull, "stratum", "id", totalN = 30)
+      .groupBy("stratum").count()
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(nullMix == Map(None -> 10L, Some("hi") -> 20L), s"got $nullMix")
   }
 
   test("epochShuffleKey: per-epoch orders differ, each deterministic") {
