@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 
 /** Small-file compaction — the reference's commented Spark utility
   * (rt-flink CommonTool.scala:168-244: read, union, `repartition(N)`,
@@ -40,16 +41,41 @@ object Compaction {
           val counts = cached.groupBy(pc: _*)
             .agg(ceil(count(lit(1)).cast("double") / rowsPerFile.toDouble)
               .cast("long").as("__files"))
-          cached.join(broadcast(counts), partitionCols)
+            // rename the join keys so the join can be null-safe (<=>): a
+            // USING join on the bare names would drop NULL-partition rows
+            // (NULL = NULL is not true), silently losing the rows Hive
+            // would have written to __HIVE_DEFAULT_PARTITION__
+            .toDF(partitionCols.map("__pc_" + _) :+ "__files": _*)
+          val joinCond = partitionCols
+            .map(c => col(c) <=> col("__pc_" + c)).reduce(_ && _)
+          cached.join(broadcast(counts), joinCond)
             .withColumn("__salt",
-              pmod(xxhash64(cached.columns.map(col): _*),
-                greatest(col("__files"), lit(1L))))
+              pmod(saltHash(cached), greatest(col("__files"), lit(1L))))
             .repartition(nFiles, pc :+ col("__salt"): _*)
-            .drop("__files", "__salt")
+            .drop(partitionCols.map("__pc_" + _) :+ "__files" :+ "__salt": _*)
         }
       val writer = sized.write.mode(SaveMode.Overwrite)
       (if (partitionCols.isEmpty) writer else writer.partitionBy(partitionCols: _*))
         .parquet(outPath)
     } finally { cached.unpersist(); () }
+  }
+
+  /** Deterministic per-row salt source. `xxhash64` rejects MapType at
+    * analysis (maps have no canonical order), so hash only the columns
+    * whose types contain no map anywhere; if every column is map-bearing,
+    * fall back to a per-partition row counter (still spreads rows, just
+    * not stable across different input partitionings — acceptable for a
+    * salt whose only job is file sizing).
+    */
+  private def saltHash(df: DataFrame): Column = {
+    def mapFree(dt: DataType): Boolean = dt match {
+      case _: MapType      => false
+      case a: ArrayType    => mapFree(a.elementType)
+      case s: StructType   => s.fields.forall(f => mapFree(f.dataType))
+      case _               => true
+    }
+    val hashable = df.schema.fields.filter(f => mapFree(f.dataType)).map(f => col(f.name))
+    if (hashable.nonEmpty) xxhash64(hashable.toIndexedSeq: _*)
+    else monotonically_increasing_id()
   }
 }

@@ -158,8 +158,9 @@ object Sampling {
     *    (order-independent integer total — a double Σ would differ in
     *    the last ulp between engines and flip a floor);
     *  - targets by integer floor division `(totalN * s_i) div S`,
-    *    capped at n_i (headroom: s_i ≤ √10¹⁰·10³ = 10⁸, so totalN up
-    *    to ~9·10¹⁰ before 64-bit overflow);
+    *    capped at n_i — computed in BigInt on the (tiny, driver-side)
+    *    strata table, so no alpha/totalN combination can wrap 64-bit
+    *    (for alpha = 1 or pow weights s_i = n_i·10³ is unbounded);
     *  - row selection = the deterministic portable-mix rank within the
     *    stratum (same selection machinery as [[sampleByExact]]).
     * Default alpha 0.5 uses `sqrt` (IEEE-correctly-rounded in any
@@ -187,10 +188,14 @@ object Sampling {
       .withColumn("__s", floor(weight * 1000.0).cast("long"))
       .select(col(strataCol), col("__n"), col("__s"))
       .collect()
-    val totalS = math.max(1L, strata.map(_.getLong(2)).sum)
+    // BigInt product: for alpha = 1 (or pow weights) s_i = n_i·10³ is
+    // unbounded, so totalN * s_i can wrap a Long negative and silently
+    // empty the stratum via min(n_i, negative). The strata table is
+    // driver-side and tiny; the quotient itself always fits (s_i ≤ Σs).
+    val totalS = strata.map(r => BigInt(r.getLong(2))).sum.max(BigInt(1))
     val targetRows = strata.map { r =>
       org.apache.spark.sql.Row(r.get(0),
-        math.min(r.getLong(1), totalN * r.getLong(2) / totalS))
+        (BigInt(r.getLong(1)) min (BigInt(totalN) * r.getLong(2) / totalS)).toLong)
     }
     val spark = df.sparkSession
     val targets = spark.createDataFrame(

@@ -23,16 +23,18 @@ import org.apache.spark.sql.functions._
   *  3. hot offsets per doc: windows with df > maxDf, collected and
   *     sorted per document — rows exist ONLY for docs that carry hot
   *     spans (at scale a small minority);
-  *  4. span surgery per row, zero shuffles: a single `aggregate` fold
-  *     over the sorted offsets walks the text left-to-right with a
-  *     (cursor, acc) state, appending the text between merged hot
-  *     intervals — overlapping spans merge naturally because the
-  *     cursor only moves forward. Docs with no hot span pass through
-  *     the left join untouched.
+  *  4. span surgery per row, zero shuffles: `transform` over the
+  *     sorted offsets emits the kept slice BEFORE each hot span
+  *     (empty when spans overlap — all spans are length k, so the
+  *     slice is text(offs[i-1]+k, offs[i])), then `array_join` +
+  *     the tail slice assemble the clean text in one pass. Docs with
+  *     no hot span pass through the left join untouched.
   *
-  * The fold's lambdas only touch attribute references (no recomputed
+  * The lambdas only touch attribute references (no recomputed
   * expressions inside the loop — the [[graft.functions.TextFunctions.shingles]]
-  * hazard), and the per-element work is O(span) substring copies.
+  * hazard), and the per-element work is O(span) substring copies —
+  * a (cursor, acc)-state `aggregate` fold was rejected because it
+  * rebuilds the accumulated string per element, O(len × nSpans).
   */
 object SpanScrub {
 

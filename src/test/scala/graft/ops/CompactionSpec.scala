@@ -50,4 +50,33 @@ class CompactionSpec extends SparkSpec {
       s"cold partition files: ${parquets("dt=cold").length}")
     assert(spark.read.parquet(s"$dir/out").count() == 1000L)
   }
+
+  test("rows with a NULL partition value are written, not silently dropped") {
+    val dir = Files.createTempDirectory("compactn").toString
+    val df = (1L to 100L)
+      .map(i => (i, if (i <= 10) null else if (i % 2 == 0) "even" else "odd"))
+      .toDF("id", "par")
+    Compaction.compactedWrite(df, s"$dir/out", rowsPerFile = 1000,
+      partitionCols = Seq("par"))
+    val back = spark.read.parquet(s"$dir/out")
+    assert(back.count() == 100L, s"row count after round-trip: ${back.count()}")
+    // Hive convention: NULL partition values land in the default-partition dir
+    val subdirs = new java.io.File(s"$dir/out").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(subdirs.contains("par=__HIVE_DEFAULT_PARTITION__"),
+      s"missing NULL-partition dir, got $subdirs")
+    assert(back.where($"par".isNull).count() == 10L)
+  }
+
+  test("a frame with a map column compacts (salt skips unhashable types)") {
+    val dir = Files.createTempDirectory("compactm").toString
+    val df = (1L to 60L)
+      .map(i => (i, Map("k" -> i), if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "m", "par")
+    Compaction.compactedWrite(df, s"$dir/out", rowsPerFile = 10,
+      partitionCols = Seq("par"))
+    val back = spark.read.parquet(s"$dir/out")
+    assert(back.count() == 60L)
+    assert(back.select("id").as[Long].collect().toSet == (1L to 60L).toSet)
+  }
 }

@@ -101,6 +101,18 @@ class SamplingSpec extends SparkSpec {
     assert(nullMix == Map(None -> 10L, Some("hi") -> 20L), s"got $nullMix")
   }
 
+  test("temperatureMix: no 64-bit wrap for alpha=1 with a huge totalN") {
+    // alpha=1 makes s_i = n_i·1000 unbounded: with totalN ~ 10^14,
+    // totalN * s_i ≈ 10^19 wraps a Long negative — the pre-BigInt code
+    // computed min(n_i, negative) and silently emptied every stratum
+    val df = (0L until 500L)
+      .map(i => (i, if (i < 100) "lo" else "hi")).toDF("id", "stratum")
+    val out = Sampling.temperatureMix(df, "stratum", "id",
+      totalN = 200_000_000_000_000L, alpha = 1.0)
+    // targets cap at the stratum sizes, so every row survives
+    assert(out.count() == 500L, "huge-totalN proportional mix must keep all rows")
+  }
+
   test("epochShuffleKey: per-epoch orders differ, each deterministic") {
     val keyed = (e: Int) => ids.select($"id",
       Sampling.epochShuffleKey($"id", e).as("k"))
