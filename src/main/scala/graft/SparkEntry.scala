@@ -1431,7 +1431,58 @@ object SparkEntry {
     "q103_temperature_mix" -> ((s, dir) =>
       Sampling.temperatureMix(T(s, dir, "documents"), "lang", "doc_id",
           totalN = 300)
-        .select(col("doc_id"), col("lang")))
+        .select(col("doc_id"), col("lang"))),
+
+    // Pure-SQL-TEXT lifecycle parity — the reference's SQL apps declare
+    // tables, functions, query, and sink entirely as SQL strings
+    // (ProvinceStatsSqlApp.scala:54-84: DDL → SELECT → INSERT). The
+    // Spark-batch equivalent of each leg: table DDL = temp-view
+    // registration of the parquet catalog (Tables.registerAll),
+    // function DDL = SqlFunctions.registerAll (the UDAF rides in SQL by
+    // its registered name), and the query + sink are SQL text — the
+    // result view IS the sink a SQL user INSERTs from. Same grouped
+    // star-join semantics as q03, under its own oracle.
+    "q104_province_stats_sql" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      graft.functions.SqlFunctions.registerAll(s)
+      s.sql("""
+        CREATE OR REPLACE TEMPORARY VIEW province_stats AS
+        SELECT /*+ BROADCAST(customer), BROADCAST(nation), BROADCAST(region) */
+          r_name, n_name,
+          graft_exact_distinct(o_orderkey) AS order_count,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS order_amount
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name""")
+      s.sql("SELECT * FROM province_stats")
+    }),
+
+    // temperatureMix's ARBITRARY-alpha gate (q94-style): the alpha=0.3
+    // path goes through pow, whose last ulp is libm-dependent — so no
+    // full-replay oracle (a floor flip would hash-fail on a correct
+    // build). Instead BOTH engines independently run the selection at
+    // alpha=0.3 and check the per-stratum sampled count against the
+    // IDEAL real-valued target totalN·n^α/Σn^α within an absolute band
+    // of 3 rows (fixed-point floors + integer division lose < 2; see
+    // temperatureMix's arithmetic notes). A pow/overflow regression
+    // that skews any stratum flips within_band and hash-fails.
+    "q105_temperature_mix_alpha_gate" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val sampled = Sampling.temperatureMix(docs, "lang", "doc_id",
+        totalN = 300, alpha = 0.3)
+      val got = sampled.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+      val ideal = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .withColumn("w", pow(col("n").cast("double"), lit(0.3)))
+        .withColumn("ideal",
+          lit(300.0) * col("w") / sum(col("w")).over(Window.partitionBy()))
+      ideal.join(got, Seq("lang"), "left")
+        .select(col("lang"),
+          (abs(coalesce(col("c"), lit(0L)).cast("double")
+            - least(col("n").cast("double"), col("ideal"))) <= 3.0)
+            .as("within_band"))
+    })
   )
 
   // ------------------------------------------------------------------
@@ -2592,7 +2643,43 @@ object SparkEntry {
                d.doc_id) AS rn
            FROM documents d)
          SELECT r.doc_id, r.lang FROM r JOIN t USING (lang)
-         WHERE rn <= target"""
+         WHERE rn <= target""",
+
+    // same star join as q03 — the SQL-text lifecycle produces the same
+    // table; order_count exercises the registered UDAF name Spark-side
+    "q104_province_stats_sql" ->
+      """SELECT r_name, n_name,
+         count(DISTINCT o_orderkey) AS order_count,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS order_amount
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name""",
+
+    // independent replay of the alpha=0.3 selection with DUCKDB's pow:
+    // both engines must land inside the same ±3-row band around the
+    // real-valued ideal targets — libm ulp differences cannot flip it,
+    // a broken pow path or target overflow can
+    "q105_temperature_mix_alpha_gate" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+         w AS (SELECT lang, n,
+           CAST(floor(pow(CAST(n AS DOUBLE), 0.3) * 1000) AS BIGINT) AS s,
+           pow(CAST(n AS DOUBLE), 0.3) AS wr FROM c),
+         t AS (SELECT lang, n,
+           least(n, (300 * s) // (SELECT sum(s) FROM w)) AS target,
+           300.0 * wr / (SELECT sum(wr) FROM w) AS ideal FROM w),
+         r AS (SELECT d.doc_id, d.lang,
+           row_number() OVER (PARTITION BY d.lang
+             ORDER BY ((d.doc_id % 1000003) * 2654435761) % 1000000007,
+               d.doc_id) AS rn
+           FROM documents d),
+         sel AS (SELECT r.lang, count(*) AS c
+           FROM r JOIN t USING (lang) WHERE rn <= target GROUP BY 1)
+         SELECT t.lang,
+           abs(CAST(coalesce(sel.c, 0) AS DOUBLE)
+             - least(CAST(t.n AS DOUBLE), t.ideal)) <= 3.0 AS within_band
+         FROM t LEFT JOIN sel USING (lang)""",
     // q33_ann_lsh / q35_cosine_neardup / q36_ann_ivf /
     // q54_ann_lsh_multi: probabilistic and hash-family-specific — the
     // output VALUES depend on xxhash64 / murmur3 hyperplanes, which
