@@ -472,7 +472,7 @@ object SparkEntry {
     // multiplicative-mod per-bit mix) and the exact pair list.
     "q32_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(T(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 12, portable = true)),
+        maxHamming = 12, portable = true, partialScreen = true)),
 
     // Similarity search — LSH-bucketed ANN (rows-only check)
     "q33_ann_lsh" -> ((s, dir) => {

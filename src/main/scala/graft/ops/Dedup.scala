@@ -391,25 +391,72 @@ object Dedup {
     * RECALL CONTRACT: the pigeonhole guarantee is complete only for
     * `maxHamming` ≤ 3. For larger radii (q32 runs 12) the output is the
     * CHUNK-BLOCKED subset — pairs within the hamming radius that also
-    * share at least one exact 16-bit chunk; its oracle replays the
-    * identical blocking, so the gate checks exactly this contract. A
-    * complete large-radius search is a different algorithm (Manku et
-    * al. WWW'07 multi-index over permuted chunk tables — ~C(c, h)
-    * tables); at hamming 12/64 the bit-budget per block drops to ~4
+    * share at least one exact 16-bit chunk; q32's oracle replays the
+    * identical blocking, so the gate checks exactly this contract. The
+    * partial contract is now an explicit OPT-IN at the call site:
+    * `maxHamming > 3` without `partialScreen = true` is rejected with a
+    * pointer to the complete alternatives — [[simhashPairsComplete]]
+    * (Manku-style h+1-chunk blocking, exact for moderate radii) or
+    * [[minhashLshPairs]] (similarity-threshold near-dup, the right tool
+    * when a radius as loose as 12/64 bits is really a Jaccard
+    * question). At hamming 12/64 the per-block bit budget drops to ~4
     * bits and candidate generation degenerates toward all-pairs, which
-    * is why the production near-dup radius for 64-bit simhash is ≤ 3
-    * and larger radii are an explicitly partial screen.
+    * is why the production near-dup radius for 64-bit simhash is ≤ 3.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, portable: Boolean = false): DataFrame = {
+                   maxHamming: Int = 3, portable: Boolean = false,
+                   partialScreen: Boolean = false): DataFrame = {
+    require(maxHamming <= 3 || partialScreen,
+      s"simhashPairs with maxHamming=$maxHamming > 3 is a PARTIAL screen " +
+        "(4-chunk pigeonhole is complete only for hamming <= 3). Pass " +
+        "partialScreen = true to accept chunk-blocked recall, or use " +
+        "simhashPairsComplete (h+1-chunk blocking, exact) or " +
+        "minhashLshPairs (threshold near-dup) instead.")
+    chunkBlockedPairs(df, idCol, textCol, nChunks = 4, maxHamming, portable)
+  }
+
+  /** COMPLETE simhash pair search for radii beyond the 4-chunk bound:
+    * block on `maxHamming + 1` equal-width chunks, so two signatures
+    * within the radius differ in at most `maxHamming` chunks and MUST
+    * share one exactly (pigeonhole) — the single-table core of Manku et
+    * al. WWW'07's multi-index. Exact at any radius ≤ 15; the price is
+    * scale, not recall: chunk width shrinks to ⌊64/(h+1)⌋ bits, so at
+    * h = 7 each 8-bit chunk has 256 values and a 10^10-doc corpus puts
+    * ~4·10^7 docs in every block — use it for moderate radii (4-7) and
+    * switch to [[minhashLshPairs]] when the radius is really a
+    * similarity threshold.
+    */
+  def simhashPairsComplete(df: DataFrame, idCol: String, textCol: String,
+                           maxHamming: Int, portable: Boolean = false): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming=$maxHamming: h+1 chunks need width >= 4 bits (h <= 15)")
+    chunkBlockedPairs(df, idCol, textCol, nChunks = maxHamming + 1,
+      maxHamming, portable)
+  }
+
+  /** Shared chunk-blocking core: explode each signature into `nChunks`
+    * (chunk, key) rows, self-join on exact chunk match, verify with
+    * bit_count. Complete iff `maxHamming < nChunks`. Chunks are
+    * ⌊64/n⌋-bit slices, the LAST chunk absorbing the remainder bits —
+    * widths are Scala-level constants, so the whole blocking stays one
+    * codegen'd projection (no per-row loop).
+    */
+  private def chunkBlockedPairs(df: DataFrame, idCol: String, textCol: String,
+                                nChunks: Int, maxHamming: Int,
+                                portable: Boolean): DataFrame = {
+    val width = 64 / nChunks
     // both sides of the chunk self-join consume the signatures; persist
     // so the token explode + 64-counter aggregation runs once (the cache
     // is two longs per doc)
     val base = simhashSignatures(df, idCol, textCol, portable)
       .persistTracked()
     val chunked = base.select(col("id"), col("sh"),
-      explode(array((0 until 4).map(c => struct(lit(c).as("chunk"),
-        shiftright(col("sh"), c * 16).bitwiseAND(lit(0xFFFFL)).as("ckey"))): _*)).as("cc"))
+      explode(array((0 until nChunks).map { c =>
+        val w = if (c == nChunks - 1) 64 - c * width else width
+        val mask = if (w == 64) -1L else (1L << w) - 1L
+        struct(lit(c).as("chunk"),
+          shiftright(col("sh"), c * width).bitwiseAND(lit(mask)).as("ckey"))
+      }: _*)).as("cc"))
       .select(col("id"), col("sh"), col("cc.chunk"), col("cc.ckey"))
     val a = chunked.alias("a")
     val b = chunked.alias("b")

@@ -33,7 +33,8 @@ class CacheScopeSpec extends SparkSpec {
     Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text",
       Seq(col("lang")), 5000L).count()
     Dedup.sharedWindowPairs(docs, "doc_id", "text", k = 20, stride = 4).count()
-    Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8).count()
+    Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8,
+      partialScreen = true).count()
     Dedup.dedupByPairsScored(docs, "doc_id", "n_chars", pairs).count()
     Skew.headTailJoin(
       docs.select(col("doc_id"), col("lang")),

@@ -103,6 +103,61 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
   }
 
+  test("simhashPairs is COMPLETE at radius <= 3 and guards larger radii") {
+    // a corpus engineered for signature diversity: shared phrases push
+    // some pairs inside small hamming radii, distinct tails push others
+    // out — completeness is checked against brute-force all-pairs
+    val corpus = (0L until 40L).map { i =>
+      val shared = s"alpha beta gamma delta epsilon shared${i % 5}"
+      val tail = (0 until (i % 7).toInt).map(j => s"tok${i}_$j").mkString(" ")
+      (i, s"$shared $tail")
+    }.toDF("doc_id", "text")
+    val sigs = Dedup.simhashSignatures(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    def brute(h: Int) = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= h
+    } yield (a, b)).toSet
+    for (h <- 0 to 3) {
+      val got = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = h)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got == brute(h), s"h=$h: got ${got.size}, brute ${brute(h).size}")
+    }
+    // the 4-chunk pigeonhole does NOT extend past 3: larger radii are
+    // an explicit opt-in
+    assertThrows[IllegalArgumentException] {
+      Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 4)
+    }
+    // ... and the opted-in screen is a subset of the true pair set
+    val partial = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 6,
+        partialScreen = true)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(partial.subsetOf(brute(6)))
+  }
+
+  test("simhashPairsComplete is exact beyond the 4-chunk bound") {
+    val corpus = (0L until 40L).map { i =>
+      val shared = s"alpha beta gamma delta epsilon shared${i % 5}"
+      val tail = (0 until (i % 7).toInt).map(j => s"tok${i}_$j").mkString(" ")
+      (i, s"$shared $tail")
+    }.toDF("doc_id", "text")
+    val sigs = Dedup.simhashSignatures(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    def brute(h: Int) = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= h
+    } yield (a, b)).toSet
+    for (h <- Seq(4, 6, 9)) {
+      val got = Dedup.simhashPairsComplete(corpus, "doc_id", "text", maxHamming = h)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got == brute(h), s"h=$h: got ${got.size}, brute ${brute(h).size}")
+      assert(got.nonEmpty, s"h=$h fixture produced no pairs — weak test")
+    }
+    assertThrows[IllegalArgumentException] {
+      Dedup.simhashPairsComplete(corpus, "doc_id", "text", maxHamming = 16)
+    }
+  }
+
   test("connected components labels chains and keeps islands separate") {
     // chain 1-2-3 (via transitive pairs), island 4-5, singleton 9 absent
     val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
