@@ -482,20 +482,30 @@ object Dedup {
     * minimum id of the node's component.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val (labels, labelRdds) = connectedComponentsTracked(pairs, maxIter)
+    val run = connectedComponentsTracked(pairs, maxIter)
     // the final labels back the RETURNED frame and live until the
     // caller's CacheScope.release
-    CacheScope.registerRdds(pairs.sparkSession, labelRdds)
-    labels
+    CacheScope.registerRdds(pairs.sparkSession, run.rdds)
+    run.labels
   }
+
+  /** A finished CC run: the label frame, the checkpoint blocks backing
+    * it, and the convergence telemetry a 100 TB operator alerts on —
+    * `rounds` label-propagation rounds executed (including the final
+    * fixpoint-confirming one), `converged` false when `maxIter` ran out
+    * first (labels then PARTIAL: one true cluster reported as several).
+    */
+  private[ops] final case class CcRun(labels: DataFrame,
+                                      rdds: Seq[org.apache.spark.rdd.RDD[_]],
+                                      rounds: Int, converged: Boolean)
 
   /** [[connectedComponents]] returning the final checkpoint's RDD
     * handles instead of registering them — for callers ([[report]])
     * that materialize the labels elsewhere and can drop the blocks
-    * immediately.
+    * immediately — plus the convergence telemetry.
     */
   private[ops] def connectedComponentsTracked(
-      pairs: DataFrame, maxIter: Int = 20): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+      pairs: DataFrame, maxIter: Int = 20): CcRun = {
     // localCheckpoint (not persist) on every iteration state: persist
     // caches the DATA but Catalyst still re-analyzes the full logical
     // plan, which grows ~3× per round (labels appears three times) —
@@ -550,7 +560,7 @@ object Dedup {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"connectedComponents did not converge in $maxIter rounds; " +
           "labels are partial — raise maxIter for deep-chain graphs")
-    (labels, labelRdds)
+    CcRun(labels, labelRdds, i, converged)
   }
 
   /** Keep one representative (the component's min id) per near-dup
@@ -571,6 +581,14 @@ object Dedup {
     * clustered minority enters the ranking window (an exchange+sort of
     * |labels| rows), the rest of the corpus streams through a
     * broadcast-able anti join — no full-corpus shuffle, ever.
+    *
+    * ONE-SHOT form: every call reruns connected components over
+    * `pairs`. In any pipeline where the cluster labels have a second
+    * consumer (a histogram, a drop-list, a second keep-policy — i.e.
+    * almost every real pipeline), build the labels artifact once with
+    * [[report]] and use [[DedupReport.keepBest]] — same core
+    * ([[keepBestByLabels]]), CC priced once, and the artifact carries
+    * the convergence telemetry this form can only log.
     */
   def dedupByPairsScored(df: DataFrame, idCol: String, scoreCol: String,
                          pairs: DataFrame): DataFrame = {
@@ -628,8 +646,24 @@ object Dedup {
       @transient private val spark: org.apache.spark.sql.SparkSession,
       val artifactPath: String) extends Serializable {
 
-    /** The raw artifact: one (id, label) row per clustered document. */
+    /** The raw artifact: one (id, label) row per clustered document,
+      * carrying the CC convergence telemetry as constant columns
+      * (`cc_rounds`, `cc_converged` — parquet RLE makes them free).
+      */
     def labels: DataFrame = spark.read.parquet(artifactPath)
+
+    /** Convergence telemetry of the CC run that built the artifact:
+      * (rounds executed, converged). A pipeline operator alerts on
+      * `converged = false` — the labels are then partial and a
+      * downstream keep-policy would emit duplicate "representatives".
+      * An empty artifact (no near-dup pairs at all) is trivially
+      * converged.
+      */
+    def convergence: (Int, Boolean) =
+      labels.select(col("cc_rounds"), col("cc_converged"))
+        .limit(1).collect().headOption
+        .map(r => (r.getInt(0), r.getBoolean(1)))
+        .getOrElse((0, true))
 
     /** Cluster map view (q52's contract). */
     def clusters: DataFrame = labels.select(col("id"), col("label"))
@@ -660,13 +694,17 @@ object Dedup {
     * result are dropped as soon as the write lands — the artifact IS
     * the lifetime, so a report outlives any cache sweep.
     */
-  def report(pairs: DataFrame, artifactPath: Option[String] = None): DedupReport = {
+  def report(pairs: DataFrame, artifactPath: Option[String] = None,
+             maxIter: Int = 20): DedupReport = {
     val spark = pairs.sparkSession
-    val (labels, labelRdds) = connectedComponentsTracked(pairs)
+    val run = connectedComponentsTracked(pairs, maxIter)
     val path = artifactPath.getOrElse(
       java.nio.file.Files.createTempDirectory("graft-dedup-labels").toString)
-    labels.write.mode("overwrite").parquet(path)
-    CacheScope.unpersistRdds(labelRdds)
+    run.labels
+      .withColumn("cc_rounds", lit(run.rounds))
+      .withColumn("cc_converged", lit(run.converged))
+      .write.mode("overwrite").parquet(path)
+    CacheScope.unpersistRdds(run.rdds)
     new DedupReport(spark, path)
   }
 

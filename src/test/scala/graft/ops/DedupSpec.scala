@@ -223,6 +223,30 @@ class DedupSpec extends SparkSpec {
     assert(rep.clusters.count() == 5L)
   }
 
+  test("report artifact carries CC convergence telemetry") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val rep = Dedup.report(pairs)
+    // the columns ride on the artifact itself — an operator reading the
+    // parquet table sees them without the DedupReport wrapper
+    assert(rep.labels.columns.toSet ==
+      Set("id", "label", "cc_rounds", "cc_converged"))
+    val (rounds, converged) = rep.convergence
+    assert(converged, "shallow clusters must converge")
+    assert(rounds >= 1 && rounds <= 20, s"rounds=$rounds")
+    // a deep chain with a starved iteration budget reports PARTIAL
+    // labels honestly: converged=false on the artifact
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val starved = Dedup.report(chain, maxIter = 2)
+    val (r2, c2) = starved.convergence
+    assert(!c2, "12-chain cannot converge in 2 rounds")
+    assert(r2 == 2)
+    // empty pair list: trivially converged, zero rounds
+    assert(Dedup.report(Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+      .convergence == (0, true))
+    // the derived views are unaffected by the telemetry columns
+    assert(rep.clusters.columns.toSet == Set("id", "label"))
+  }
+
   test("end-to-end: minhash pairs → cluster → dedup collapses the dup group") {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 5, 32, 16, 0.5)
     val kept = Dedup.dedupByPairs(docs, "doc_id", pairs)
