@@ -121,9 +121,10 @@ object Dedup {
     * minhash pipelines.
     */
   private def shingleRows(df: DataFrame, idCol: String, textCol: String,
-                          shingleN: Int): DataFrame = {
+                          shingleN: Int, fanOut: Boolean = true): DataFrame = {
     val norm = TextFunctions.normalizeWs(col(textCol))
-    fanOutScan(df.select(col(idCol), col(textCol)))
+    (if (fanOut) fanOutScan(df.select(col(idCol), col(textCol)))
+     else df.select(col(idCol), col(textCol)))
       .select(col(idCol).as("id"), norm.as("norm"))
       .select(col("id"), col("norm"),
         explode(sequence(lit(1),
@@ -281,18 +282,57 @@ object Dedup {
                             corpusIndex: DataFrame,
                             idCol: String, textCol: String,
                             shingleN: Int = 5, k: Int = 32, bands: Int = 8,
-                            threshold: Double = 0.8): DataFrame = {
+                            threshold: Double = 0.8): DataFrame =
+    minhashLshIncrementalWithIndex(newDocs, corpus, corpusIndex,
+      idCol, textCol, shingleN, k, bands, threshold)._1
+
+  /** [[minhashLshIncremental]] ALSO returning the new batch's signature
+    * rows (persisted, `buildMinhashIndex` schema) — the caller appends
+    * them to the standing index without a second shingle+sign pass
+    * (the streaming sink's per-trigger cost was dominated by exactly
+    * that duplicate work).
+    *
+    * `smallBatch = true` selects the STREAMING-TRIGGER profile, for
+    * batches far smaller than the index:
+    *  - the batch-side bucket table is broadcast (bounded: bands rows
+    *    per new doc), so the index side band-joins map-side with no
+    *    full-index shuffle;
+    *  - the minhash-estimate prefilter is SKIPPED: it is a performance
+    *    screen in front of the exact verify, and on a small batch the
+    *    candidate list is small enough to verify directly — output
+    *    semantics are unchanged (if anything, pairs the 3σ estimate
+    *    margin would falsely reject now reach the exact check);
+    *  - the explicit verify-width repartition is dropped (it exists to
+    *    spread DENSE-corpus verify math; a trigger batch's candidate
+    *    list does not need 32 partitions, and each saved exchange is a
+    *    saved job — on a 500-doc trigger the job count IS the cost).
+    */
+  def minhashLshIncrementalWithIndex(newDocs: DataFrame, corpus: DataFrame,
+                                     corpusIndex: DataFrame,
+                                     idCol: String, textCol: String,
+                                     shingleN: Int = 5, k: Int = 32,
+                                     bands: Int = 8, threshold: Double = 0.8,
+                                     smallBatch: Boolean = false): (DataFrame, DataFrame) = {
     require(k % bands == 0, "k must divide into bands")
-    // new-batch shingles feed the signature pass AND the verify-set pass
-    val newSh = shingleRows(newDocs, idCol, textCol, shingleN).persistTracked()
-    val newSigs = minhashSigs(newSh, k)
-    // banding + both prefilter sides consume the union: persist the
-    // (index + new signatures) table, k+1 longs per doc
-    val allSigs = corpusIndex.select(col("id") +: (0 until k).map(i => col(s"m$i")): _*)
+    // new-batch shingles feed the signature pass AND the verify-set pass.
+    // smallBatch skips the fan-out repartition: a trigger batch does not
+    // need 32-way explode parallelism, and the saved exchange + narrow
+    // task width matter more at trigger cadence
+    val newSh = shingleRows(newDocs, idCol, textCol, shingleN,
+      fanOut = !smallBatch).persistTracked()
+    // persisted: banding consumes it here, the caller may append it to
+    // the standing index table (k+1 longs per new doc)
+    val newSigs = minhashSigs(newSh, k).persistTracked()
+    val allSigsPlan = corpusIndex.select(col("id") +: (0 until k).map(i => col(s"m$i")): _*)
       .unionByName(newSigs)
-      .persistTracked()
-    val newBanded = bandBuckets(allSigs.join(
-      newDocs.select(col(idCol).as("id")), "id"), k, bands)
+    // banding + both prefilter sides consume the union in the batch
+    // profile: persist. In the small-batch profile only banding reads
+    // it — a cache would cost a materialization pass for zero reuse.
+    val allSigs = if (smallBatch) allSigsPlan else allSigsPlan.persistTracked()
+    // the new rows of allSigs ARE newSigs (ids disjoint) — band the
+    // persisted frame directly instead of re-deriving it through a join
+    val newBandedPlan = bandBuckets(newSigs, k, bands)
+    val newBanded = if (smallBatch) broadcast(newBandedPlan) else newBandedPlan
     val allBanded = bandBuckets(allSigs, k, bands)
     // one side of every candidate pair is new; canonicalize to
     // id_a < id_b (a corpus id may be larger or smaller than a new id)
@@ -302,29 +342,37 @@ object Dedup {
       .select(least(col("a.id"), col("b.id")).as("id_a"),
         greatest(col("a.id"), col("b.id")).as("id_b"))
       .distinct()
-    val sigA = allSigs.select(
-      col("id").as("id_a") +: (0 until k).map(i => col(s"m$i").as(s"a$i")): _*)
-    val sigB = allSigs.select(
-      col("id").as("id_b") +: (0 until k).map(i => col(s"m$i").as(s"b$i")): _*)
-    val survivors = candidates.join(sigA, "id_a").join(sigB, "id_b")
-      .filter(estimatePasses(k, threshold))
-      .select(col("id_a"), col("id_b"))
-      .repartition(verifyWidth(newDocs), col("id_a"), col("id_b"))
-      .persistTracked()
-    val neededIds = survivors
+    val survivorsPlan =
+      if (smallBatch) candidates
+      else {
+        val sigA = allSigs.select(
+          col("id").as("id_a") +: (0 until k).map(i => col(s"m$i").as(s"a$i")): _*)
+        val sigB = allSigs.select(
+          col("id").as("id_b") +: (0 until k).map(i => col(s"m$i").as(s"b$i")): _*)
+        candidates.join(sigA, "id_a").join(sigB, "id_b")
+          .filter(estimatePasses(k, threshold))
+          .select(col("id_a"), col("id_b"))
+          .repartition(verifyWidth(newDocs), col("id_a"), col("id_b"))
+      }
+    val survivors = survivorsPlan.persistTracked()
+    // two consumers (the new-side set filter and the corpus semi-join)
+    // — persisted in the small-batch profile so the explode+distinct
+    // subquery runs once, not once per consumer
+    val neededIdsPlan = survivors
       .select(explode(array(col("id_a"), col("id_b"))).as("id"))
       .distinct()
+    val neededIds = if (smallBatch) neededIdsPlan.persistTracked() else neededIdsPlan
     // corpus text is touched HERE only, semi-joined to survivors first;
     // new-side shingles come from the persisted first pass
     val corpusSurvivorSh = shingleRows(
       corpus.join(neededIds, corpus(idCol) === neededIds("id"), "left_semi"),
-      idCol, textCol, shingleN)
+      idCol, textCol, shingleN, fanOut = !smallBatch)
     val sets = newSh.join(neededIds, "id")
       .unionByName(corpusSurvivorSh)
       .groupBy(col("id")).agg(sort_array(collect_set(col("h"))).as("sh"))
       .select(col("id"), col("sh"), size(col("sh")).as("ssz"))
       .persistTracked()
-    exactVerify(survivors, sets, threshold)
+    (exactVerify(survivors, sets, threshold), newSigs)
   }
 
   /** Modulus and per-bit multipliers for the PORTABLE simhash flavor:

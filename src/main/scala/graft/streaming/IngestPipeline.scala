@@ -45,35 +45,47 @@ object IngestPipeline {
     val contamFilter = contam.map { case (c, keyCol) =>
       Decontaminate.prepare(c, col(keyCol))
     }
+    // the dedup sink (and its table DDL) is built ONCE at stream setup;
+    // foreachBatch calls are sequential per query, so the per-batch
+    // dropped count rides in a var the inner callback reads
+    @volatile var currentDropped = 0L
+    val dedup = StreamingDedup.incrementalDedupSink(spark, db,
+      corpusTable, indexTable, idCol, textCol,
+      shingleN, k, bands, threshold) {
+      (pairs, id) => onBatch(pairs, currentDropped, id)
+    }
     (batch: DataFrame, batchId: Long) => {
-      val gated = batch
-        .withColumn("__reason", Quality.gateReason(col(textCol)))
-        .persist()
-      val droppedGate = gated.filter(col("__reason") =!= "keep").count()
-      val redacted = gated.filter(col("__reason") === "keep")
-        .drop("__reason")
-        .withColumn(textCol, TextFunctions.redactPii(col(textCol)))
-      // persisted when the contamination filter is on: the frame feeds
-      // the dropped-count AND the dedup pass, and the bloom+verify must
-      // not re-run per consumer
-      val cleaned = contamFilter match {
-        case Some(f) => f.antiJoin(redacted, col(textCol)).persist()
-        case None => redacted
-      }
-      val dropped = contamFilter match {
-        case Some(_) => droppedGate + (redacted.count() - cleaned.count())
-        case None => droppedGate
-      }
-      val dedup = StreamingDedup.incrementalDedupSink(spark, db,
-        corpusTable, indexTable, idCol, textCol,
-        shingleN, k, bands, threshold) {
-        (pairs, id) => onBatch(pairs, dropped, id)
-      }
-      try dedup(cleaned, batchId)
-      finally {
-        gated.unpersist()
-        if (contamFilter.isDefined) cleaned.unpersist()
-        ()
+      // no-data micro-batches skip the gate/redact machinery; the dedup
+      // sink's own empty-batch path still delivers the per-batch
+      // callback with an empty pair frame
+      if (batch.isEmpty) {
+        currentDropped = 0L
+        dedup(batch, batchId)
+      } else {
+        val gated = batch
+          .withColumn("__reason", Quality.gateReason(col(textCol)))
+          .persist()
+        val droppedGate = gated.filter(col("__reason") =!= "keep").count()
+        val redacted = gated.filter(col("__reason") === "keep")
+          .drop("__reason")
+          .withColumn(textCol, TextFunctions.redactPii(col(textCol)))
+        // persisted when the contamination filter is on: the frame feeds
+        // the dropped-count AND the dedup pass, and the bloom+verify must
+        // not re-run per consumer
+        val cleaned = contamFilter match {
+          case Some(f) => f.antiJoin(redacted, col(textCol)).persist()
+          case None => redacted
+        }
+        currentDropped = contamFilter match {
+          case Some(_) => droppedGate + (redacted.count() - cleaned.count())
+          case None => droppedGate
+        }
+        try dedup(cleaned, batchId)
+        finally {
+          gated.unpersist()
+          if (contamFilter.isDefined) cleaned.unpersist()
+          ()
+        }
       }
     }
   }
