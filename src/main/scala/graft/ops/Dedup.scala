@@ -191,6 +191,55 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         floor(col("jac") * 10000).cast("long").as("jaccard_e4"))
 
+  /** Corpus-size-aware (k, bands) for the minhash banding — the scale
+    * dispatch the r10 probe showed is needed: at FIXED (k, bands) the
+    * candidate stage carries a BACKGROUND collision term that is
+    * quadratic in corpus size (a random non-dup pair at background
+    * Jaccard J_bg collides in one band w.p. ~J_bg^r, r = k/bands;
+    * measured at ×1..×10 of sf0.1: candidate shuffle records fit
+    * L·m + Q·m² with a real Q — fine at 50 k docs, catastrophic at
+    * 10^10). Rows-per-band r is the discriminator, so:
+    *  - r = smallest integer with n·bands·J_bg^r ≤ `budget` spurious
+    *    candidates per doc;
+    *  - bands then rises to hold the recall floor at the true-dup
+    *    threshold: b ≥ ln(1−recall)/ln(1−t^r) (detect w.p.
+    *    1−(1−t^r)^b);
+    *  - k = r·b.
+    * At n=10^10, t=0.8, J_bg=0.1, budget=1, recall 0.95: the fixpoint
+    * is r=12, b=43, k=516 — 16× the default k=32 signature bytes,
+    * which is the honest price of quadratic→linear candidates at that
+    * scale (the fixpoint exists because r's growth in b is
+    * logarithmic while b's growth in r is geometric in t/J < 1).
+    */
+  def lshParams(corpusSize: Long, threshold: Double,
+                bgJaccard: Double = 0.1, recallFloor: Double = 0.95,
+                budgetPerDoc: Double = 1.0): (Int, Int) = {
+    require(corpusSize > 0 && threshold > 0 && threshold < 1)
+    require(bgJaccard > 0 && bgJaccard < threshold)
+    var r = 1
+    var b = 1
+    def bandsFor(rr: Int): Int =
+      math.max(1, math.ceil(
+        math.log(1.0 - recallFloor) / math.log(1.0 - math.pow(threshold, rr))).toInt)
+    // r and b feed back into each other (more bands = more collision
+    // surface); iterate to the joint fixpoint — converges in a few
+    // steps because r moves logarithmically in b
+    var stable = false
+    var iters = 0
+    while (!stable && iters < 64) {
+      val rNext = math.max(1, math.ceil(
+        math.log(budgetPerDoc / (corpusSize.toDouble * b))
+          / math.log(bgJaccard)).toInt)
+      val bNext = bandsFor(rNext)
+      stable = rNext == r && bNext == b
+      r = rNext; b = bNext
+      iters += 1
+    }
+    require(stable,
+      s"lshParams did not converge (threshold=$threshold too close to bgJaccard=$bgJaccard)")
+    (r * b, b)
+  }
+
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 5, k: Int = 32, bands: Int = 8,
                       threshold: Double = 0.8,

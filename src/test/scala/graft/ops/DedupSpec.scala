@@ -158,6 +158,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("lshParams sizes (k, bands) for the corpus: bounded background candidates, recall floor held") {
+    def check(n: Long, t: Double): Unit = {
+      val (k, b) = Dedup.lshParams(n, t)
+      val r = k / b
+      assert(k % b == 0)
+      // background-candidate budget: n * b * Jbg^r <= 1 per doc
+      assert(n.toDouble * b * math.pow(0.1, r) <= 1.0 + 1e-9,
+        s"n=$n t=$t -> (k=$k, b=$b): background budget violated")
+      // recall floor at the true-dup threshold: 1-(1-t^r)^b >= 0.95
+      val recall = 1.0 - math.pow(1.0 - math.pow(t, r), b)
+      assert(recall >= 0.95, s"n=$n t=$t -> (k=$k, b=$b): recall $recall")
+    }
+    for (n <- Seq(1000L, 1000000L, 10000000000L); t <- Seq(0.5, 0.8, 0.9))
+      check(n, t)
+    // params grow with the corpus — the r10 probe's quadratic candidate
+    // term is exactly what fixed (k=32, bands=8) cannot absorb at scale
+    val (k1, _) = Dedup.lshParams(50000L, 0.8)
+    val (k2, _) = Dedup.lshParams(10000000000L, 0.8)
+    assert(k2 > k1, s"k must grow with corpus size: $k1 vs $k2")
+    // documented fixpoint example
+    assert(Dedup.lshParams(10000000000L, 0.8) == (516, 43))
+  }
+
   test("connected components labels chains and keeps islands separate") {
     // chain 1-2-3 (via transitive pairs), island 4-5, singleton 9 absent
     val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")

@@ -1,0 +1,132 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Similarity}
+
+/** Scratch: 10× scaling probe for the dedup + ANN families
+  * (q30/q31/q56/q57/q80/q90 cores) — corpus multiples ×1/×2/×4/×10 of
+  * sf0.1, wall time AND shuffle records per run, exponent fitted as
+  * log(t_m/t_1)/log(m) at the largest multiple.
+  *
+  * Replica construction: ids shift by r·10⁹; text goes through a
+  * PER-REPLICA bijective letter rotation (translate over a-z), so
+  *  - WITHIN a replica the near-dup/cluster structure of the corpus is
+  *    preserved exactly (a bijection on characters preserves token and
+  *    shingle equality), and
+  *  - ACROSS replicas tokens/shingles/windows land in different join
+  *    keys (rotated strings), so true pair mass grows LINEARLY with
+  *    the multiple — the regime where a linear-cost operator shows a
+  *    ~1.0 exponent and a Σf²/quadratic term shows itself honestly.
+  * Embeddings replicate with shifted vec_ids and UNCHANGED labels —
+  * label blocks grow with the multiple, which is exactly the stress
+  * the q90 dispatch (graft.sim.maxBlock) exists for; the probe runs
+  * the auto dispatcher at the default bound (exact path) and at a
+  * lowered bound (LSH path) to measure both branches' scaling.
+  */
+object ScaleProbe10 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val mults = if (args.length > 1) args(1).split(",").map(_.toInt).toSeq
+      else Seq(1, 2, 4, 10)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val shufRecords = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        shufRecords.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+        ()
+      }
+    })
+
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    def rot(r: Int): String = alpha.indices.map(i => alpha((i + 7 * r) % 26)).mkString
+    val baseDocs = graft.core.Tables.load(spark, sfDir, "documents")
+    val baseEmb = graft.core.Tables.load(spark, sfDir, "embeddings")
+
+    def docCorpus(mult: Int): DataFrame = (0 until mult).map { r =>
+      baseDocs.select(
+        (col("doc_id") + lit(r.toLong * 1000000000L)).as("doc_id"),
+        translate(col("text"), alpha, rot(r)).as("text"),
+        col("lang"), col("n_chars"))
+    }.reduce(_ unionByName _)
+
+    def embCorpus(mult: Int): DataFrame = (0 until mult).map { r =>
+      baseEmb.select(
+        (col("vec_id") + lit(r.toLong * 1000000000L)).as("vec_id"),
+        col("embedding"), col("label"))
+    }.reduce(_ unionByName _)
+
+    def time(name: String, mult: Int)(df: => DataFrame): Unit = {
+      graft.Bench.releaseAll(spark)
+      val t0 = System.nanoTime()
+      val s0 = shufRecords.get()
+      val n = df.count()
+      println(f"PROBE $name%-16s x$mult%-2d rows=$n%-9d t=${(System.nanoTime() - t0) / 1e9}%7.2f s shufRec=${shufRecords.get() - s0}%d")
+    }
+
+    // JVM/codegen warmup so the x1 anchor is not inflated by first-run
+    // compilation (observed: q30 x1 slower than x2 without this)
+    {
+      val w = baseDocs.limit(500)
+      Dedup.ngramJaccardPairs(w, "doc_id", "text",
+        Seq(col("lang")), 8000L).count()
+      Dedup.ngramJaccardPairsPrefix(w, "doc_id", "text",
+        Seq(col("lang")), 8000L).count()
+      Dedup.minhashLshPairs(w, "doc_id", "text", 5, 32, 8, 0.5).count()
+      Dedup.sharedWindowPairs(w, "doc_id", "text", 40, 4).count()
+      Similarity.cosinePairsLabelAuto(baseEmb.limit(200), "label", 3000L).count()
+      graft.Bench.releaseAll(spark)
+    }
+
+    for (mult <- mults) {
+      val dPath = s"/tmp/scale10_docs_x$mult"
+      val ePath = s"/tmp/scale10_emb_x$mult"
+      docCorpus(mult).write.mode("overwrite").parquet(dPath)
+      embCorpus(mult).write.mode("overwrite").parquet(ePath)
+      val d = spark.read.parquet(dPath)
+      val e = spark.read.parquet(ePath)
+      println(s"--- x$mult: ${d.count()} docs, ${e.count()} vecs")
+      val blocks = Seq(col("lang"), floor(col("n_chars") / 100).cast("long"))
+      time("q30_ngram", mult)(
+        Dedup.ngramJaccardPairs(d, "doc_id", "text", blocks, 8000L))
+      time("q56_prefix", mult)(
+        Dedup.ngramJaccardPairsPrefix(d, "doc_id", "text", blocks, 8000L))
+      time("q31_minhash", mult)(
+        Dedup.minhashLshPairs(d, "doc_id", "text", 5, 32, 8, 0.5))
+      // q57 core: index of the even half built OFF the timed path (the
+      // nightly-artifact contract), odd half deduped against it
+      val corpusHalf = d.filter(col("doc_id") % 2 === 0)
+      val freshHalf = d.filter(col("doc_id") % 2 === 1)
+      val idxPath = s"/tmp/scale10_idx_x$mult"
+      Dedup.buildMinhashIndex(corpusHalf, "doc_id", "text", 5, 32)
+        .write.mode("overwrite").parquet(idxPath)
+      time("q57_incremental", mult)(
+        Dedup.minhashLshIncremental(freshHalf, corpusHalf,
+          spark.read.parquet(idxPath), "doc_id", "text", 5, 32, 8, 0.5))
+      time("q80_sharedwin", mult)(
+        Dedup.sharedWindowPairs(d, "doc_id", "text", k = 40, stride = 4))
+      // q90 exact branch (label blocks grow with mult — quadratic by
+      // construction; the dispatch bound is the 100 TB answer)
+      time("q90_exact", mult)(
+        Similarity.cosinePairsLabelAuto(e, "label", 3000L))
+      // q90 dispatched branch: lower the bound so the SAME data takes
+      // the LSH path
+      spark.conf.set("graft.sim.maxBlock", "100")
+      time("q90_lsh", mult)(
+        Similarity.cosinePairsLabelAuto(e, "label", 3000L))
+      spark.conf.unset("graft.sim.maxBlock")
+    }
+    spark.stop()
+  }
+}
