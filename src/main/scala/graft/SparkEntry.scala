@@ -1482,7 +1482,18 @@ object SparkEntry {
           (abs(coalesce(col("c"), lit(0L)).cast("double")
             - least(col("n").cast("double"), col("ideal"))) <= 3.0)
             .as("within_band"))
-    })
+    }),
+
+    // Cross-SPLIT leakage audit (r10): train→test pairs sharing a
+    // 40-char window at stride 4, with the train/test assignment
+    // derived INLINE from the id (the zero-state split — no assignment
+    // table exists, let alone joins). The oracle replays the portable
+    // split mix AND the window intersection — pair set and shared
+    // counts are exact.
+    "q106_split_leakage" -> ((s, dir) =>
+      Dedup.splitLeakagePairs(T(s, dir, "documents"), "doc_id", "text",
+        Seq("train" -> 0.8, "test" -> 0.2), "train", "test",
+        k = 40, stride = 4))
   )
 
   // ------------------------------------------------------------------
@@ -2680,6 +2691,27 @@ object SparkEntry {
            abs(CAST(coalesce(sel.c, 0) AS DOUBLE)
              - least(CAST(t.n AS DOUBLE), t.ideal)) <= 3.0 AS within_band
          FROM t LEFT JOIN sel USING (lang)""",
+
+    // replays the portable split mix (same arithmetic as q61/q103's
+    // oracles) and the 40-char/stride-4 window intersection across the
+    // train×test pair space
+    "q106_split_leakage" ->
+      """WITH sp AS (
+           SELECT doc_id, text,
+             CASE WHEN ((doc_id % 1000003) * 2654435761) % 1000000007 % 1000000 < 800000
+                  THEN 'train' ELSE 'test' END AS split
+           FROM documents WHERE length(text) >= 40),
+         w AS (
+           SELECT DISTINCT doc_id, split,
+             substr(text, CAST(o AS INT) + 1, 40) AS win
+           FROM (SELECT doc_id, split, text,
+                   unnest(range(0, CAST(length(text) AS BIGINT) - 39, 4)) AS o
+                 FROM sp))
+         SELECT a.doc_id AS train_id, b.doc_id AS eval_id,
+           CAST(count(DISTINCT a.win) AS BIGINT) AS shared_ct
+         FROM w a JOIN w b ON a.win = b.win
+         WHERE a.split = 'train' AND b.split = 'test'
+         GROUP BY 1, 2""",
     // q33_ann_lsh / q35_cosine_neardup / q36_ann_ivf /
     // q54_ann_lsh_multi: probabilistic and hash-family-specific — the
     // output VALUES depend on xxhash64 / murmur3 hyperplanes, which

@@ -1050,6 +1050,64 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("shared_ct"))
   }
 
+  /** TRAIN→EVAL LEAKAGE REPORT: (train doc, eval doc) pairs that share
+    * at least one k-char window at stride `stride` — the cross-SPLIT
+    * contamination check a training pipeline runs before shipping a
+    * dataset (an eval answer string duplicated inside a training doc is
+    * exactly a shared window). The split is the engine's ZERO-STATE
+    * split ([[Sampling.splitExpr]], a pure function of the id) computed
+    * INLINE on both sides of the check — no assignment table is ever
+    * materialized or joined, which is the point of deterministic
+    * splits: the leakage audit of a 10^10-doc corpus adds one derived
+    * column to the window scan, not a 10^10-row join.
+    *
+    * Same three-step doctrine as [[sharedWindowPairs]] (8-byte window
+    * fingerprints are all that shuffles; candidate pairs verified on
+    * re-derived window STRINGS so hash collisions cannot fabricate a
+    * leak), with the candidate join restricted to train×eval — the
+    * pair space a same-split near-dup (legitimate) never enters.
+    * Output: (train_id, eval_id, shared_ct ≥ 1).
+    */
+  def splitLeakagePairs(df: DataFrame, idCol: String, textCol: String,
+                        weights: Seq[(String, Double)],
+                        trainSplit: String, evalSplit: String,
+                        k: Int, stride: Int,
+                        portable: Boolean = true): DataFrame = {
+    require(k > 0 && stride > 0, s"k=$k stride=$stride must be positive")
+    require(weights.exists(_._1 == trainSplit) && weights.exists(_._1 == evalSplit),
+      s"splits ($trainSplit, $evalSplit) must be in the weight spec")
+    val base = fanOutScan(df.select(col(idCol).as("id"), col(textCol).as("txt"))
+      .filter(length(col("txt")) >= k))
+      .withColumn("__split", Sampling.splitExpr(col("id"), weights, portable))
+      .filter(col("__split").isin(trainSplit, evalSplit))
+    val offs = base.select(col("id"), col("__split"), col("txt"),
+      explode(sequence(lit(0), length(col("txt")) - k, lit(stride))).as("off"))
+    val wh = offs
+      .select(col("id"), col("__split"),
+        xxhash64(substring(col("txt"), col("off") + 1, lit(k))).as("wh"))
+      .distinct()
+    val candidates = wh.filter(col("__split") === trainSplit).alias("a")
+      .join(wh.filter(col("__split") === evalSplit).alias("b"),
+        col("a.wh") === col("b.wh"))
+      .select(col("a.id").as("train_id"), col("b.id").as("eval_id"))
+      .distinct()
+      .repartition(verifyWidth(df), col("train_id"), col("eval_id"))
+      .persistTracked()
+    val neededIds = candidates
+      .select(explode(array(col("train_id"), col("eval_id"))).as("id"))
+      .distinct()
+    val winSets = offs.join(neededIds, "id")
+      .select(col("id"), substring(col("txt"), col("off") + 1, lit(k)).as("win"))
+      .groupBy(col("id")).agg(sort_array(collect_set(col("win"))).as("wins"))
+      .persistTracked()
+    candidates
+      .join(winSets.select(col("id").as("train_id"), col("wins").as("w_a")), "train_id")
+      .join(winSets.select(col("id").as("eval_id"), col("wins").as("w_b")), "eval_id")
+      .withColumn("shared_ct", size(array_intersect(col("w_a"), col("w_b"))).cast("long"))
+      .filter(col("shared_ct") >= 1L)
+      .select(col("train_id"), col("eval_id"), col("shared_ct"))
+  }
+
   /** Exact blocked containment (asymmetric Jaccard): for each in-block
     * pair, C = |A∩B| / min(|A|,|B|) over distinct token sets — the
     * subset/quote detector. A 50-token excerpt pasted into a 5000-token

@@ -181,6 +181,40 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.lshParams(10000000000L, 0.8) == (516, 43))
   }
 
+  test("splitLeakagePairs: cross-split shared windows found, same-split pairs excluded") {
+    // 40 docs: ids 0-19 share leak block A, ids 20-39 share leak block
+    // B, everyone carries a unique tail. Splits derive from the ids, so
+    // the expected pair set is computable from the same pure function.
+    val leakA = "A" * 45
+    val leakB = "B" * 45
+    val docs40 = (0L until 40L).map { i =>
+      (i, (if (i < 20) leakA else leakB) + s" unique tail for doc $i " + ("x" * (i % 7).toInt))
+    }.toDF("doc_id", "text")
+    val weights = Seq("train" -> 0.8, "test" -> 0.2)
+    val out = Dedup.splitLeakagePairs(docs40, "doc_id", "text", weights,
+        "train", "test", k = 40, stride = 4)
+      .select("train_id", "eval_id").as[(Long, Long)].collect().toSet
+    // reference: learn each id's split from the engine's own pure
+    // function, then pair train x test within each leak block
+    val splits = Sampling.assignSplit(docs40, "doc_id", weights, portable = true)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val expected = (for {
+      a <- 0L until 40L if splits(a) == "train"
+      b <- 0L until 40L if splits(b) == "test"
+      if (a < 20) == (b < 20) // same leak block
+    } yield (a, b)).toSet
+    assert(expected.nonEmpty, "fixture must produce at least one cross-split pair")
+    assert(out == expected, s"got ${out.size}, expected ${expected.size}")
+    // no same-split pairs, ever
+    out.foreach { case (tr, ev) =>
+      assert(splits(tr) == "train" && splits(ev) == "test")
+    }
+    // a doc below the window length can never leak
+    val tiny = Seq((100L, "short"), (101L, "short")).toDF("doc_id", "text")
+    assert(Dedup.splitLeakagePairs(tiny, "doc_id", "text", weights,
+      "train", "test", 40, 4).count() == 0L)
+  }
+
   test("connected components labels chains and keeps islands separate") {
     // chain 1-2-3 (via transitive pairs), island 4-5, singleton 9 absent
     val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
