@@ -165,4 +165,36 @@ class PlanPropertiesSpec extends SparkSpec {
       s"BloomFilterMightContain expression:\n${p.take(600)}")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(600))
   }
+
+  test("incremental dedup smallBatch profile: index side never shuffles for candidates") {
+    import org.apache.spark.sql.functions._
+    // streaming-trigger shape: tiny batch vs a large standing index —
+    // the candidate band join must BROADCAST the batch-side bucket
+    // table (the index side streams map-side), and the estimate
+    // prefilter's index-wide signature self-joins must be absent
+    val docs = spark.range(0, 2000)
+      .select(col("id").as("doc_id"),
+        concat(lit("document body text number "), col("id")).as("text"))
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val fresh = docs.filter(col("doc_id") % 2 === 1).limit(50)
+    val index = ops.Dedup.buildMinhashIndex(corpus, "doc_id", "text", 5, 32)
+    val (pairs, sigs) = ops.Dedup.minhashLshIncrementalWithIndex(
+      fresh, corpus, index, "doc_id", "text", 5, 32, 8, 0.8, smallBatch = true)
+    pairs.count() // materialize so AQE finalizes join strategies
+    val p = pairs.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"batch bucket table must broadcast:\n${p.take(800)}")
+    // the estimate prefilter's signature columns (a0.., b0..) must not
+    // appear anywhere — the small-batch profile verifies exactly
+    assert(!p.contains("a0#") && !p.contains("b0#"),
+      "estimate prefilter must be absent in the smallBatch profile")
+    // raw text never enters an exchange (the family invariant)
+    val textShuffles = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .filter(_.contains("text#"))
+    assert(textShuffles.isEmpty, textShuffles.mkString("\n"))
+    // the returned signature frame is the index schema, reusable for
+    // the append without recompute
+    assert(sigs.columns.toSet == index.columns.toSet)
+  }
 }
