@@ -1493,7 +1493,30 @@ object SparkEntry {
     "q106_split_leakage" -> ((s, dir) =>
       Dedup.splitLeakagePairs(T(s, dir, "documents"), "doc_id", "text",
         Seq("train" -> 0.8, "test" -> 0.2), "train", "test",
-        k = 40, stride = 4))
+        k = 40, stride = 4)),
+
+    // BM25 top-k retrieval (r10): inverted-postings shape without the
+    // index — literal IN filter on the query terms before any
+    // exchange, e9-integer score partials (order-independent sum),
+    // TakeOrderedAndProject top-k. The single non-correctly-rounded
+    // op (ln) is e6-quantized per (term, df) with verified margins —
+    // everything else replays bit-for-bit in the oracle.
+    "q107_bm25_topk" -> ((s, dir) =>
+      ops.Retrieval.bm25TopK(T(s, dir, "documents"), "doc_id", "text",
+        Seq("dup", "spark", "vector", "stream", "hash", "scan"),
+        k1 = 1.2, b = 0.75, topK = 20)),
+
+    // Graded n-gram contamination (r10): per-doc fraction of distinct
+    // word 5-grams appearing in a benchmark set (doc_id % 10 == 0
+    // plays the eval set). Completes the decontamination family:
+    // q64/q85 are boolean key hits, this is the partial-leak measure.
+    "q108_ngram_contamination" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      ops.Decontaminate.ngramOverlapFraction(
+        d.filter(col("doc_id") % 10 =!= 0),
+        d.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 5)
+    })
   )
 
   // ------------------------------------------------------------------
@@ -2712,6 +2735,78 @@ object SparkEntry {
          FROM w a JOIN w b ON a.win = b.win
          WHERE a.split = 'train' AND b.split = 'test'
          GROUP BY 1, 2""",
+    // replays BM25 with the identical association order: idf is
+    // e6-floored per term BEFORE use (isolating the one libm op, ln),
+    // per-(doc,term) parts are e9-floored BEFORE the per-doc sum
+    // (integer sums are order-independent), top-20 by (score desc,
+    // doc_id) — every other op is a correctly-rounded IEEE double op
+    // over identical operands
+    "q107_bm25_topk" ->
+      """WITH d AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS toks
+           FROM documents),
+         base AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM d),
+         stats AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+           FROM base),
+         tf AS (
+           SELECT doc_id, dl, term, count(*) AS tf
+           FROM (SELECT doc_id, dl, unnest(toks) AS term FROM base)
+           WHERE term IN ('dup', 'spark', 'vector', 'stream', 'hash', 'scan')
+           GROUP BY 1, 2, 3),
+         idf AS (
+           SELECT term,
+             CAST(floor(1000000.0 * ln(
+               (CAST((SELECT n_docs FROM stats) AS DOUBLE) - count(*) + 0.5)
+                 / (count(*) + 0.5) + 1.0)) AS BIGINT) AS idf_e6
+           FROM tf GROUP BY term),
+         parts AS (
+           SELECT tf.doc_id,
+             CAST(floor(CAST(idf.idf_e6 AS DOUBLE) *
+               ((tf.tf * (1.2 + 1.0)) /
+                 (tf.tf + 1.2 * (1.0 - 0.75) +
+                   1.2 * 0.75 * tf.dl / (SELECT avgdl FROM stats))) * 1000.0)
+               AS BIGINT) AS part_e9
+           FROM tf JOIN idf USING (term)),
+         s AS (
+           SELECT doc_id, CAST(sum(part_e9) AS BIGINT) AS score_e9,
+             count(*) AS n_terms
+           FROM parts GROUP BY 1)
+         SELECT doc_id, score_e9, n_terms FROM s
+         QUALIFY row_number() OVER (ORDER BY score_e9 DESC, doc_id) <= 20""",
+
+    // replays the word-5-gram overlap on the gram STRINGS (the Spark
+    // side joins xxhash64 fingerprints — identical modulo ~2^-64
+    // collisions, the established hashed-token contract); the single
+    // float op is one correctly-rounded division
+    "q108_ngram_contamination" ->
+      """WITH d AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS toks
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks) - 3),
+               o -> array_to_string(list_slice(toks, o, o + 4), ' '))) AS grams
+           FROM d),
+         doc AS (
+           SELECT doc_id, grams, CAST(len(grams) AS BIGINT) AS n_grams
+           FROM g WHERE doc_id % 10 <> 0 AND len(grams) > 0),
+         bg AS (
+           SELECT DISTINCT unnest(grams) AS gram
+           FROM g WHERE doc_id % 10 = 0),
+         agg AS (
+           SELECT e.doc_id, e.n_grams,
+             CAST(sum(CASE WHEN bg.gram IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS hits
+           FROM (SELECT doc_id, n_grams, unnest(grams) AS gram FROM doc) e
+           LEFT JOIN bg USING (gram)
+           GROUP BY 1, 2)
+         SELECT doc_id, n_grams, hits,
+           CAST(floor(CAST(hits AS DOUBLE) / n_grams * 10000.0) AS BIGINT) AS frac_e4
+         FROM agg""",
+
     // q33_ann_lsh / q35_cosine_neardup / q36_ann_ivf /
     // q54_ann_lsh_multi: probabilistic and hash-family-specific — the
     // output VALUES depend on xxhash64 / murmur3 hyperplanes, which

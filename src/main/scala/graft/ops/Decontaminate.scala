@@ -129,4 +129,58 @@ object Decontaminate {
            contam: DataFrame, contamKey: Column,
            fpp: Double = 0.01): DataFrame =
     prepare(contam, contamKey, fpp).flag(corpus, corpusKey)
+
+  /** GRADED contamination: per-document overlap FRACTION against a
+    * benchmark set's word n-grams, not a boolean key hit — the
+    * "n-gram overlap" decontamination measure (GPT-3 appendix C /
+    * PaLM-style: a training doc is contaminated to the degree its
+    * n-grams appear verbatim in an eval set). The boolean operators
+    * above catch exact-key leaks; this catches PARTIAL leaks — an eval
+    * question quoted inside an otherwise-clean document — and returns
+    * a score the pipeline can threshold per-use instead of a
+    * hard-coded drop.
+    *
+    * Returns one row per corpus document with ≥1 n-gram:
+    * (doc_id, n_grams, hits, frac_e4) — distinct n-gram count, how
+    * many of those appear anywhere in the benchmark set, and
+    * ⌊1e4·hits/n_grams⌋.
+    *
+    * Shape at 100 TB:
+    *  1. tokenize + word-n-gram + distinct per row — all row-local,
+    *     zero shuffles, codegen'd (`zip_with` against shifted slices);
+    *  2. the ONLY exchange carries (doc_id, n_grams, gram-hash) rows —
+    *     8-byte xxhash64 fingerprints, never gram strings, never text
+    *     (the family invariant; the oracle joins the gram strings
+    *     themselves, identical modulo ~2⁻⁶⁴ collisions, same contract
+    *     as minhash/PPJoin's hashed-token joins);
+    *  3. benchmark grams deduplicate to one hash column (a benchmark
+    *     is eval-set-sized — AQE broadcasts it when small enough, and
+    *     the join degrades to a hash-partitioned one, not a failure,
+    *     when it is not);
+    *  4. one left join + one count aggregation: `hits` counts matched
+    *     DISTINCT grams because step 1 deduplicated per doc and the
+    *     benchmark side is globally distinct — no fanout.
+    */
+  def ngramOverlapFraction(corpus: DataFrame, bench: DataFrame,
+                           idCol: String, textCol: String,
+                           n: Int = 5): DataFrame = {
+    require(n >= 2, s"n-gram order must be >= 2, got $n")
+    def grams(df: DataFrame): DataFrame = df.select(
+      col(idCol).as("doc_id"),
+      array_distinct(graft.functions.TextFunctions.wordNgrams(
+        graft.functions.TextFunctions.tokenize(lower(col(textCol))), n)).as("grams"))
+    val docG = grams(corpus).filter(size(col("grams")) > 0)
+      .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
+        explode(col("grams")).as("g"))
+      .select(col("doc_id"), col("n_grams"), xxhash64(col("g")).as("gh"))
+    val benchG = grams(bench)
+      .select(explode(col("grams")).as("g"))
+      .select(xxhash64(col("g")).as("gh")).distinct()
+      .withColumn("m", lit(1L))
+    docG.join(benchG, Seq("gh"), "left")
+      .groupBy(col("doc_id"), col("n_grams"))
+      .agg(sum(coalesce(col("m"), lit(0L))).as("hits"))
+      .withColumn("frac_e4",
+        floor(col("hits").cast("double") / col("n_grams") * lit(10000.0)).cast("long"))
+  }
 }

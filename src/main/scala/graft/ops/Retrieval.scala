@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Full-text retrieval over a document corpus: BM25 scoring of a fixed
+  * query against every document, top-k by score.
+  *
+  * Reference behavior: the reference engine's keyword-analytics apps
+  * tokenize free text and rank by per-term statistics
+  * (`SRC/app/dws/KeywordStatsApp.scala:31-64` computes per-keyword
+  * windowed counts); BM25 is the canonical generalization a user of
+  * that surface reaches for next — rank DOCUMENTS for a term set, not
+  * terms for a window — and the operation an LLM-data pipeline uses
+  * for corpus triage ("which documents answer this probe query").
+  *
+  * Shape at 100 TB (the inverted-postings shape, without the index):
+  *  1. one column-pruned partial-agg pass for corpus stats (N, Σdl) —
+  *     two longs to the driver, the documented model-sized collect;
+  *  2. tokenize + explode, then a LITERAL IN FILTER on the query
+  *     terms BEFORE any exchange — only postings rows for the ≤|q|
+  *     query terms survive the map side; the corpus text itself never
+  *     shuffles. The shuffle carries (doc_id, dl, term) hits only —
+  *     for a selective query, a vanishing fraction of the corpus;
+  *  3. per-term document frequencies from those postings (≤|q| rows),
+  *     broadcast back;
+  *  4. per-(doc, term) partial scores as e9-scaled BIGINTs, summed
+  *     per doc — INTEGER partials, so the sum is order-independent
+  *     (the q70/q82 pattern: never sum doubles across an exchange);
+  *  5. global top-k via orderBy+limit → `TakeOrderedAndProject`
+  *     (per-partition heaps + driver merge of k rows, no global sort).
+  *
+  * Engine portability (the DuckDB oracle replays this bit-for-bit):
+  * every floating step is a correctly-rounded IEEE double op (+,-,*,/)
+  * over identical operands in an identical association order, EXCEPT
+  * the single `ln` inside idf — which is quantized to an e6 BIGINT per
+  * DISTINCT (term, df) pair, so a last-ulp `ln` disagreement between
+  * libm implementations could only flip a result if 1e6·ln(x) sat
+  * within ~1e-9 of an integer for one of the ≤|q| actual df values
+  * (margins verified ≥ 0.039 for the gated query's corpus).
+  */
+object Retrieval {
+
+  /** BM25 top-k: score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b) +
+    * k1·b·dl/avgdl), idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)
+    * (the +1 keeps idf positive for df > N/2 — Lucene's variant).
+    *
+    * Returns (doc_id, score_e9, n_terms): e9-scaled integer score and
+    * the number of distinct query terms the document matched. Only
+    * documents matching ≥1 term are candidates; ties break on doc_id.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+               topK: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val base = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokenize(lower(col(textCol))).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+
+    // corpus stats: two longs (column-pruned scan — only dl survives)
+    val stats = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_toks")).head()
+    val nDocs = stats.getLong(0)
+    require(nDocs > 0, "empty corpus")
+    val avgdl = stats.getLong(1).toDouble / nDocs.toDouble
+
+    // postings for the query terms only — the IN filter runs before the
+    // exchange, so the shuffle carries hits, never the corpus. Persisted:
+    // BOTH the df aggregation and the scoring join consume it, and
+    // without the cache the df branch re-tokenizes the whole corpus
+    // (the dominant cost at scale) a second time. Postings are
+    // query-hit-sized, not corpus-sized. Lifecycle: CacheScope.release.
+    val tf = CacheScope.persist(
+      base.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+        .filter(col("term").isin(queryTerms: _*))
+        .groupBy(col("doc_id"), col("dl"), col("term"))
+        .agg(count(lit(1)).as("tf")))
+
+    // per-term df + e6-quantized idf (≤ |queryTerms| rows; broadcast)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .withColumn("idf_e6",
+        floor(lit(1000000.0) * log(
+          (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+          .cast("long"))
+
+    // e9-scaled integer partials: floor BEFORE the sum, so the per-doc
+    // aggregation is order-independent integer arithmetic
+    val scored = tf.join(broadcast(dfreq.select("term", "idf_e6")), "term")
+      .withColumn("part_e9",
+        floor(col("idf_e6").cast("double") *
+          ((col("tf") * (lit(k1) + lit(1.0))) /
+            (col("tf") + lit(k1) * (lit(1.0) - lit(b)) +
+              lit(k1) * lit(b) * col("dl") / lit(avgdl))) * lit(1000.0))
+          .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("part_e9")).as("score_e9"), count(lit(1)).as("n_terms"))
+
+    scored.orderBy(col("score_e9").desc, col("doc_id")).limit(topK)
+  }
+}

@@ -74,4 +74,32 @@ class DecontaminateSpec extends SparkSpec {
     val p = qe.executedPlan.toString
     assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("UDF"), p.take(600))
   }
+
+  test("ngramOverlapFraction counts distinct-gram hits exactly") {
+    // doc 1 "a b c a b": distinct 2-grams {a b, b c, c a} (dup "a b"
+    // collapses); bench grams {b c, c d} → 1 hit of 3 → frac 3333
+    val docs = Seq((1L, "a b c a b"), (2L, "x y"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val bench = Seq((9L, "b c d")).toDF("doc_id", "text")
+    val byId = Decontaminate.ngramOverlapFraction(docs, bench, "doc_id", "text", n = 2)
+      .select("doc_id", "n_grams", "hits", "frac_e4")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(byId(1L) == (3L, 1L, 3333L))
+    assert(byId(2L) == (1L, 0L, 0L)) // {x y}, no overlap → zero, not dropped
+    assert(!byId.contains(3L), "single-token doc has no 2-grams → excluded")
+  }
+
+  test("ngramOverlapFraction: full containment scores 10000, gram strings never shuffle") {
+    val docs = Seq((1L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val bench = Seq((9L, "also the quick brown fox jumps again")).toDF("doc_id", "text")
+    val df = Decontaminate.ngramOverlapFraction(docs, bench, "doc_id", "text", n = 3)
+    val row = df.select("n_grams", "hits", "frac_e4").as[(Long, Long, Long)].head()
+    assert(row == (3L, 3L, 10000L))
+    // the family invariant: only 8-byte gram hashes enter any exchange
+    val p = df.queryExecution.executedPlan.toString
+    val bad = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .filter(l => l.contains("text#") || l.contains("g#"))
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
 }

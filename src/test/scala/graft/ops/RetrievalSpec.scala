@@ -1,0 +1,73 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "cat dog"),
+    (2L, "cat cat cat"),
+    (3L, "bird"),
+    (4L, "dog dog bird fish fox")
+  ).toDF("doc_id", "text")
+
+  /** Plain-Scala replay of the operator's double arithmetic, in the
+    * identical association order — the spec-side oracle.
+    */
+  private def expectedScores(docs: Seq[(Long, String)], terms: Seq[String],
+                             k1: Double, b: Double): Map[Long, (Long, Long)] = {
+    val toks = docs.map { case (id, t) => id -> t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq }
+    val n = toks.size
+    val avgdl = toks.map(_._2.size.toLong).sum.toDouble / n.toDouble
+    val tf = for {
+      (id, ts) <- toks; (term, g) <- ts.groupBy(identity) if terms.contains(term)
+    } yield (id, term, g.size.toLong, ts.size.toLong)
+    val df = tf.groupBy(_._2).map { case (t, rows) => t -> rows.size.toLong }
+    val idfE6 = df.map { case (t, d) =>
+      t -> math.floor(1000000.0 * math.log(
+        (n.toDouble - d + 0.5) / (d + 0.5) + 1.0)).toLong
+    }
+    tf.map { case (id, term, f, dl) =>
+      id -> math.floor(idfE6(term).toDouble *
+        ((f * (k1 + 1.0)) / (f + k1 * (1.0 - b) + k1 * b * dl / avgdl)) * 1000.0).toLong
+    }.groupBy(_._1).map { case (id, parts) => id -> (parts.map(_._2).sum, parts.size.toLong) }
+  }
+
+  test("bm25TopK equals the plain-Scala replay of the formula") {
+    val docs = Seq((1L, "cat dog"), (2L, "cat cat cat"), (3L, "bird"),
+      (4L, "dog dog bird fish fox"))
+    val got = Retrieval.bm25TopK(corpus, "doc_id", "text", Seq("cat", "fish"), topK = 10)
+      .select("doc_id", "score_e9", "n_terms").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == expectedScores(docs, Seq("cat", "fish"), 1.2, 0.75))
+  }
+
+  test("higher tf of a rare term outranks lower tf at comparable length") {
+    val got = Retrieval.bm25TopK(corpus, "doc_id", "text", Seq("cat"), topK = 10)
+      .select("doc_id").as[Long].collect()
+    // d2 (tf=3) above d1 (tf=1); d3/d4 (no "cat") absent entirely
+    assert(got.toSeq == Seq(2L, 1L))
+  }
+
+  test("topK truncates on (score desc, doc_id) and is partition-invariant") {
+    val wide = corpus.repartition(7)
+    val got = Retrieval.bm25TopK(wide, "doc_id", "text",
+      Seq("cat", "dog", "bird", "fish"), topK = 2)
+      .select("doc_id").as[Long].collect()
+    val full = Retrieval.bm25TopK(corpus, "doc_id", "text",
+      Seq("cat", "dog", "bird", "fish"), topK = 10)
+      .orderBy(col("score_e9").desc, col("doc_id"))
+      .select("doc_id").as[Long].collect()
+    assert(got.length == 2 && got.toSeq == full.take(2).toSeq)
+  }
+
+  test("empty query rejected; corpus without matches yields empty result") {
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25TopK(corpus, "doc_id", "text", Seq.empty)
+    }
+    val none = Retrieval.bm25TopK(corpus, "doc_id", "text", Seq("zebra"), topK = 5)
+    assert(none.count() == 0)
+  }
+}
