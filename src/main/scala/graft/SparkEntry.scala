@@ -1516,7 +1516,25 @@ object SparkEntry {
         d.filter(col("doc_id") % 10 =!= 0),
         d.filter(col("doc_id") % 10 === 0),
         "doc_id", "text", n = 5)
-    })
+    }),
+
+    // Token-budget sampling (r10): per-language char budget filled in
+    // the deterministic mix order via the distributed prefix-sum
+    // shape — whole coarse buckets pass/drop map-side, only the
+    // boundary bucket pays a window cumsum. The oracle replays the
+    // single-window definition; the two must select the same row set.
+    "q109_token_budget" -> ((s, dir) =>
+      Sampling.tokenBudgetSample(
+        T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+        Seq("lang"), "doc_id", "n_chars", budget = 12000L, nBuckets = 16)
+        .select(col("doc_id"), col("lang"), col("n_chars"))),
+
+    // SemDeDup (r10): drop every vector with a lower-id same-cell
+    // neighbor at cos_e4 >= 3000 — pair scoring IS q90's
+    // cosinePairsLabelAuto (one definition, one oracle-verified fold).
+    "q110_semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedup(T(s, dir, "embeddings"), "label", 3000L)
+        .select(col("vec_id"), col("label")))
   )
 
   // ------------------------------------------------------------------
@@ -2806,6 +2824,38 @@ object SparkEntry {
          SELECT doc_id, n_grams, hits,
            CAST(floor(CAST(hits AS DOUBLE) / n_grams * 10000.0) AS BIGINT) AS frac_e4
          FROM agg""",
+
+    // replays the single-window cumsum definition of the budget
+    // selection: order (coarse bucket, fine mix, id) per lang, keep
+    // while inclusive running n_chars <= 12000 — all integer arithmetic
+    "q109_token_budget" ->
+      """WITH t AS (
+           SELECT doc_id, lang, n_chars,
+             ((doc_id % 1000003) * 2654435761) % 1000000007 % 16 AS b,
+             ((doc_id % 1000003) * 2654435761) % 1000000007 AS m
+           FROM documents),
+         c AS (
+           SELECT doc_id, lang, n_chars,
+             sum(n_chars) OVER (PARTITION BY lang ORDER BY b, m, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM t)
+         SELECT doc_id, lang, n_chars FROM c WHERE cum <= 12000""",
+
+    // q90's pair fold verbatim, then the one-pass dominated rule:
+    // a vector is dropped iff some lower-id same-label neighbor sits
+    // at cos_e4 >= 3000
+    "q110_semantic_dedup" ->
+      """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+         p AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(floor(
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (x, y) -> x + y)
+               / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (x, y) -> x + y))
+                * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (x, y) -> x + y)))
+               * 10000) AS BIGINT) AS cos_e4
+           FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+         SELECT vec_id, label FROM e
+         WHERE vec_id NOT IN (SELECT id_b FROM p WHERE cos_e4 >= 3000)""",
 
     // q33_ann_lsh / q35_cosine_neardup / q36_ann_ivf /
     // q54_ann_lsh_multi: probabilistic and hash-family-specific — the

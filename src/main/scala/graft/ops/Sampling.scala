@@ -112,6 +112,69 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** TOKEN-BUDGET sampling: per stratum, keep documents in the
+    * deterministic mix order until a WEIGHT budget (token count, char
+    * count, byte size) is exhausted — "build a 1B-token mix from this
+    * corpus", the budget-shaped counterpart of [[capPerStratum]]'s
+    * row-count cap. A row is kept iff its inclusive running weight in
+    * the order (coarse-bucket asc, fine-mix asc, id asc) is ≤ `budget`.
+    * Selection is a pure function of (id, weight distribution) — same
+    * reproducibility contract as every sampler here.
+    *
+    * The naive shape is a per-stratum window cumsum — a full stratum
+    * SORT of the corpus. This implementation is the distributed
+    * prefix-sum selection instead:
+    *  1. rows get a coarse bucket b = portable mix of id into
+    *     `nBuckets` — pure function, zero shuffles;
+    *  2. per-(stratum, bucket) weight sums aggregate map-side-
+    *     combinably to a |strata|×nBuckets frame (model-sized), whose
+    *     per-stratum EXCLUSIVE prefix sums locate the budget boundary;
+    *  3. broadcast back: buckets that fit entirely
+    *     (prefix + bucketSum ≤ budget) pass their rows MAP-SIDE; buckets
+    *     past the budget (prefix > budget) drop map-side; only the ONE
+    *     boundary bucket per stratum — ~1/nBuckets of the stratum —
+    *     pays the exact window cumsum, offset by its prefix.
+    * The corpus-sized sort disappears; what remains is a tiny agg
+    * shuffle plus a window over stratum/nBuckets rows.
+    *
+    * Weights must be non-negative: a negative weight breaks the
+    * monotonicity the bucket pruning relies on (enforced; the guard is
+    * one codegen'd conjunct on the aggregation pass).
+    */
+  def tokenBudgetSample(df: DataFrame, strataCols: Seq[String], idCol: String,
+                        weightCol: String, budget: Long,
+                        nBuckets: Int = 1024): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    require(nBuckets >= 2, "need at least 2 buckets")
+    val sk = strataCols.map(col)
+    val b = portableBucket(col(idCol), nBuckets)
+    val w = when(col(weightCol) >= 0, col(weightCol).cast("long"))
+      .otherwise(raise_error(concat(lit(s"negative weight in $weightCol for id "),
+        col(idCol).cast("string"))))
+    // (stratum, bucket) totals + exclusive prefix — |strata|×nBuckets rows
+    val bw = Window.partitionBy(sk: _*).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // persisted: the fits leg and the boundary leg each re-reference the
+    // stats — uncached, the narrow corpus aggregation pass would run
+    // twice. |strata|×nBuckets rows. Lifecycle: CacheScope.release.
+    val buckets = CacheScope.persist(
+      df.select((sk :+ b.as("__b") :+ w.as("__w")): _*)
+        .groupBy((sk :+ col("__b")): _*).agg(sum(col("__w")).as("__bsum"))
+        .withColumn("__before", coalesce(sum(col("__bsum")).over(bw), lit(0L))))
+    val joined = df.withColumn("__b", b)
+      .join(broadcast(buckets), strataCols :+ "__b")
+    // whole-bucket verdicts are map-side; only the boundary bucket sorts
+    val fits = joined.filter(col("__before") + col("__bsum") <= budget)
+    val iw = Window.partitionBy((sk :+ col("__b")): _*)
+      .orderBy(portableBucket(col(idCol), 1000000007), col(idCol))
+    val boundary = joined
+      .filter(col("__before") <= budget && col("__before") + col("__bsum") > budget)
+      .withColumn("__cum", col("__before") + sum(w).over(iw))
+      .filter(col("__cum") <= budget)
+      .drop("__cum")
+    fits.unionByName(boundary).drop("__b", "__bsum", "__before")
+  }
+
   /** Deterministic epoch-shuffle key: a training run orders the corpus
     * by this key instead of materializing a permutation — different
     * epochs get different (but each reproducible) orders by folding the

@@ -418,4 +418,31 @@ object Similarity {
           .cast("long").as("sim_e4"))
       .filter(col("sim_e4") >= minSimE4)
   }
+
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023): inside each
+    * cell of a deterministic partitioning (a label, q91's nearest-
+    * centroid assignment, an LSH bucket — any column works, the rule
+    * doesn't care how cells were made), drop every vector that has a
+    * LOWER-ID neighbor with ⌊cos·10⁴⌋ ≥ `tauE4`. Chains collapse to
+    * their earliest member in one pass: the kept set is exactly the
+    * vectors that are the min id of their own τ-neighborhood prefix —
+    * deterministic, order-free, no iteration (the one-pass variant of
+    * the paper's keep-one-per-ε-ball; a chain a<b<c with cos(a,c) < τ
+    * loses BOTH b and c, which for dedup is the conservative side).
+    *
+    * Pair scoring is [[cosinePairsLabelAuto]] — ONE definition shared
+    * with the q90 oracle and the q98 recall gate, including its
+    * measured dispatch: above the conf-gated block bound the quadratic
+    * self-join is replaced by label-blocked multi-table LSH, where the
+    * dominated set becomes a high-recall SUBSET (the operator
+    * under-DROPS, never over-drops — precision of every drop stays 1).
+    *
+    * Shape at 100 TB: the dominated frame is dup-sized (≪ corpus) —
+    * the anti join broadcasts it; vectors stream through map-side.
+    */
+  def semanticDedup(df: DataFrame, cellCol: String, tauE4: Long): DataFrame = {
+    val dominated = cosinePairsLabelAuto(df, cellCol, tauE4)
+      .select(col("id_b").as("vec_id")).distinct()
+    df.join(dominated, Seq("vec_id"), "left_anti")
+  }
 }

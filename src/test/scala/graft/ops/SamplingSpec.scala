@@ -150,4 +150,45 @@ class SamplingSpec extends SparkSpec {
       Sampling.splitExpr($"id", w, portable = true).as("s2"))
     assert(viaDf.join(inline, "id").filter($"split" =!= $"s2").count() == 0)
   }
+
+  test("tokenBudgetSample equals the naive single-window cumsum selection") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = (0L until 3000L)
+      .map(i => (i, s"s${i % 3}", 1L + (i * 2654435761L) % 97L))
+      .toDF("id", "src", "w")
+    val budget = 20000L
+    val got = Sampling.tokenBudgetSample(docs, Seq("src"), "id", "w", budget,
+      nBuckets = 16).select("id").as[Long].collect().toSet
+    // reference: one window over (coarse bucket, fine mix, id)
+    val ord = Window.partitionBy($"src")
+      .orderBy(Sampling.portableBucket($"id", 16),
+        Sampling.portableBucket($"id", 1000000007), $"id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = docs.withColumn("cum", sum($"w").over(ord))
+      .filter($"cum" <= budget).select("id").as[Long].collect().toSet
+    assert(got == want && got.nonEmpty && got.size < 3000,
+      s"got=${got.size} want=${want.size}")
+    // determinism under repartition
+    val again = Sampling.tokenBudgetSample(docs.repartition(11), Seq("src"),
+      "id", "w", budget, nBuckets = 16).select("id").as[Long].collect().toSet
+    assert(again == got)
+  }
+
+  test("tokenBudgetSample edges: zero budget, oversized budget, negative weight") {
+    val docs = Seq((1L, "a", 5L), (2L, "a", 0L), (3L, "a", 7L)).toDF("id", "src", "w")
+    // budget 0: only zero-weight rows ordered before the first positive
+    // weight can fit; with these mixes just assert the invariant
+    val z = Sampling.tokenBudgetSample(docs, Seq("src"), "id", "w", 0L)
+      .select("w").as[Long].collect()
+    assert(z.forall(_ == 0L))
+    // budget >= total: everything kept
+    val all = Sampling.tokenBudgetSample(docs, Seq("src"), "id", "w", 12L)
+      .count()
+    assert(all == 3L)
+    val neg = Seq((1L, "a", -1L)).toDF("id", "src", "w")
+    val ex = intercept[Exception] {
+      Sampling.tokenBudgetSample(neg, Seq("src"), "id", "w", 10L).count()
+    }
+    assert(ex.getMessage != null)
+  }
 }

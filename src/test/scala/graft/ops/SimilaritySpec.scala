@@ -156,4 +156,29 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Int, Long)].collect().toSet
     assert(got == want && got.nonEmpty)
   }
+
+  test("semanticDedup drops exactly the lower-id-dominated vectors, chains collapse") {
+    // cell "x": 20 ≈ 21 ≈ 22 form a chain (20-21 and 21-22 above τ,
+    // 20-22 below τ at τ=0.9997e4... use angles: 20=0°, 21=1°, 22=2°:
+    // cos(1°)=.99985 ≥ .9998τ, cos(2°)=.99939 < τ → 21 dropped by 20,
+    // 22 dropped by 21 (one-pass rule: earlier id, regardless of 21's
+    // own fate) — the documented conservative chain collapse.
+    // 23 at 90° survives; cell "y"'s 24/25 at 1° apart: 25 dropped.
+    def v(deg: Double) = Seq(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val df = Seq(
+      (20L, "x", v(0)), (21L, "x", v(1)), (22L, "x", v(2)),
+      (23L, "x", v(90)), (24L, "y", v(10)), (25L, "y", v(11)),
+      (26L, "z", v(50))
+    ).toDF("vec_id", "cell", "embedding")
+    val kept = Similarity.semanticDedup(df, "cell", 9998L)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(20L, 23L, 24L, 26L), kept.toString)
+  }
+
+  test("semanticDedup keeps everything when no pair crosses the threshold") {
+    val df = Seq((1L, "a", Seq(1.0f, 0.0f)), (2L, "a", Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "cell", "embedding")
+    assert(Similarity.semanticDedup(df, "cell", 9000L).count() == 2L)
+  }
 }
