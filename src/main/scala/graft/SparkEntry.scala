@@ -1534,7 +1534,17 @@ object SparkEntry {
     // cosinePairsLabelAuto (one definition, one oracle-verified fold).
     "q110_semantic_dedup" -> ((s, dir) =>
       Similarity.semanticDedup(T(s, dir, "embeddings"), "label", 3000L)
-        .select(col("vec_id"), col("label")))
+        .select(col("vec_id"), col("label"))),
+
+    // Fractional-epoch upsampling (r10): 0.4 epochs of en, 2.5 of zh,
+    // 1.0 of de; es/fr unlisted -> dropped. Milli-epoch integer
+    // arithmetic makes the partial-copy cut engine-exact; the oracle
+    // replays rank, cut, and copy generation.
+    "q111_epoch_upsample" -> ((s, dir) =>
+      Sampling.epochUpsample(
+        T(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "lang", "doc_id", Map("en" -> 0.4, "zh" -> 2.5, "de" -> 1.0))
+        .select(col("doc_id"), col("lang"), col("epoch")))
   )
 
   // ------------------------------------------------------------------
@@ -2856,6 +2866,30 @@ object SparkEntry {
            FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
          SELECT vec_id, label FROM e
          WHERE vec_id NOT IN (SELECT id_b FROM p WHERE cos_e4 >= 3000)""",
+
+    // replays the milli-epoch rule: nc = em div 1000 full copies plus
+    // one more iff (rank-1)*1000 < n*(em mod 1000) — all integer, the
+    // exact ceil(n*frac) prefix of the portable-mix order
+    "q111_epoch_upsample" ->
+      """WITH t AS (
+           SELECT doc_id, lang,
+             CASE lang WHEN 'en' THEN 400 WHEN 'zh' THEN 2500
+                       WHEN 'de' THEN 1000 ELSE 0 END AS em,
+             ((doc_id % 1000003) * 2654435761) % 1000000007 AS m
+           FROM documents),
+         r AS (
+           SELECT doc_id, lang, em,
+             row_number() OVER (PARTITION BY lang ORDER BY m, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS ct
+           FROM t),
+         c AS (
+           SELECT doc_id, lang,
+             em // 1000
+               + CASE WHEN (rn - 1) * 1000 < ct * (em % 1000) THEN 1 ELSE 0 END AS nc
+           FROM r)
+         SELECT doc_id, lang, gs.e AS epoch
+         FROM c CROSS JOIN (SELECT unnest(range(0, 4)) AS e) gs
+         WHERE gs.e < c.nc""",
 
     // q33_ann_lsh / q35_cosine_neardup / q36_ann_ivf /
     // q54_ann_lsh_multi: probabilistic and hash-family-specific — the

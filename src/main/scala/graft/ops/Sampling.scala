@@ -175,6 +175,60 @@ object Sampling {
     fits.unionByName(boundary).drop("__b", "__bsum", "__before")
   }
 
+  /** Fractional-EPOCH upsampling — the data-mixing recipe stated as
+    * "2.3 epochs of wiki, 0.6 of web" (GPT-3 Table 2.2, LLaMA Table 1):
+    * every row of stratum s appears ⌊e_s⌋ times, plus once more for the
+    * deterministic frac(e_s) subset, each copy tagged with a 0-based
+    * `epoch` column (fold it into [[epochShuffleKey]] so copies land in
+    * different shuffle positions downstream). Strata absent from the
+    * map get 0 epochs — dropped, `sampleBy` semantics like
+    * [[sampleByExact]].
+    *
+    * Engine-exact arithmetic: epochs are rounded to MILLI-epochs at the
+    * driver, so the partial-copy cut is pure integer —
+    * `(rank−1)·1000 < n_s·(e_s mod 1000)` ⟺ rank ≤ ⌈n_s·frac⌉ — and
+    * replayable bit-for-bit by the oracle (a double `e − ⌊e⌋` residual
+    * would flip rows where n·frac lands near an integer). The partial
+    * subset is the SAME portable-mix rank selection as every exact
+    * sampler here, so the frac(e) subset of a stratum is a PREFIX of
+    * its [[sampleByExact]] selection — growing e never evicts a
+    * previously kept copy.
+    *
+    * Shape: one window rank on the strata key (needed only for the
+    * fractional cut; same single shuffle as [[stratifiedSampleExact]])
+    * + one generator explode. Replication multiplies rows, never
+    * widens them — at 100 TB, upsampling is a map-side row generator,
+    * not a join against anything.
+    */
+  def epochUpsample(df: DataFrame, strataCol: String, idCol: String,
+                    epochs: Map[String, Double],
+                    portable: Boolean = true): DataFrame = {
+    require(epochs.values.forall(e => e >= 0.0 && e <= 1000.0),
+      "epochs must be in [0, 1000]")
+    val milli = epochs.toSeq.sortBy(_._1)
+      .map { case (k, e) => (k, math.round(e * 1000.0)) }
+    val em = milli.foldLeft(lit(0L)) { case (els, (k, m)) =>
+      when(col(strataCol) === lit(k), lit(m)).otherwise(els)
+    }
+    val mix = if (portable) portableBucket(col(idCol), 1000000007)
+      else pmod(xxhash64(col(idCol)), lit(Long.MaxValue))
+    val w = Window.partitionBy(col(strataCol)).orderBy(mix, col(idCol))
+    val cw = Window.partitionBy(col(strataCol))
+    // copies = ⌊e⌋ + (1 iff in the fractional prefix); sequence() needs
+    // the guard — sequence(0, -1) is a DESCENDING range, not empty
+    val nCopies = (col("__em") / 1000L).cast("long") +
+      when((col("__rn") - 1L) * 1000L < col("__ct") * pmod(col("__em"), lit(1000L)),
+        1L).otherwise(0L)
+    df.withColumn("__em", em)
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__ct", count(lit(1)).over(cw))
+      .withColumn("__nc", nCopies)
+      .filter(col("__nc") >= 1L)
+      .withColumn("epoch",
+        explode(sequence(lit(0L), col("__nc") - 1L)))
+      .drop("__em", "__rn", "__ct", "__nc")
+  }
+
   /** Deterministic epoch-shuffle key: a training run orders the corpus
     * by this key instead of materializing a permutation — different
     * epochs get different (but each reproducible) orders by folding the

@@ -174,6 +174,36 @@ class SamplingSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("epochUpsample: copy counts, epoch tags, and the exact fractional cut") {
+    val docs = (0L until 300L).map(i => (i, s"s${i % 3}")).toDF("id", "src")
+    // s0: 0.4 epochs of 100 rows -> 40; s1: 2.5 -> 250; s2 unlisted -> 0
+    val up = Sampling.epochUpsample(docs, "src", "id",
+      Map("s0" -> 0.4, "s1" -> 2.5))
+    val bySrc = up.groupBy($"src").count().as[(String, Long)].collect().toMap
+    assert(bySrc == Map("s0" -> 40L, "s1" -> 250L), bySrc.toString)
+    // every kept doc carries epochs 0..nc-1 exactly once
+    val tags = up.groupBy($"src", $"id")
+      .agg(sort_array(collect_list($"epoch")).as("es"))
+      .select($"src", $"es").distinct().as[(String, Seq[Long])].collect()
+    assert(tags.forall { case (_, es) => es == (0L until es.size.toLong) })
+    assert(tags.filter(_._1 == "s1").forall(t => t._2.size == 2 || t._2.size == 3))
+    // fractional subset is the sampleByExact prefix: growing e never
+    // evicts a kept copy
+    val small = Sampling.epochUpsample(docs, "src", "id", Map("s0" -> 0.2))
+      .select("id").as[Long].collect().toSet
+    val big = Sampling.epochUpsample(docs, "src", "id", Map("s0" -> 0.7))
+      .select("id").as[Long].collect().toSet
+    assert(small.subsetOf(big) && small.size == 20 && big.size == 70)
+    val viaSampleBy = Sampling.sampleByExact(docs, "src", "id",
+      Map("s0" -> 0.7)).select("id").as[Long].collect().toSet
+    assert(big == viaSampleBy)
+    // determinism under repartition
+    val again = Sampling.epochUpsample(docs.repartition(7), "src", "id",
+      Map("s0" -> 0.4, "s1" -> 2.5)).groupBy($"src").count()
+      .as[(String, Long)].collect().toMap
+    assert(again == bySrc)
+  }
+
   test("tokenBudgetSample edges: zero budget, oversized budget, negative weight") {
     val docs = Seq((1L, "a", 5L), (2L, "a", 0L), (3L, "a", 7L)).toDF("id", "src", "w")
     // budget 0: only zero-weight rows ordered before the first positive
