@@ -437,8 +437,11 @@ object Similarity {
     * dominated set becomes a high-recall SUBSET (the operator
     * under-DROPS, never over-drops — precision of every drop stays 1).
     *
-    * Shape at 100 TB: the dominated frame is dup-sized (≪ corpus) —
-    * the anti join broadcasts it; vectors stream through map-side.
+    * Shape at 100 TB: the dominated frame is dup-sized (usually ≪
+    * corpus) — AQE converts the anti join to broadcast at runtime when
+    * it measures small (plan-locked), and degrades to a shuffle join
+    * when a pathological corpus really does dominate everything; no
+    * hint forces a driver-sized assumption either way.
     */
   def semanticDedup(df: DataFrame, cellCol: String, tauE4: Long): DataFrame = {
     val dominated = cosinePairsLabelAuto(df, cellCol, tauE4)

@@ -197,4 +197,36 @@ class PlanPropertiesSpec extends SparkSpec {
     // the append without recompute
     assert(sigs.columns.toSet == index.columns.toSet)
   }
+
+  test("q109 token budget: bucket stats broadcast back, corpus never sort-merge joins") {
+    val p = plan("q109_token_budget")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket-stats table must broadcast:\n${p.take(600)}")
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus must stream map-side through the stats join")
+    // only (doc_id, lang, n_chars) are referenced — the scan must not
+    // read document text
+    val reads = "FileScan parquet \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(reads.nonEmpty && reads.forall(!_.contains("text")),
+      s"q109 must not read text: $reads")
+  }
+
+  test("q110 semantic dedup: AQE broadcasts the dominated set into the anti join") {
+    // the dup-sized dominated frame is only known small at RUNTIME —
+    // materialize so AQE finalizes the join strategy
+    val out = SparkEntry.queries("q110_semantic_dedup")(spark, sf)
+    out.count()
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti"), p.take(400))
+    assert(p.contains("BroadcastHashJoin"),
+      s"AQE must convert the anti join to broadcast at this scale:\n${p.take(800)}")
+  }
+
+  test("q111 epoch upsample: one strata-key shuffle, a generator, and no joins") {
+    val p = plan("q111_epoch_upsample")
+    assert(p.contains("Generate explode"), p.take(500))
+    assert(!p.contains("Join"), "replication must not join against anything")
+    assert(exchanges(p) <= 1, s"expected the single window rank shuffle:\n${p.take(600)}")
+  }
 }
