@@ -1544,7 +1544,22 @@ object SparkEntry {
       Sampling.epochUpsample(
         T(s, dir, "documents").select(col("doc_id"), col("lang")),
         "lang", "doc_id", Map("en" -> 0.4, "zh" -> 2.5, "de" -> 1.0))
-        .select(col("doc_id"), col("lang"), col("epoch")))
+        .select(col("doc_id"), col("lang"), col("epoch"))),
+
+    // Unicode NFC normalization (r10): the corpus is already NFC, so
+    // decomposed text is synthesized inline — even doc_ids get a suffix
+    // with combining marks (e+U+0301, A+U+030A, o+U+0308), odd ids a
+    // plain suffix exercising the zero-allocation fast path. The oracle
+    // is DuckDB's own nfc_normalize over the identical synthesis.
+    "q112_nfc_normalize" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val synth = concat(substring(col("text"), 1, 60),
+        when(col("doc_id") % 2 === 0, lit(" Café Ångström"))
+          .otherwise(lit(" plain suffix")))
+      d.select(col("doc_id"),
+        TF.nfcNormalize(synth).as("norm_text"),
+        (TF.nfcNormalize(synth) =!= synth).as("changed"))
+    })
   )
 
   // ------------------------------------------------------------------
@@ -2890,6 +2905,21 @@ object SparkEntry {
          SELECT doc_id, lang, gs.e AS epoch
          FROM c CROSS JOIN (SELECT unnest(range(0, 4)) AS e) gs
          WHERE gs.e < c.nc""",
+
+    // DuckDB's own NFC pass over the identical synthesis — the suffix
+    // is built from chr() codepoints (769/778/776 = the combining
+    // acute/ring/diaeresis the Spark literal embeds as UTF-8)
+    "q112_nfc_normalize" ->
+      """WITH t AS (
+           SELECT doc_id,
+             substring(text, 1, 60) ||
+             CASE WHEN doc_id % 2 = 0
+               THEN ' Cafe' || chr(769) || ' A' || chr(778) || 'ngstro' || chr(776) || 'm'
+               ELSE ' plain suffix' END AS synth
+           FROM documents)
+         SELECT doc_id, nfc_normalize(synth) AS norm_text,
+           nfc_normalize(synth) <> synth AS changed
+         FROM t""",
 
     // q33_ann_lsh / q35_cosine_neardup / q36_ann_ivf /
     // q54_ann_lsh_multi: probabilistic and hash-family-specific — the

@@ -44,6 +44,16 @@ object TextFunctions {
   def removeEmoji(text: Column): Column =
     regexp_replace(text, "[^\\p{L}\\p{M}\\p{N}\\p{P}\\p{Z}\\s]", "")
 
+  /** Unicode NFC normalization
+    * ([[org.apache.spark.sql.graft.NfcNormalize]], codegen'd): canonical
+    * composition so that byte-level fingerprints mean visual-identity —
+    * run it BEFORE [[contentFingerprint]] / the dedup family on corpora
+    * with mixed normalization (OCR, user-generated text). Already-NFC
+    * strings pass through without allocation.
+    */
+  def nfcNormalize(text: Column): Column =
+    org.apache.spark.sql.graft.TextExpressions.nfcNormalize(text)
+
   /** THE whitespace normalization: lowercase, runs of whitespace → one
     * space. One definition shared by shingling, content fingerprinting,
     * and the dedup family's shingle pipeline — the DuckDB oracles

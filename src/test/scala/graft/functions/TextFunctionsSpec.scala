@@ -93,6 +93,28 @@ class TextFunctionsSpec extends SparkSpec {
     assert(m == 20000L)
   }
 
+  test("nfcNormalize composes combining marks, passes NFC through, keeps NFKC out of scope") {
+    def norm(t: String): String =
+      one(t).select(TextFunctions.nfcNormalize($"t")).as[String].head()
+    // canonical composition: e+U+0301 -> é, A+U+030A -> Å, o+U+0308 -> ö
+    assert(norm("Café") == "Café")
+    assert(norm("Ångström") == "Ångström")
+    // already-NFC (incl. CJK and a lone combining mark) is unchanged
+    for (s <- Seq("plain ascii", "café", "中文 text", "́", ""))
+      assert(norm(s) == s)
+    // NFC, not NFKC: fullwidth/compatibility chars must NOT fold
+    assert(norm("ｅｘ") == "ｅｘ")
+    // idempotent, and null propagates
+    assert(norm(norm("Café")) == "Café")
+    val n = Seq[(java.lang.Long, String)]((1L, null)).toDF("id", "t")
+      .select(TextFunctions.nfcNormalize($"t")).collect()
+    assert(n(0).isNullAt(0))
+    // matches java.text.Normalizer on arbitrary mark-heavy strings
+    val mixed = "x́̂ ỹz̄ é́"
+    assert(norm(mixed) ==
+      java.text.Normalizer.normalize(mixed, java.text.Normalizer.Form.NFC))
+  }
+
   test("redactPii replaces every email, IPv4, and phone occurrence") {
     def red(t: String): String =
       one(t).select(TextFunctions.redactPii($"t")).as[String].head()
