@@ -1559,6 +1559,17 @@ object SparkEntry {
       d.select(col("doc_id"),
         TF.nfcNormalize(synth).as("norm_text"),
         (TF.nfcNormalize(synth) =!= synth).as("changed"))
+    }),
+
+    // LM quality scoring (r10): bigram Stupid Backoff trained on the
+    // doc_id % 10 == 0 split (playing "the reference corpus"), scoring
+    // the rest — the CCNet "looks like Wikipedia" gate. ln is e6-floored
+    // per position (q107's doctrine); sums are integer.
+    "q113_lm_quality" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      ops.LmScore.bigramScore(
+        d.filter(col("doc_id") % 10 =!= 0),
+        d.filter(col("doc_id") % 10 === 0), "doc_id", "text")
     })
   )
 
@@ -2920,6 +2931,48 @@ object SparkEntry {
          SELECT doc_id, nfc_normalize(synth) AS norm_text,
            nfc_normalize(synth) <> synth AS changed
          FROM t""",
+
+    // replays the bigram Stupid Backoff string-keyed (Spark joins
+    // xxhash64 keys — the established hashed-token contract): identical
+    // operands, identical association order, the single ln e6-floored
+    // per position before the order-independent integer sum
+    "q113_lm_quality" ->
+      """WITH d AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS toks
+           FROM documents),
+         r AS (SELECT toks FROM d WHERE doc_id % 10 = 0),
+         t AS (SELECT doc_id, toks FROM d WHERE doc_id % 10 <> 0),
+         uni AS (
+           SELECT w, CAST(count(*) AS BIGINT) AS cu
+           FROM (SELECT unnest(toks) AS w FROM r) GROUP BY 1),
+         stats AS (SELECT CAST(sum(cu) + count(*) AS DOUBLE) AS nv FROM uni),
+         bi AS (
+           SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+           FROM (SELECT toks[i] AS w1, toks[i+1] AS w2
+                 FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM r))
+           GROUP BY 1, 2),
+         biu AS (
+           SELECT bi.w1, bi.w2, bi.cb, uni.cu AS cu1
+           FROM bi JOIN uni ON bi.w1 = uni.w),
+         p AS (
+           SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+           FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t)),
+         j AS (
+           SELECT p.doc_id, biu.cb, biu.cu1, u2.cu AS cu2
+           FROM p LEFT JOIN biu ON p.w1 = biu.w1 AND p.w2 = biu.w2
+                  LEFT JOIN uni u2 ON p.w2 = u2.w),
+         s AS (
+           SELECT doc_id,
+             CAST(floor(1000000.0 * CASE
+               WHEN cb IS NOT NULL THEN ln(CAST(cb AS DOUBLE) / CAST(cu1 AS DOUBLE))
+               ELSE ln(0.4 * (CAST(COALESCE(cu2, 0) + 1 AS DOUBLE) / (SELECT nv FROM stats)))
+             END) AS BIGINT) AS lnp_e6,
+             CASE WHEN cb IS NULL THEN 1 ELSE 0 END AS bo
+           FROM j)
+         SELECT doc_id, CAST(sum(lnp_e6) AS BIGINT) AS ll_e6,
+           CAST(count(*) AS BIGINT) AS n_pos, CAST(sum(bo) AS BIGINT) AS n_backoff
+         FROM s GROUP BY 1""",
 
     // q33_ann_lsh / q35_cosine_neardup / q36_ann_ivf /
     // q54_ann_lsh_multi: probabilistic and hash-family-specific — the

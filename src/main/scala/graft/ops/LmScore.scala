@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Language-model quality scoring: score every document by its mean
+  * log-probability under an n-gram model trained on a REFERENCE corpus
+  * — the CCNet/Gopher web-filtering recipe ("keep what looks like
+  * Wikipedia"), and the quality-gate counterpart of the surface-statistic
+  * gates (q21/q69): those ask "is this well-formed text", this asks "is
+  * this text DISTRIBUTED like the reference".
+  *
+  * The model is a bigram Stupid Backoff (Brants et al. 2007 — the
+  * large-scale variant that needs no discounting renormalization):
+  *   P(w2|w1) = cb(w1,w2)/cu(w1)            if the bigram was seen,
+  *            = alpha · (cu(w2)+1)/(N+V)     otherwise
+  * (add-one-smoothed unigram backoff, so unseen words score a floor
+  * probability instead of −∞). Per position: lnp_e6 = ⌊10⁶·ln P⌋.
+  * Documents report the SUM and the position count, not the mean —
+  * integer division truncates toward zero in Spark and floors in
+  * DuckDB, so the mean is the consumer's one double op.
+  *
+  * Shape at 100 TB:
+  *  - train: two aggregations over the reference corpus + one
+  *    vocab-sized join folding cu(w1) INTO the bigram table, so
+  *    scoring's hit branch needs no second lookup;
+  *  - score: tokens and bigram strings exist only map-side — the
+  *    positions frame enters its exchanges as (doc_id, 3×8-byte
+  *    xxhash64 keys) (the family invariant: text never shuffles);
+  *  - one left join against the bigram table (hit branch) + one
+  *    against the unigram table (backoff operands), then a
+  *    map-side-combinable per-doc integer sum. No windows, no
+  *    position-sized caches — single pass.
+  *
+  * Engine portability (the DuckDB oracle replays string-keyed what
+  * Spark computes hash-keyed — the q108 hashed-token contract): every
+  * float op is a correctly-rounded IEEE double op over identical
+  * operands in identical association order except the single `ln`,
+  * e6-floored per position; a last-ulp libm disagreement flips a
+  * result only if 10⁶·ln(p) sits within ~1e-9 of an integer for one
+  * of the distinct probability values (`LmScoreSpec` measures the
+  * minimum margin on the gated corpus).
+  */
+object LmScore {
+
+  /** Score `docs` under a bigram Stupid-Backoff model trained on
+    * `ref`. Returns (doc_id, ll_e6, n_pos, n_backoff): summed
+    * ⌊10⁶·ln P⌋ over the doc's bigram positions, the position count,
+    * and how many positions fell to the unigram backoff (a high
+    * backoff share flags out-of-domain text even when ll_e6 is mild).
+    * Documents with fewer than 2 tokens have no positions and are
+    * absent from the output.
+    */
+  def bigramScore(docs: DataFrame, ref: DataFrame, idCol: String,
+                  textCol: String, alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+
+    def toks(df: DataFrame) = df.select(col(idCol).as("doc_id"),
+      TextFunctions.tokenize(lower(col(textCol))).as("toks"))
+    def bigrams(df: DataFrame) = toks(df)
+      .select(col("doc_id"), explode(TextFunctions.wordNgrams(col("toks"), 2)).as("gram"))
+      .select(col("doc_id"),
+        substring_index(col("gram"), " ", 1).as("w1"),
+        substring_index(col("gram"), " ", -1).as("w2"),
+        col("gram"))
+
+    // ---- train: unigram counts (+N, V) and a bigram table that
+    // carries its own denominator
+    val uni = CacheScope.persist(
+      toks(ref).select(explode(col("toks")).as("w"))
+        .groupBy(xxhash64(col("w")).as("h")).agg(count(lit(1)).as("cu")))
+    val stats = uni.agg(sum(col("cu")), count(lit(1))).head()
+    val nTokens = stats.getLong(0)
+    val vocab = stats.getLong(1)
+    require(nTokens > 0, "empty reference corpus")
+    val nv = (nTokens + vocab).toDouble
+    val bi = bigrams(ref)
+      .groupBy(xxhash64(col("gram")).as("h12"), xxhash64(col("w1")).as("h1"))
+      .agg(count(lit(1)).as("cb"))
+      .join(uni.withColumnRenamed("h", "h1").withColumnRenamed("cu", "cu1"), "h1")
+      .select(col("h12"), col("cb"), col("cu1"))
+
+    // ---- score: strings drop before any exchange; hashes join
+    val pos = bigrams(docs).select(col("doc_id"),
+      xxhash64(col("gram")).as("h12"), xxhash64(col("w2")).as("h2"))
+    val backoff = pos.join(bi, Seq("h12"), "left")
+      .join(uni.withColumnRenamed("h", "h2").withColumnRenamed("cu", "cu2"),
+        Seq("h2"), "left")
+    val lnp = when(col("cb").isNotNull,
+        log(col("cb").cast("double") / col("cu1").cast("double")))
+      .otherwise(log(lit(alpha) *
+        ((coalesce(col("cu2"), lit(0L)) + lit(1L)).cast("double") / lit(nv))))
+    backoff
+      .withColumn("lnp_e6", floor(lit(1000000.0) * lnp).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("lnp_e6")).as("ll_e6"), count(lit(1)).as("n_pos"),
+        sum(when(col("cb").isNull, 1L).otherwise(0L)).as("n_backoff"))
+  }
+}

@@ -1,0 +1,69 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LmScoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bigramScore hand-checked: hit, zero-surprise hit, and backoff arithmetic") {
+    val ref = Seq((100L, "the cat sat on the mat")).toDF("doc_id", "text")
+    // uni: the:2 cat:1 sat:1 on:1 mat:1 -> N=6 V=5, nv=11
+    // bi: (the,cat) (cat,sat) (sat,on) (on,the) (the,mat), all cb=1
+    val docs = Seq(
+      (1L, "the cat sat"),   // (the,cat): ln(1/2); (cat,sat): ln(1/1)=0
+      (2L, "dog the"),       // miss: ln(0.4 * (2+1)/11)
+      (3L, "word")           // single token -> no positions, absent
+    ).toDF("doc_id", "text")
+    val got = LmScore.bigramScore(docs, ref, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (k, a, b, c) => k -> ((a, b, c)) }.toMap
+    val lnHalf = math.floor(1e6 * math.log(1.0 / 2.0)).toLong
+    val lnBo = math.floor(1e6 * math.log(0.4 * (3.0 / 11.0))).toLong
+    assert(got == Map(1L -> ((lnHalf + 0L, 2L, 0L)), 2L -> ((lnBo, 1L, 1L))), got.toString)
+  }
+
+  test("bigramScore equals a full Scala replay on sf0.001, with safe floor margins") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val docs = d.filter($"doc_id" % 10 =!= 0)
+    val ref = d.filter($"doc_id" % 10 === 0)
+    val got = LmScore.bigramScore(docs, ref, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+    // reference implementation over plain collections
+    def toks(t: String) = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val refToks = ref.select($"text").as[String].collect().map(toks)
+    val uni = refToks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nv = (uni.values.sum + uni.size).toDouble
+    val bi = refToks.flatMap(ts => ts.zip(ts.drop(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var minMargin = Double.MaxValue
+    val want = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+      .flatMap { case (id, t) =>
+        val ts = toks(t)
+        val ps = ts.zip(ts.drop(1))
+        if (ps.isEmpty) None else {
+          var ll = 0L; var bo = 0L
+          ps.foreach { p =>
+            val lnp = bi.get(p) match {
+              case Some(cb) => math.log(cb.toDouble / uni(p._1).toDouble)
+              case None =>
+                bo += 1
+                math.log(0.4 * ((uni.getOrElse(p._2, 0L) + 1L).toDouble / nv))
+            }
+            val x = 1e6 * lnp
+            minMargin = math.min(minMargin, math.abs(x - math.rint(x)))
+            ll += math.floor(x).toLong
+          }
+          Some(id -> ((ll, ps.size.toLong, bo)))
+        }
+      }.toMap
+    assert(got == want, s"sizes: got=${got.size} want=${want.size}")
+    assert(got.nonEmpty && got.values.exists(_._3 > 0))
+    // a libm last-ulp disagreement moves 1e6*ln(p) by ~1e-9; every
+    // floored value on this corpus sits far further from an integer
+    assert(minMargin > 1e-4, s"floor margin too tight: $minMargin")
+  }
+}
