@@ -1570,6 +1570,25 @@ object SparkEntry {
       ops.LmScore.bigramScore(
         d.filter(col("doc_id") % 10 =!= 0),
         d.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+    }),
+
+    // Paragraph-level dedup (r10): the corpus text has no paragraph
+    // structure, so it is synthesized inline (both engines build the
+    // identical string): a license-header paragraph shared by ALL docs,
+    // two content chunks (every third doc repeats its first chunk —
+    // a within-doc dup), and a shared footer. Only the corpus-first
+    // occurrence of each paragraph survives.
+    "q114_paragraph_dedup" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val nn = "\n\n"
+      val synth = concat(
+        lit("Licensed under the Apache License Version 2"), lit(nn),
+        substring(col("text"), 1, 70), lit(nn),
+        when(col("doc_id") % 3 === 0, substring(col("text"), 1, 70))
+          .otherwise(substring(col("text"), 71, 70)), lit(nn),
+        lit("standard footer text"))
+      ops.SpanScrub.dedupParagraphs(
+        d.select(col("doc_id"), synth.as("text")), "doc_id", "text")
     })
   )
 
@@ -2973,6 +2992,48 @@ object SparkEntry {
          SELECT doc_id, CAST(sum(lnp_e6) AS BIGINT) AS ll_e6,
            CAST(count(*) AS BIGINT) AS n_pos, CAST(sum(bo) AS BIGINT) AS n_backoff
          FROM s GROUP BY 1""",
+
+    // replays the keep-first rule on paragraph STRINGS (Spark keys on
+    // xxhash64 — the hashed-token contract): first occurrence by
+    // (doc_id, pos), later occurrences killed, text rebuilt by
+    // position-filtered rejoin
+    "q114_paragraph_dedup" ->
+      """WITH d0 AS (
+           SELECT doc_id,
+             'Licensed under the Apache License Version 2' || chr(10) || chr(10) ||
+             substring(text, 1, 70) || chr(10) || chr(10) ||
+             CASE WHEN doc_id % 3 = 0 THEN substring(text, 1, 70)
+                  ELSE substring(text, 71, 70) END ||
+             chr(10) || chr(10) || 'standard footer text' AS text
+           FROM documents),
+         w AS (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS paras FROM d0),
+         p AS (
+           SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, paras[i] AS para
+           FROM (SELECT doc_id, paras, unnest(range(1, len(paras) + 1)) AS i FROM w)),
+         el AS (SELECT * FROM p WHERE length(para) >= 1),
+         m AS (
+           SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+           FROM el),
+         kill AS (
+           SELECT doc_id, list(pos ORDER BY pos) AS killed
+           FROM m WHERE rn > 1 GROUP BY 1)
+         SELECT w.doc_id,
+           CASE WHEN k.killed IS NULL
+             THEN array_to_string(w.paras, chr(10) || chr(10))
+             -- COALESCE: DuckDB's array_to_string of an EMPTY list is
+             -- NULL; an all-paragraphs-killed doc must be '' (Spark's
+             -- array_join semantics)
+             ELSE COALESCE(array_to_string(
+               list_transform(
+                 list_filter(
+                   list_transform(range(1, len(w.paras) + 1),
+                     i -> {'p': w.paras[i], 'i': CAST(i - 1 AS BIGINT)}),
+                   s -> NOT list_contains(k.killed, s.i)),
+                 s -> s.p),
+               chr(10) || chr(10)), '') END AS clean_text,
+           CAST(COALESCE(len(k.killed), 0) AS BIGINT) AS removed_paras
+         FROM w LEFT JOIN kill k USING (doc_id)""",
 
     // q33_ann_lsh / q35_cosine_neardup / q36_ann_ivf /
     // q54_ann_lsh_multi: probabilistic and hash-family-specific — the

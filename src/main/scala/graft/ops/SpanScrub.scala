@@ -86,4 +86,62 @@ object SpanScrub {
         (col("__len") - length(col("clean_text"))).cast("long"))
       .drop("__len")
   }
+
+  /** PARAGRAPH-level exact dedup with in-place rebuild — the
+    * MassiveText/RefinedWeb "remove repeated paragraphs, keep the
+    * document" pass at a structural boundary instead of
+    * [[scrubRepeatedSpans]]'s sliding windows: the text splits on
+    * `sep`, and every paragraph occurrence that duplicates an EARLIER
+    * one — (doc, pos) lexicographically, so the corpus-first occurrence
+    * survives and within-doc repeats dedup too — is deleted before the
+    * document is rejoined with the same separator (split+join on a
+    * literal separator is lossless, so untouched documents round-trip
+    * byte-identical). Paragraphs shorter than `minLen` chars never
+    * participate (they pass through), keeping "Yes." and empty
+    * structural slots intact.
+    *
+    * Shape (the family doctrine):
+    *  1. explode → (doc, pos, xxhash64(para)) — paragraph STRINGS drop
+    *     before any exchange (8-byte keys only; the q108 hashed-token
+    *     contract);
+    *  2. first occurrence per paragraph = `min(struct(doc, pos))` — a
+    *     map-side-combinable argmin (the q91 pattern), no window;
+    *  3. kill-list = occurrences ≠ their paragraph's min, grouped per
+    *     doc — DUP-sized, not corpus-sized (AQE broadcasts it back);
+    *  4. rebuild map-side: re-split the original text, drop killed
+    *     positions, rejoin. Per-doc cost is O(nParas × kills) via
+    *     `array_contains` — kills per doc is small by construction
+    *     (it is the document's own duplicated-paragraph count).
+    */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
+                      sep: String = "\n\n", minLen: Int = 1): DataFrame = {
+    require(sep.nonEmpty, "separator must be non-empty")
+    require(minLen >= 1, "minLen must be >= 1")
+    val qsep = java.util.regex.Pattern.quote(sep)
+    val text = col(textCol)
+    val paras = split(text, qsep, -1)
+    // persisted: the argmin aggregate and the kill join both consume
+    // the occurrence frame; uncached the split+hash pass runs twice.
+    // 20 bytes/paragraph. Lifecycle: CacheScope.release.
+    val occ = CacheScope.persist(
+      df.select(col(idCol).as("__id"), posexplode(paras))
+        .filter(length(col("col")) >= minLen)
+        .select(col("__id"), col("pos").cast("long").as("pos"),
+          xxhash64(col("col")).as("h")))
+    val first = occ.groupBy(col("h"))
+      .agg(min(struct(col("__id"), col("pos"))).as("m"))
+    val kills = occ.join(first, "h")
+      .filter(!(col("__id") === col("m.__id") && col("pos") === col("m.pos")))
+      .groupBy(col("__id")).agg(array_sort(collect_list(col("pos"))).as("__kill"))
+    val joined = df.join(kills, df(idCol) === kills("__id"), "left")
+    val idx = transform(paras, (p, i) =>
+      struct(p.as("p"), i.cast("long").as("i")))
+    val kept = filter(idx, s => !array_contains(col("__kill"), s.getField("i")))
+    joined.select(
+      df(idCol),
+      when(col("__kill").isNull, text)
+        .otherwise(array_join(transform(kept, s => s.getField("p")), sep))
+        .as("clean_text"),
+      coalesce(size(col("__kill")), lit(0)).cast("long").as("removed_paras"))
+  }
 }

@@ -223,6 +223,20 @@ class PlanPropertiesSpec extends SparkSpec {
       s"AQE must convert the anti join to broadcast at this scale:\n${p.take(800)}")
   }
 
+  test("q113 LM scoring and q114 paragraph dedup: no text in any exchange") {
+    // the family invariant: tokens/grams/paragraphs hash map-side,
+    // only (id, 8-byte keys, counts) enter the shuffles
+    for ((q, words) <- Seq(
+      "q113_lm_quality" -> Seq("text#", "gram#", "w1#", "w2#", "toks#"),
+      "q114_paragraph_dedup" -> Seq("text#", "col#"))) {
+      val p = plan(q)
+      val bad = p.linesIterator
+        .filter(_.contains("Exchange hashpartitioning"))
+        .filter(l => words.exists(l.contains)).toSeq
+      assert(bad.isEmpty, s"$q shuffles raw text:\n${bad.mkString("\n")}")
+    }
+  }
+
   test("q111 epoch upsample: one strata-key shuffle, a generator, and no joins") {
     val p = plan("q111_epoch_upsample")
     assert(p.contains("Generate explode"), p.take(500))

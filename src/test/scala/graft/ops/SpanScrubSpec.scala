@@ -83,4 +83,50 @@ class SpanScrubSpec extends SparkSpec {
       assert(removed == docs(id).length - clean.length)
     }
   }
+
+  test("dedupParagraphs: corpus-first wins, within-doc repeats go, round-trip") {
+    val nn = "\n\n"
+    val docs = Seq(
+      (1L, s"HEADER${nn}unique one${nn}repeat me${nn}repeat me"),
+      (2L, s"HEADER${nn}unique two${nn}repeat me"),
+      (3L, s"all original${nn}nothing shared here")
+    ).toDF("doc_id", "text")
+    val out = SpanScrub.dedupParagraphs(docs, "doc_id", "text")
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // doc 1 is corpus-first for HEADER and "repeat me"; its second
+    // "repeat me" (within-doc dup) is killed
+    assert(out(1L) == ((s"HEADER${nn}unique one${nn}repeat me", 1L)), out(1L))
+    // doc 2 loses both shared paragraphs to doc 1
+    assert(out(2L) == (("unique two", 2L)), out(2L))
+    // untouched doc round-trips byte-identical
+    assert(out(3L) == ((s"all original${nn}nothing shared here", 0L)))
+  }
+
+  test("dedupParagraphs: minLen keeps short paragraphs, empty slots survive") {
+    val nn = "\n\n"
+    val docs = Seq(
+      (1L, s"Yes.${nn}${nn}long paragraph body"),
+      (2L, s"Yes.${nn}${nn}different body entirely")
+    ).toDF("doc_id", "text")
+    // minLen 8: "Yes." (5 chars) and the empty slot never participate
+    val out = SpanScrub.dedupParagraphs(docs, "doc_id", "text", minLen = 8)
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L)._2 == 0L && out(2L)._2 == 0L)
+    assert(out(1L)._1 == s"Yes.${nn}${nn}long paragraph body")
+    // at minLen 1 the duplicate "Yes." dedups by keep-first, but the
+    // EMPTY slot (length 0 < minLen) still never participates — doc 2
+    // keeps its structural empty paragraph
+    val strict = SpanScrub.dedupParagraphs(docs, "doc_id", "text")
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(strict(1L)._1 == s"Yes.${nn}${nn}long paragraph body")
+    assert(strict(2L) == ((s"${nn}different body entirely", 1L)), strict(2L))
+    // determinism under repartition
+    val again = SpanScrub.dedupParagraphs(docs.repartition(5), "doc_id", "text")
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(again == strict)
+  }
 }
