@@ -30,6 +30,10 @@ object ScaleProbe10 {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val mults = if (args.length > 1) args(1).split(",").map(_.toInt).toSeq
       else Seq(1, 2, 4, 10)
+    // optional 3rd arg: comma-set of probe names to run (re-measure one
+    // operator without paying the full sweep)
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -68,6 +72,7 @@ object ScaleProbe10 {
     }.reduce(_ unionByName _)
 
     def time(name: String, mult: Int)(df: => DataFrame): Unit = {
+      if (only.exists(!_.contains(name.takeWhile(_ != '_')))) return
       graft.Bench.releaseAll(spark)
       val t0 = System.nanoTime()
       val s0 = shufRecords.get()
@@ -126,6 +131,33 @@ object ScaleProbe10 {
       time("q90_lsh", mult)(
         Similarity.cosinePairsLabelAuto(e, "label", 3000L))
       spark.conf.unset("graft.sim.maxBlock")
+      // r10 additions — the three new join/agg-bound operators; all
+      // are expected ~linear (the budget stays FIXED as the corpus
+      // grows for q109, which is the realistic regime: the boundary
+      // window's share shrinks as 1/mult)
+      time("q109_tokbudget", mult)(
+        graft.ops.Sampling.tokenBudgetSample(
+          d.select(col("doc_id"), col("lang"), col("n_chars")),
+          Seq("lang"), "doc_id", "n_chars", budget = 120000L, nBuckets = 1024))
+      // q113: reference stays the x1 slice (a model does not grow with
+      // the corpus being scored) — scoring cost should track positions
+      time("q113_lmscore", mult)(
+        graft.ops.LmScore.bigramScore(
+          d.filter(col("doc_id") % 10 =!= 0),
+          d.filter(col("doc_id") % 10 === 0 && col("doc_id") < 1000000000L),
+          "doc_id", "text"))
+      // the length() filter references clean_text (derived from the
+      // kill-list side), or else a bare count() lets Catalyst ELIMINATE
+      // the distinct-keyed left join and the whole rebuild with it —
+      // the q114 first probe run measured exactly that nothing
+      time("q114_paradedup", mult)(
+        graft.ops.SpanScrub.dedupParagraphs(
+          d.select(col("doc_id"),
+            concat_ws("\n\n", substring(col("text"), 1, 120),
+              substring(col("text"), 121, 120),
+              substring(col("text"), 241, 120)).as("text")),
+          "doc_id", "text")
+          .filter(length(col("clean_text")) >= 0))
     }
     spark.stop()
   }
