@@ -45,48 +45,64 @@ import graft.functions.TextFunctions
   */
 object LmScore {
 
-  /** Score `docs` under a bigram Stupid-Backoff model trained on
-    * `ref`. Returns (doc_id, ll_e6, n_pos, n_backoff): summed
-    * ⌊10⁶·ln P⌋ over the doc's bigram positions, the position count,
-    * and how many positions fell to the unigram backoff (a high
-    * backoff share flags out-of-domain text even when ll_e6 is mild).
-    * Documents with fewer than 2 tokens have no positions and are
-    * absent from the output.
+  /** A trained bigram model: `uni` = (h, cu) token-hash counts, `bi` =
+    * (h12, cb, cu1) gram-hash counts carrying their own denominator,
+    * plus the corpus constants. Both frames are model-sized (vocab /
+    * bigram-vocab rows, 24 bytes each) and round-trip through parquet
+    * unchanged — the nightly-artifact shape (the q57 minhash-index
+    * contract): train once, score every recurring batch against the
+    * standing tables.
     */
-  def bigramScore(docs: DataFrame, ref: DataFrame, idCol: String,
-                  textCol: String, alpha: Double = 0.4): DataFrame = {
-    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+  final case class BigramModel(uni: DataFrame, bi: DataFrame,
+                               nTokens: Long, vocab: Long)
 
-    def toks(df: DataFrame) = df.select(col(idCol).as("doc_id"),
+  private def toks(df: DataFrame, idCol: String, textCol: String) =
+    df.select(col(idCol).as("doc_id"),
       TextFunctions.tokenize(lower(col(textCol))).as("toks"))
-    def bigrams(df: DataFrame) = toks(df)
+
+  private def bigrams(df: DataFrame, idCol: String, textCol: String) =
+    toks(df, idCol, textCol)
       .select(col("doc_id"), explode(TextFunctions.wordNgrams(col("toks"), 2)).as("gram"))
       .select(col("doc_id"),
         substring_index(col("gram"), " ", 1).as("w1"),
         substring_index(col("gram"), " ", -1).as("w2"),
         col("gram"))
 
-    // ---- train: unigram counts (+N, V) and a bigram table that
-    // carries its own denominator
+  /** Train the model: unigram counts (+N, V) and a bigram table that
+    * carries its own denominator, so scoring's hit branch needs no
+    * second lookup. `uni` is persisted (three consumers: the stats
+    * aggregate, the bigram-denominator join, and every scoring join;
+    * lifecycle: CacheScope.release).
+    */
+  def trainBigramModel(ref: DataFrame, idCol: String,
+                       textCol: String): BigramModel = {
     val uni = CacheScope.persist(
-      toks(ref).select(explode(col("toks")).as("w"))
+      toks(ref, idCol, textCol).select(explode(col("toks")).as("w"))
         .groupBy(xxhash64(col("w")).as("h")).agg(count(lit(1)).as("cu")))
     val stats = uni.agg(sum(col("cu")), count(lit(1))).head()
     val nTokens = stats.getLong(0)
     val vocab = stats.getLong(1)
     require(nTokens > 0, "empty reference corpus")
-    val nv = (nTokens + vocab).toDouble
-    val bi = bigrams(ref)
+    val bi = bigrams(ref, idCol, textCol)
       .groupBy(xxhash64(col("gram")).as("h12"), xxhash64(col("w1")).as("h1"))
       .agg(count(lit(1)).as("cb"))
       .join(uni.withColumnRenamed("h", "h1").withColumnRenamed("cu", "cu1"), "h1")
       .select(col("h12"), col("cb"), col("cu1"))
+    BigramModel(uni, bi, nTokens, vocab)
+  }
 
-    // ---- score: strings drop before any exchange; hashes join
-    val pos = bigrams(docs).select(col("doc_id"),
+  /** Score `docs` against a standing [[BigramModel]] — strings drop
+    * before any exchange; hashes join. Same output contract as
+    * [[bigramScore]].
+    */
+  def scoreWithModel(docs: DataFrame, model: BigramModel, idCol: String,
+                     textCol: String, alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    val nv = (model.nTokens + model.vocab).toDouble
+    val pos = bigrams(docs, idCol, textCol).select(col("doc_id"),
       xxhash64(col("gram")).as("h12"), xxhash64(col("w2")).as("h2"))
-    val backoff = pos.join(bi, Seq("h12"), "left")
-      .join(uni.withColumnRenamed("h", "h2").withColumnRenamed("cu", "cu2"),
+    val backoff = pos.join(model.bi, Seq("h12"), "left")
+      .join(model.uni.withColumnRenamed("h", "h2").withColumnRenamed("cu", "cu2"),
         Seq("h2"), "left")
     val lnp = when(col("cb").isNotNull,
         log(col("cb").cast("double") / col("cu1").cast("double")))
@@ -98,4 +114,19 @@ object LmScore {
       .agg(sum(col("lnp_e6")).as("ll_e6"), count(lit(1)).as("n_pos"),
         sum(when(col("cb").isNull, 1L).otherwise(0L)).as("n_backoff"))
   }
+
+  /** Score `docs` under a bigram Stupid-Backoff model trained on
+    * `ref`. Returns (doc_id, ll_e6, n_pos, n_backoff): summed
+    * ⌊10⁶·ln P⌋ over the doc's bigram positions, the position count,
+    * and how many positions fell to the unigram backoff (a high
+    * backoff share flags out-of-domain text even when ll_e6 is mild).
+    * Documents with fewer than 2 tokens have no positions and are
+    * absent from the output. One-shot form of
+    * [[trainBigramModel]]+[[scoreWithModel]] — a recurring pipeline
+    * should train once and keep the model tables standing.
+    */
+  def bigramScore(docs: DataFrame, ref: DataFrame, idCol: String,
+                  textCol: String, alpha: Double = 0.4): DataFrame =
+    scoreWithModel(docs, trainBigramModel(ref, idCol, textCol),
+      idCol, textCol, alpha)
 }

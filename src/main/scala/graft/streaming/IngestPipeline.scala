@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.ops.{Decontaminate, Quality}
+import graft.ops.{Decontaminate, LmScore, Quality}
 
 /** The end-to-end streaming training-data ingest loop: each micro-batch
   * is quality-gated, PII-scrubbed, and near-dup-checked against every
@@ -34,16 +34,32 @@ object IngestPipeline {
     * bloom positives (never a batch-wide shuffle, never a re-scan of
     * the contamination list). Matching runs on REDACTED text — the
     * same form the corpus stores and consumers read.
+    *
+    * `lmGate`: optional (reference frame, minimum mean ⌊10⁶·ln P⌋ per
+    * position) — a bigram Stupid-Backoff model ([[graft.ops.LmScore]])
+    * is trained ONCE at sink creation (the same standing-artifact
+    * contract as the bloom sketch; its model-sized tables are
+    * persisted), and every batch keeps only documents whose mean
+    * log-probability clears the floor. The mean compare is integer —
+    * `ll_e6 ≥ τ·n_pos` (n_pos > 0 preserves the inequality) — and
+    * documents too short to score (< 2 tokens) pass: the surface gate
+    * owns short docs. Runs AFTER the surface gate (cheap projections
+    * reject first) and BEFORE redaction (scores the author's text, not
+    * the `<EMAIL>` placeholders).
     */
   def trainingIngestSink(spark: SparkSession, db: String,
                          corpusTable: String, indexTable: String,
                          idCol: String, textCol: String,
                          shingleN: Int = 5, k: Int = 32, bands: Int = 8,
                          threshold: Double = 0.8,
-                         contam: Option[(DataFrame, String)] = None)
+                         contam: Option[(DataFrame, String)] = None,
+                         lmGate: Option[(DataFrame, Long)] = None)
                         (onBatch: (DataFrame, Long, Long) => Unit): (DataFrame, Long) => Unit = {
     val contamFilter = contam.map { case (c, keyCol) =>
       Decontaminate.prepare(c, col(keyCol))
+    }
+    val lmModel = lmGate.map { case (ref, minMeanE6) =>
+      (LmScore.trainBigramModel(ref, idCol, textCol), minMeanE6)
     }
     // the dedup sink (and its table DDL) is built ONCE at stream setup;
     // foreachBatch calls are sequential per query, so the per-batch
@@ -66,8 +82,22 @@ object IngestPipeline {
           .withColumn("__reason", Quality.gateReason(col(textCol)))
           .persist()
         val droppedGate = gated.filter(col("__reason") =!= "keep").count()
-        val redacted = gated.filter(col("__reason") === "keep")
+        val surfaceKept = gated.filter(col("__reason") === "keep")
           .drop("__reason")
+        // LM gate: integer mean compare against the standing model;
+        // unscoreable (< 2 token) docs pass through the left anti-join
+        // of the REJECTED set, so they are kept
+        val (lmKept, droppedLm) = lmModel match {
+          case Some((model, minMeanE6)) =>
+            val rejected = LmScore
+              .scoreWithModel(surfaceKept, model, idCol, textCol)
+              .filter(col("ll_e6") < lit(minMeanE6) * col("n_pos"))
+              .select(col("doc_id").as(idCol))
+            val kept = surfaceKept.join(rejected, Seq(idCol), "left_anti").persist()
+            (kept, surfaceKept.count() - kept.count())
+          case None => (surfaceKept, 0L)
+        }
+        val redacted = lmKept
           .withColumn(textCol, TextFunctions.redactPii(col(textCol)))
         // persisted when the contamination filter is on: the frame feeds
         // the dropped-count AND the dedup pass, and the bloom+verify must
@@ -76,13 +106,14 @@ object IngestPipeline {
           case Some(f) => f.antiJoin(redacted, col(textCol)).persist()
           case None => redacted
         }
-        currentDropped = contamFilter match {
+        currentDropped = droppedLm + (contamFilter match {
           case Some(_) => droppedGate + (redacted.count() - cleaned.count())
           case None => droppedGate
-        }
+        })
         try dedup(cleaned, batchId)
         finally {
           gated.unpersist()
+          if (lmModel.isDefined) lmKept.unpersist()
           if (contamFilter.isDefined) cleaned.unpersist()
           ()
         }

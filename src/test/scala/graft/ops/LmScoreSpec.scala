@@ -23,6 +23,25 @@ class LmScoreSpec extends SparkSpec {
     assert(got == Map(1L -> ((lnHalf + 0L, 2L, 0L)), 2L -> ((lnBo, 1L, 1L))), got.toString)
   }
 
+  test("model tables round-trip through parquet; standing-model scoring equals one-shot") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val ref = d.filter($"doc_id" % 10 === 0)
+    val docs = d.filter($"doc_id" % 10 =!= 0).limit(40)
+    val m = LmScore.trainBigramModel(ref, "doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("lmmodel").toString
+    m.uni.write.parquet(s"$dir/uni")
+    m.bi.write.parquet(s"$dir/bi")
+    val standing = LmScore.BigramModel(
+      spark.read.parquet(s"$dir/uni"), spark.read.parquet(s"$dir/bi"),
+      m.nTokens, m.vocab)
+    val got = LmScore.scoreWithModel(docs, standing, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val want = LmScore.bigramScore(docs, ref, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("bigramScore equals a full Scala replay on sf0.001, with safe floor margins") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select($"doc_id", $"text")

@@ -108,4 +108,45 @@ class IngestPipelineSpec extends SparkSpec {
     val corpus = spark.table(s"`$db`.`ing2_corpus`")
     assert(corpus.select("id").as[Long].collect().toSet == Set(2L))
   }
+
+  test("LM gate drops out-of-distribution docs; model trained once at sink creation") {
+    // reference corpus: ordinary English (the model's in-distribution);
+    // the junk doc passes the SURFACE gate (length, stopwords via its
+    // header) but its body bigrams are unseen -> every position backs
+    // off to unigram-floor probability and the mean ln P collapses
+    val ref = (0L until 20L)
+      .map(i => (1000L + i, goodDoc(s"variant number $i of the reference")))
+      .toDF("doc_id", "text")
+    val junk = goodDoc((1 to 40)
+      .map(i => s"zzq$i qxz${i * 7} vvk${i * 13}").mkString(" "))
+    val droppedByBatch = scala.collection.mutable.Map[Long, Long]()
+    val corpusIds = scala.collection.mutable.Set[Long]()
+    val sink = IngestPipeline.trainingIngestSink(spark, db,
+        "ing3_corpus", "ing3_index", "doc_id", "text",
+        shingleN = 5, k = 32, bands = 16, threshold = 0.5,
+        // mean-lnP floor -3.0: the clean doc scores ~-0.7 (mostly seen
+        // bigrams), the junk doc ~-5.4 (its ~2/3 unseen positions sit
+        // at the ~-8.1 backoff floor) — both sides have >2e6 slack
+        lmGate = Some((ref, -3000000L))) {
+      (pairs, dropped, batchId) =>
+        pairs.count(); droppedByBatch(batchId) = dropped
+    }
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(sink)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ingck3").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
+    input.addData(
+      (1L, goodDoc("a clean in-distribution document about the data pipeline")),
+      (2L, junk),
+      (3L, "tiny"))                        // surface-gate reject
+    q.processAllAvailable(); q.stop()
+
+    assert(droppedByBatch(0L) == 2L,
+      s"surface reject + LM reject expected: $droppedByBatch")
+    val corpus = spark.table(s"`$db`.`ing3_corpus`")
+    assert(corpus.select("id").as[Long].collect().toSet == Set(1L),
+      "only the in-distribution doc may reach the corpus")
+  }
 }
