@@ -80,14 +80,20 @@ object LmScore {
       toks(ref, idCol, textCol).select(explode(col("toks")).as("w"))
         .groupBy(xxhash64(col("w")).as("h")).agg(count(lit(1)).as("cu")))
     val stats = uni.agg(sum(col("cu")), count(lit(1))).head()
+    // sum over an EMPTY frame is NULL — check before getLong, or the
+    // intended diagnostic below becomes an opaque NPE
+    require(!stats.isNullAt(0), "empty reference corpus")
     val nTokens = stats.getLong(0)
     val vocab = stats.getLong(1)
     require(nTokens > 0, "empty reference corpus")
-    val bi = bigrams(ref, idCol, textCol)
+    // persisted like uni: bi's lineage is the full reference tokenize +
+    // aggregate — unpersisted, every recurring scoreWithModel call (the
+    // streaming lmGate's per-batch join) would re-train the model
+    val bi = CacheScope.persist(bigrams(ref, idCol, textCol)
       .groupBy(xxhash64(col("gram")).as("h12"), xxhash64(col("w1")).as("h1"))
       .agg(count(lit(1)).as("cb"))
       .join(uni.withColumnRenamed("h", "h1").withColumnRenamed("cu", "cu1"), "h1")
-      .select(col("h12"), col("cb"), col("cu1"))
+      .select(col("h12"), col("cb"), col("cu1")))
     BigramModel(uni, bi, nTokens, vocab)
   }
 

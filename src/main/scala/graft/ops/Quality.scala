@@ -20,7 +20,13 @@ object Quality {
     val charCt = length(text).cast("long")
     val mtl = TextFunctions.meanTokenLen(text)
     val stop = TextFunctions.qualityStopwordRatio(text)
-    when(charCt < minChars, "too_short")
+    // null FIRST: every later predicate evaluates NULL on null text and
+    // a when-chain skips NULL conditions — without this branch a null
+    // document falls through to "keep" (found in the r10 review; the
+    // streaming ingest gate must reject them, and a parse-failed row is
+    // exactly the doc you least want in a corpus)
+    when(text.isNull, "null_text")
+      .when(charCt < minChars, "too_short")
       .when(charCt > maxChars, "too_long")
       .when(mtl < mtlMinE4 || mtl > mtlMaxE4, "token_len_out_of_range")
       .when(stop < minStopE4, "low_stopword_density")

@@ -149,8 +149,9 @@ object Sampling {
     val sk = strataCols.map(col)
     val b = portableBucket(col(idCol), nBuckets)
     val w = when(col(weightCol) >= 0, col(weightCol).cast("long"))
-      .otherwise(raise_error(concat(lit(s"negative weight in $weightCol for id "),
-        col(idCol).cast("string"))))
+      .otherwise(raise_error(concat(
+        lit(s"negative or null weight in $weightCol for id "),
+        coalesce(col(idCol).cast("string"), lit("null")))))
     // (stratum, bucket) totals + exclusive prefix — |strata|×nBuckets rows
     val bw = Window.partitionBy(sk: _*).orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, -1)

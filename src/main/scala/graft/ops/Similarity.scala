@@ -39,9 +39,20 @@ object Similarity {
     * sums per vector) — the embedding column is scanned once no matter
     * how many tables, where a per-table loop would re-explode it L
     * times. Output: the input plus `bucket_0 … bucket_{L-1}`.
+    *
+    * nPlanes is capped at 63: the bucket packs plane signs into one
+    * BIGINT via `1L << p`, and a 64th plane would alias plane 0 (JVM
+    * shifts are mod 64) — silent bucket corruption, not an error.
+    *
+    * Contract: vectors whose embedding is NULL or empty produce no
+    * posexplode rows and are ABSENT from every LSH path's output (they
+    * have no bucket). The brute-force baseline keeps them at sim 0 —
+    * callers comparing the two must pre-filter degenerate vectors.
     */
   private[ops] def withLshBuckets(df: DataFrame, idName: String, embName: String,
                                   nPlanes: Int, seeds: Seq[Int]): DataFrame = {
+    require(nPlanes >= 1 && nPlanes <= 63,
+      s"nPlanes=$nPlanes must be in [1, 63]: bucket bits pack into one BIGINT")
     val exploded = df.select(col(idName), col(embName),
         posexplode(col(embName)).as(Seq("i", "x")))
       .select(col(idName), col("i"), col("x"))
@@ -304,14 +315,23 @@ object Similarity {
       .filter(col("sim_e4") >= minSimE4)
   }
 
-  /** Multi-table embedding near-dup: L independent hyperplane bucketings
-    * union their candidate pairs before ONE exact verify pass — recall
-    * 1-(1-p)^L per pair at the same bucketed (never quarter-cartesian)
-    * plan shape. This is the scale-safe way to raise recall: each
-    * table's buckets stay small (2^nPlanes of them), so the bucket join
-    * stays near-linear, vs. collapsing nPlanes which grows every bucket
-    * toward N²/2^nPlanes pair scoring.
+  /** The exact within-label pair baseline: every same-label pair scored
+    * with `floor(cosine · 10⁴)`. Quadratic in block size — ONE
+    * definition, shared by the oracle-gated query (q90), the auto
+    * dispatch's below-bound branch, and the recall gate's truth side
+    * (q98), so a scoring change can never diverge them.
     */
+  def cosinePairsLabelExact(df: DataFrame, labelCol: String,
+                            minSimE4: Long): DataFrame = {
+    val e = df.select(col("vec_id"), col(labelCol).as("__lbl"), col("embedding"))
+    e.alias("a").join(e.alias("b"),
+        col("a.__lbl") === col("b.__lbl") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        floor(VectorFunctions.cosine(col("a.embedding"), col("b.embedding")) * 10000)
+          .cast("long").as("cos_e4"))
+      .filter(col("cos_e4") >= minSimE4)
+  }
+
   /** Exact within-label cosine pairs with a MEASURED scale guard — the
     * q79 dispatch doctrine applied to vectors. ONE cheap aggregate
     * computes the largest label block; at or below the conf-gated bound
@@ -332,23 +352,6 @@ object Similarity {
     * combinable scan, ~10⁻⁵ of the vector bytes — and decides a job
     * that is unboundedly more expensive in the wrong regime.
     */
-  /** The exact within-label pair baseline: every same-label pair scored
-    * with `floor(cosine · 10⁴)`. Quadratic in block size — ONE
-    * definition, shared by the oracle-gated query (q90), the auto
-    * dispatch's below-bound branch, and the recall gate's truth side
-    * (q98), so a scoring change can never diverge them.
-    */
-  def cosinePairsLabelExact(df: DataFrame, labelCol: String,
-                            minSimE4: Long): DataFrame = {
-    val e = df.select(col("vec_id"), col(labelCol).as("__lbl"), col("embedding"))
-    e.alias("a").join(e.alias("b"),
-        col("a.__lbl") === col("b.__lbl") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        floor(VectorFunctions.cosine(col("a.embedding"), col("b.embedding")) * 10000)
-          .cast("long").as("cos_e4"))
-      .filter(col("cos_e4") >= minSimE4)
-  }
-
   def cosinePairsLabelAuto(df: DataFrame, labelCol: String, minSimE4: Long,
                            nPlanes: Int = 0, nTables: Int = 8): DataFrame = {
     val maxBlock = df.sparkSession.conf.get("graft.sim.maxBlock", "65536").toLong
@@ -362,7 +365,14 @@ object Similarity {
     // a production near-dup floor (0.85+) gets k≈7 and real pruning.
     val k = if (nPlanes > 0) nPlanes else {
       val p = 1.0 - math.acos(math.min(minSimE4 / 10000.0, 1.0)) / math.Pi
-      math.max(2, (math.log(1.0 - math.pow(0.1, 1.0 / nTables)) / math.log(p)).toInt)
+      // capped at 16: near s=1 the derived k diverges (s=0.995 → k≈42,
+      // s→1 → ∞), and k·L aggregate columns blow up whole-stage
+      // codegen while bits ≥ 64 would alias. Capping only LOWERS plane
+      // count → fatter buckets → recall strictly ABOVE the 0.9 design
+      // floor; the price is candidate selectivity, paid in the exact
+      // verify, never in correctness.
+      math.min(16, math.max(2,
+        (math.log(1.0 - math.pow(0.1, 1.0 / nTables)) / math.log(p)).toInt))
     }
     val biggest = df.groupBy(col(labelCol)).agg(count(lit(1)).as("__n"))
       .agg(coalesce(max(col("__n")), lit(0L)).as("m")).head().getLong(0)
@@ -396,6 +406,14 @@ object Similarity {
     }
   }
 
+  /** Multi-table embedding near-dup: L independent hyperplane bucketings
+    * union their candidate pairs before ONE exact verify pass — recall
+    * 1-(1-p)^L per pair at the same bucketed (never quarter-cartesian)
+    * plan shape. This is the scale-safe way to raise recall: each
+    * table's buckets stay small (2^nPlanes of them), so the bucket join
+    * stays near-linear, vs. collapsing nPlanes which grows every bucket
+    * toward N²/2^nPlanes pair scoring.
+    */
   def cosineNearDupPairsMulti(df: DataFrame, minSimE4: Long, nPlanes: Int = 8,
                               nTables: Int = 8): DataFrame = {
     val ids = df.select(col("vec_id"), col("embedding"))

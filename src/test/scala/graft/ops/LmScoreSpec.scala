@@ -23,6 +23,19 @@ class LmScoreSpec extends SparkSpec {
     assert(got == Map(1L -> ((lnHalf + 0L, 2L, 0L)), 2L -> ((lnBo, 1L, 1L))), got.toString)
   }
 
+  test("trainBigramModel: empty reference diagnoses cleanly; model tables are cached") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      LmScore.trainBigramModel(empty, "doc_id", "text")
+    }
+    assert(ex.getMessage.contains("empty reference corpus"))
+    // the standing-model contract: BOTH tables persist, or every
+    // recurring score re-trains (the r10 review's streaming finding)
+    val m = LmScore.trainBigramModel(
+      Seq((1L, "the cat sat")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(m.uni.storageLevel.useMemory && m.bi.storageLevel.useMemory)
+  }
+
   test("model tables round-trip through parquet; standing-model scoring equals one-shot") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select($"doc_id", $"text")

@@ -181,4 +181,20 @@ class SimilaritySpec extends SparkSpec {
       .toDF("vec_id", "cell", "embedding")
     assert(Similarity.semanticDedup(df, "cell", 9000L).count() == 2L)
   }
+
+  test("derived plane count caps at 16 — near-1 thresholds stay codegen-safe (r10 review)") {
+    // tau = 0.9995: uncapped k ≈ 42 (and s→1 diverges) — bits ≥ 64
+    // would alias and k·L agg columns blow up codegen; capped k only
+    // fattens buckets, so the near-identical pair MUST still surface
+    def v(deg: Double) = Seq(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val df = Seq((1L, "x", v(0)), (2L, "x", v(0.5)), (3L, "x", v(80)),
+      (4L, "x", v(160)), (5L, "x", v(240))).toDF("vec_id", "label", "embedding")
+    spark.conf.set("graft.sim.maxBlock", "2")
+    try {
+      val got = Similarity.cosinePairsLabelAuto(df, "label", 9995L)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 2L)), got.toString)
+    } finally spark.conf.unset("graft.sim.maxBlock")
+  }
 }
