@@ -36,14 +36,14 @@ import org.apache.spark.storage.StorageLevel
 object CacheScope {
 
   private val frames =
-    new ConcurrentHashMap[SparkSession, java.util.Queue[DataFrame]]()
+    new ConcurrentHashMap[SparkSession, java.util.Deque[DataFrame]]()
   private val rdds =
-    new ConcurrentHashMap[SparkSession, java.util.Queue[RDD[_]]]()
+    new ConcurrentHashMap[SparkSession, java.util.Deque[RDD[_]]]()
 
   private def frameQueue(spark: SparkSession) =
-    frames.computeIfAbsent(spark, _ => new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]())
+    frames.computeIfAbsent(spark, _ => new java.util.concurrent.ConcurrentLinkedDeque[DataFrame]())
   private def rddQueue(spark: SparkSession) =
-    rdds.computeIfAbsent(spark, _ => new java.util.concurrent.ConcurrentLinkedQueue[RDD[_]]())
+    rdds.computeIfAbsent(spark, _ => new java.util.concurrent.ConcurrentLinkedDeque[RDD[_]]())
 
   /** Persist `df` and register it for the session's next [[release]]. */
   private[graft] def persist(df: DataFrame,
@@ -101,6 +101,36 @@ object CacheScope {
   def trackedCount(spark: SparkSession): Int =
     Option(frames.get(spark)).map(_.size).getOrElse(0) +
       Option(rdds.get(spark)).map(_.size).getOrElse(0)
+
+  /** Registry position snapshot for [[releaseSince]]. */
+  final case class Mark(nFrames: Int, nRdds: Int)
+
+  /** Snapshot the current registry position. */
+  private[graft] def mark(spark: SparkSession): Mark =
+    Mark(Option(frames.get(spark)).map(_.size).getOrElse(0),
+      Option(rdds.get(spark)).map(_.size).getOrElse(0))
+
+  /** Release ONLY the intermediates registered after `mark` — the
+    * per-trigger drain for a streaming sink: without it the registry
+    * accretes one batch's worth of DataFrame plan references per
+    * trigger for the stream's lifetime (r10 review), but a full
+    * [[release]] would also tear down STANDING frames registered at
+    * sink creation (a trained model, a bloom sketch). Relies on the
+    * documented single-writer assumption: this batch's registrations
+    * are exactly the deque's tail.
+    */
+  private[graft] def releaseSince(spark: SparkSession, m: Mark): Unit = {
+    Option(frames.get(spark)).foreach { q =>
+      while (q.size > m.nFrames) {
+        Option(q.pollLast()).foreach(df => { df.unpersist(blocking = false); () })
+      }
+    }
+    Option(rdds.get(spark)).foreach { q =>
+      while (q.size > m.nRdds) {
+        Option(q.pollLast()).foreach(r => { r.unpersist(blocking = false); () })
+      }
+    }
+  }
 
   /** Chainable registered persist: `df.persistTracked()` ≡
     * `CacheScope.persist(df)` — keeps operator pipelines readable.

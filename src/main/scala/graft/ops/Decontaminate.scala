@@ -91,15 +91,16 @@ object Decontaminate {
       // Lifecycle: CacheScope.release after the consuming action.
       val positives = CacheScope.persist(
         corpus.filter(mc && corpusKey.isNotNull))
-      val confirmed = positives
-        .join(keys, corpusKey === col("__k"), "left_semi")
-        .withColumn("contaminated", lit(true))
-      val falsePos = positives
-        .join(keys, corpusKey === col("__k"), "left_anti")
-        .withColumn("contaminated", lit(false))
+      // ONE marker left join replaces the semi+anti pair (r10 review:
+      // each leg re-aggregated the contamination list separately) —
+      // `keys` is distinct, so the join cannot multiply rows
+      val verified = positives
+        .join(keys.withColumn("__hit", lit(true)), corpusKey === col("__k"), "left")
+        .withColumn("contaminated", coalesce(col("__hit"), lit(false)))
+        .drop("__k", "__hit")
       corpus.filter(!mc || corpusKey.isNull)
         .withColumn("contaminated", lit(false))
-        .unionByName(confirmed).unionByName(falsePos)
+        .unionByName(verified)
     }
   }
 
@@ -110,12 +111,17 @@ object Decontaminate {
     */
   def prepare(contam: DataFrame, contamKey: Column,
               fpp: Double = 0.01): Prepared = {
-    val hashed = contam.select(xxhash64(contamKey).as("__ck")).distinct()
-    val n = math.max(hashed.count(), 1L)
-    val bloom = hashed.stat.bloomFilter("__ck", n, fpp)
-    val os = new java.io.ByteArrayOutputStream()
-    bloom.writeTo(os)
-    new Prepared(os.toByteArray, contam.select(contamKey.as("__k")).distinct())
+    // persisted for prepare's own two eager passes (count + bloomFilter
+    // each ran the full distinct shuffle — r10 review); both complete
+    // inside this call, so the cache is dropped before returning
+    val hashed = contam.select(xxhash64(contamKey).as("__ck")).distinct().persist()
+    try {
+      val n = math.max(hashed.count(), 1L)
+      val bloom = hashed.stat.bloomFilter("__ck", n, fpp)
+      val os = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(os)
+      new Prepared(os.toByteArray, contam.select(contamKey.as("__k")).distinct())
+    } finally { hashed.unpersist(blocking = false); () }
   }
 
   /** One-shot exact `corpus ANTI JOIN contam` (see [[Prepared.antiJoin]]). */

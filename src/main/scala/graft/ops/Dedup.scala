@@ -126,6 +126,14 @@ object Dedup {
     (if (fanOut) fanOutScan(df.select(col(idCol), col(textCol)))
      else df.select(col(idCol), col(textCol)))
       .select(col(idCol).as("id"), norm.as("norm"))
+      // null/empty/whitespace-only text produces NO shingles (r10
+      // review): unguarded, every such doc got one identical constant
+      // hash — xxhash64 of a null child is the seed, greatest(null,1)=1
+      // forces a position, and whitespace-only normalizes to the shared
+      // " " — so m contentless docs became m²/2 jaccard-1.0 "near-dup"
+      // candidate pairs. Contentless docs are not near-dups of
+      // anything; they simply have no signature.
+      .filter(length(trim(col("norm"))) > 0)
       .select(col("id"), col("norm"),
         explode(sequence(lit(1),
           greatest(length(col("norm")) - (shingleN - 1), lit(1)))).as("pos"))
@@ -982,7 +990,13 @@ object Dedup {
     candidates
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      // two-pointer merge over the per-doc-sorted hash sets (the
+      // exactVerify doctrine, r10 review: array_intersect rebuilt a
+      // hash set per candidate PAIR while the sort already ran once
+      // per doc — on q56's stopword-heavy worst case the verify stage
+      // is exactly where the pairs concentrate)
+      .withColumn("inter", org.apache.spark.sql.graft.SetExpressions
+        .intersectCountSorted(col("sh_a"), col("sh_b")))
       .select(col("id_a"), col("id_b"),
         floor(col("inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("inter")).cast("double") * 10000)
@@ -1038,7 +1052,14 @@ object Dedup {
     val neededIds = candidates
       .select(explode(array(col("id_a"), col("id_b"))).as("id"))
       .distinct()
-    val winSets = offs.join(neededIds, "id")
+    // the candidate-id join sits BELOW the window explode (r10 review:
+    // it was above, and Catalyst cannot push an equi-join through a
+    // generate — the verify pass re-exploded every document's windows
+    // just to join ~0.1% of them away). Joining doc-level rows first
+    // makes the second explode candidate-sized.
+    val winSets = base.join(neededIds, "id")
+      .select(col("id"), col("txt"),
+        explode(sequence(lit(0), length(col("txt")) - k, lit(stride))).as("off"))
       .select(col("id"), substring(col("txt"), col("off") + 1, lit(k)).as("win"))
       .groupBy(col("id")).agg(sort_array(collect_set(col("win"))).as("wins"))
       .persistTracked()
@@ -1096,7 +1117,12 @@ object Dedup {
     val neededIds = candidates
       .select(explode(array(col("train_id"), col("eval_id"))).as("id"))
       .distinct()
-    val winSets = offs.join(neededIds, "id")
+    // same r10 fix as sharedWindowPairs: join candidate ids on
+    // doc-level rows BEFORE the window explode — the verify explode
+    // runs candidate-sized, not corpus-sized
+    val winSets = base.join(neededIds, "id")
+      .select(col("id"), col("txt"),
+        explode(sequence(lit(0), length(col("txt")) - k, lit(stride))).as("off"))
       .select(col("id"), substring(col("txt"), col("off") + 1, lit(k)).as("win"))
       .groupBy(col("id")).agg(sort_array(collect_set(col("win"))).as("wins"))
       .persistTracked()

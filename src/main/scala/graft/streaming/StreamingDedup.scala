@@ -82,8 +82,12 @@ object StreamingDedup {
           col(textCol).cast("string").as(textCol)).persist()
         // snapshot so only THIS batch's operator-internal persists are
         // released afterwards — a long-running stream must not accrete
-        // cached blocks across batches
+        // cached blocks across batches. The CacheScope mark drains the
+        // REGISTRY tail too (r10 review: blocks were freed but the
+        // per-batch DataFrame references accreted in the registry for
+        // the stream's lifetime).
         val preexisting = spark.sparkContext.getPersistentRDDs.keySet
+        val scopeMark = graft.ops.CacheScope.mark(spark)
         try {
           val corpus = spark.table(s"`$db`.`$corpusTable`")
             .select(col("id").as(idCol), col("text").as(textCol))
@@ -109,6 +113,7 @@ object StreamingDedup {
           spark.sparkContext.getPersistentRDDs
             .filter { case (rddId, _) => !preexisting.contains(rddId) }
             .values.foreach(_.unpersist(blocking = false))
+          graft.ops.CacheScope.releaseSince(spark, scopeMark)
           b.unpersist()
           ()
         }

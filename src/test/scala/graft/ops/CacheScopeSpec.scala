@@ -73,4 +73,21 @@ class CacheScopeSpec extends SparkSpec {
     CacheScope.release(spark)
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
+
+  test("releaseSince drains only the tail registered after the mark (streaming scope)") {
+    graft.Bench.releaseAll(spark)
+    // standing frame (a trained model, a bloom sketch) registered at
+    // sink creation — a per-trigger drain must not touch it
+    val standing = CacheScope.persist(spark.range(0, 5).toDF("id"))
+    standing.count()
+    val m = CacheScope.mark(spark)
+    val batchFrame = CacheScope.persist(spark.range(5, 9).toDF("id"))
+    batchFrame.count()
+    assert(CacheScope.trackedCount(spark) == 2)
+    CacheScope.releaseSince(spark, m)
+    assert(CacheScope.trackedCount(spark) == 1, "only the tail drains")
+    assert(standing.storageLevel.useMemory, "standing frame must stay cached")
+    assert(!batchFrame.storageLevel.useMemory, "batch frame must be released")
+    CacheScope.release(spark)
+  }
 }

@@ -28,6 +28,21 @@ class DedupSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("contentless docs (null/empty/whitespace text) never pair (r10 review regression)") {
+    // unguarded, all contentless docs shared one constant shingle hash
+    // (xxhash64-of-null = seed; whitespace normalizes to " ") and
+    // reported each other as jaccard-1.0 duplicates, m²/2 pairs
+    val mixed = Seq[(Long, String)](
+      (1L, null), (2L, null), (3L, ""), (4L, "   \t  "),
+      (5L, "a real document body with plenty of text in it"),
+      (6L, "a real document body with plenty of text in it")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(mixed, "doc_id", "text",
+        shingleN = 5, k = 16, bands = 8, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((5L, 6L)), pairs.toString)
+  }
+
   test("minhash LSH finds exact and near duplicates, not unrelated pairs") {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
         shingleN = 5, k = 32, bands = 16, threshold = 0.5)
