@@ -1993,7 +1993,7 @@ object SparkEntry {
 
     "q51_salted_agg" ->
       """SELECT event_type,
-         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+         CAST(sum(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value,
          count(*) AS row_ct
          FROM events GROUP BY 1""",
 

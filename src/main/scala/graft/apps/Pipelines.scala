@@ -116,9 +116,14 @@ object Pipelines {
       .groupBy(col("mid"), col("dt"))
       .agg(min(col("ts")).as("first_ts"))
 
-  /** VisitorStatsApp A1/J5 — the four one-hot metric streams unioned and
-    * window-aggregated: pv (page views), sv (session entries), uj
-    * (bounces, approximated batch-side as sessions of one page), dur.
+  /** VisitorStatsApp A1/J5 — the reference's metric streams unioned and
+    * window-aggregated: pv (page views), sv (session entries), uv
+    * (distinct visitors), dur (dwell time). The reference's fifth
+    * metric, uj (bounces), is NOT computed here: bounce detection is
+    * stateful CEP ([[graft.streaming.StatefulOps.bounceDetect]], q11)
+    * and the reference itself unions the bounce stream in as a separate
+    * source — join this output with that stream downstream, exactly as
+    * `VisitorStatsApp` does.
     */
   def visitorStats(pages: DataFrame, windowLen: String = "10 seconds"): DataFrame = {
     val ts = timestamp_millis(col("ts"))

@@ -18,20 +18,24 @@ object Skew {
 
   /** Salted sum/count aggregation: for each key in `keys`, computes
     * `sum(c) as sum_c` and `count(*) as row_ct` over the salted
-    * partials. The salt is a deterministic hash of the value column so
-    * results are reproducible run to run; sums run over
-    * DECIMAL(18,2)-cast values (exact, order-independent — double
-    * partial sums would differ in the last bits depending on the salt
-    * grouping) and surface as DOUBLE.
+    * partials. The salt is the row's position id (r10 review: a hash of
+    * the VALUE column collapsed to one salt whenever a hot key carried
+    * constant or null values — the doc's own motivating bot-device
+    * case — making the mitigation a no-op exactly when it mattered);
+    * position spreads unconditionally, and the RESULT is salt-invariant
+    * because partials sum over DECIMAL(38,2)-cast values (exact,
+    * order-independent — double partial sums would differ in the last
+    * bits depending on the salt grouping; precision 38 so magnitudes up
+    * to ~10³⁶ cannot overflow-to-NULL) and surface as DOUBLE.
     */
   def saltedSumCount(df: DataFrame, keys: Seq[String], valueCol: String,
                      salts: Int = 16): DataFrame = {
     require(salts > 0)
     val keyCols: Seq[Column] = keys.map(col)
     val partial = df
-      .withColumn("_salt", pmod(xxhash64(col(valueCol)), lit(salts.toLong)))
+      .withColumn("_salt", pmod(monotonically_increasing_id(), lit(salts.toLong)))
       .groupBy(keyCols :+ col("_salt"): _*)
-      .agg(sum(col(valueCol).cast("decimal(18,2)")).as("_psum"),
+      .agg(sum(col(valueCol).cast("decimal(38,2)")).as("_psum"),
         count(lit(1)).as("_pct"))
     partial
       .groupBy(keyCols: _*)
@@ -63,9 +67,16 @@ object Skew {
     */
   def headTailJoin(left: DataFrame, right: DataFrame, key: String,
                    hotness: Column, topK: Int = 1024): DataFrame = {
-    val head = right.orderBy(hotness.desc, col(key)).limit(topK)
-      .persistTracked()
-    val tail = right.join(head.select(col(key)), Seq(key), "left_anti")
+    // the head is the topK hottest KEYS, not the topK hottest ROWS
+    // (r10 review: with duplicate right-side keys, limit() could cut
+    // INSIDE a key and the anti-join then dropped that key's leftover
+    // rows from both legs — rows lost vs the plain join). Per-key max
+    // hotness is a key-count-sized aggregate; for unique-key right
+    // sides this is exactly the old selection.
+    val headKeys = right.groupBy(col(key)).agg(max(hotness).as("__h"))
+      .orderBy(col("__h").desc, col(key)).limit(topK).select(col(key))
+    val head = right.join(headKeys, Seq(key), "left_semi").persistTracked()
+    val tail = right.join(headKeys, Seq(key), "left_anti")
     left.join(broadcast(head), Seq(key))
       .unionByName(left.join(tail, Seq(key)))
   }

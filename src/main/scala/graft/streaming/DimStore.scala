@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -83,12 +83,28 @@ object DimStore {
       .filter(col("__in_rn") === 1)
       .select(payload.map(c => col(c).cast(StringType).as(c)): _*)
       .withColumn("__seq", lit(seq))
-    val w = Window.partitionBy(col(keyCol))
+    lwwOverwrite(db, table, existing, incoming, Seq(keyCol))
+  }
+
+  /** THE keyed last-write-wins merge-and-overwrite — one definition for
+    * every changelog materialization in this package (r10 review:
+    * [[StreamingPipelines.upsertKafkaMaterialize]] had re-implemented
+    * it line for line, and the copies had already started to drift).
+    * Latest `__seq` wins per key; ties break to the incoming row
+    * (`__is_new`); `keepRow` filters winners (e.g. tombstone drop) so
+    * a deleted key vanishes from the rewritten table rather than
+    * surviving as a marker row.
+    */
+  private[streaming] def lwwOverwrite(db: String, table: String,
+                                      existing: DataFrame, incoming: DataFrame,
+                                      keyCols: Seq[String],
+                                      keepRow: Column = lit(true)): Unit = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("__seq").desc, col("__is_new").desc)
     val merged = existing.withColumn("__is_new", lit(0))
       .unionByName(incoming.withColumn("__is_new", lit(1)))
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+      .filter(col("__rn") === 1 && keepRow)
       .drop("__rn", "__is_new")
       // truncate lineage: the overwrite below must not read the files
       // it replaces

@@ -96,12 +96,22 @@ object StatefulOps {
             if (e.lastPageId.forall(_.isEmpty)) {
               val d = day(e.ts)
               if (!state.getOption.contains(d)) {
-                state.update(d)
-                ttl.foreach(state.setTimeoutDuration)
+                // MONOTONE state (r10 review): a late previous-day event
+                // still emits, but must not regress the stored date —
+                // unconditional update let it overwrite "today", and the
+                // next today-entry re-emitted as a duplicate UV. Single-
+                // date state is the reference's own shape (one value +
+                // TTL); ISO dates compare lexicographically.
+                if (state.getOption.forall(_ < d)) state.update(d)
                 out += VisitRecord(mid, e.pageId, e.isNew, e.ts)
               }
             }
           }
+          // re-arm OUTSIDE the emit branch (r10 review): Spark clears a
+          // group's timeout on EVERY invocation that carries data, so a
+          // repeat same-day event (or any non-entry event) would cancel
+          // the TTL permanently and the state would never expire
+          if (state.exists) ttl.foreach(state.setTimeoutDuration)
           out.iterator
         }
       })
@@ -138,7 +148,7 @@ object StatefulOps {
               e.ts.getTime + gapSeconds * 1000,
               state.getCurrentWatermarkMs() + 1))
           }
-          sorted.foreach { e =>
+          sorted.zipWithIndex.foreach { case (e, i) =>
             val isEntry = e.lastPageId.forall(_.isEmpty)
             state.getOption match {
               case Some(pending) if e.ts.getTime < pending.ts.getTime =>
@@ -148,11 +158,21 @@ object StatefulOps {
                 // be RE-armed: Spark clears a group's timeout on every
                 // invocation that carries data, so skipping the re-arm
                 // here would silently drop the pending bounce too. If the
-                // late event is itself an entry, the pending entry is ITS
-                // follow-up candidate (beyond the gap → it bounced).
-                if (isEntry &&
-                    pending.ts.getTime > e.ts.getTime + gapSeconds * 1000)
-                  out += BounceRecord(mid, e.pageId, e.ts)
+                // late event is itself an entry, its follow-up candidate
+                // is the NEXT event in this sorted batch when one exists
+                // (r10 review: judging only against the armed pending
+                // emitted a false bounce when the late entry's real
+                // follow-up sat beside it in the same batch), else the
+                // pending entry (beyond the gap → it bounced).
+                if (isEntry) {
+                  // earliest follow-up candidate = whichever comes first
+                  // of the next in-batch event and the pending entry
+                  val followUpTs = math.min(
+                    sorted.lift(i + 1).map(_.ts.getTime).getOrElse(Long.MaxValue),
+                    pending.ts.getTime)
+                  if (followUpTs > e.ts.getTime + gapSeconds * 1000)
+                    out += BounceRecord(mid, e.pageId, e.ts)
+                }
                 arm(pending)
               case Some(pending) =>
                 if (e.ts.getTime > pending.ts.getTime + gapSeconds * 1000) {

@@ -165,21 +165,14 @@ object StreamingPipelines {
       require(missing.isEmpty && extra.isEmpty,
         s"upsert-kafka batch schema drifted from `$db`.`$table`: " +
           s"missing=${missing.mkString(",")} extra=${extra.mkString(",")}")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(keyCols.map(col): _*)
-        .orderBy(col("__seq").desc, col("__is_new").desc)
       val stringified = incoming.select(payload.map {
         case c @ ("__seq" | "__del") => col(c)
         case c => col(c).cast("string").as(c)
       }: _*)
-      val merged = existing.withColumn("__is_new", lit(0))
-        .unionByName(stringified.withColumn("__is_new", lit(1)))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1 && !col("__del"))
-        .drop("__rn", "__is_new")
-        .localCheckpoint(true) // don't read the files the overwrite replaces
-      merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .insertInto(s"`$db`.`$table`")
+      // the shared keyed LWW merge (DimStore owns the one definition);
+      // tombstoned winners (__del) drop from the rewritten table
+      DimStore.lwwOverwrite(db, table, existing, stringified, keyCols,
+        keepRow = !col("__del"))
     }
 
   /** Read the materialized upsert-kafka table (current per-key state). */

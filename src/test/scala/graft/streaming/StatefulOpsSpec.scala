@@ -138,4 +138,54 @@ class StatefulOpsSpec extends SparkSpec {
     assert(rows.contains(("201", 100L)),
       s"late pre-entry event must not cancel the bounce; got $rows")
   }
+
+  test("ST3: a late entry with its follow-up in the SAME batch is not a bounce (r10)") {
+    val input = MemoryStream[PageEvent]
+    val events = input.toDS().withWatermark("ts", "1 hour")
+    val out = StatefulOps.bounceDetect(events, gapSeconds = 10)
+    val q = out.writeStream.format("memory").queryName("st3pair")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    // batch 1: entry at t=100 armed as pending
+    input.addData(PageEvent("301", "home", None, "1", ts(100)))
+    q.processAllAvailable()
+    // batch 2: a LATE session (entry t=0 + follow-up t=5, within gap)
+    // delivered together — judging the entry only against the pending
+    // t=100 would emit a false bounce for t=0
+    input.addData(
+      PageEvent("301", "early", None, "1", ts(0)),
+      PageEvent("301", "next", Some("early"), "1", ts(5)))
+    q.processAllAvailable()
+    // flush: watermark past everything so the t=100 pending times out
+    input.addData(PageEvent("999", "home", None, "1", ts(10000)))
+    q.processAllAvailable()
+    input.addData(PageEvent("999", "end", Some("home"), "1", ts(20000)))
+    runToCompletion(q)
+    val rows = spark.table("st3pair").as[BounceRecord].collect()
+      .map(r => (r.mid, r.ts.getTime / 1000)).toSet
+    assert(!rows.contains(("301", 0L)),
+      s"followed-up late entry must not bounce: $rows")
+    assert(rows.contains(("301", 100L)),
+      s"the pending entry's real bounce must survive: $rows")
+  }
+
+  test("ST2: a late previous-day entry emits but does not regress the state date (r10)") {
+    val input = MemoryStream[PageEvent]
+    val out = StatefulOps.dailyUvFilter(input.toDS(), ttl = None)
+    val q = out.writeStream.format("memory").queryName("st2late")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    // day 2 entry emits and sets state to day 2
+    input.addData(PageEvent("401", "home", None, "1", ts(86400 + 100)))
+    q.processAllAvailable()
+    // LATE day-1 entry: emits (day 1 was never emitted) ...
+    input.addData(PageEvent("401", "home", None, "1", ts(500)))
+    q.processAllAvailable()
+    // ... but must NOT reset the state: a second day-2 entry would then
+    // double-count the visitor
+    input.addData(PageEvent("401", "other", None, "1", ts(86400 + 200)))
+    runToCompletion(q)
+    val days = spark.table("st2late").as[VisitRecord].collect()
+      .map(_.ts.getTime / 1000).sorted.toSeq
+    assert(days == Seq(500L, 86500L),
+      s"one emission per day, no day-2 duplicate: $days")
+  }
 }
