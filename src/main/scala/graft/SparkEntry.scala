@@ -998,7 +998,8 @@ object SparkEntry {
         // ^ feeds the freq agg AND both join probes; released by the
         //   session's CacheScope.release
       val freqs = tokCounts.groupBy(col("tok")).agg(sum(col("c")).as("freq"))
-      ops.Skew.headTailJoin(tokCounts, freqs, "tok", col("freq"), topK = 1024)
+      ops.Skew.headTailJoin(tokCounts, freqs, "tok", col("freq"), topK = 1024,
+          uniqueKeys = true) // freqs is a groupBy(tok) output
         .select(col("doc_id"), col("c"), (col("c") * col("freq")).as("cf"))
         .groupBy(col("doc_id"))
         .agg(sum(col("c")).as("n_toks"), sum(col("cf")).as("sum_freq"))
@@ -1077,7 +1078,8 @@ object SparkEntry {
         // ^ feeds the df agg AND both join probes; released by the
         //   session's CacheScope.release
       val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val joined = ops.Skew.headTailJoin(tf, dfreq, "term", col("df"), topK = 1024)
+      val joined = ops.Skew.headTailJoin(tf, dfreq, "term", col("df"),
+        topK = 1024, uniqueKeys = true) // dfreq is a groupBy(term) output
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tf").desc, col("df").asc, col("term").asc)
       joined.withColumn("term_rank", row_number().over(w).cast("long"))

@@ -66,17 +66,26 @@ object Skew {
     * lifecycle, same as the dedup family's intermediates.
     */
   def headTailJoin(left: DataFrame, right: DataFrame, key: String,
-                   hotness: Column, topK: Int = 1024): DataFrame = {
+                   hotness: Column, topK: Int = 1024,
+                   uniqueKeys: Boolean = false): DataFrame = {
     // the head is the topK hottest KEYS, not the topK hottest ROWS
     // (r10 review: with duplicate right-side keys, limit() could cut
     // INSIDE a key and the anti-join then dropped that key's leftover
     // rows from both legs — rows lost vs the plain join). Per-key max
-    // hotness is a key-count-sized aggregate; for unique-key right
-    // sides this is exactly the old selection.
-    val headKeys = right.groupBy(col(key)).agg(max(hotness).as("__h"))
-      .orderBy(col("__h").desc, col(key)).limit(topK).select(col(key))
-    val head = right.join(headKeys, Seq(key), "left_semi").persistTracked()
-    val tail = right.join(headKeys, Seq(key), "left_anti")
+    // hotness is a key-count-sized aggregate plus a semi join; when the
+    // caller KNOWS right is keyed uniquely (e.g. it is itself a groupBy
+    // output, as both in-repo call sites are), `uniqueKeys = true`
+    // selects rows directly — same result, one TakeOrdered instead of
+    // agg + TakeOrdered + semi join (measured ~1.5 s off q81 at sf0.1).
+    val head =
+      if (uniqueKeys)
+        right.orderBy(hotness.desc, col(key)).limit(topK).persistTracked()
+      else {
+        val headKeys = right.groupBy(col(key)).agg(max(hotness).as("__h"))
+          .orderBy(col("__h").desc, col(key)).limit(topK).select(col(key))
+        right.join(headKeys, Seq(key), "left_semi").persistTracked()
+      }
+    val tail = right.join(head.select(col(key)), Seq(key), "left_anti")
     left.join(broadcast(head), Seq(key))
       .unionByName(left.join(tail, Seq(key)))
   }

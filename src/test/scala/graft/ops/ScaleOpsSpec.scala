@@ -37,6 +37,25 @@ class ScaleOpsSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(500))
   }
 
+  test("headTailJoin keeps every row of a duplicate-key right side (r10)") {
+    // right carries TWO rows per key; topK = 2 lands the limit cut
+    // inside a key for the old row-level selection
+    val probe = ((1L to 100L).map(i => (i, "t1")) ++
+      (1L to 60L).map(i => (i, "t2")) ++
+      (1L to 5L).map(i => (i, "t3"))).toDF("id", "tok")
+    val stats0 = probe.groupBy($"tok").agg(count(lit(1)).as("freq"))
+    val right = stats0.unionByName(stats0.withColumn("freq", $"freq" + 1))
+    val got = Skew.headTailJoin(probe, right, "tok", $"freq", topK = 2)
+    val want = probe.join(right, "tok")
+    assert(got.count() == want.count(), "duplicate-key rows must not drop")
+    // and the unique-keys fast path equals the general path on unique input
+    val fast = Skew.headTailJoin(probe, stats0, "tok", $"freq", topK = 2,
+      uniqueKeys = true)
+    val general = Skew.headTailJoin(probe, stats0, "tok", $"freq", topK = 2)
+    assert(fast.select("tok", "id", "freq").as[(String, Long, Long)].collect().toSet ==
+      general.select("tok", "id", "freq").as[(String, Long, Long)].collect().toSet)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     assert(wh != null)
