@@ -17,16 +17,27 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // The driver's generator writes `events.ts` as parquet TIMESTAMP(NANOS),
-    // which Spark refuses by default. Read nanos as a long and truncate to
-    // Spark's native microsecond timestamps (every downstream comparison is
-    // at second granularity or coarser, so the truncation is observationally
-    // lossless vs the DuckDB oracle).
+    // Generator versions differ on timestamp columns: some write parquet
+    // TIMESTAMP(NANOS) (which Spark reads as a long under `nanosAsLong`),
+    // newer ones write TIMESTAMP(MICROS) with isAdjustedToUTC=false,
+    // which Spark 4 infers as TIMESTAMP_NTZ. Normalize BOTH flavors to
+    // the session-local TimestampType every query was written against —
+    // strict-LTZ functions (`unix_millis`) reject NTZ, and a regenerated
+    // fixture must never change query semantics. Under the UTC session
+    // timezone the NTZ→LTZ cast is value-identical, matching how the
+    // DuckDB oracle reads the same naive parquet values.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    val fixed = df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        case org.apache.spark.sql.types.LongType if name == "events" && f.name == "ts" =>
+          d.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          d.withColumn(f.name, d(f.name).cast(org.apache.spark.sql.types.TimestampType))
+        case _ => d
+      }
+    }
+    fixed
   }
 
   /** Register every table as a temp view so `spark.sql` queries match the

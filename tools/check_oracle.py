@@ -24,6 +24,12 @@ def norm(v):
     return str(v)
 
 fails = []
+# A query that threw inside Verify writes NO dump dir — without this check
+# it silently vanishes from the compare (round 11 caught q45 this way).
+missing = [q for q in oracle if not os.path.isdir(f"{out_dir}/{q}")]
+for q in missing:
+    print(f"{q}: MISSING DUMP (query threw inside Verify?)")
+    fails.append(q)
 for name in sorted(os.listdir(out_dir)):
     d = f"{out_dir}/{name}"
     if not os.path.isdir(d): continue
