@@ -1591,7 +1591,18 @@ object SparkEntry {
         lit("standard footer text"))
       ops.SpanScrub.dedupParagraphs(
         d.select(col("doc_id"), synth.as("text")), "doc_id", "text")
-    })
+    }),
+
+    // Prototypicality scoring + per-cell diversity cap (Sorscher et al.
+    // NeurIPS'22 prototype pruning): distance of each embedding to its
+    // OWN label's fixed-point mean centroid, ranked within the label,
+    // keep-k flag. Exact oracle: DuckDB replays the identical e6
+    // fixed-point centroid and the same (dist, vec_id) window order.
+    "q115_prototypicality" -> ((s, dir) =>
+      ops.Similarity.prototypicality(
+        T(s, dir, "embeddings"), "vec_id", "label", "embedding",
+        keepPerCell = 10)
+        .withColumnsRenamed(Map("rank" -> "cell_rank"))),
   )
 
   // ------------------------------------------------------------------
@@ -3036,6 +3047,36 @@ object SparkEntry {
                chr(10) || chr(10)), '') END AS clean_text,
            CAST(COALESCE(len(k.killed), 0) AS BIGINT) AS removed_paras
          FROM w LEFT JOIN kill k USING (doc_id)""",
+
+    // replays q91's e6 fixed-point centroid construction, but each
+    // vector scores against its OWN label's centroid and ranks within
+    // the label by (raw double dist, vec_id) — both sides build the
+    // distance from the identical left-fold of correctly-rounded IEEE
+    // ops, so the floors and the ordering agree exactly
+    "q115_prototypicality" ->
+      """WITH x AS (
+           SELECT label, unnest(range(0, len(embedding))) AS dim_idx,
+             unnest(list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT))) AS v_e6
+           FROM embeddings),
+         c AS (
+           SELECT label, dim_idx,
+             CAST(floor(CAST(sum(v_e6) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS c_e6
+           FROM x GROUP BY 1, 2),
+         cv AS (
+           SELECT label, list(c_e6 ORDER BY dim_idx) AS cvec FROM c GROUP BY 1),
+         d AS (
+           SELECT e.vec_id, e.label,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(list_zip(e.embedding, cv.cvec),
+                 p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) / 1000000.0)
+                    * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) / 1000000.0))),
+               (a, b) -> a + b) AS dist
+           FROM embeddings e JOIN cv USING (label))
+         SELECT vec_id, label,
+           CAST(floor(dist * 1000000.0) AS BIGINT) AS dist_e6,
+           CAST(row_number() OVER (PARTITION BY label ORDER BY dist, vec_id) AS INT) AS cell_rank,
+           (row_number() OVER (PARTITION BY label ORDER BY dist, vec_id)) <= 10 AS kept
+         FROM d""",
 
     // q33_ann_lsh / q35_cosine_neardup / q36_ann_ivf /
     // q54_ann_lsh_multi: probabilistic and hash-family-specific — the

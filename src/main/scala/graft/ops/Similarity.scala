@@ -466,4 +466,59 @@ object Similarity {
       .select(col("id_b").as("vec_id")).distinct()
     df.join(dominated, Seq("vec_id"), "left_anti")
   }
+
+  /** Prototypicality scoring + per-cell diversity cap — the "SemDeDup
+    * keeps the survivors, prototypicality RANKS them" step of an
+    * embedding-curation pipeline (cf. Sorscher et al., "Beyond neural
+    * scaling laws", NeurIPS'22: prune by distance to the cluster
+    * prototype). Each vector is scored by squared L2 distance to its OWN
+    * cell's mean centroid; a per-cell `row_number` over (distance, id)
+    * marks the `keepPerCell` most central as `kept`.
+    *
+    * Determinism/scale contract (same as the q91 nearest-centroid shape):
+    *  - centroid sums run in ×1e6 fixed point (`sum(long)` is
+    *    shuffle-order independent; a double sum is not), so centroids —
+    *    and therefore every distance — are bit-stable across runs and
+    *    match a replayed oracle exactly;
+    *  - only (cell, dim) integer partials shuffle — vectors never do;
+    *    the finished centroid table is model-sized and broadcast;
+    *  - the full scoring output needs a per-cell sort for the rank; a
+    *    consumer that only wants the pruned set should filter
+    *    `rank <= keepPerCell` BEFORE any wide projection — Spark
+    *    rewrites that shape to `WindowGroupLimit`, turning a skewed
+    *    giant cell's full sort into a map-side top-k heap.
+    *
+    * Output: (id, cell, dist_e6, rank, kept) — callers wanting the
+    * pruned set filter on `kept`; callers building a curriculum order by
+    * (cell, rank).
+    */
+  def prototypicality(df: DataFrame, idName: String, cellName: String,
+                      embName: String, keepPerCell: Int): DataFrame = {
+    val cent = df
+      .select(col(cellName), posexplode(col(embName)).as(Seq("dim_idx", "v")))
+      .select(col(cellName), col("dim_idx"),
+        floor(col("v").cast("double") * 1000000.0).cast("long").as("v_e6"))
+      .groupBy(col(cellName), col("dim_idx"))
+      .agg(count(lit(1)).as("n"), sum(col("v_e6")).as("sum_e6"))
+      .select(col(cellName), col("dim_idx"),
+        floor(col("sum_e6").cast("double") / col("n").cast("double"))
+          .cast("long").as("c_e6"))
+      .groupBy(col(cellName))
+      .agg(transform(array_sort(collect_list(struct(col("dim_idx"), col("c_e6")))),
+        x => x.getField("c_e6")).as("cvec"))
+    val w = Window.partitionBy(col(cellName))
+      .orderBy(col("dist").asc, col(idName).asc)
+    df.join(broadcast(cent), cellName)
+      .select(col(idName), col(cellName),
+        aggregate(
+          zip_with(col(embName), col("cvec"), (x, c) => {
+            val d = x.cast("double") - c.cast("double") / 1000000.0
+            d * d
+          }),
+          lit(0.0), (a, v) => a + v).as("dist"))
+      .withColumn("rank", row_number().over(w))
+      .select(col(idName), col(cellName),
+        floor(col("dist") * 1000000.0).cast("long").as("dist_e6"),
+        col("rank"), (col("rank") <= keepPerCell).as("kept"))
+  }
 }

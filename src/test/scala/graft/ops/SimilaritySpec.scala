@@ -197,4 +197,27 @@ class SimilaritySpec extends SparkSpec {
       assert(got == Set((1L, 2L)), got.toString)
     } finally spark.conf.unset("graft.sim.maxBlock")
   }
+
+  test("prototypicality ranks by distance to the own-cell centroid, ties on id") {
+    // cell 0: three vectors on a line — centroid x ≈ (1+2+9)/3 = 4, so 2
+    // is most central, then 1, then 9. cell 1: a single vector is its own
+    // centroid at distance 0.
+    val df = Seq(
+      (1L, 0, Seq(1.0f, 0.0f)),
+      (2L, 0, Seq(2.0f, 0.0f)),
+      (3L, 0, Seq(9.0f, 0.0f)),
+      (4L, 1, Seq(5.0f, 5.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val out = Similarity.prototypicality(df, "vec_id", "label", "embedding", keepPerCell = 2)
+      .orderBy("label", "rank")
+      .select("vec_id", "label", "rank", "kept")
+      .as[(Long, Int, Int, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (2L, 0, 1, true), (1L, 0, 2, true), (3L, 0, 3, false),
+      (4L, 1, 1, true)), out.toString)
+    // distance is exact fixed-point: cell-1 self-distance must be 0
+    val d4 = Similarity.prototypicality(df, "vec_id", "label", "embedding", 1)
+      .filter($"vec_id" === 4L).select("dist_e6").as[Long].head()
+    assert(d4 == 0L)
+  }
 }
