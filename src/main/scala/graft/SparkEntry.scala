@@ -1603,6 +1603,15 @@ object SparkEntry {
         T(s, dir, "embeddings"), "vec_id", "label", "embedding",
         keepPerCell = 10)
         .withColumnsRenamed(Map("rank" -> "cell_rank"))),
+
+    // Entity resolution: blocked edit-distance pairs over the DISTINCT
+    // part-name dictionary (block = the noun token, the q31-style
+    // exact-as-specified recall contract). Exact oracle: DuckDB's
+    // levenshtein is the same textbook DP distance.
+    "q116_fuzzy_name_pairs" -> ((s, dir) =>
+      ops.FuzzyJoin.dictionaryPairs(
+        T(s, dir, "part"), "p_name", maxDist = 4,
+        blockKey = v => split(v, " ").getItem(1))),
   )
 
   // ------------------------------------------------------------------
@@ -3077,6 +3086,20 @@ object SparkEntry {
            CAST(row_number() OVER (PARTITION BY label ORDER BY dist, vec_id) AS INT) AS cell_rank,
            (row_number() OVER (PARTITION BY label ORDER BY dist, vec_id)) <= 10 AS kept
          FROM d""",
+
+    // replays the identical dictionary + noun-token blocking + length
+    // screen; levenshtein is the same textbook edit distance on both
+    // engines
+    "q116_fuzzy_name_pairs" ->
+      """WITH dict AS (
+           SELECT DISTINCT p_name AS v FROM part WHERE p_name IS NOT NULL),
+         b AS (SELECT v, split_part(v, ' ', 2) AS blk FROM dict)
+         SELECT x.v AS val_a, y.v AS val_b,
+           CAST(levenshtein(x.v, y.v) AS INT) AS dist
+         FROM b x JOIN b y USING (blk)
+         WHERE x.v < y.v
+           AND abs(length(x.v) - length(y.v)) <= 4
+           AND levenshtein(x.v, y.v) <= 4""",
 
     // q33_ann_lsh / q35_cosine_neardup / q36_ann_ivf /
     // q54_ann_lsh_multi: probabilistic and hash-family-specific — the

@@ -632,8 +632,15 @@ object Dedup {
     // coalesce: sum over an EMPTY labels frame is NULL (a pair list with
     // no pairs — an all-unique corpus — must yield an empty cluster map,
     // not an NPE); an empty frame is already converged at sum 0.
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
+    // DECIMAL(38,0) sum, not long: ids may be xxhash64 fingerprints
+    // (FuzzyJoin.canonicalize, the streaming dedup index), whose long
+    // sum overflows ANSI arithmetic; the decimal sum is exact for any
+    // realistic row count (1e18 rows × 2^63 < 10^38) so the monotone
+    // invariant survives.
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("label").cast(dec38)), lit(0).cast(dec38)))
+        .head().getDecimal(0)
     var prevSum = labelSum(labels)
     var converged = labels.isEmpty
     var i = 0
@@ -651,7 +658,7 @@ object Dedup {
       CacheScope.unpersistRdds(labelRdds)
       labels = next
       labelRdds = nextRdds
-      converged = nextSum == prevSum
+      converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       i += 1
     }

@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Entity resolution: fuzzy (edit-distance) matching and
+  * canonicalization of string attributes — the data-cleaning step a
+  * warehouse runs on names, brands, and labels before any join on them
+  * (the reference's dimension pipelines assume upstream-clean dim keys;
+  * this supplies the cleaner).
+  *
+  * Scale design — the two levers that make fuzzy matching viable at
+  * 100 TB:
+  *  1. **Dictionary first.** Matching runs on `SELECT DISTINCT value`,
+  *     never on rows. Natural-language attributes dedupe by orders of
+  *     magnitude (the sf0.1 `part` table: 20 000 rows, 64 names), and
+  *     the row→canonical mapping at the end is a broadcast-able join of
+  *     the finished dictionary back to the fact table.
+  *  2. **Blocking, not cross join.** Candidate pairs come from an
+  *     equi-join on a caller-chosen block key (a token, a phonetic code,
+  *     a length band) — the same candidate-generation discipline as the
+  *     minhash/LSH dedup family. Recall is explicitly bounded by the
+  *     block key, and the oracle replays the identical blocking, so the
+  *     contract is exact-as-specified (the q31/q32 pattern).
+  *
+  * The distance itself is Spark's codegen'd `levenshtein` with the
+  * early-exit threshold argument — no UDF; whole-stage codegen applies
+  * the cheap `|len(a)-len(b)| <= maxDist` screen before any DP table.
+  */
+object FuzzyJoin {
+
+  /** Fuzzy pairs over the distinct-value dictionary of `valueCol`.
+    *
+    * Output: (val_a, val_b, dist) with `val_a < val_b`, one row per
+    * in-block pair within `maxDist` edits. `blockKey` maps the value
+    * column to the candidate-generation key; pairs in different blocks
+    * are by-contract unmatched (choose a looser key for higher recall —
+    * e.g. a length band joins more than a leading token).
+    */
+  def dictionaryPairs(df: DataFrame, valueCol: String, maxDist: Int,
+                      blockKey: Column => Column): DataFrame = {
+    val dict = df.select(col(valueCol).as("v")).filter(col("v").isNotNull)
+      .distinct()
+      .select(col("v"), blockKey(col("v")).as("blk"))
+    val a = dict.select(col("v").as("val_a"), col("blk"))
+    val b = dict.select(col("v").as("val_b"), col("blk"))
+    a.join(b, "blk")
+      .filter(col("val_a") < col("val_b"))
+      // length screen first: it prunes most of the block without touching
+      // the DP matrix, and it is pushable into the join's post-condition
+      .filter(abs(length(col("val_a")) - length(col("val_b"))) <= maxDist)
+      .select(col("val_a"), col("val_b"),
+        levenshtein(col("val_a"), col("val_b"), maxDist).as("dist"))
+      .filter(col("dist") >= 0)
+  }
+
+  /** Canonicalization map: every distinct value of `valueCol` →
+    * the lexicographically smallest member of its fuzzy cluster
+    * (connected components over [[dictionaryPairs]], so A~B~C chains
+    * collapse to one canonical form even when A and C exceed `maxDist`).
+    *
+    * Output: (value, canonical) for EVERY distinct value — unmatched
+    * values map to themselves, so the result is directly joinable to the
+    * fact table (broadcast-sized: it is the dictionary).
+    *
+    * CC runs on 8-byte `xxhash64` fingerprints of the values, the dedup
+    * family's standard id contract — strings never enter the iterative
+    * shuffle.
+    */
+  def canonicalize(df: DataFrame, valueCol: String, maxDist: Int,
+                   blockKey: Column => Column): DataFrame = {
+    val pairs = dictionaryPairs(df, valueCol, maxDist, blockKey)
+      .select(xxhash64(col("val_a")).as("id_a"), xxhash64(col("val_b")).as("id_b"))
+    val labels = Dedup.connectedComponents(pairs)
+    val dict = df.select(col(valueCol).as("value")).filter(col("value").isNotNull)
+      .distinct()
+      .select(col("value"), xxhash64(col("value")).as("__h"))
+    val canon = dict.join(labels, dict("__h") === labels("id"))
+      .groupBy(col("label")).agg(min(col("value")).as("canonical"))
+    dict.join(labels, dict("__h") === labels("id"), "left")
+      .join(canon, Seq("label"), "left")
+      .select(col("value"),
+        coalesce(col("canonical"), col("value")).as("canonical"))
+  }
+}
