@@ -1612,6 +1612,14 @@ object SparkEntry {
       ops.FuzzyJoin.dictionaryPairs(
         T(s, dir, "part"), "p_name", maxDist = 4,
         blockKey = v => split(v, " ").getItem(1))),
+
+    // Distributed BPE tokenizer TRAINING (Sennrich et al.): 4 greedy
+    // merge rounds over the word-frequency dictionary. Exact oracle:
+    // DuckDB replays the identical loop — space-joined symbol strings,
+    // leftmost non-overlapping replace as the merge, (ct, lhs, rhs)
+    // argmax per round via scalar subqueries.
+    "q117_bpe_learn" -> ((s, dir) =>
+      ops.BpeTrain.learnMerges(T(s, dir, "documents"), "text", nMerges = 4)),
   )
 
   // ------------------------------------------------------------------
@@ -3100,6 +3108,42 @@ object SparkEntry {
          WHERE x.v < y.v
            AND abs(length(x.v) - length(y.v)) <= 4
            AND levenshtein(x.v, y.v) <= 4""",
+
+    // full replay of the 4-round greedy BPE loop: symbol strings are
+    // space-joined, a merge is leftmost non-overlapping replace (both
+    // engines' replace() has exactly those semantics), per-round argmax
+    // by (ct DESC, lhs, rhs) via scalar subqueries
+    "q117_bpe_learn" ->
+      """WITH w AS (
+           SELECT word, count(*) AS freq FROM (
+             SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0)) AS word
+             FROM documents) GROUP BY 1),
+         d0 AS (SELECT array_to_string(string_split(word, ''), ' ') AS sym, freq FROM w),
+         p1 AS (SELECT z[1] AS x, z[2] AS y, sum(freq) AS ct
+                FROM (SELECT freq, unnest(list_zip(list_slice(toks, 1, len(toks)-1), list_slice(toks, 2, len(toks)))) AS z
+                      FROM (SELECT string_split(sym, ' ') AS toks, freq FROM d0))
+                GROUP BY 1, 2 ORDER BY ct DESC, x ASC, y ASC LIMIT 1),
+         d1 AS (SELECT replace(sym, (SELECT x || ' ' || y FROM p1), (SELECT x || y FROM p1)) AS sym, freq FROM d0),
+         p2 AS (SELECT z[1] AS x, z[2] AS y, sum(freq) AS ct
+                FROM (SELECT freq, unnest(list_zip(list_slice(toks, 1, len(toks)-1), list_slice(toks, 2, len(toks)))) AS z
+                      FROM (SELECT string_split(sym, ' ') AS toks, freq FROM d1))
+                GROUP BY 1, 2 ORDER BY ct DESC, x ASC, y ASC LIMIT 1),
+         d2 AS (SELECT replace(sym, (SELECT x || ' ' || y FROM p2), (SELECT x || y FROM p2)) AS sym, freq FROM d1),
+         p3 AS (SELECT z[1] AS x, z[2] AS y, sum(freq) AS ct
+                FROM (SELECT freq, unnest(list_zip(list_slice(toks, 1, len(toks)-1), list_slice(toks, 2, len(toks)))) AS z
+                      FROM (SELECT string_split(sym, ' ') AS toks, freq FROM d2))
+                GROUP BY 1, 2 ORDER BY ct DESC, x ASC, y ASC LIMIT 1),
+         d3 AS (SELECT replace(sym, (SELECT x || ' ' || y FROM p3), (SELECT x || y FROM p3)) AS sym, freq FROM d2),
+         p4 AS (SELECT z[1] AS x, z[2] AS y, sum(freq) AS ct
+                FROM (SELECT freq, unnest(list_zip(list_slice(toks, 1, len(toks)-1), list_slice(toks, 2, len(toks)))) AS z
+                      FROM (SELECT string_split(sym, ' ') AS toks, freq FROM d3))
+                GROUP BY 1, 2 ORDER BY ct DESC, x ASC, y ASC LIMIT 1)
+         SELECT * FROM (
+           SELECT CAST(1 AS INT) AS rank, x AS lhs, y AS rhs, x || y AS merged, CAST(ct AS BIGINT) AS pair_ct FROM p1
+           UNION ALL SELECT 2, x, y, x || y, CAST(ct AS BIGINT) FROM p2
+           UNION ALL SELECT 3, x, y, x || y, CAST(ct AS BIGINT) FROM p3
+           UNION ALL SELECT 4, x, y, x || y, CAST(ct AS BIGINT) FROM p4)
+         WHERE pair_ct >= 2""",
 
     // q33_ann_lsh / q35_cosine_neardup / q36_ann_ivf /
     // q54_ann_lsh_multi: probabilistic and hash-family-specific — the

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextFunctions
+
+/** Distributed BPE tokenizer TRAINING (Sennrich et al., ACL'16) — the
+  * classic greedy merge loop, run corpus-scale: each round counts
+  * adjacent symbol pairs weighted by word frequency and merges the
+  * globally most frequent pair everywhere.
+  *
+  * Scale shape:
+  *  - All work runs on the **word-frequency dictionary**, never the
+  *    corpus: one corpus scan builds (word, freq); every merge round is
+  *    a dictionary-sized aggregate (Zipf: the dictionary is orders of
+  *    magnitude smaller than the corpus, and bounded by vocabulary, not
+  *    data volume — it GROWS sub-linearly at 100 TB).
+  *  - Symbol sequences are space-joined strings, and a merge is the
+  *    codegen'd `replace(sym, "a b", "ab")`: leftmost non-overlapping
+  *    literal replacement is EXACTLY the BPE merge rule (symbols never
+  *    contain spaces, so the encoding is unambiguous). No UDF, no
+  *    per-row Scala.
+  *  - The per-round argmax is a 1-row `limit(1).collect()` — the merge
+  *    decision is model-sized by definition (it IS the model update);
+  *    this is the one deliberate driver touch, same contract as the
+  *    strata table in [[Sampling]].
+  *  - Each round `localCheckpoint`s the rewritten dictionary (the CC
+  *    loop's lineage-truncation discipline — the plan would otherwise
+  *    grow by one `replace` per round).
+  *
+  * Determinism: integer pair counts, ties broken (count desc, lhs asc,
+  * rhs asc) — byte-identical merge lists across runs and engines, which
+  * is what lets the DuckDB oracle replay the whole loop exactly.
+  *
+  * Output: (rank, lhs, rhs, merged, pair_ct) — one row per learned
+  * merge, rank 1 = first merge. Stops early when no pair reaches
+  * `minCount`.
+  */
+object BpeTrain {
+
+  private val outSchema = StructType(Seq(
+    StructField("rank", IntegerType, nullable = false),
+    StructField("lhs", StringType, nullable = false),
+    StructField("rhs", StringType, nullable = false),
+    StructField("merged", StringType, nullable = false),
+    StructField("pair_ct", LongType, nullable = false)))
+
+  def learnMerges(docs: DataFrame, textCol: String, nMerges: Int,
+                  minCount: Long = 2L): DataFrame = {
+    val spark = docs.sparkSession
+    val words = docs
+      .select(explode(TextFunctions.tokenize(lower(col(textCol)))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    var (dict, dictRdds) = CacheScope.localCheckpointTracked(
+      words.select(array_join(split(col("word"), ""), " ").as("sym"), col("freq")))
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var done = false
+    var round = 0
+    while (!done && round < nMerges) {
+      val toks = split(col("sym"), " ")
+      val top = dict
+        .select(col("freq"), explode(zip_with(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (x, y) => struct(x.as("x"), y.as("y")))).as("z"))
+        .groupBy(col("z.x").as("x"), col("z.y").as("y"))
+        .agg(sum(col("freq")).as("ct"))
+        .orderBy(col("ct").desc, col("x").asc, col("y").asc)
+        .limit(1).collect()
+      top.headOption.filter(_.getLong(2) >= minCount) match {
+        case None => done = true
+        case Some(r) =>
+          val (a, b, ct) = (r.getString(0), r.getString(1), r.getLong(2))
+          merges += Row(round + 1, a, b, a + b, ct)
+          val (next, nextRdds) = CacheScope.localCheckpointTracked(
+            dict.withColumn("sym",
+              replace(col("sym"), lit(a + " " + b), lit(a + b))))
+          CacheScope.unpersistRdds(dictRdds)
+          dict = next
+          dictRdds = nextRdds
+          round += 1
+      }
+    }
+    CacheScope.unpersistRdds(dictRdds)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(merges.toSeq, 1), outSchema)
+  }
+}

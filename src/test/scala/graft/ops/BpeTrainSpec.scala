@@ -1,0 +1,41 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class BpeTrainSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("learnMerges replays the textbook greedy loop on a hand-computed corpus") {
+    // word freqs: "low" ×5, "lower" ×2, "newest" ×6, "widest" ×3
+    // (the Sennrich et al. running example). Pair counts round 1:
+    // (e,s) 6+3=9, (s,t) 9, (w,e) 2+6=8, (l,o) 7, (o,w) 7, ...
+    // top = (e,s) by the lexicographic tiebreak against (s,t).
+    val docs = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val df = docs.map(w => s"$w").toDF("text")
+    val out = BpeTrain.learnMerges(df, "text", nMerges = 3)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (1, "e", "s", "es", 9L),
+      (2, "es", "t", "est", 9L),
+      (3, "l", "o", "lo", 7L)), out.toString)
+  }
+
+  test("merge is leftmost non-overlapping: aaaa under (a,a) yields aa aa, not a cascade") {
+    // one word "aaaa" ×3: round 1 pair (a,a) ct=9 (3 adjacencies × 3),
+    // merged leftmost-first -> "aa aa". Round 2: (aa,aa) ct=3.
+    val df = Seq.fill(3)("aaaa").toDF("text")
+    val out = BpeTrain.learnMerges(df, "text", nMerges = 2)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (1, "a", "a", "aa", 9L),
+      (2, "aa", "aa", "aaaa", 3L)), out.toString)
+  }
+
+  test("stops early when no pair reaches minCount") {
+    val df = Seq("ab").toDF("text") // single (a,b) adjacency, ct = 1 < 2
+    assert(BpeTrain.learnMerges(df, "text", nMerges = 5).count() == 0)
+    // and single-char words produce no pairs at all
+    assert(BpeTrain.learnMerges(Seq("a b c").toDF("text"), "text", 5).count() == 0)
+  }
+}
