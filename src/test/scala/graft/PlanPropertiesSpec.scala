@@ -243,4 +243,26 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(!p.contains("Join"), "replication must not join against anything")
     assert(exchanges(p) <= 1, s"expected the single window rank shuffle:\n${p.take(600)}")
   }
+
+  test("q115 prototypicality: model-sized centroid table broadcasts; vectors never shuffle") {
+    val p = plan("q115_prototypicality")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    // the embedding array may only cross the wire in the broadcast of
+    // the centroid model — never in a hash-partitioned exchange
+    val vecShuffles = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .filter(_.contains("embedding#"))
+    assert(vecShuffles.isEmpty, vecShuffles.mkString("\n"))
+  }
+
+  test("q116 fuzzy pairs: block-key equi-join, no cartesian or nested loop") {
+    val p = plan("q116_fuzzy_name_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(600))
+    // candidate generation joins on the block key, and the scan reads
+    // only the name column (dictionary shape: nothing else is needed)
+    val read = "FileScan parquet \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(read.split(",").length <= 1, s"q116 scan too wide: $read")
+  }
 }
