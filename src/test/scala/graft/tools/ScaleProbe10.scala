@@ -158,6 +158,21 @@ object ScaleProbe10 {
               substring(col("text"), 241, 120)).as("text")),
           "doc_id", "text")
           .filter(length(col("clean_text")) >= 0))
+      // r11 additions. q115: labels unchanged across replicas → cells
+      // grow ×mult; centroid agg is linear, the per-cell rank is the
+      // n·log(cell) term. q116: the per-replica letter rotation gives
+      // each replica its own word dictionary → dictionary (and block)
+      // mass grows ~linearly. q117: same dictionary growth; 4 merge
+      // rounds of dictionary-sized aggregates.
+      time("q115_prototype", mult)(
+        Similarity.prototypicality(e, "vec_id", "label", "embedding", 10))
+      val wordDict = d.select(explode(
+        graft.functions.TextFunctions.tokenize(lower(col("text")))).as("w"))
+      time("q116_fuzzydict", mult)(
+        graft.ops.FuzzyJoin.dictionaryPairs(wordDict, "w", maxDist = 1,
+          v => substring(v, 1, 3)))
+      time("q117_bpe", mult)(
+        graft.ops.BpeTrain.learnMerges(d, "text", nMerges = 4))
     }
     spark.stop()
   }
