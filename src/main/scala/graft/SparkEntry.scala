@@ -1620,6 +1620,15 @@ object SparkEntry {
     // argmax per round via scalar subqueries.
     "q117_bpe_learn" -> ((s, dir) =>
       ops.BpeTrain.learnMerges(T(s, dir, "documents"), "text", nMerges = 4)),
+
+    // Jaro-Winkler record linkage over the same name dictionary as
+    // q116 — the custom codegen'd expression (Spark has no builtin)
+    // pinned bit-for-bit to DuckDB's operation order, gated at the
+    // e6-floored integer per the engine doctrine.
+    "q118_fuzzy_jw_pairs" -> ((s, dir) =>
+      ops.FuzzyJoin.dictionaryPairsJaro(
+        T(s, dir, "part"), "p_name", minSimE6 = 800000L,
+        blockKey = v => split(v, " ").getItem(1))),
   )
 
   // ------------------------------------------------------------------
@@ -3144,6 +3153,20 @@ object SparkEntry {
            UNION ALL SELECT 3, x, y, x || y, CAST(ct AS BIGINT) FROM p3
            UNION ALL SELECT 4, x, y, x || y, CAST(ct AS BIGINT) FROM p4)
          WHERE pair_ct >= 2""",
+
+    // DuckDB's jaro_winkler_similarity is the same rapidfuzz-order
+    // computation the codegen'd expression replays — floors agree
+    // bit-for-bit
+    "q118_fuzzy_jw_pairs" ->
+      """WITH dict AS (
+           SELECT DISTINCT p_name AS v FROM part WHERE p_name IS NOT NULL),
+         b AS (SELECT v, split_part(v, ' ', 2) AS blk FROM dict)
+         SELECT val_a, val_b, jw_e6 FROM (
+           SELECT x.v AS val_a, y.v AS val_b,
+             CAST(floor(jaro_winkler_similarity(x.v, y.v) * 1000000.0) AS BIGINT) AS jw_e6
+           FROM b x JOIN b y USING (blk)
+           WHERE x.v < y.v)
+         WHERE jw_e6 >= 800000""",
 
     // q33_ann_lsh / q35_cosine_neardup / q36_ann_ivf /
     // q54_ann_lsh_multi: probabilistic and hash-family-specific — the
