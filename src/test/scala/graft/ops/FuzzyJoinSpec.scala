@@ -49,6 +49,25 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(got.size == 6) // the distinct dictionary, duplicate row collapsed
   }
 
+  test("bestMatch picks the top-JW candidate per dirty value, ties toward the greatest string") {
+    val dirty = Seq("blue widgt", "red gearr", "blue zzzzzz").toDF("name")
+    val dim = Seq("blue widget", "blue widget2", "red gear", "red bear").toDF("p")
+    val got = FuzzyJoin.bestMatch(dirty, "name", dim, "p",
+      minSimE6 = 700000L, v => split(v, " ").getItem(0))
+      .select("value", "matched").as[(String, String)].collect().toMap
+    assert(got("blue widgt") == "blue widget", got.toString)
+    assert(got("red gearr") == "red gear", got.toString)
+    // no candidate reaches the floor -> the dirty value is absent
+    assert(!got.contains("blue zzzzzz"), got.toString)
+    // deterministic tie: two candidates at the same score resolve to the
+    // lexicographically greatest
+    val tied = FuzzyJoin.bestMatch(
+      Seq("aax").toDF("name"), "name",
+      Seq("aab", "aac").toDF("p"), "p", 0L, v => substring(v, 1, 1))
+      .select("matched").as[String].head()
+    assert(tied == "aac")
+  }
+
   test("threshold levenshtein early-exit agrees with the unbounded distance") {
     val dict = Seq(("abcdef", "abcxyz")).toDF("a", "b")
     val (bounded, full) = dict.select(
