@@ -1643,6 +1643,12 @@ object SparkEntry {
       ops.FuzzyJoin.bestMatch(dirty, "name", part, "p_name",
         minSimE6 = 700000L, blockKey = v => split(v, " ").getItem(1))
     }),
+
+    // One-pass column profiling over orders (counts / nulls / exact
+    // distinct / canonical min-max per column). Exact oracle: per-column
+    // UNION ALL with the identical DECIMAL(38,6) / strftime renderings.
+    "q120_profile" -> ((s, dir) =>
+      ops.Profile.summarize(T(s, dir, "orders"))),
   )
 
   // ------------------------------------------------------------------
@@ -3200,6 +3206,33 @@ object SparkEntry {
              row_number() OVER (PARTITION BY value ORDER BY jw_e6 DESC, matched DESC) AS rn
            FROM scored WHERE jw_e6 >= 700000)
          WHERE rn = 1""",
+
+    // the type-canonical renderings (DECIMAL(38,6) for numerics,
+    // strftime seconds for timestamps) are what make min/max
+    // engine-portable — both sides format identically by construction
+    "q120_profile" ->
+      """SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
+           count(*) - count(o_orderkey) AS n_nulls,
+           count(DISTINCT o_orderkey) AS n_distinct,
+           CAST(CAST(min(o_orderkey) AS DECIMAL(38,6)) AS VARCHAR) AS min_value,
+           CAST(CAST(max(o_orderkey) AS DECIMAL(38,6)) AS VARCHAR) AS max_value
+         FROM orders
+         UNION ALL SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+           count(DISTINCT o_custkey),
+           CAST(CAST(min(o_custkey) AS DECIMAL(38,6)) AS VARCHAR),
+           CAST(CAST(max(o_custkey) AS DECIMAL(38,6)) AS VARCHAR) FROM orders
+         UNION ALL SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus), min(o_orderstatus), max(o_orderstatus) FROM orders
+         UNION ALL SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+           count(DISTINCT o_totalprice),
+           CAST(CAST(min(o_totalprice) AS DECIMAL(38,6)) AS VARCHAR),
+           CAST(CAST(max(o_totalprice) AS DECIMAL(38,6)) AS VARCHAR) FROM orders
+         UNION ALL SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+           count(DISTINCT o_orderdate),
+           strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+           strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') FROM orders
+         UNION ALL SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority), min(o_orderpriority), max(o_orderpriority) FROM orders""",
 
     // q33_ann_lsh / q35_cosine_neardup / q36_ann_ivf /
     // q54_ann_lsh_multi: probabilistic and hash-family-specific — the
