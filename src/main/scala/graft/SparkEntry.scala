@@ -1611,7 +1611,7 @@ object SparkEntry {
     "q116_fuzzy_name_pairs" -> ((s, dir) =>
       ops.FuzzyJoin.dictionaryPairs(
         T(s, dir, "part"), "p_name", maxDist = 4,
-        blockKey = v => split(v, " ").getItem(1))),
+        blockKey = v => coalesce(split(v, " ").getItem(1), lit("")))),
 
     // Distributed BPE tokenizer TRAINING (Sennrich et al.): 4 greedy
     // merge rounds over the word-frequency dictionary. Exact oracle:
@@ -1628,7 +1628,7 @@ object SparkEntry {
     "q118_fuzzy_jw_pairs" -> ((s, dir) =>
       ops.FuzzyJoin.dictionaryPairsJaro(
         T(s, dir, "part"), "p_name", minSimE6 = 800000L,
-        blockKey = v => split(v, " ").getItem(1))),
+        blockKey = v => coalesce(split(v, " ").getItem(1), lit("")))),
 
     // Cross-table linkage: a synthesized dirty dictionary (3rd char
     // deleted from every part name) resolved against the clean name
@@ -1641,7 +1641,7 @@ object SparkEntry {
         concat(substring(col("p_name"), 1, 2),
           expr("substring(p_name, 4)")).as("name"))
       ops.FuzzyJoin.bestMatch(dirty, "name", part, "p_name",
-        minSimE6 = 700000L, blockKey = v => split(v, " ").getItem(1))
+        minSimE6 = 700000L, blockKey = v => coalesce(split(v, " ").getItem(1), lit("")))
     }),
 
     // One-pass column profiling over orders (counts / nulls / exact
@@ -3138,34 +3138,38 @@ object SparkEntry {
            AND abs(length(x.v) - length(y.v)) <= 4
            AND levenshtein(x.v, y.v) <= 4""",
 
-    // full replay of the 4-round greedy BPE loop: symbol strings are
-    // space-joined, a merge is leftmost non-overlapping replace (both
-    // engines' replace() has exactly those semantics), per-round argmax
-    // by (ct DESC, lhs, rhs) via scalar subqueries
+    // full replay of the 4-round greedy BPE loop: every symbol is
+    // wrapped in its own chr(1) sentinel pair, and a merge is leftmost
+    // non-overlapping replace of chr(1)||x||chr(1)||chr(1)||y||chr(1)
+    // (both engines' replace() has exactly those semantics; the
+    // sentinels keep a pattern from matching INSIDE a longer symbol and
+    // give adjacent occurrences disjoint boundaries). Per-round argmax
+    // by (ct DESC, lhs, rhs) via scalar subqueries.
     "q117_bpe_learn" ->
       """WITH w AS (
            SELECT word, count(*) AS freq FROM (
-             SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0)) AS word
+             SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+               x -> length(x) > 0 AND NOT contains(x, chr(1)))) AS word
              FROM documents) GROUP BY 1),
-         d0 AS (SELECT array_to_string(string_split(word, ''), ' ') AS sym, freq FROM w),
+         d0 AS (SELECT array_to_string(list_transform(string_split(word, ''), c -> chr(1) || c || chr(1)), '') AS sym, freq FROM w),
          p1 AS (SELECT z[1] AS x, z[2] AS y, sum(freq) AS ct
                 FROM (SELECT freq, unnest(list_zip(list_slice(toks, 1, len(toks)-1), list_slice(toks, 2, len(toks)))) AS z
-                      FROM (SELECT string_split(sym, ' ') AS toks, freq FROM d0))
+                      FROM (SELECT string_split(trim(sym, chr(1)), chr(1) || chr(1)) AS toks, freq FROM d0))
                 GROUP BY 1, 2 ORDER BY ct DESC, x ASC, y ASC LIMIT 1),
-         d1 AS (SELECT replace(sym, (SELECT x || ' ' || y FROM p1), (SELECT x || y FROM p1)) AS sym, freq FROM d0),
+         d1 AS (SELECT replace(sym, (SELECT chr(1) || x || chr(1) || chr(1) || y || chr(1) FROM p1), (SELECT chr(1) || x || y || chr(1) FROM p1)) AS sym, freq FROM d0),
          p2 AS (SELECT z[1] AS x, z[2] AS y, sum(freq) AS ct
                 FROM (SELECT freq, unnest(list_zip(list_slice(toks, 1, len(toks)-1), list_slice(toks, 2, len(toks)))) AS z
-                      FROM (SELECT string_split(sym, ' ') AS toks, freq FROM d1))
+                      FROM (SELECT string_split(trim(sym, chr(1)), chr(1) || chr(1)) AS toks, freq FROM d1))
                 GROUP BY 1, 2 ORDER BY ct DESC, x ASC, y ASC LIMIT 1),
-         d2 AS (SELECT replace(sym, (SELECT x || ' ' || y FROM p2), (SELECT x || y FROM p2)) AS sym, freq FROM d1),
+         d2 AS (SELECT replace(sym, (SELECT chr(1) || x || chr(1) || chr(1) || y || chr(1) FROM p2), (SELECT chr(1) || x || y || chr(1) FROM p2)) AS sym, freq FROM d1),
          p3 AS (SELECT z[1] AS x, z[2] AS y, sum(freq) AS ct
                 FROM (SELECT freq, unnest(list_zip(list_slice(toks, 1, len(toks)-1), list_slice(toks, 2, len(toks)))) AS z
-                      FROM (SELECT string_split(sym, ' ') AS toks, freq FROM d2))
+                      FROM (SELECT string_split(trim(sym, chr(1)), chr(1) || chr(1)) AS toks, freq FROM d2))
                 GROUP BY 1, 2 ORDER BY ct DESC, x ASC, y ASC LIMIT 1),
-         d3 AS (SELECT replace(sym, (SELECT x || ' ' || y FROM p3), (SELECT x || y FROM p3)) AS sym, freq FROM d2),
+         d3 AS (SELECT replace(sym, (SELECT chr(1) || x || chr(1) || chr(1) || y || chr(1) FROM p3), (SELECT chr(1) || x || y || chr(1) FROM p3)) AS sym, freq FROM d2),
          p4 AS (SELECT z[1] AS x, z[2] AS y, sum(freq) AS ct
                 FROM (SELECT freq, unnest(list_zip(list_slice(toks, 1, len(toks)-1), list_slice(toks, 2, len(toks)))) AS z
-                      FROM (SELECT string_split(sym, ' ') AS toks, freq FROM d3))
+                      FROM (SELECT string_split(trim(sym, chr(1)), chr(1) || chr(1)) AS toks, freq FROM d3))
                 GROUP BY 1, 2 ORDER BY ct DESC, x ASC, y ASC LIMIT 1)
          SELECT * FROM (
            SELECT CAST(1 AS INT) AS rank, x AS lhs, y AS rhs, x || y AS merged, CAST(ct AS BIGINT) AS pair_ct FROM p1

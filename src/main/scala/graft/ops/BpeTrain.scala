@@ -4,8 +4,6 @@ import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.functions.TextFunctions
-
 /** Distributed BPE tokenizer TRAINING (Sennrich et al., ACL'16) — the
   * classic greedy merge loop, run corpus-scale: each round counts
   * adjacent symbol pairs weighted by word frequency and merges the
@@ -17,11 +15,17 @@ import graft.functions.TextFunctions
   *    a dictionary-sized aggregate (Zipf: the dictionary is orders of
   *    magnitude smaller than the corpus, and bounded by vocabulary, not
   *    data volume — it GROWS sub-linearly at 100 TB).
-  *  - Symbol sequences are space-joined strings, and a merge is the
-  *    codegen'd `replace(sym, "a b", "ab")`: leftmost non-overlapping
-  *    literal replacement is EXACTLY the BPE merge rule (symbols never
-  *    contain spaces, so the encoding is unambiguous). No UDF, no
-  *    per-row Scala.
+  *  - Symbol sequences are strings with every symbol wrapped in its own
+  *    `\u0001` sentinel pair (`\u0001ab\u0001\u0001c\u0001` = [ab, c]),
+  *    and a merge is the codegen'd literal
+  *    `replace(sym, "\u0001a\u0001\u0001b\u0001", "\u0001ab\u0001")`.
+  *    Leftmost non-overlapping replacement on THIS encoding is exactly
+  *    the BPE merge rule: the per-symbol delimiters stop a pattern from
+  *    matching INSIDE a longer symbol (a bare space-joined encoding
+  *    merges `(a,b)` into the middle of symbol `xa` — the r11 review
+  *    counterexample), and adjacent pair occurrences share no boundary
+  *    characters, so `[a,b,a,b]` merges both pairs in one pass. No UDF,
+  *    no per-row Scala.
   *  - The per-round argmax is a 1-row `limit(1).collect()` — the merge
   *    decision is model-sized by definition (it IS the model update);
   *    this is the one deliberate driver touch, same contract as the
@@ -29,6 +33,13 @@ import graft.functions.TextFunctions
   *  - Each round `localCheckpoint`s the rewritten dictionary (the CC
   *    loop's lineage-truncation discipline — the plan would otherwise
   *    grow by one `replace` per round).
+  *
+  * Tokenization is a plain `\s+` whitespace split (lowercased), chosen
+  * to be engine-portable: the DuckDB oracle replays it with
+  * `string_split_regex`. (Residual: Java's `\s` includes the vertical
+  * tab, RE2's does not — irrelevant for any text without one.)
+  * Words containing the `\u0001` sentinel are excluded from training on
+  * both engines (the encoding reserves it).
   *
   * Determinism: integer pair counts, ties broken (count desc, lhs asc,
   * rhs asc) — byte-identical merge lists across runs and engines, which
@@ -39,6 +50,8 @@ import graft.functions.TextFunctions
   * `minCount`.
   */
 object BpeTrain {
+
+  private val S = "\u0001"
 
   private val outSchema = StructType(Seq(
     StructField("rank", IntegerType, nullable = false),
@@ -51,17 +64,22 @@ object BpeTrain {
                   minCount: Long = 2L): DataFrame = {
     val spark = docs.sparkSession
     val words = docs
-      .select(explode(TextFunctions.tokenize(lower(col(textCol)))).as("word"))
-      .filter(length(col("word")) > 0)
+      .select(explode(split(lower(col(textCol)), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0 && !col("word").contains(S))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
     var (dict, dictRdds) = CacheScope.localCheckpointTracked(
-      words.select(array_join(split(col("word"), ""), " ").as("sym"), col("freq")))
+      words.select(
+        array_join(transform(split(col("word"), ""),
+          c => concat(lit(S), c, lit(S))), "").as("sym"),
+        col("freq")))
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[Row]
     var done = false
     var round = 0
     while (!done && round < nMerges) {
-      val toks = split(col("sym"), " ")
+      // decode: strip the outer sentinel of the first/last symbol, then
+      // split on the double sentinel between symbols
+      val toks = split(trim(col("sym"), S), S + S)
       val top = dict
         .select(col("freq"), explode(zip_with(
           slice(toks, lit(1), size(toks) - 1),
@@ -78,7 +96,7 @@ object BpeTrain {
           merges += Row(round + 1, a, b, a + b, ct)
           val (next, nextRdds) = CacheScope.localCheckpointTracked(
             dict.withColumn("sym",
-              replace(col("sym"), lit(a + " " + b), lit(a + b))))
+              replace(col("sym"), lit(S + a + S + S + b + S), lit(S + a + b + S))))
           CacheScope.unpersistRdds(dictRdds)
           dict = next
           dictRdds = nextRdds

@@ -29,6 +29,24 @@ import org.apache.spark.sql.functions._
   */
 object FuzzyJoin {
 
+  /** The shared candidate scaffolding: distinct non-null dictionary of
+    * `valueCol`, block-key self-join, `val_a < val_b` — the scorers
+    * ([[dictionaryPairs]], [[dictionaryPairsJaro]]) differ only in what
+    * they compute on the in-block pair frame this returns.
+    * NOTE for blockKey authors: a key that can be NULL silently drops
+    * the value from candidate generation (NULL never equi-joins);
+    * coalesce to a default block if those values should still pair.
+    */
+  private def inBlockPairs(df: DataFrame, valueCol: String,
+                           blockKey: Column => Column): DataFrame = {
+    val dict = df.select(col(valueCol).as("v")).filter(col("v").isNotNull)
+      .distinct()
+      .select(col("v"), blockKey(col("v")).as("blk"))
+    dict.select(col("v").as("val_a"), col("blk"))
+      .join(dict.select(col("v").as("val_b"), col("blk")), "blk")
+      .filter(col("val_a") < col("val_b"))
+  }
+
   /** Fuzzy pairs over the distinct-value dictionary of `valueCol`.
     *
     * Output: (val_a, val_b, dist) with `val_a < val_b`, one row per
@@ -38,21 +56,14 @@ object FuzzyJoin {
     * e.g. a length band joins more than a leading token).
     */
   def dictionaryPairs(df: DataFrame, valueCol: String, maxDist: Int,
-                      blockKey: Column => Column): DataFrame = {
-    val dict = df.select(col(valueCol).as("v")).filter(col("v").isNotNull)
-      .distinct()
-      .select(col("v"), blockKey(col("v")).as("blk"))
-    val a = dict.select(col("v").as("val_a"), col("blk"))
-    val b = dict.select(col("v").as("val_b"), col("blk"))
-    a.join(b, "blk")
-      .filter(col("val_a") < col("val_b"))
+                      blockKey: Column => Column): DataFrame =
+    inBlockPairs(df, valueCol, blockKey)
       // length screen first: it prunes most of the block without touching
       // the DP matrix, and it is pushable into the join's post-condition
       .filter(abs(length(col("val_a")) - length(col("val_b"))) <= maxDist)
       .select(col("val_a"), col("val_b"),
         levenshtein(col("val_a"), col("val_b"), maxDist).as("dist"))
       .filter(col("dist") >= 0)
-  }
 
   /** [[dictionaryPairs]] with Jaro-Winkler scoring instead of edit
     * distance — the record-linkage scorer for short name attributes
@@ -64,20 +75,13 @@ object FuzzyJoin {
     * edit-distance form.
     */
   def dictionaryPairsJaro(df: DataFrame, valueCol: String, minSimE6: Long,
-                          blockKey: Column => Column): DataFrame = {
-    val dict = df.select(col(valueCol).as("v")).filter(col("v").isNotNull)
-      .distinct()
-      .select(col("v"), blockKey(col("v")).as("blk"))
-    val a = dict.select(col("v").as("val_a"), col("blk"))
-    val b = dict.select(col("v").as("val_b"), col("blk"))
-    a.join(b, "blk")
-      .filter(col("val_a") < col("val_b"))
+                          blockKey: Column => Column): DataFrame =
+    inBlockPairs(df, valueCol, blockKey)
       .select(col("val_a"), col("val_b"),
         floor(org.apache.spark.sql.graft.StringSimilarity
           .jaroWinkler(col("val_a"), col("val_b")) * 1000000.0)
           .cast("long").as("jw_e6"))
       .filter(col("jw_e6") >= minSimE6)
-  }
 
   /** Cross-table record linkage: map every distinct dirty value of
     * `left(leftCol)` to its best-scoring clean value in
@@ -110,15 +114,11 @@ object FuzzyJoin {
           .jaroWinkler(col("value"), col("matched")) * 1000000.0)
           .cast("long").as("jw_e6"))
       .filter(col("jw_e6") >= minSimE6)
-      // argmax by (score, then LOWEST clean value) — struct max orders
-      // descending on score; negate nothing, instead invert the tie on
-      // the string by taking max on (jw_e6, struct-inverted?) — strings
-      // have no cheap negation, so rank the tie with min over equal-max
-      // scores in a second combinable step would cost another shuffle;
-      // a max(struct(jw_e6, matched)) breaks ties toward the LARGEST
-      // string instead. Keep the deterministic contract simple and
-      // document it: ties break toward the lexicographically GREATEST
-      // candidate (both engines replay the same rule).
+      // combinable max(struct(jw_e6, matched)): highest score wins, and
+      // equal scores resolve to the lexicographically GREATEST candidate
+      // (strings have no cheap order inversion inside a struct max, and
+      // any deterministic rule serves — this one costs zero extra work;
+      // the oracle replays it as ORDER BY jw_e6 DESC, matched DESC)
       .groupBy(col("value"))
       .agg(max(struct(col("jw_e6"), col("matched"))).as("best"))
       .select(col("value"), col("best.matched").as("matched"),

@@ -506,8 +506,11 @@ object Similarity {
       .groupBy(col(cellName))
       .agg(transform(array_sort(collect_list(struct(col("dim_idx"), col("c_e6")))),
         x => x.getField("c_e6")).as("cvec"))
+    // NULLS LAST explicitly: Spark's ascending default is NULLS FIRST,
+    // DuckDB's is NULLS LAST — a NULL embedding would otherwise rank as
+    // the MOST prototypical vector of its cell (and break the oracle)
     val w = Window.partitionBy(col(cellName))
-      .orderBy(col("dist").asc, col(idName).asc)
+      .orderBy(col("dist").asc_nulls_last, col(idName).asc)
     df.join(broadcast(cent), cellName)
       .select(col(idName), col(cellName),
         aggregate(

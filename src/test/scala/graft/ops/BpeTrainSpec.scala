@@ -32,6 +32,21 @@ class BpeTrainSpec extends SparkSpec {
       (2, "aa", "aa", "aaaa", 3L)), out.toString)
   }
 
+  test("merges never fire inside a multi-char symbol (r11 review counterexample)") {
+    // 'xa'x10, 'ab'x6, 'xab'x3. Round 1: (x,a) ct 13 beats (a,b) ct 9.
+    // After it, 'xab' = [xa, b]. Round 2 merges (a,b) ct 6 — a
+    // boundary-blind replace would corrupt [xa, b] into [xab] here
+    // (matching the 'a' INSIDE symbol 'xa') and kill round 3's merge.
+    // Textbook BPE leaves [xa, b] intact and learns (xa, b) ct 3 third.
+    val docs = Seq.fill(10)("xa") ++ Seq.fill(6)("ab") ++ Seq.fill(3)("xab")
+    val out = BpeTrain.learnMerges(docs.toDF("text"), "text", nMerges = 4)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (1, "x", "a", "xa", 13L),
+      (2, "a", "b", "ab", 6L),
+      (3, "xa", "b", "xab", 3L)), out.toString)
+  }
+
   test("stops early when no pair reaches minCount") {
     val df = Seq("ab").toDF("text") // single (a,b) adjacency, ct = 1 < 2
     assert(BpeTrain.learnMerges(df, "text", nMerges = 5).count() == 0)

@@ -26,14 +26,18 @@ def norm(v):
 fails = []
 # A query that threw inside Verify writes NO dump dir — without this check
 # it silently vanishes from the compare (round 11 caught q45 this way).
-# Skipped for subset runs (Verify's onlyQueryCsv mode dumps only a few).
+# STRICT by default: widespread missing dumps are precisely the mass-
+# failure case the check exists for (a >10% "subset heuristic" would skip
+# it exactly when breakage is worst). Local subset runs opt out with an
+# explicit --subset flag.
+subset = "--subset" in sys.argv
 missing = [q for q in oracle if not os.path.isdir(f"{out_dir}/{q}")]
-if len(missing) <= len(oracle) // 10:
+if subset and missing:
+    print(f"(--subset: {len(oracle)-len(missing)}/{len(oracle)} oracle entries present; missing-dump check skipped)")
+else:
     for q in missing:
         print(f"{q}: MISSING DUMP (query threw inside Verify?)")
         fails.append(q)
-elif missing:
-    print(f"(subset run: {len(oracle)-len(missing)}/{len(oracle)} oracle entries present; missing-dump check skipped)")
 for name in sorted(os.listdir(out_dir)):
     d = f"{out_dir}/{name}"
     if not os.path.isdir(d): continue
