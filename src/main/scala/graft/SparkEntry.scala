@@ -1649,6 +1649,13 @@ object SparkEntry {
     // UNION ALL with the identical DECIMAL(38,6) / strftime renderings.
     "q120_profile" -> ((s, dir) =>
       ops.Profile.summarize(T(s, dir, "orders"))),
+
+    // Equi-width histogram with a fixed range (one pass, stable edges,
+    // under/overflow bins, zero-filled spine). Exact oracle: identical
+    // IEEE bin arithmetic.
+    "q121_histogram" -> ((s, dir) =>
+      ops.Profile.histogram(T(s, dir, "orders"), "o_totalprice",
+        lo = 0.0, hi = 600000.0, nBins = 12)),
   )
 
   // ------------------------------------------------------------------
@@ -3237,6 +3244,22 @@ object SparkEntry {
            strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') FROM orders
          UNION ALL SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
            count(DISTINCT o_orderpriority), min(o_orderpriority), max(o_orderpriority) FROM orders""",
+
+    // identical IEEE bin arithmetic: floor((v - lo) / width) with
+    // width = (hi - lo) / nBins computed in doubles on both engines
+    "q121_histogram" ->
+      """WITH b AS (
+           SELECT CASE WHEN o_totalprice < 0 THEN -1
+                       WHEN o_totalprice >= 600000 THEN 12
+                       ELSE CAST(floor((CAST(o_totalprice AS DOUBLE) - 0.0) / 50000.0) AS INT) END AS bin
+           FROM orders WHERE o_totalprice IS NOT NULL),
+         c AS (SELECT bin, count(*) AS n FROM b GROUP BY 1),
+         spine AS (SELECT unnest(range(-1, 13)) AS bin)
+         SELECT CAST(spine.bin AS INT) AS bin,
+           CASE WHEN spine.bin >= 0 AND spine.bin < 12 THEN 0.0 + spine.bin * 50000.0 END AS lo_edge,
+           CASE WHEN spine.bin >= 0 AND spine.bin < 12 THEN 0.0 + (spine.bin + 1) * 50000.0 END AS hi_edge,
+           COALESCE(c.n, CAST(0 AS BIGINT)) AS n
+         FROM spine LEFT JOIN c USING (bin)""",
 
     // q33_ann_lsh / q35_cosine_neardup / q36_ann_ivf /
     // q54_ann_lsh_multi: probabilistic and hash-family-specific — the

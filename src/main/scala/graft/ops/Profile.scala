@@ -87,4 +87,42 @@ object Profile {
       StructField("max_value", StringType, nullable = true)))
     spark.createDataFrame(spark.sparkContext.parallelize(out, 1), schema)
   }
+
+  /** Equi-width histogram of a numeric column over a CALLER-FIXED
+    * [lo, hi) range — the profiling companion to [[summarize]].
+    *
+    * The range is a parameter, not a data-derived min/max, for two
+    * reasons: it makes the histogram ONE pass (no pre-scan), and it
+    * makes bucket boundaries stable across runs/partitions of a growing
+    * table (the dashboard property). Bucketing is pure integer-ish
+    * column algebra on (value - lo) / width — no window, no join; the
+    * aggregate shuffles at most `nBins + 2` rows per partition.
+    *
+    * Output: (bin, lo_edge, hi_edge, n) with underflow bin -1 and
+    * overflow bin `nBins` (edges NULL for both); empty bins are
+    * emitted with n = 0 via a broadcast-joined bin spine so consumers
+    * can plot without gap-filling.
+    */
+  def histogram(df: DataFrame, valueCol: String,
+                lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(nBins > 0 && hi > lo, s"need hi > lo and nBins > 0")
+    val spark = df.sparkSession
+    val width = (hi - lo) / nBins
+    val v = col(valueCol).cast(DoubleType)
+    val bin = when(v.isNull, lit(null).cast(IntegerType))
+      .when(v < lo, lit(-1))
+      .when(v >= hi, lit(nBins))
+      .otherwise(floor((v - lo) / width).cast(IntegerType))
+    val counts = df.select(bin.as("bin")).filter(col("bin").isNotNull)
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+    val spine = spark.range(-1, nBins + 1)
+      .select(col("id").cast(IntegerType).as("bin"))
+    spine.join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        when(col("bin") >= 0 && col("bin") < nBins,
+          lit(lo) + col("bin") * width).as("lo_edge"),
+        when(col("bin") >= 0 && col("bin") < nBins,
+          lit(lo) + (col("bin") + 1) * width).as("hi_edge"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
 }

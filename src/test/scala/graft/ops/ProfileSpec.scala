@@ -39,6 +39,20 @@ class ProfileSpec extends SparkSpec {
     assert(got("id").getLong(3) == 4)
   }
 
+  test("histogram bins, under/overflow, zero-filled spine") {
+    val df = Seq(-5.0, 0.0, 9.99, 10.0, 25.0, 100.0, 250.0).toDF("x")
+    val got = Profile.histogram(df, "x", lo = 0.0, hi = 100.0, nBins = 4)
+      .orderBy("bin")
+      .select("bin", "n").as[(Int, Long)].collect().toSeq
+    // bins of width 25: [-1: -5], [0: 0, 9.99, 10], [1: 25], [2,3: empty],
+    // [4 overflow: 100, 250] — 100.0 lands in overflow (hi exclusive)
+    assert(got == Seq((-1, 1L), (0, 3L), (1, 1L), (2, 0L), (3, 0L), (4, 2L)), got.toString)
+    val edges = Profile.histogram(df, "x", 0.0, 100.0, 4)
+      .filter(col("bin") === 1).select("lo_edge", "hi_edge")
+      .as[(Double, Double)].head()
+    assert(edges == ((25.0, 50.0)))
+  }
+
   test("all-null and empty-table edges") {
     val allNull = Seq((None: Option[String]), None).toDF("s")
     val r = Profile.summarize(allNull).collect().head
