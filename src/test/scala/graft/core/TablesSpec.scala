@@ -60,6 +60,28 @@ class TablesSpec extends SparkSpec {
     assert(got == "2024-03-01 12:00:00")
   }
 
+  test("driver fixture column names match the contract every query is written against") {
+    // drift alarm: the generator regenerates /root/testdata between
+    // rounds — a renamed/added/dropped column should fail HERE, loudly,
+    // not as dozens of AnalysisExceptions at the driver's gate
+    val expected = Map(
+      "region" -> Seq("r_regionkey", "r_name"),
+      "nation" -> Seq("n_nationkey", "n_name", "n_regionkey"),
+      "customer" -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+      "supplier" -> Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+      "part" -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"),
+      "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"),
+      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"),
+      "events" -> Seq("event_id", "ts", "user_id", "event_type", "value", "props"),
+      "documents" -> Seq("doc_id", "text", "lang", "source", "n_chars"),
+      "embeddings" -> Seq("vec_id", "embedding", "label"))
+    for ((t, cols) <- expected) {
+      val got = Tables.load(spark, "/root/testdata/sf0.001", t).schema.fieldNames.toSeq
+      assert(got == cols, s"fixture drift in table $t: got $got, queries expect $cols")
+    }
+  }
+
   test("the driver fixture itself loads with a TimestampType ts in a sane range") {
     val loaded = Tables.load(spark, "/root/testdata/sf0.001", "events")
     assert(loaded.schema("ts").dataType == TimestampType)
