@@ -15,6 +15,9 @@ import org.apache.spark.sql.Encoders
 object SqlFunctions {
 
   def registerAll(spark: SparkSession): Unit = {
+    // native expression — registered through the function registry so
+    // SQL callers keep codegen (not a UDF wrapper)
+    org.apache.spark.sql.graft.StringSimilarity.registerSql(spark)
     spark.udf.register("graft_exact_distinct", udaf(Aggregators.exactDistinctAgg))
     spark.udf.register("graft_lang_id",
       (text: String) => langIdScala(Option(text).getOrElse("")))

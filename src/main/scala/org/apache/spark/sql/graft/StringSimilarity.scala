@@ -105,4 +105,18 @@ object StringSimilarity {
   def jaroWinkler(a: Column, b: Column): Column =
     ExpressionUtils.column(
       JaroWinkler(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Register the NATIVE expression under a SQL name — unlike a
+    * `spark.udf.register` wrapper this keeps whole-stage codegen in
+    * `spark.sql` queries (the function registry builder plugs the
+    * expression straight into the plan).
+    */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_jaro_winkler",
+      { args =>
+        require(args.length == 2, "graft_jaro_winkler(a, b) takes two arguments")
+        JaroWinkler(args(0), args(1))
+      },
+      "built-in")
 }

@@ -38,6 +38,13 @@ class StringSimilaritySpec extends SparkSpec {
     assert(jw("abc", "xyz") == 0.0)
   }
 
+  test("the SQL registration exposes the native expression by name") {
+    graft.functions.SqlFunctions.registerAll(spark)
+    val got = spark.sql("SELECT graft_jaro_winkler('martha', 'marhta') AS jw")
+      .collect().head.getDouble(0)
+    assert(got == 0.9611111111111111)
+  }
+
   test("the Column wrapper codegens and nulls propagate") {
     val df = Seq(("martha", "marhta"), (null, "x")).toDF("a", "b")
     val got = df.select(StringSimilarity.jaroWinkler(col("a"), col("b"))).collect()
