@@ -1656,6 +1656,16 @@ object SparkEntry {
     "q121_histogram" -> ((s, dir) =>
       ops.Profile.histogram(T(s, dir, "orders"), "o_totalprice",
         lo = 0.0, hi = 600000.0, nBins = 12)),
+
+    // Batch sessionization by 30-min inactivity gap — per-user session
+    // ordinals every funnel/attribution query joins on. Exact oracle:
+    // the classic lag + running-sum-of-breaks replay.
+    "q122_sessionize" -> ((s, dir) =>
+      ops.Sessionize.assignSessions(
+        T(s, dir, "events").select(col("event_id"), col("user_id"), col("ts")),
+        "user_id", "ts", "event_id", gapSeconds = 1800L)
+        .select(col("event_id"), col("user_id"),
+          col("session_seq"), col("is_session_start"))),
   )
 
   // ------------------------------------------------------------------
@@ -3260,6 +3270,24 @@ object SparkEntry {
            CASE WHEN spine.bin >= 0 AND spine.bin < 12 THEN 0.0 + (spine.bin + 1) * 50000.0 END AS hi_edge,
            COALESCE(c.n, CAST(0 AS BIGINT)) AS n
          FROM spine LEFT JOIN c USING (bin)""",
+
+    // lag + running sum of break flags, ordered (ts, event_id) for
+    // same-timestamp determinism on both engines
+    "q122_sessionize" ->
+      """WITH g AS (
+           SELECT event_id, user_id, ts,
+             epoch(ts) - epoch(lag(ts, 1) OVER w) AS gap
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         f AS (
+           SELECT event_id, user_id, ts,
+             CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS st
+           FROM g)
+         SELECT event_id, user_id,
+           CAST(sum(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq,
+           st = 1 AS is_session_start
+         FROM f""",
 
     // q33_ann_lsh / q35_cosine_neardup / q36_ann_ivf /
     // q54_ann_lsh_multi: probabilistic and hash-family-specific — the
