@@ -1666,6 +1666,15 @@ object SparkEntry {
         "user_id", "ts", "event_id", gapSeconds = 1800L)
         .select(col("event_id"), col("user_id"),
           col("session_seq"), col("is_session_start"))),
+
+    // TF-IDF cosine document pairs — the VSM sibling of the Jaccard
+    // family. Exact oracle under the hashed-term contract (grouping by
+    // xxhash64(term) == grouping by term, collision-free at test scale):
+    // e3-quantized idf makes weights integers, sums are exact decimals,
+    // the final sqrt/divide is IEEE on both engines.
+    "q123_tfidf_pairs" -> ((s, dir) =>
+      ops.Retrieval.tfidfCosinePairs(
+        T(s, dir, "documents"), "doc_id", "text", minSimE4 = 5000L)),
   )
 
   // ------------------------------------------------------------------
@@ -3288,6 +3297,29 @@ object SparkEntry {
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq,
            st = 1 AS is_session_start
          FROM f""",
+
+    // string-keyed replay of the hashed-term pipeline: same token
+    // space, e3 idf floors, integer weights, IEEE sqrt/divide in the
+    // identical operation order
+    "q123_tfidf_pairs" ->
+      """WITH t AS (
+           SELECT doc_id, word AS term, count(*) AS tf FROM (
+             SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0)) AS word
+             FROM documents) GROUP BY 1, 2),
+         nd AS (SELECT count(*) AS n FROM documents),
+         d AS (SELECT term, count(*) AS df FROM t GROUP BY 1
+               HAVING count(*) >= 2 AND count(*) <= (SELECT floor(0.5 * n) FROM nd)),
+         w AS (SELECT doc_id, term,
+                 tf * CAST(floor(1000.0 * ln(CAST((SELECT n FROM nd) AS DOUBLE) / df)) AS BIGINT) AS w
+               FROM t JOIN d USING (term)),
+         norms AS (SELECT doc_id, sqrt(CAST(sum(w * w) AS DOUBLE)) AS nrm FROM w GROUP BY 1),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(sum(a.w * b.w) AS DOUBLE) AS dot
+               FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         SELECT id_a, id_b, sim_e4 FROM (
+           SELECT id_a, id_b,
+             CAST(floor(10000.0 * (dot / (na.nrm * nb.nrm))) AS BIGINT) AS sim_e4
+           FROM p JOIN norms na ON p.id_a = na.doc_id JOIN norms nb ON p.id_b = nb.doc_id)
+         WHERE sim_e4 >= 5000""",
 
     // q33_ann_lsh / q35_cosine_neardup / q36_ann_ivf /
     // q54_ann_lsh_multi: probabilistic and hash-family-specific — the

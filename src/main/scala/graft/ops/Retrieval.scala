@@ -98,4 +98,60 @@ object Retrieval {
 
     scored.orderBy(col("score_e9").desc, col("doc_id")).limit(topK)
   }
+
+  /** TF-IDF cosine document-pair similarity — the vector-space-model
+    * sibling of the n-gram Jaccard family (set overlap) and BM25
+    * (query-relevance): weighted-term cosine between DOCUMENTS.
+    *
+    * Arithmetic contract (the engine's integer doctrine):
+    *  - idf quantizes to ⌊10³·ln(N/df)⌋ BEFORE weighting, so weights
+    *    `tf·idf_e3` are exact integers and every sum (norms, dots) is
+    *    order-independent — summed as DECIMAL(38,0) because a 100 TB
+    *    corpus can push `w²` past long range (tf·idf_e3 > 3·10⁹);
+    *  - the only float ops are the final sqrt/divide (IEEE
+    *    correctly-rounded on both engines, the q90 precedent), so
+    *    ⌊10⁴·cos⌋ is oracle-exact.
+    *
+    * Vector space = terms with `minDf ≤ df ≤ maxDfFrac·N`: df-1 terms
+    * cannot pair (dropping them shrinks norms to the PAIRABLE space),
+    * and the df cap is the same quadratic-term control as
+    * [[Dedup.containmentPairs]]' `maxDfFrac` — candidate mass per term
+    * is bounded, stopwords never explode the join. Only (term-hash, id,
+    * weight) triples shuffle; term strings and text stay columnar.
+    */
+  def tfidfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+                       minSimE4: Long, minDf: Long = 2,
+                       maxDfFrac: Double = 0.5): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = docs.select(col(idCol).as("id"),
+      TextFunctions.tokenize(lower(col(textCol))).as("toks"))
+    val nDocs = base.count()
+    val terms = base
+      .select(col("id"), explode(col("toks")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf &&
+        col("df") <= lit(math.floor(maxDfFrac * nDocs)))
+      .withColumn("idf_e3",
+        floor(lit(1000.0) * log(lit(nDocs.toDouble) / col("df"))).cast("long"))
+    val w = CacheScope.persist(
+      terms.join(dfreq.select(col("term"), col("idf_e3")), "term")
+        .select(xxhash64(col("term")).as("th"), col("id"),
+          (col("tf") * col("idf_e3")).as("w")))
+    val norms = w.groupBy(col("id"))
+      .agg(sqrt(sum((col("w") * col("w")).cast(dec)).cast("double")).as("nrm"))
+    val dots = w.select(col("th"), col("id").as("id_a"), col("w").as("wa"))
+      .join(w.select(col("th"), col("id").as("id_b"), col("w").as("wb")), "th")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum((col("wa") * col("wb")).cast(dec)).cast("double").as("dot"))
+    dots
+      .join(norms.select(col("id").as("id_a"), col("nrm").as("na")), "id_a")
+      .join(norms.select(col("id").as("id_b"), col("nrm").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        floor(lit(10000.0) * (col("dot") / (col("na") * col("nb"))))
+          .cast("long").as("sim_e4"))
+      .filter(col("sim_e4") >= minSimE4)
+  }
 }

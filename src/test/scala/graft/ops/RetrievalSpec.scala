@@ -70,4 +70,28 @@ class RetrievalSpec extends SparkSpec {
     val none = Retrieval.bm25TopK(corpus, "doc_id", "text", Seq("zebra"), topK = 5)
     assert(none.count() == 0)
   }
+
+  test("tfidf cosine: identical docs score exactly 10000, disjoint docs are absent") {
+    import spark.implicits._
+    // 'common' appears in all 4 docs -> df 4 > 0.5*4 -> capped out of the
+    // space; singleton terms are out by minDf = 2
+    val docs = Seq(
+      (1L, "alpha beta common"),
+      (2L, "alpha beta common"),
+      (3L, "gamma delta common"),
+      (4L, "gamma gamma delta common")
+    ).toDF("doc_id", "text")
+    try {
+      val got = Retrieval.tfidfCosinePairs(docs, "doc_id", "text", minSimE4 = 1L)
+        .as[(Long, Long, Long)].collect()
+        .map { case (a, b, s) => (a, b) -> s }.toMap
+      // identical vectors: cosine exactly 1
+      assert(got((1L, 2L)) == 10000L)
+      // equal idf weights w: doc3 = (w, w), doc4 = (2w, w) ->
+      // cos = 3w²/(w√2 · w√5) = 3/√10 = 0.9486832... -> floor e4 = 9486
+      assert(got((3L, 4L)) == 9486L)
+      // no term shared between {1,2} and {3,4} after the cap
+      assert(!got.contains((1L, 3L)) && !got.contains((2L, 4L)), got.toString)
+    } finally graft.ops.CacheScope.release(spark)
+  }
 }
