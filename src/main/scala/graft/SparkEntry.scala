@@ -1675,6 +1675,17 @@ object SparkEntry {
     "q123_tfidf_pairs" -> ((s, dir) =>
       ops.Retrieval.tfidfCosinePairs(
         T(s, dir, "documents"), "doc_id", "text", minSimE4 = 5000L)),
+
+    // Trailing 1-hour RANGE-frame features per user (count + e6 value
+    // sum). Exact oracle: RANGE frames are value-based, so no tie
+    // column is needed for determinism; integer sums replay exactly.
+    "q124_trailing_features" -> ((s, dir) =>
+      ops.TimeFeatures.trailingStats(
+        T(s, dir, "events").select(col("event_id"), col("user_id"),
+          col("ts"), col("value")),
+        "user_id", "ts", "value", windowSeconds = 3600L)
+        .select(col("event_id"), col("user_id"),
+          col("trail_n"), col("trail_sum_e6"))),
   )
 
   // ------------------------------------------------------------------
@@ -3320,6 +3331,16 @@ object SparkEntry {
              CAST(floor(10000.0 * (dot / (na.nrm * nb.nrm))) AS BIGINT) AS sim_e4
            FROM p JOIN norms na ON p.id_a = na.doc_id JOIN norms nb ON p.id_b = nb.doc_id)
          WHERE sim_e4 >= 5000""",
+
+    // value-based RANGE frame on epoch seconds — same-instant rows are
+    // in the frame together on both engines; e6 integer sums replay
+    "q124_trailing_features" ->
+      """SELECT event_id, user_id,
+           count(*) OVER w AS trail_n,
+           CAST(sum(CAST(floor("value" * 1000000.0) AS BIGINT)) OVER w AS BIGINT) AS trail_sum_e6
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""",
 
     // q33_ann_lsh / q35_cosine_neardup / q36_ann_ivf /
     // q54_ann_lsh_multi: probabilistic and hash-family-specific — the
