@@ -3292,16 +3292,17 @@ object SparkEntry {
          FROM spine LEFT JOIN c USING (bin)""",
 
     // lag + running sum of break flags, ordered (ts, event_id) for
-    // same-timestamp determinism on both engines
+    // same-timestamp determinism; gaps in INTEGER MICROSECONDS
+    // (epoch_us) — matching the engine's unix_micros exactly
     "q122_sessionize" ->
       """WITH g AS (
            SELECT event_id, user_id, ts,
-             epoch(ts) - epoch(lag(ts, 1) OVER w) AS gap
+             epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS gap
            FROM events
            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
          f AS (
            SELECT event_id, user_id, ts,
-             CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS st
+             CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END AS st
            FROM g)
          SELECT event_id, user_id,
            CAST(sum(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -3332,15 +3333,16 @@ object SparkEntry {
            FROM p JOIN norms na ON p.id_a = na.doc_id JOIN norms nb ON p.id_b = nb.doc_id)
          WHERE sim_e4 >= 5000""",
 
-    // value-based RANGE frame on epoch seconds — same-instant rows are
-    // in the frame together on both engines; e6 integer sums replay
+    // value-based RANGE frame on INTEGER MICROSECONDS (epoch_us ==
+    // unix_micros) — same-instant rows are in the frame together on
+    // both engines at full precision; e6 integer sums replay
     "q124_trailing_features" ->
       """SELECT event_id, user_id,
            count(*) OVER w AS trail_n,
            CAST(sum(CAST(floor("value" * 1000000.0) AS BIGINT)) OVER w AS BIGINT) AS trail_sum_e6
          FROM events
-         WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
-           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""",
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
 
     // q33_ann_lsh / q35_cosine_neardup / q36_ann_ivf /
     // q54_ann_lsh_multi: probabilistic and hash-family-specific — the

@@ -40,8 +40,11 @@ object Profile {
     case _ => c.cast(StringType)
   }
 
-  def summarize(df: DataFrame, exact: Boolean = true): DataFrame = {
-    val spark = df.sparkSession
+  /** The single wide aggregate behind [[summarize]] — exposed to the
+    * spec because exact/approx is a PLAN property: exact multi-distinct
+    * plans through Catalyst's Expand, approx (HLL) must not.
+    */
+  private[ops] def wideAgg(df: DataFrame, exact: Boolean): DataFrame = {
     val fields = df.schema.fields.toSeq
     val aggs: Seq[Column] = count(lit(1)).as("__n") +: fields.flatMap { f =>
       val c = col(f.name)
@@ -58,11 +61,17 @@ object Profile {
           canon(max(c), f.dataType).as(s"__max_${f.name}"))
       } else base
     }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  def summarize(df: DataFrame, exact: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    val fields = df.schema.fields.toSeq
     // ONE job, one wide row; collecting it is schema-sized by
     // definition (the profile IS the model here — same contract as the
     // strata table in Sampling). A lazy per-column union would instead
     // replay the full aggregate once per column.
-    val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+    val row = wideAgg(df, exact).collect().head
     val n = row.getLong(row.fieldIndex("__n"))
     def get[T](name: String): Option[T] = {
       val i = row.fieldIndex(name)

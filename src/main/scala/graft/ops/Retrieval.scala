@@ -123,8 +123,11 @@ object Retrieval {
                        minSimE4: Long, minDf: Long = 2,
                        maxDfFrac: Double = 0.5): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    // plain \s+ split, NOT the CJK-segmenting tokenize: the oracle
+    // replays string_split_regex, and the two must agree on any fixture
+    // (the BpeTrain r11 precedent — engine-portability over segmentation)
     val base = docs.select(col(idCol).as("id"),
-      TextFunctions.tokenize(lower(col(textCol))).as("toks"))
+      split(lower(col(textCol)), "\\s+").as("toks"))
     val nDocs = base.count()
     val terms = base
       .select(col("id"), explode(col("toks")).as("term"))
@@ -139,13 +142,16 @@ object Retrieval {
       terms.join(dfreq.select(col("term"), col("idf_e3")), "term")
         .select(xxhash64(col("term")).as("th"), col("id"),
           (col("tf") * col("idf_e3")).as("w")))
+    // operands cast to decimal BEFORE the multiply — (w*w).cast(dec)
+    // would run the product on longs first and overflow (ANSI throw)
+    // exactly in the regime the decimal sum exists for
     val norms = w.groupBy(col("id"))
-      .agg(sqrt(sum((col("w") * col("w")).cast(dec)).cast("double")).as("nrm"))
+      .agg(sqrt(sum(col("w").cast(dec) * col("w").cast(dec)).cast("double")).as("nrm"))
     val dots = w.select(col("th"), col("id").as("id_a"), col("w").as("wa"))
       .join(w.select(col("th"), col("id").as("id_b"), col("w").as("wb")), "th")
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
-      .agg(sum((col("wa") * col("wb")).cast(dec)).cast("double").as("dot"))
+      .agg(sum(col("wa").cast(dec) * col("wb").cast(dec)).cast("double").as("dot"))
     dots
       .join(norms.select(col("id").as("id_a"), col("nrm").as("na")), "id_a")
       .join(norms.select(col("id").as("id_b"), col("nrm").as("nb")), "id_b")

@@ -25,17 +25,26 @@ object Sessionize {
 
   def assignSessions(df: DataFrame, keyCol: String, tsCol: String,
                      tieCol: String, gapSeconds: Long): DataFrame = {
+    require(!df.columns.contains("session_seq") &&
+      !df.columns.contains("is_session_start") &&
+      !df.columns.contains("__graft_sess_start"),
+      "input already carries session columns — rename them first")
+    // gaps in INTEGER MICROSECONDS (unix_micros), not unix_timestamp:
+    // second-truncation makes a 1800.8 s gap read as exactly 1800 and
+    // silently disagree with a fractional-epoch oracle (r11 review —
+    // the fixture's timestamps all carry sub-second parts)
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
-    val gap = unix_timestamp(col(tsCol)) -
-      unix_timestamp(lag(col(tsCol), 1).over(w))
+    val gap = unix_micros(col(tsCol)) -
+      unix_micros(lag(col(tsCol), 1).over(w))
     // two steps, not a nested window: the break flag materializes first
     // (lag window), then the running sum references the COLUMN — same
     // partitioning and ordering, so both land on one Exchange + sort
-    df.withColumn("__start", when(gap.isNull || gap > gapSeconds, 1L).otherwise(0L))
+    df.withColumn("__graft_sess_start",
+        when(gap.isNull || gap > gapSeconds * 1000000L, 1L).otherwise(0L))
       .withColumn("session_seq",
-        sum(col("__start")).over(
+        sum(col("__graft_sess_start")).over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("is_session_start", col("__start") === 1L)
-      .drop("__start")
+      .withColumn("is_session_start", col("__graft_sess_start") === 1L)
+      .drop("__graft_sess_start")
   }
 }

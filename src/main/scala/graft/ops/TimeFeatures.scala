@@ -24,9 +24,14 @@ object TimeFeatures {
 
   def trailingStats(df: DataFrame, keyCol: String, tsCol: String,
                     valueCol: String, windowSeconds: Long): DataFrame = {
+    // INTEGER MICROSECONDS (unix_micros), not unix_timestamp: the
+    // fixture's timestamps all carry sub-second parts, and a
+    // second-truncated frame bound disagrees with a microsecond-exact
+    // oracle both at same-truncated-second collisions and at window
+    // boundaries (r11 review: one confirmed trail_n mismatch at sf0.1)
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(unix_timestamp(col(tsCol)))
-      .rangeBetween(-windowSeconds, 0)
+      .orderBy(unix_micros(col(tsCol)))
+      .rangeBetween(-windowSeconds * 1000000L, 0)
     df.withColumn("trail_n", count(lit(1)).over(w))
       .withColumn("trail_sum_e6",
         sum(floor(col(valueCol) * 1000000.0).cast("long")).over(w))

@@ -37,6 +37,13 @@ class ProfileSpec extends SparkSpec {
       .map(r => r.getString(0) -> r).toMap
     // HLL on 4 values is exact in practice; the contract is non-null
     assert(got("id").getLong(3) == 4)
+    // and the NAME of this test is a plan property — assert it
+    val approxPlan = Profile.wideAgg(fixture, exact = false)
+      .queryExecution.executedPlan.toString
+    assert(!approxPlan.contains("Expand"), approxPlan.take(400))
+    val exactPlan = Profile.wideAgg(fixture, exact = true)
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Expand"), "exact multi-distinct should Expand")
   }
 
   test("histogram bins, under/overflow, zero-filled spine") {

@@ -4,8 +4,12 @@ in DuckDB over the same parquet tables and compare to the Spark result
 parquet (columns sorted by name, rows sorted, values normalized)."""
 import duckdb, json, math, sys, glob, os
 
-sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_sf0001"
+# flags first, positionals after — '--subset' anywhere must not shift
+# (or become) sf_dir/out_dir
+subset = "--subset" in sys.argv
+args = [a for a in sys.argv[1:] if a != "--subset"]
+sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.001"
+out_dir = args[1] if len(args) > 1 else "/tmp/verify_sf0001"
 
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
@@ -30,7 +34,6 @@ fails = []
 # failure case the check exists for (a >10% "subset heuristic" would skip
 # it exactly when breakage is worst). Local subset runs opt out with an
 # explicit --subset flag.
-subset = "--subset" in sys.argv
 missing = [q for q in oracle if not os.path.isdir(f"{out_dir}/{q}")]
 if subset and missing:
     print(f"(--subset: {len(oracle)-len(missing)}/{len(oracle)} oracle entries present; missing-dump check skipped)")
