@@ -112,16 +112,23 @@ object Retrieval {
     *    correctly-rounded on both engines, the q90 precedent), so
     *    ⌊10⁴·cos⌋ is oracle-exact.
     *
-    * Vector space = terms with `minDf ≤ df ≤ maxDfFrac·N`: df-1 terms
-    * cannot pair (dropping them shrinks norms to the PAIRABLE space),
-    * and the df cap is the same quadratic-term control as
-    * [[Dedup.containmentPairs]]' `maxDfFrac` — candidate mass per term
-    * is bounded, stopwords never explode the join. Only (term-hash, id,
+    * Vector space = terms with `minDf ≤ df ≤ min(maxDfFrac·N,
+    * maxDfAbs)`: df-1 terms cannot pair (dropping them shrinks norms to
+    * the PAIRABLE space), and the df cap bounds candidate mass per term.
+    * THE FRACTIONAL CAP ALONE IS NOT A SCALE CONTROL: per-term pair
+    * mass is df², so a cap that GROWS with N admits ever-larger
+    * near-stopword blocks — the r11 10× probe measured exactly that
+    * (×2 corpus: the fraction admitted replica-local stopwords and the
+    * pair space went 31 k → 19.6 M rows, 1.8 s → 87 s). `maxDfAbs` is
+    * the absolute dial a 100 TB deployment must set (it bounds work
+    * per term at maxDfAbs² regardless of corpus growth — the same
+    * doctrine as [[graft.ops.Dedup.lshParams]]). Only (term-hash, id,
     * weight) triples shuffle; term strings and text stay columnar.
     */
   def tfidfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
                        minSimE4: Long, minDf: Long = 2,
-                       maxDfFrac: Double = 0.5): DataFrame = {
+                       maxDfFrac: Double = 0.5,
+                       maxDfAbs: Long = Long.MaxValue): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     // plain \s+ split, NOT the CJK-segmenting tokenize: the oracle
     // replays string_split_regex, and the two must agree on any fixture
@@ -135,7 +142,7 @@ object Retrieval {
       .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf &&
-        col("df") <= lit(math.floor(maxDfFrac * nDocs)))
+        col("df") <= lit(math.min(math.floor(maxDfFrac * nDocs), maxDfAbs.toDouble)))
       .withColumn("idf_e3",
         floor(lit(1000.0) * log(lit(nDocs.toDouble) / col("df"))).cast("long"))
     val w = CacheScope.persist(

@@ -173,6 +173,30 @@ object ScaleProbe10 {
           v => substring(v, 1, 3)))
       time("q117_bpe", mult)(
         graft.ops.BpeTrain.learnMerges(d, "text", nMerges = 4))
+      // r11 second batch. q123: the df cap bounds per-term candidate
+      // mass, replicas keep disjoint vocabularies → pair mass linear.
+      // q120: one wide aggregate, Expand×(distinct cols). q122/q124 run
+      // on the events table — replicate it inline with shifted ids and
+      // users (cross-replica users disjoint → per-key state constant).
+      // frac-only cap: measured blowup at x2+ (the cap grows with N and
+      // admits replica-local stopwords — df² pair mass). Probe the
+      // OPERATED form: absolute cap pinned at the x1 bound, the dial a
+      // 100 TB deployment sets.
+      time("q123_tfidf", mult)(
+        graft.ops.Retrieval.tfidfCosinePairs(d, "doc_id", "text", 5000L,
+          maxDfAbs = 2500L))
+      time("q120_profile", mult)(
+        graft.ops.Profile.summarize(d.select(col("doc_id"), col("lang"), col("n_chars"))))
+      val baseEv = graft.core.Tables.load(spark, sfDir, "events")
+      val ev = (0 until mult).map { r =>
+        baseEv.select((col("event_id") + lit(r.toLong * 1000000000L)).as("event_id"),
+          col("ts"), (col("user_id") + lit(r.toLong * 1000000000L)).as("user_id"),
+          col("value"))
+      }.reduce(_ unionByName _)
+      time("q122_sessionize", mult)(
+        graft.ops.Sessionize.assignSessions(ev, "user_id", "ts", "event_id", 1800L))
+      time("q124_trailing", mult)(
+        graft.ops.TimeFeatures.trailingStats(ev, "user_id", "ts", "value", 3600L))
     }
     spark.stop()
   }
