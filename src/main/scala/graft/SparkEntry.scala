@@ -1686,6 +1686,15 @@ object SparkEntry {
         "user_id", "ts", "value", windowSeconds = 3600L)
         .select(col("event_id"), col("user_id"),
           col("trail_n"), col("trail_sum_e6"))),
+
+    // Per-event-type z-score outliers over the exponential-ish value
+    // column. Exact oracle: moments from exact integer sums (the
+    // stddev-aggregate order-dependence doctrine), fixed-order IEEE
+    // tail, e4 floors.
+    "q125_zscore_outliers" -> ((s, dir) =>
+      ops.Profile.zscoreOutliers(
+        T(s, dir, "events").select(col("event_id"), col("event_type"), col("value")),
+        "event_id", "value", "event_type")),
   )
 
   // ------------------------------------------------------------------
@@ -3343,6 +3352,31 @@ object SparkEntry {
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
+
+    // exact integer moments (HUGEINT sums == the engine's decimal
+    // sums), the n*S2 - S1^2 identity evaluated exactly, then the same
+    // fixed-order sqrt/divide and e4 floor
+    "q125_zscore_outliers" ->
+      """WITH r AS (
+           SELECT event_id, event_type, CAST(round("value" * 100.0) AS BIGINT) AS c
+           FROM events),
+         m AS (
+           SELECT event_type, count(*) AS n, sum(c) AS s1, sum(c * c) AS s2
+           FROM r GROUP BY 1 HAVING count(*) >= 2),
+         m2 AS (
+           SELECT event_type, n, s1,
+             CAST(n * s2 - s1 * s1 AS DOUBLE) AS varnum
+           FROM m),
+         m3 AS (
+           SELECT event_type, n, s1,
+             sqrt(varnum / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS std
+           FROM m2 WHERE varnum > 0)
+         SELECT event_id, event_type, z_e4 FROM (
+           SELECT r.event_id, r.event_type,
+             CAST(floor(10000.0 * (CAST(r.c * m3.n - m3.s1 AS DOUBLE) /
+               (CAST(m3.n AS DOUBLE) * m3.std))) AS BIGINT) AS z_e4
+           FROM r JOIN m3 USING (event_type))
+         WHERE abs(z_e4) >= 30000""",
 
     // q33_ann_lsh / q35_cosine_neardup / q36_ann_ivf /
     // q54_ann_lsh_multi: probabilistic and hash-family-specific — the

@@ -97,6 +97,51 @@ object Profile {
     spark.createDataFrame(spark.sparkContext.parallelize(out, 1), schema)
   }
 
+  /** Per-group z-score outlier detection — the data-quality gate that
+    * flags rows whose value sits more than `zE4/10⁴` sample standard
+    * deviations from their GROUP mean (per-event-type, per-priority…).
+    *
+    * Determinism contract: double `stddev` aggregates are
+    * accumulation-ORDER-dependent (central-moment merge order varies
+    * per partitioning, and engines differ in algorithm), so z-scores
+    * computed from them can flip at floor boundaries. Instead the
+    * moments come from EXACT integer sums of `round(value·scale)`:
+    * n, S₁ = Σc, S₂ = Σc² as DECIMAL(38,0) — order-independent — and
+    * the variance identity n·S₂ − S₁² evaluates exactly in decimals.
+    * The only floats are the final sqrt/divide in a fixed operation
+    * order, so `z_e4` floors replay bit-for-bit on the oracle
+    * (sample variance, n−1; groups with n < 2 or zero variance emit no
+    * outliers).
+    *
+    * One shuffle for the moment table (group-count-sized, broadcast
+    * back); the flagging pass is a map-side join + projection.
+    */
+  def zscoreOutliers(df: DataFrame, idCol: String, valueCol: String,
+                     groupCol: String, scale: Long = 100L,
+                     zE4: Long = 30000L): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val c = round(col(valueCol) * scale.toDouble).cast(LongType)
+    val rows = df.select(col(idCol), col(groupCol), c.as("c"))
+    val moments = rows.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      sum(col("c").cast(dec)).as("s1"),
+      sum(col("c").cast(dec) * col("c").cast(dec)).as("s2"))
+      .filter(col("n") >= 2)
+      .withColumn("varnum",
+        (col("n").cast(dec) * col("s2") - col("s1") * col("s1")).cast("double"))
+      .filter(col("varnum") > 0.0)
+      .withColumn("std",
+        sqrt(col("varnum") / (col("n").cast("double") * (col("n") - 1).cast("double"))))
+    rows.join(broadcast(moments), groupCol)
+      .withColumn("z_e4",
+        floor(lit(10000.0) *
+          ((col("c").cast(dec) * col("n").cast(dec) - col("s1")).cast("double") /
+            (col("n").cast("double") * col("std"))))
+          .cast("long"))
+      .filter(abs(col("z_e4")) >= zE4)
+      .select(col(idCol), col(groupCol), col("z_e4"))
+  }
+
   /** Equi-width histogram of a numeric column over a CALLER-FIXED
     * [lo, hi) range — the profiling companion to [[summarize]].
     *

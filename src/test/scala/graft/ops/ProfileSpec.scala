@@ -60,6 +60,25 @@ class ProfileSpec extends SparkSpec {
     assert(edges == ((25.0, 50.0)))
   }
 
+  test("zscore outliers: hand-computed moments, group independence, degenerate groups") {
+    // group A: values 1,1,1,1,101 (cents 100..10100): mean 2100,
+    // var = (5*Σc² - (Σc)²)/(5·4) = exact; the 101 sits z ≈ +1.789 —
+    // so at zE4=17000 only it flags. Group B constant: zero variance,
+    // no outliers. Group C singleton: n<2, no outliers.
+    val df = Seq(
+      (1L, "a", 1.0), (2L, "a", 1.0), (3L, "a", 1.0), (4L, "a", 1.0),
+      (5L, "a", 101.0),
+      (6L, "b", 7.0), (7L, "b", 7.0),
+      (8L, "c", 42.0)
+    ).toDF("id", "grp", "v")
+    val got = Profile.zscoreOutliers(df, "id", "v", "grp", zE4 = 17000L)
+      .select("id", "z_e4").as[(Long, Long)].collect().toMap
+    assert(got.keySet == Set(5L), got.toString)
+    // S1 = 10500, S2 = 102050000; n·S2 − S1² = 400000000; var = 2e7;
+    // z = 40000 / (5·√2e7) = 1.7888543819998317 -> floor e4 17888
+    assert(got(5L) == 17888L, got.toString)
+  }
+
   test("all-null and empty-table edges") {
     val allNull = Seq((None: Option[String]), None).toDF("s")
     val r = Profile.summarize(allNull).collect().head
