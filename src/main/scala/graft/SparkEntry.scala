@@ -1695,6 +1695,14 @@ object SparkEntry {
       ops.Profile.zscoreOutliers(
         T(s, dir, "events").select(col("event_id"), col("event_type"), col("value")),
         "event_id", "value", "event_type")),
+
+    // A-ES weighted sampling without replacement, weight = n_chars
+    // (token-mass-weighted doc selection). Exact oracle: portable mix,
+    // identical ln floor, same (key desc, id) top-k.
+    "q126_weighted_sample" -> ((s, dir) =>
+      ops.Sampling.weightedSample(
+        T(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", k = 100)),
   )
 
   // ------------------------------------------------------------------
@@ -3377,6 +3385,19 @@ object SparkEntry {
                (CAST(m3.n AS DOUBLE) * m3.std))) AS BIGINT) AS z_e4
            FROM r JOIN m3 USING (event_type))
          WHERE abs(z_e4) >= 30000""",
+
+    // portable mix -> u in (0,1) -> floor(1e9 * ln(u)/w) -> top-k by
+    // (key DESC, id) — the A-ES key order replayed exactly
+    "q126_weighted_sample" ->
+      """WITH m AS (
+           SELECT doc_id, n_chars,
+             ((doc_id % 1000003) * 2654435761) % 1000000007 AS mix
+           FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+         SELECT doc_id, n_chars,
+           CAST(floor(1000000000.0 *
+             (ln((CAST(mix AS DOUBLE) + 1.0) / 1000000008.0) / CAST(n_chars AS DOUBLE))) AS BIGINT) AS aes_key_e9
+         FROM m
+         ORDER BY aes_key_e9 DESC, doc_id ASC LIMIT 100""",
 
     // q33_ann_lsh / q35_cosine_neardup / q36_ann_ivf /
     // q54_ann_lsh_multi: probabilistic and hash-family-specific — the

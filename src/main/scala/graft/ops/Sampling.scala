@@ -30,14 +30,17 @@ object Sampling {
   def hashBucket(id: Column, nBuckets: Int): Column =
     pmod(xxhash64(id), lit(nBuckets.toLong))
 
-  /** Engine-portable mix: ((id mod 1000003) * 2654435761) mod 1000000007
-    * mod nBuckets. Every term stays below 2^63 (max ~2.65e15), so the
-    * arithmetic is exact in any 64-bit engine — no overflow even under
+  /** Engine-portable raw mix: ((id mod 1000003) * 2654435761) mod
+    * 1000000007 — every term stays below 2^63 (max ~2.65e15), so the
+    * arithmetic is exact in any 64-bit engine: no overflow even under
     * ANSI mode, no float rounding.
     */
+  def portableMix(id: Column): Column =
+    pmod(pmod(id, lit(1000003L)) * lit(2654435761L), lit(1000000007L))
+
+  /** [[portableMix]] folded into [0, nBuckets). */
   def portableBucket(id: Column, nBuckets: Int): Column =
-    pmod(pmod(pmod(id, lit(1000003L)) * lit(2654435761L), lit(1000000007L)),
-      lit(nBuckets.toLong))
+    pmod(portableMix(id), lit(nBuckets.toLong))
 
   /** The split label for an id as a standalone column expression:
     * cumulative weight ranges over a 1e6-bucket mix. Because the split
@@ -332,5 +335,35 @@ object Sampling {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= col("__target"))
       .drop("__rn", "__target", "__stratum")
+  }
+
+  /** Weighted sampling WITHOUT replacement, k rows with inclusion
+    * tendency ∝ `weightCol` — Efraimidis & Spirakis '06 (A-ES): each
+    * row gets key u^(1/w) with u uniform, and the k largest keys are a
+    * weighted sample without replacement. The classic use here:
+    * token-length-weighted document selection, where sampling rows
+    * uniformly would under-represent long documents' token mass.
+    *
+    * Deterministic and engine-portable, like every sampler in this
+    * module: u derives from [[portableMix]] (exact 64-bit arithmetic,
+    * never a random number), and rank order uses
+    * ⌊10⁹·ln(u)/w⌋ — monotone in u^(1/w) — with an id tie-break, so
+    * the selected SET replays exactly (the ln floor is the q107/q123
+    * libm precedent). Top-k plans as `TakeOrderedAndProject`:
+    * per-partition heaps of k, no global sort, no shuffle of the
+    * corpus.
+    *
+    * Rows with NULL or non-positive weight are excluded (their
+    * inclusion probability is 0 by definition).
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    val u = (portableMix(col(idCol)).cast("double") + lit(1.0)) / lit(1000000008.0)
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("aes_key_e9",
+        floor(lit(1000000000.0) * (log(u) / col(weightCol).cast("double")))
+          .cast("long"))
+      .orderBy(col("aes_key_e9").desc, col(idCol).asc)
+      .limit(k)
   }
 }
