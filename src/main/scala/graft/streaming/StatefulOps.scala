@@ -19,6 +19,10 @@ case class PageEvent(
 
 case class VisitRecord(mid: String, pageId: String, isNew: String, ts: Timestamp)
 case class BounceRecord(mid: String, pageId: String, ts: Timestamp)
+case class SessionEvent(key: String, ts: Timestamp)
+case class SessionSummary(key: String, sessionStart: Timestamp,
+    sessionEnd: Timestamp, nEvents: Long)
+private[streaming] case class SessionWindowState(startMs: Long, endMs: Long, n: Long)
 
 /** The reference's three keyed-state streaming operators, rebuilt on
   * `mapGroupsWithState` / `flatMapGroupsWithState` (SURVEY §2.4):
@@ -186,6 +190,62 @@ object StatefulOps {
               case None =>
                 if (isEntry) arm(e)
             }
+          }
+          out.iterator
+        }
+      })
+  }
+
+  /** Streaming sessionization — the stateful mirror of
+    * [[graft.ops.Sessionize.assignSessions]]: per-key sessions close
+    * when the event-time gap exceeds `gapSeconds`, and a CLOSED session
+    * summary (start, end, event count) is emitted — either because a
+    * later event arrived beyond the gap, or because the WATERMARK
+    * passed `end + gap` with nothing following (event-time timeout, the
+    * ST3 machinery). Same one-shuffle-on-key, state-partitioned 100 TB
+    * shape as the other keyed-state operators.
+    *
+    * Late events that precede the open session merge into it (the
+    * interval extends backwards) — with a watermark delay of D, an
+    * event can be at most D late, and any event admitted by the
+    * watermark that falls within the open interval ± gap belongs to
+    * that session by the gap rule.
+    */
+  def sessionize(events: Dataset[SessionEvent], gapSeconds: Long = 1800)(
+      implicit spark: SparkSession): Dataset[SessionSummary] = {
+    import spark.implicits._
+    events.groupByKey(_.key).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+      (key: String, it: Iterator[SessionEvent], state: GroupState[SessionWindowState]) => {
+        def summary(s: SessionWindowState) = SessionSummary(
+          key, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n)
+        if (state.hasTimedOut) {
+          val s = state.get
+          state.remove()
+          Iterator.single(summary(s))
+        } else {
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionSummary]
+          var cur = state.getOption
+          for (e <- it.toSeq.sortBy(_.ts.getTime)) {
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t > s.endMs + gapSeconds * 1000 =>
+                out += summary(s)
+                cur = Some(SessionWindowState(t, t, 1))
+              case Some(s) =>
+                cur = Some(SessionWindowState(
+                  math.min(s.startMs, t), math.max(s.endMs, t), s.n + 1))
+              case None =>
+                cur = Some(SessionWindowState(t, t, 1))
+            }
+          }
+          cur.foreach { s =>
+            state.update(s)
+            // a timeout at-or-before the watermark throws; clamp to
+            // watermark+1 (fires next trigger — the bounceDetect rule)
+            state.setTimeoutTimestamp(math.max(
+              s.endMs + gapSeconds * 1000,
+              state.getCurrentWatermarkMs() + 1))
           }
           out.iterator
         }

@@ -188,4 +188,38 @@ class StatefulOpsSpec extends SparkSpec {
     assert(days == Seq(500L, 86500L),
       s"one emission per day, no day-2 duplicate: $days")
   }
+
+  test("streaming sessionize: gap closes, timeout closes, late event merges") {
+    val input = MemoryStream[SessionEvent]
+    val events = input.toDS().withWatermark("ts", "1 hour")
+    val out = StatefulOps.sessionize(events, gapSeconds = 60)
+    val q = out.writeStream.format("memory").queryName("sess")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    // k1: events at 10, 40 (one session), then 200 (> 60s gap: closes
+    // the first, opens a second). k2: a single event at 20.
+    input.addData(
+      SessionEvent("k1", ts(10)), SessionEvent("k1", ts(40)),
+      SessionEvent("k2", ts(20)))
+    q.processAllAvailable()
+    input.addData(SessionEvent("k1", ts(200)))
+    q.processAllAvailable()
+    // LATE event at 30 (watermark still far behind): merges into the
+    // OPEN k2 session, not a new one
+    input.addData(SessionEvent("k2", ts(30)))
+    q.processAllAvailable()
+    // advance the watermark far past every open session + gap so the
+    // event-time timeouts close k1's second session and k2's
+    input.addData(SessionEvent("k9", ts(100000)))
+    q.processAllAvailable()
+    input.addData(SessionEvent("k9", ts(400000)))
+    runToCompletion(q)
+    val rows = spark.table("sess").as[SessionSummary].collect()
+      .map(s => (s.key, s.sessionStart.getTime / 1000,
+        s.sessionEnd.getTime / 1000, s.nEvents)).toSet
+    assert(rows.contains(("k1", 10L, 40L, 2L)), s"gap-closed session: $rows")
+    assert(rows.contains(("k1", 200L, 200L, 1L)), s"timeout-closed session: $rows")
+    assert(rows.contains(("k2", 20L, 30L, 2L)), s"late event must merge: $rows")
+    assert(!rows.exists(r => r._1 == "k2" && r._4 == 1L),
+      s"no singleton k2 session — the late event belongs to it: $rows")
+  }
 }
