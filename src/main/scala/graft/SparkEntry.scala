@@ -3367,7 +3367,7 @@ object SparkEntry {
     "q125_zscore_outliers" ->
       """WITH r AS (
            SELECT event_id, event_type, CAST(round("value" * 100.0) AS BIGINT) AS c
-           FROM events),
+           FROM events WHERE "value" IS NOT NULL),
          m AS (
            SELECT event_type, count(*) AS n, sum(c) AS s1, sum(c * c) AS s2
            FROM r GROUP BY 1 HAVING count(*) >= 2),

@@ -121,7 +121,12 @@ object Profile {
                      zE4: Long = 30000L): DataFrame = {
     val dec = DecimalType(38, 0)
     val c = round(col(valueCol) * scale.toDouble).cast(LongType)
-    val rows = df.select(col(idCol), col(groupCol), c.as("c"))
+    // NULL values are outside the distribution entirely: they must not
+    // inflate n while the sums skip them (a constant group plus one
+    // NULL would acquire fake variance — r11 review), and a NULL row
+    // can't be an outlier
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select(col(idCol), col(groupCol), c.as("c"))
     val moments = rows.groupBy(col(groupCol)).agg(
       count(lit(1)).as("n"),
       sum(col("c").cast(dec)).as("s1"),

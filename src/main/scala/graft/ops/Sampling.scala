@@ -358,6 +358,8 @@ object Sampling {
     */
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
                      k: Int): DataFrame = {
+    require(!df.columns.contains("aes_key_e9"),
+      "input already carries aes_key_e9 — rename it first")
     val u = (portableMix(col(idCol)).cast("double") + lit(1.0)) / lit(1000000008.0)
     df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
       .withColumn("aes_key_e9",

@@ -205,11 +205,17 @@ object StatefulOps {
     * ST3 machinery). Same one-shuffle-on-key, state-partitioned 100 TB
     * shape as the other keyed-state operators.
     *
-    * Late events that precede the open session merge into it (the
-    * interval extends backwards) — with a watermark delay of D, an
-    * event can be at most D late, and any event admitted by the
-    * watermark that falls within the open interval ± gap belongs to
-    * that session by the gap rule.
+    * Each trigger runs the standard interval sweep over {the open
+    * session} ∪ {this batch's events} sorted by start time, so late
+    * events admitted by the watermark obey the SAME gap rule in both
+    * directions: within gap of the open interval → merge (extending it
+    * backwards if needed); more than a gap BEFORE it → a separate,
+    * already-superseded session emitted closed this trigger (the r11
+    * review caught the naive merge arm gluing such an event into the
+    * open session across an arbitrary internal gap). Residual streaming
+    * approximation, documented: a straggler arriving AFTER the session
+    * it belongs to was emitted starts a fresh session — bounded state
+    * cannot reopen emitted output; the batch mirror is the exact form.
     */
   def sessionize(events: Dataset[SessionEvent], gapSeconds: Long = 1800)(
       implicit spark: SparkSession): Dataset[SessionSummary] = {
@@ -225,18 +231,25 @@ object StatefulOps {
           Iterator.single(summary(s))
         } else {
           val out = scala.collection.mutable.ArrayBuffer.empty[SessionSummary]
-          var cur = state.getOption
-          for (e <- it.toSeq.sortBy(_.ts.getTime)) {
-            val t = e.ts.getTime
+          // interval sweep: the open session participates as one
+          // interval among the batch's points, ordered by START — the
+          // textbook merge, correct for backward-late events too
+          val intervals =
+            (state.getOption.toSeq ++
+              it.toSeq.map(e => SessionWindowState(e.ts.getTime, e.ts.getTime, 1)))
+              .sortBy(s => (s.startMs, s.endMs))
+          var cur: Option[SessionWindowState] = None
+          for (s <- intervals) {
             cur match {
-              case Some(s) if t > s.endMs + gapSeconds * 1000 =>
-                out += summary(s)
-                cur = Some(SessionWindowState(t, t, 1))
-              case Some(s) =>
+              case Some(c) if s.startMs > c.endMs + gapSeconds * 1000 =>
+                out += summary(c)
+                cur = Some(s)
+              case Some(c) =>
                 cur = Some(SessionWindowState(
-                  math.min(s.startMs, t), math.max(s.endMs, t), s.n + 1))
+                  math.min(c.startMs, s.startMs),
+                  math.max(c.endMs, s.endMs), c.n + s.n))
               case None =>
-                cur = Some(SessionWindowState(t, t, 1))
+                cur = Some(s)
             }
           }
           cur.foreach { s =>

@@ -77,6 +77,12 @@ class ProfileSpec extends SparkSpec {
     // S1 = 10500, S2 = 102050000; n·S2 − S1² = 400000000; var = 2e7;
     // z = 40000 / (5·√2e7) = 1.7888543819998317 -> floor e4 17888
     assert(got(5L) == 17888L, got.toString)
+    // a NULL value must not inflate n against the sums: a constant
+    // group plus one NULL has NO variance, so no outliers (r11 review)
+    val withNull = Seq(
+      (1L, "g", Some(5.0)), (2L, "g", Some(5.0)), (3L, "g", None)
+    ).toDF("id", "grp", "v")
+    assert(Profile.zscoreOutliers(withNull, "id", "v", "grp", zE4 = 1L).count() == 0)
   }
 
   test("all-null and empty-table edges") {

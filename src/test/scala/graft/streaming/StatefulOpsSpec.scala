@@ -222,4 +222,30 @@ class StatefulOpsSpec extends SparkSpec {
     assert(!rows.exists(r => r._1 == "k2" && r._4 == 1L),
       s"no singleton k2 session — the late event belongs to it: $rows")
   }
+
+  test("streaming sessionize: a backward-late event beyond the gap is its OWN session") {
+    val input = MemoryStream[SessionEvent]
+    val events = input.toDS().withWatermark("ts", "1 hour")
+    val out = StatefulOps.sessionize(events, gapSeconds = 60)
+    val q = out.writeStream.format("memory").queryName("sessback")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    // open session at t=300; then a late event at t=50 — 250s earlier,
+    // far beyond the 60s gap. The naive merge arm glued these into one
+    // [50,300] session (r11 review); the sweep must emit [50,50] closed
+    // and keep [300,300] open.
+    input.addData(SessionEvent("b1", ts(300)))
+    q.processAllAvailable()
+    input.addData(SessionEvent("b1", ts(50)))
+    q.processAllAvailable()
+    // close the open session via watermark
+    input.addData(SessionEvent("b9", ts(100000)))
+    q.processAllAvailable()
+    input.addData(SessionEvent("b9", ts(400000)))
+    runToCompletion(q)
+    val rows = spark.table("sessback").as[SessionSummary].collect()
+      .filter(_.key == "b1")
+      .map(s => (s.sessionStart.getTime / 1000, s.sessionEnd.getTime / 1000, s.nEvents))
+      .toSet
+    assert(rows == Set((50L, 50L, 1L), (300L, 300L, 1L)), rows.toString)
+  }
 }
