@@ -1703,6 +1703,15 @@ object SparkEntry {
       ops.Sampling.weightedSample(
         T(s, dir, "documents").select(col("doc_id"), col("n_chars")),
         "doc_id", "n_chars", k = 100)),
+
+    // Fuzzy canonicalization over q116's pair graph — this puts the
+    // connected-components loop itself under an exact oracle: DuckDB
+    // computes the same components via a recursive-CTE transitive
+    // closure and the same lexicographic-min canonical per component.
+    "q127_fuzzy_canonicalize" -> ((s, dir) =>
+      ops.FuzzyJoin.canonicalize(
+        T(s, dir, "part"), "p_name", maxDist = 4,
+        blockKey = v => coalesce(split(v, " ").getItem(1), lit("")))),
   )
 
   // ------------------------------------------------------------------
@@ -3398,6 +3407,22 @@ object SparkEntry {
              (ln((CAST(mix AS DOUBLE) + 1.0) / 1000000008.0) / CAST(n_chars AS DOUBLE))) AS BIGINT) AS aes_key_e9
          FROM m
          ORDER BY aes_key_e9 DESC, doc_id ASC LIMIT 100""",
+
+    // transitive closure by recursive CTE == the engine's min-label CC
+    // fixpoint; canonical = min VALUE over the component on both sides
+    "q127_fuzzy_canonicalize" ->
+      """WITH RECURSIVE
+         dict AS (SELECT DISTINCT p_name AS v FROM part WHERE p_name IS NOT NULL),
+         b AS (SELECT v, split_part(v, ' ', 2) AS blk FROM dict),
+         e0 AS (SELECT x.v AS a, y.v AS bb FROM b x JOIN b y USING (blk)
+                WHERE x.v < y.v AND abs(length(x.v) - length(y.v)) <= 4
+                  AND levenshtein(x.v, y.v) <= 4),
+         edges AS (SELECT a, bb FROM e0 UNION ALL SELECT bb, a FROM e0),
+         reach(v, l) AS (
+           SELECT v, v FROM dict
+           UNION
+           SELECT e.bb, r.l FROM reach r JOIN edges e ON r.v = e.a)
+         SELECT v AS value, min(l) AS canonical FROM reach GROUP BY 1""",
 
     // q33_ann_lsh / q35_cosine_neardup / q36_ann_ivf /
     // q54_ann_lsh_multi: probabilistic and hash-family-specific — the
