@@ -58,4 +58,28 @@ object Jdbc {
     p.setProperty("batchsize", batchSize.toString)
     df.write.mode("append").jdbc(url, table, p)
   }
+
+  /** K10 — generic parameterized UPDATE/DELETE/DDL, driver-side (the
+    * reference's `OperatorOnSqlServer.executeUpdate`:
+    * SRC/utils/sqlserver/OperatorOnSqlServer.java:55-72 — a
+    * PreparedStatement with positional params, returning whether any
+    * row changed). Distinct from [[writeTable]] on purpose: control-
+    * plane statements (marking a config row processed, truncating a
+    * staging table) are single-connection one-shots, not distributed
+    * writes — routing them through the Spark writer would serialize a
+    * job for one row. Returns the update count.
+    */
+  def executeUpdate(url: String, sql: String, params: Seq[Any] = Nil,
+                    props: Properties = new Properties()): Int = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val ps = conn.prepareStatement(sql)
+      try {
+        params.zipWithIndex.foreach { case (p, i) =>
+          ps.setObject(i + 1, p.asInstanceOf[AnyRef])
+        }
+        ps.executeUpdate()
+      } finally ps.close()
+    } finally conn.close()
+  }
 }

@@ -77,6 +77,24 @@ class JdbcSpec extends SparkSpec {
     assert(back.agg(sum(col("total"))).head().getDouble(0) === 4.0)
   }
 
+  test("K10: executeUpdate runs parameterized update/delete and reports the row count") {
+    exec("CREATE TABLE proc_state (source_table VARCHAR(64), done INT)")
+    exec("INSERT INTO proc_state VALUES ('view', 0)")
+    exec("INSERT INTO proc_state VALUES ('purchase', 0)")
+    val n = Jdbc.executeUpdate(url,
+      "UPDATE proc_state SET done = ? WHERE source_table = ?", Seq(1, "view"), props)
+    assert(n === 1)
+    // no match -> 0, and the table is untouched
+    assert(Jdbc.executeUpdate(url,
+      "UPDATE proc_state SET done = ? WHERE source_table = ?", Seq(1, "absent"), props) === 0)
+    val m = Jdbc.readTable(spark, url, "proc_state", props)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(m === Map("view" -> 1, "purchase" -> 0))
+    assert(Jdbc.executeUpdate(url,
+      "DELETE FROM proc_state WHERE done = ?", Seq(1), props) === 1)
+    assert(Jdbc.readTable(spark, url, "proc_state", props).count() === 1)
+  }
+
   test("K10: Jdbc.writeTable appends with batchsize and round-trips values") {
     import spark.implicits._
     exec("CREATE TABLE metrics (name VARCHAR(32), v BIGINT)")
