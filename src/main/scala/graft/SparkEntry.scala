@@ -26,6 +26,17 @@ object SparkEntry {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** The sf0.1 sibling of `dir` — the realistic-density dump the ANN
+    * recall gates must ALSO hold on (r11 verdict ask #5: sf0.01 floors
+    * alone would miss bucket-collapse that only shows at 10× density).
+    * Falls back to `dir` itself when the sibling is absent, so Verify
+    * still runs standalone against any single dump.
+    */
+  private def sf01(dir: String): String = {
+    val p = new java.io.File(new java.io.File(dir).getParentFile, "sf0.1")
+    if (p.isDirectory) p.getAbsolutePath else dir
+  }
+
   /** exact decimal sum of a double money column, surfaced as double */
   private def dsum(c: Column): Column =
     sum(c.cast("decimal(18,2)")).cast("double")
@@ -1712,6 +1723,50 @@ object SparkEntry {
       ops.FuzzyJoin.canonicalize(
         T(s, dir, "part"), "p_name", maxDist = 4,
         blockKey = v => coalesce(split(v, " ").getItem(1), lit("")))),
+
+    // The q94-q99 recall/error floors re-pinned at the sf0.1 dump in
+    // ONE query (r11 verdict ask #5): each probabilistic-family gate
+    // recomputes approx-vs-exact at 10× the gate density and must
+    // clear the SAME floor constants (chosen below the measured values
+    // of BOTH dumps from the start). A bucket-collapse that only
+    // manifests at realistic density — the q124 failure mode — flips a
+    // meets_floor here and hash-fails the round.
+    "q128_recall_gates_sf01" -> ((s, dir) => {
+      val d = sf01(dir)
+      val emb = T(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+      val truth = Similarity.bruteForceTopK(q, emb, 5)
+      def g(name: String, got: DataFrame, tr: DataFrame,
+            keys: Seq[String], f: Long): DataFrame =
+        recallGate(got, tr, keys, f)
+          .select(lit(name).as("gate"), col("floor_e4"), col("meets_floor"))
+      val hll = T(s, d, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("dt"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("a"),
+          countDistinct(col("user_id")).as("x"))
+        .agg(min(abs(col("a") - col("x")) * 10000L <= col("x") * 500L)
+          .as("meets_floor"))
+        .select(lit("uv_hll").as("gate"), lit(500L).as("floor_e4"),
+          col("meets_floor"))
+      g("lsh", Similarity.lshTopK(q, emb, 5, nPlanes = 4), truth,
+          Seq("query_id", "neighbor_id"), 500L)
+        .union(g("lsh_multi",
+          Similarity.lshTopKMulti(q, emb, 5, nPlanes = 4, nTables = 16), truth,
+          Seq("query_id", "neighbor_id"), 8500L))
+        .union(g("ivf", Similarity.ivfTopK(q, emb, 5, nCells = 8), truth,
+          Seq("query_id", "neighbor_id"), 500L))
+        .union(g("ivf_trained",
+          Similarity.ivfTopKTrained(q, emb, 5,
+            Similarity.trainCentroids(emb, nCells = 8, iters = 2), nProbe = 2),
+          truth, Seq("query_id", "neighbor_id"), 8500L))
+        .union(g("cosine_neardup",
+          Similarity.cosineNearDupPairsMulti(emb, minSimE4 = 3000L,
+            nPlanes = 8, nTables = 8),
+          Similarity.cosinePairsLabelExact(emb, "label", 3000L)
+            .select(col("id_a"), col("id_b")),
+          Seq("id_a", "id_b"), 1000L))
+        .union(hll)
+    }),
   )
 
   // ------------------------------------------------------------------
@@ -3400,11 +3455,13 @@ object SparkEntry {
     "q126_weighted_sample" ->
       """WITH m AS (
            SELECT doc_id, n_chars,
-             ((doc_id % 1000003) * 2654435761) % 1000000007 AS mix
+             ((doc_id % 2147483647) * 2654435761) % 2147483629
+               * 2147483648
+               + ((doc_id % 2147483629) * 2246822519) % 2147483647 AS mix
            FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
          SELECT doc_id, n_chars,
            CAST(floor(1000000000.0 *
-             (ln((CAST(mix AS DOUBLE) + 1.0) / 1000000008.0) / CAST(n_chars AS DOUBLE))) AS BIGINT) AS aes_key_e9
+             (ln((CAST(mix AS DOUBLE) + 1.0) / 4611686018427387904.0) / CAST(n_chars AS DOUBLE))) AS BIGINT) AS aes_key_e9
          FROM m
          ORDER BY aes_key_e9 DESC, doc_id ASC LIMIT 100""",
 
@@ -3423,6 +3480,18 @@ object SparkEntry {
            UNION
            SELECT e.bb, r.l FROM reach r JOIN edges e ON r.v = e.a)
          SELECT v AS value, min(l) AS canonical FROM reach GROUP BY 1""",
+
+    // the sf0.1 re-pin of the probabilistic floors: measurement is
+    // Spark-side (on the sibling sf0.1 dump); the oracle pins the
+    // contract rows — six gates, their floor constants, all met
+    "q128_recall_gates_sf01" ->
+      """SELECT * FROM (VALUES
+           ('cosine_neardup', CAST(1000 AS BIGINT), true),
+           ('ivf', CAST(500 AS BIGINT), true),
+           ('ivf_trained', CAST(8500 AS BIGINT), true),
+           ('lsh', CAST(500 AS BIGINT), true),
+           ('lsh_multi', CAST(8500 AS BIGINT), true),
+           ('uv_hll', CAST(500 AS BIGINT), true)) AS t(gate, floor_e4, meets_floor)""",
 
     // q33_ann_lsh / q35_cosine_neardup / q36_ann_ivf /
     // q54_ann_lsh_multi: probabilistic and hash-family-specific — the

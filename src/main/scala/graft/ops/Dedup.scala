@@ -1170,10 +1170,19 @@ object Dedup {
     * a LOWER BOUND on the true containment — the capped output is a
     * subset of the exact output (missed pairs possible, spurious pairs
     * impossible; pinned in `DedupSpec`). Default 1.0 = exact.
+    *
+    * `maxDfAbs` is the ABSOLUTE twin (the q123/`Retrieval.maxDfAbs`
+    * doctrine, confirmed by the r12 skew probe): a fractional cap
+    * weakens as the corpus grows — a sub-corpus-local stopword's df
+    * FRACTION shrinks with every merge while its Σf² contribution
+    * keeps growing quadratically — so a 100 TB deployment sets the
+    * absolute cap, bounding per-(block, token) join fan-out at
+    * maxDfAbs² regardless of corpus size. Same lower-bound contract.
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        blockCols: Seq[Column], thresholdE4: Long,
-                       minSize: Int = 0, maxDfFrac: Double = 1.0): DataFrame = {
+                       minSize: Int = 0, maxDfFrac: Double = 1.0,
+                       maxDfAbs: Long = Long.MaxValue): DataFrame = {
     val keys = blockCols.indices.map(i => s"blk_$i")
     // both pair members must have ≥ minSize distinct tokens (containment
     // of a near-empty set is trivially 1), so sub-minSize docs can be
@@ -1191,13 +1200,14 @@ object Dedup {
     // df-cap: drop block-stopwords before the self-join. toks rows are
     // distinct per (id, th), so the per-(block, th) count IS document
     // frequency; both stat frames are token-hash-sized aggregates.
-    val joinable = if (maxDfFrac >= 1.0) toks else {
+    val joinable = if (maxDfFrac >= 1.0 && maxDfAbs == Long.MaxValue) toks else {
       val blockDocs = toks.select(keys.map(col) :+ col("id"): _*).distinct()
         .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__bd"))
       val dfc = toks.groupBy((keys.map(col) :+ col("th")): _*)
         .agg(count(lit(1)).as("__dfc"))
       toks.join(dfc, keys :+ "th").join(blockDocs, keys)
-        .filter(col("__dfc").cast("double") <= col("__bd").cast("double") * maxDfFrac)
+        .filter(col("__dfc").cast("double") <= col("__bd").cast("double") * maxDfFrac
+          && col("__dfc") <= lit(maxDfAbs))
         .select((col("id") +: col("sz") +: keys.map(col)) :+ col("th"): _*)
     }
     val cond = (keys.map(k => col(s"a.$k") === col(s"b.$k")) :+

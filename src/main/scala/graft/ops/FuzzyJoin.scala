@@ -136,21 +136,58 @@ object FuzzyJoin {
     *
     * CC runs on 8-byte `xxhash64` fingerprints of the values, the dedup
     * family's standard id contract — strings never enter the iterative
-    * shuffle.
+    * shuffle. The fingerprints are also checked collision-free before
+    * use ([[requireCollisionFree]]): the dictionary is model-sized by
+    * construction, so the check is one cheap aggregate, and a 64-bit
+    * collision (which would silently fuse two unrelated clusters) fails
+    * loudly instead.
+    *
+    * Convergence is a hard contract, not a hope: the label-propagation
+    * loop runs via `connectedComponentsTracked`, and if `maxIter`
+    * rounds did not reach the fixpoint (a fuzzy chain with diameter >
+    * maxIter) this THROWS rather than returning silently-partial
+    * components — raise `maxIter` for deep-chain dictionaries.
     */
   def canonicalize(df: DataFrame, valueCol: String, maxDist: Int,
-                   blockKey: Column => Column): DataFrame = {
+                   blockKey: Column => Column, maxIter: Int = 20): DataFrame = {
     val pairs = dictionaryPairs(df, valueCol, maxDist, blockKey)
       .select(xxhash64(col("val_a")).as("id_a"), xxhash64(col("val_b")).as("id_b"))
-    val labels = Dedup.connectedComponents(pairs)
+    val run = Dedup.connectedComponentsTracked(pairs, maxIter)
+    CacheScope.registerRdds(df.sparkSession, run.rdds)
+    if (!run.converged) throw new IllegalStateException(
+      s"canonicalize: connected components did not converge in ${run.rounds} rounds " +
+        s"(cluster chain deeper than maxIter=$maxIter) — labels would be " +
+        "PARTIAL; raise maxIter")
+    val labels = run.labels
     val dict = df.select(col(valueCol).as("value")).filter(col("value").isNotNull)
       .distinct()
       .select(col("value"), xxhash64(col("value")).as("__h"))
+    requireCollisionFree(dict, "value", "__h")
     val canon = dict.join(labels, dict("__h") === labels("id"))
       .groupBy(col("label")).agg(min(col("value")).as("canonical"))
     dict.join(labels, dict("__h") === labels("id"), "left")
       .join(canon, Seq("label"), "left")
       .select(col("value"),
         coalesce(col("canonical"), col("value")).as("canonical"))
+  }
+
+  /** Loud guard against 64-bit fingerprint collisions: on a
+    * dictionary-sized frame, assert `count_distinct(value) ==
+    * count_distinct(hash)`. A collision would silently FUSE two
+    * unrelated values into one CC node (here) or one vector dimension
+    * ([[Retrieval.tfidfCosinePairs]]) — undetectable downstream, so it
+    * must fail at the source. One cheap aggregate over a frame that is
+    * model-sized by construction; never call it on corpus-sized data.
+    */
+  private[ops] def requireCollisionFree(dict: DataFrame, valueCol: String,
+                                        hashCol: String): Unit = {
+    val row = dict.select(
+      countDistinct(col(valueCol)).as("nv"),
+      countDistinct(col(hashCol)).as("nh")).head()
+    val (nv, nh) = (row.getLong(0), row.getLong(1))
+    if (nv != nh) throw new IllegalStateException(
+      s"xxhash64 fingerprint collision on '$valueCol': $nv distinct values " +
+        s"hash to $nh distinct fingerprints — results would silently merge " +
+        "unrelated values; use a wider identity for this vocabulary")
   }
 }

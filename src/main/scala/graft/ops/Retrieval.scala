@@ -145,6 +145,11 @@ object Retrieval {
         col("df") <= lit(math.min(math.floor(maxDfFrac * nDocs), maxDfAbs.toDouble)))
       .withColumn("idf_e3",
         floor(lit(1000.0) * log(lit(nDocs.toDouble) / col("df"))).cast("long"))
+    // the df-filtered vocabulary is dictionary-sized; a 64-bit term-hash
+    // collision would silently merge two terms' weights into one vector
+    // dimension, so it fails loudly here instead (one cheap aggregate)
+    FuzzyJoin.requireCollisionFree(
+      dfreq.select(col("term"), xxhash64(col("term")).as("__th")), "term", "__th")
     val w = CacheScope.persist(
       terms.join(dfreq.select(col("term"), col("idf_e3")), "term")
         .select(xxhash64(col("term")).as("th"), col("id"),

@@ -42,6 +42,24 @@ object Sampling {
   def portableBucket(id: Column, nBuckets: Int): Column =
     pmod(portableMix(id), lit(nBuckets.toLong))
 
+  /** High-resolution engine-portable mix: two independent
+    * multiplicative residue mixes over near-2^31 primes, combined into
+    * one value in [0, ~2^62). Period = lcm(2147483647, 2147483629)
+    * ≈ 4.6×10^18, so distinct ids keep distinct mix streams far past
+    * any real corpus size — this is the u-source for samplers whose
+    * QUALITY depends on u's resolution ([[weightedSample]]'s A-ES
+    * keys), where [[portableMix]]'s ~10^6-period would make same-class
+    * ids tie systematically. Every intermediate stays below 2^63
+    * (largest: 2147483646·2654435761 ≈ 5.7×10^18), so the arithmetic
+    * is exact in any 64-bit-integer engine and the DuckDB oracle
+    * replays it verbatim.
+    */
+  def portableMix62(id: Column): Column = {
+    val m1 = pmod(pmod(id, lit(2147483647L)) * lit(2654435761L), lit(2147483629L))
+    val m2 = pmod(pmod(id, lit(2147483629L)) * lit(2246822519L), lit(2147483647L))
+    m1 * lit(2147483648L) + m2
+  }
+
   /** The split label for an id as a standalone column expression:
     * cumulative weight ranges over a 1e6-bucket mix. Because the split
     * is a pure function of the id, a leakage/decontamination check can
@@ -345,8 +363,11 @@ object Sampling {
     * uniformly would under-represent long documents' token mass.
     *
     * Deterministic and engine-portable, like every sampler in this
-    * module: u derives from [[portableMix]] (exact 64-bit arithmetic,
-    * never a random number), and rank order uses
+    * module: u derives from [[portableMix62]] (exact 64-bit arithmetic,
+    * never a random number; the ~2^62 period keeps u effectively
+    * collision-free at any corpus size — the low-period mix would give
+    * same-residue ids identical u and bias ties toward low ids), and
+    * rank order uses
     * ⌊10⁹·ln(u)/w⌋ — monotone in u^(1/w) — with an id tie-break, so
     * the selected SET replays exactly (the ln floor is the q107/q123
     * libm precedent). Top-k plans as `TakeOrderedAndProject`:
@@ -360,7 +381,10 @@ object Sampling {
                      k: Int): DataFrame = {
     require(!df.columns.contains("aes_key_e9"),
       "input already carries aes_key_e9 — rename it first")
-    val u = (portableMix(col(idCol)).cast("double") + lit(1.0)) / lit(1000000008.0)
+    // denominator 2^62 (exact in double) sits just above the mix's
+    // max value, keeping u in (0, 1); the +1.0 is absorbed by double
+    // rounding above 2^53 identically in every IEEE-754 engine
+    val u = (portableMix62(col(idCol)).cast("double") + lit(1.0)) / lit(4.611686018427387904e18)
     df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
       .withColumn("aes_key_e9",
         floor(lit(1000000000.0) * (log(u) / col(weightCol).cast("double")))

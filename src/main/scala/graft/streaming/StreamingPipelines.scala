@@ -12,6 +12,14 @@ import org.apache.spark.sql.Row
   * runs against Kafka (`spark.readStream.format("kafka")`) in
   * production and `MemoryStream` / file sources in tests. No cluster
   * service is required to exercise the logic.
+  *
+  * Delivery semantics: every sink here is AT-LEAST-ONCE — a failure
+  * between sink write and checkpoint commit replays the last batch.
+  * Each keyed/windowed output therefore stamps a deterministic
+  * idempotence key and downstream consumers dedup/upsert on it (the
+  * reference's ClickHouse ReplacingMergeTree contract). The exact
+  * duplicate window and the consumer obligations are documented in
+  * COVERAGE.md §2.13 ("The at-least-once duplicate window, precisely").
   */
 object StreamingPipelines {
 
@@ -21,17 +29,49 @@ object StreamingPipelines {
     */
   def kafkaJsonSource(spark: SparkSession, bootstrap: String, topic: String,
                       groupId: String, schema: org.apache.spark.sql.types.StructType,
-                      watermark: Option[(String, String)] = None): DataFrame = {
-    val raw = spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topic)
-      .option("kafka.group.id", groupId)
-      .option("startingOffsets", "earliest")
-      .load()
+                      watermark: Option[(String, String)] = None): DataFrame =
+    parseKafkaJson(
+      spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("kafka.group.id", groupId)
+        .option("startingOffsets", "earliest")
+        .load(),
+      schema, watermark)
+
+  /** The S1/S2 value-side ingest projection, factored out of
+    * [[kafkaJsonSource]] so a wire replay (binary `value` bytes read
+    * back from ANY store — the KafkaWireSpec parquet topic, a broker
+    * dump, a DLQ) goes through the IDENTICAL parse path the production
+    * source uses: value bytes → UTF-8 string → `from_json` under
+    * `schema` → columns, optional watermark. Works on batch and
+    * streaming frames alike.
+    */
+  def parseKafkaJson(raw: DataFrame, schema: org.apache.spark.sql.types.StructType,
+                     watermark: Option[(String, String)] = None): DataFrame = {
+    val parsed = raw
       .selectExpr("CAST(value AS STRING) AS json")
       .select(from_json(col("json"), schema).as("r"))
       .select(col("r.*"))
-    watermark.fold(raw) { case (c, delay) => raw.withWatermark(c, delay) }
+    watermark.fold(parsed) { case (c, delay) => parsed.withWatermark(c, delay) }
+  }
+
+  /** The exact bytes Spark's Kafka sink hands the producer: `key` and
+    * `value` cast to BINARY (UTF-8 of the JSON/string payloads — the
+    * sink's own string→bytes coercion), `topic` passed through when
+    * present. NULL values stay NULL — the S3 tombstone contract rides
+    * on that. Writing this frame to a keyed store (the `kafka` format
+    * in production; a parquet "topic" in the broker-less wire spec)
+    * preserves the broker-visible record bytes.
+    */
+  def toWireBytes(producerShape: DataFrame): DataFrame = {
+    val cols = producerShape.columns
+    val sel = Seq(
+      (if (cols.contains("key")) col("key").cast("binary")
+       else lit(null).cast("binary")).as("key"),
+      col("value").cast("binary").as("value")) ++
+      (if (cols.contains("topic")) Seq(col("topic")) else Nil)
+    producerShape.select(sel: _*)
   }
 
   /** A1/A4 — tumbling-window stats over a watermarked stream

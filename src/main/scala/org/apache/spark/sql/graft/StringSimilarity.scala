@@ -47,13 +47,21 @@ case class JaroWinkler(left: Expression, right: Expression)
 }
 
 object JaroWinkler {
-  /** Static target for the generated code. Char-level (UTF-16) — equal
-    * to byte-level implementations on ASCII; non-BMP text compares by
-    * surrogate pairs.
+  /** Static target for the generated code. BYTE-level over the UTF-8
+    * encoding — the same alphabet DuckDB/rapidfuzz (and DuckDB's
+    * `levenshtein`, used by the q116/q127 oracles) operate on, so the
+    * bit-for-bit oracle contract holds for NON-ASCII input too, not
+    * just ASCII (r11 advice: the UTF-16 char-level form silently
+    * diverged from the oracle on any accented or CJK value — e.g.
+    * DuckDB scores jw('é','e') = 0.0 because the byte strings C3A9 vs
+    * 65 share no symbol). On ASCII the two alphabets coincide. The
+    * window/prefix arithmetic runs on byte positions; multi-byte
+    * characters contribute partial matches byte-by-byte, which is
+    * exactly rapidfuzz-on-UTF-8's behavior.
     */
   def similarity(ua: UTF8String, ub: UTF8String): Double = {
-    val s = ua.toString
-    val t = ub.toString
+    val s = ua.getBytes
+    val t = ub.getBytes
     val n = s.length
     val m = t.length
     if (n == 0 || m == 0) return 0.0
@@ -67,7 +75,7 @@ object JaroWinkler {
       var j = math.max(0, i - window)
       var found = false
       while (j <= hi && !found) {
-        if (!tMatch(j) && s.charAt(i) == t.charAt(j)) {
+        if (!tMatch(j) && s(i) == t(j)) {
           sMatch(i) = true; tMatch(j) = true; matches += 1; found = true
         }
         j += 1
@@ -75,14 +83,14 @@ object JaroWinkler {
       i += 1
     }
     if (matches == 0) return 0.0
-    // aligned mismatches between the i-th matched chars of each side
+    // aligned mismatches between the i-th matched bytes of each side
     var x = 0
     var k = 0
     i = 0
     while (i < n) {
       if (sMatch(i)) {
         while (!tMatch(k)) k += 1
-        if (s.charAt(i) != t.charAt(k)) x += 1
+        if (s(i) != t(k)) x += 1
         k += 1
       }
       i += 1
@@ -94,7 +102,7 @@ object JaroWinkler {
     else {
       val maxL = math.min(4, math.min(n, m))
       var l = 0
-      while (l < maxL && s.charAt(l) == t.charAt(l)) l += 1
+      while (l < maxL && s(l) == t(l)) l += 1
       jaro + l * 0.1 * (1.0 - jaro)
     }
   }

@@ -11,6 +11,19 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
 
+  override def beforeAll(): Unit = {
+    // cascade-breaker (r12 deflake): a streaming query leaked by an
+    // EARLIER suite (e.g. an assert fired between processAllAvailable
+    // and q.stop) would keep its ProcessingTime(0) trigger loop running
+    // concurrently with THIS suite on the shared session — the one
+    // source of cross-suite concurrency in the otherwise-sequential
+    // forked test JVM. Stop them before any test runs.
+    spark.streams.active.foreach { q =>
+      System.err.println(s"[SparkSpec] stopping leaked streaming query ${q.name}")
+      q.stop()
+    }
+  }
+
   override def afterAll(): Unit = { /* shared session: leave running */ }
 }
 

@@ -21,6 +21,19 @@ class StringSimilaritySpec extends SparkSpec {
     assert(jw("aaaaaaaaaaab", "aaaaaaaaaaba") == 0.9833333333333333)
   }
 
+  test("NON-ASCII matches DuckDB byte-for-byte (r11 advice: UTF-8 alphabet, not UTF-16)") {
+    // expected doubles captured from DuckDB on 2026-08-14 — these pin
+    // the BYTE-level contract: 'é' vs 'e' is C3A9 vs 65 (no shared
+    // symbol → 0.0), and the CJK pair differs in ONE byte of nine
+    assert(jw("héllo", "hello") == 0.8400000000000001)
+    assert(jw("é", "e") == 0.0)
+    assert(jw("éa", "ea") == 0.0)
+    assert(jw("日本語", "日本誤") == 0.9555555555555556)
+    assert(jw("abcé", "abce") == 0.8483333333333334)
+    assert(jw("ñandú", "nandu") == 0.6761904761904761)
+    assert(jw("Aß", "AB") == 0.611111111111111)
+  }
+
   test("boost threshold is strict: jaro <= 0.7 gets NO prefix bonus") {
     assert(jw("abcx", "abdz") == 0.6666666666666666) // jaro exactly 2/3, prefix 2
     assert(jw("aaaaa", "aabbb") == 0.6)

@@ -30,6 +30,38 @@ class TextFunctionsSpec extends SparkSpec {
     assert(toks("  a  b\tc ") == Seq("a", "b", "c"))
   }
 
+  test("FMM adversarial dictionary boundaries: ties, truncated words, OOV runs (r11 verdict ask #8)") {
+    // every expectation below is HAND-DERIVED from the FMM rule
+    // (longest dictionary match at the current position wins; no
+    // backtracking) against the compile-time lexicon — the q100-oracle
+    // discipline applied to the segmenter's hardest boundaries
+    def toks(s: String): Seq[String] = Seq(s).toDF("t")
+      .select(TextFunctions.tokenize(col("t"))).as[Seq[String]].head()
+    // (1) overlapping longest-match tie: 运动鞋 (3) beats 运动 (2) even
+    // though that strands 子 — greedy FMM does NOT re-segment to
+    // [运动, 鞋子]; this asymmetry is the documented FMM contract
+    assert(toks("运动鞋子") == Seq("运动鞋", "子"))
+    // (2) nested prefixes three deep: 蓝牙耳机 (4) over 蓝牙 (2) + 耳机 (2)
+    assert(toks("蓝牙耳机套装") == Seq("蓝牙耳机", "套装"))
+    // (3) a dictionary word TRUNCATED at the run end falls back to
+    // single chars: 充电 is only a prefix (充电器/充电宝), not a word
+    assert(toks("充电") == Seq("充", "电"))
+    // (4) OOV char splitting two dictionary words: 的 is not in the
+    // lexicon and must surface as its own single-char token
+    assert(toks("手机的价格") == Seq("手机", "的", "价格"))
+    // (5) an entirely-OOV CJK run: every char is its own token
+    assert(toks("之乎者也") == Seq("之", "乎", "者", "也"))
+    // (6) greedy consumes the longest word STARTING at the position,
+    // not the globally-best cover: 智能手表 (4) wins over 智能 + 手表
+    assert(toks("智能手表带") == Seq("智能手表", "带"))
+    // (7) ASCII run interleaved mid-CJK splits the runs; segmentation
+    // restarts cleanly after the interruption
+    assert(toks("小米note手机壳") == Seq("小米", "note", "手机壳"))
+    // (8) word straddling an ASCII interruption must NOT match: 手 and
+    // 机 land in different runs around "x", so 手机 cannot form
+    assert(toks("手x机") == Seq("手", "x", "机"))
+  }
+
   test("tokenCount counts non-empty tokens") {
     val n = one("a b  c").select(TextFunctions.tokenCount($"t")).as[Int].head()
     assert(n == 3)

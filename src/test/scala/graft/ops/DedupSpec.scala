@@ -453,6 +453,31 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq((1L, 2L, 8000L)), s"got $out")
   }
 
+  test("containment maxDfAbs: absolute cap drops what a weakened fractional cap readmits (r12 skew probe)") {
+    // the q123 regime in miniature: a stopword shared by 3 of 12 docs
+    // (df-fraction 0.25 — UNDER a 0.5 fractional cap, so the fractional
+    // dial no longer drops it as the corpus grows) still drives Σf²;
+    // the absolute cap maxDfAbs=2 drops any token in >2 docs regardless
+    // of corpus size. Same lower-bound/subset contract as maxDfFrac.
+    val docs = (Seq(
+      (1L, "stopw aquila borealis cygnus draco", "en"),
+      (2L, "stopw aquila borealis cygnus draco plus more framing text here", "en"),
+      (3L, "stopw other words entirely here now", "en")) ++
+      (4L to 12L).map(i => (i, s"unique$i tokens$i only$i forthis$i doc$i", "en")))
+      .toDF("doc_id", "text", "lang")
+    val exact = Dedup.containmentPairs(docs, "doc_id", "text",
+        Seq(col("lang")), 8000L, minSize = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val absCapped = Dedup.containmentPairs(docs, "doc_id", "text",
+        Seq(col("lang")), 8000L, minSize = 5, maxDfAbs = 2L)
+      .as[(Long, Long, Long)].collect().toSeq
+    // subset contract holds
+    assert(absCapped.map(p => (p._1, p._2)).toSet.subsetOf(exact))
+    // "stopw" (df 3 > 2) is out of the join; the 4 rare quote tokens
+    // (df 2) remain → containment 4/5 = 8000 exactly for the real pair
+    assert(absCapped == Seq((1L, 2L, 8000L)), s"got $absCapped")
+  }
+
   test("containmentPairs minSize drops trivially-contained tiny docs") {
     val tiny = Seq(
       (1L, "alpha beta", "en"),

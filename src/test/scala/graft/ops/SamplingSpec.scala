@@ -233,8 +233,10 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSeq
     // Scala replay of the identical arithmetic
     def key(id: Long, w: Long): Long = {
-      val mix = ((id % 1000003L) * 2654435761L) % 1000000007L
-      math.floor(1000000000.0 * (math.log((mix.toDouble + 1.0) / 1000000008.0) / w.toDouble)).toLong
+      val m1 = ((id % 2147483647L) * 2654435761L) % 2147483629L
+      val m2 = ((id % 2147483629L) * 2246822519L) % 2147483647L
+      val mix = m1 * 2147483648L + m2
+      math.floor(1000000000.0 * (math.log((mix.toDouble + 1.0) / 4.611686018427387904e18) / w.toDouble)).toLong
     }
     val expect = (1L until 2001L).map(id => (id, id % 97 + 1))
       .sortBy { case (id, w) => (-key(id, w), id) }.take(50).map(_._1)

@@ -28,15 +28,26 @@ class IngestPipelineSpec extends SparkSpec {
       "that depend on it every day ") + tail
 
   test("gate, redaction, and cross-batch dedup compose in one ingest loop") {
-    val pairsByBatch = scala.collection.mutable.Map[Long, Set[(Long, Long)]]()
-    val droppedByBatch = scala.collection.mutable.Map[Long, Long]()
+    // r12 deflake: asserts are BATCH-ID-AGNOSTIC. The r11 full-suite
+    // flake read pairsByBatch(1L) == Set((1,3)) and saw Set() — which
+    // is exactly what a batch-id shift produces (a no-data micro-batch
+    // or a trigger-race split consuming an id, pushing the real work
+    // to a later id) without any product bug. The properties that
+    // matter don't depend on WHICH micro-batch did the work: the pair
+    // is found only after doc 3 arrives (phase 2), never before
+    // (phase 1), and the gate drop count totals 1.
+    val phase1Pairs = scala.collection.mutable.Set[(Long, Long)]()
+    val allPairs = scala.collection.mutable.Set[(Long, Long)]()
+    val dropped = new java.util.concurrent.atomic.AtomicLong(0L)
+    @volatile var phase2 = false
     val sink = IngestPipeline.trainingIngestSink(spark, db,
         "ing_corpus", "ing_index", "doc_id", "text",
         shingleN = 5, k = 32, bands = 16, threshold = 0.5) {
-      (pairs, dropped, batchId) =>
-        pairsByBatch(batchId) = pairs.select("id_a", "id_b")
-          .as[(Long, Long)].collect().toSet
-        droppedByBatch(batchId) = dropped
+      (pairs, droppedCt, _) =>
+        val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+        if (!phase2) phase1Pairs ++= got
+        allPairs ++= got
+        dropped.addAndGet(droppedCt); ()
     }
     val input = MemoryStream[(Long, String)]
     val q = input.toDF().toDF("doc_id", "text").writeStream
@@ -44,22 +55,25 @@ class IngestPipelineSpec extends SparkSpec {
       .option("checkpointLocation",
         java.nio.file.Files.createTempDirectory("ingck").toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
+    try {
+      // phase 1: one good doc (with an email to scrub) + one gate reject
+      input.addData(
+        (1L, goodDoc("reach us at ops@example.com for help")),
+        (2L, "tiny"))
+      q.processAllAvailable()
+      phase2 = true
+      // phase 2: a near-dup of doc 1 — different contact address, so the
+      // match must happen on the REDACTED text
+      input.addData(
+        (3L, goodDoc("reach us at other.person@elsewhere.org for help")))
+      q.processAllAvailable()
+    } finally q.stop()
 
-    // batch 0: one good doc (with an email to scrub) + one gate reject
-    input.addData(
-      (1L, goodDoc("reach us at ops@example.com for help")),
-      (2L, "tiny"))
-    q.processAllAvailable()
-    // batch 1: a near-dup of doc 1 — different contact address, so the
-    // match must happen on the REDACTED text
-    input.addData(
-      (3L, goodDoc("reach us at other.person@elsewhere.org for help")))
-    q.processAllAvailable(); q.stop()
-
-    assert(droppedByBatch(0L) == 1L, s"gate should drop doc 2: $droppedByBatch")
-    assert(pairsByBatch(0L) == Set.empty)
-    assert(pairsByBatch(1L) == Set((1L, 3L)),
-      s"cross-batch near-dup of the redacted docs expected: ${pairsByBatch(1L)}")
+    assert(dropped.get() == 1L, s"gate should drop exactly doc 2: ${dropped.get()}")
+    assert(phase1Pairs.isEmpty,
+      s"no pair may surface before doc 3 arrives: $phase1Pairs")
+    assert(allPairs.toSet == Set((1L, 3L)),
+      s"cross-batch near-dup of the redacted docs expected: $allPairs")
 
     // the rejected doc never entered corpus or index
     val corpus = spark.table(s"`$db`.`ing_corpus`")
@@ -83,13 +97,13 @@ class IngestPipelineSpec extends SparkSpec {
       goodDoc("benchmark item from <EMAIL> what is the answer to item 7"),
       "some other benchmark item never seen in the stream")
       .toDF("bad_text")
-    val droppedByBatch = scala.collection.mutable.Map[Long, Long]()
+    val dropped = new java.util.concurrent.atomic.AtomicLong(0L)
     val sink = IngestPipeline.trainingIngestSink(spark, db,
         "ing2_corpus", "ing2_index", "doc_id", "text",
         shingleN = 5, k = 32, bands = 16, threshold = 0.5,
         contam = Some((contamList, "bad_text"))) {
-      (pairs, dropped, batchId) =>
-        pairs.count(); droppedByBatch(batchId) = dropped
+      (pairs, droppedCt, _) =>
+        pairs.count(); dropped.addAndGet(droppedCt); ()
     }
     val input = MemoryStream[(Long, String)]
     val q = input.toDF().toDF("doc_id", "text").writeStream
@@ -97,14 +111,16 @@ class IngestPipelineSpec extends SparkSpec {
       .option("checkpointLocation",
         java.nio.file.Files.createTempDirectory("ingck2").toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
-    input.addData(
-      (1L, incoming),                      // matches after redaction
-      (2L, goodDoc("a perfectly ordinary clean document body")),
-      (3L, "tiny"))                        // gate reject
-    q.processAllAvailable(); q.stop()
+    try {
+      input.addData(
+        (1L, incoming),                      // matches after redaction
+        (2L, goodDoc("a perfectly ordinary clean document body")),
+        (3L, "tiny"))                        // gate reject
+      q.processAllAvailable()
+    } finally q.stop()
 
-    assert(droppedByBatch(0L) == 2L,
-      s"gate reject + contamination match: $droppedByBatch")
+    assert(dropped.get() == 2L,
+      s"gate reject + contamination match: ${dropped.get()}")
     val corpus = spark.table(s"`$db`.`ing2_corpus`")
     assert(corpus.select("id").as[Long].collect().toSet == Set(2L))
   }
@@ -119,8 +135,7 @@ class IngestPipelineSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val junk = goodDoc((1 to 40)
       .map(i => s"zzq$i qxz${i * 7} vvk${i * 13}").mkString(" "))
-    val droppedByBatch = scala.collection.mutable.Map[Long, Long]()
-    val corpusIds = scala.collection.mutable.Set[Long]()
+    val dropped = new java.util.concurrent.atomic.AtomicLong(0L)
     val sink = IngestPipeline.trainingIngestSink(spark, db,
         "ing3_corpus", "ing3_index", "doc_id", "text",
         shingleN = 5, k = 32, bands = 16, threshold = 0.5,
@@ -128,8 +143,8 @@ class IngestPipelineSpec extends SparkSpec {
         // bigrams), the junk doc ~-5.4 (its ~2/3 unseen positions sit
         // at the ~-8.1 backoff floor) — both sides have >2e6 slack
         lmGate = Some((ref, -3000000L))) {
-      (pairs, dropped, batchId) =>
-        pairs.count(); droppedByBatch(batchId) = dropped
+      (pairs, droppedCt, _) =>
+        pairs.count(); dropped.addAndGet(droppedCt); ()
     }
     val input = MemoryStream[(Long, String)]
     val q = input.toDF().toDF("doc_id", "text").writeStream
@@ -137,14 +152,16 @@ class IngestPipelineSpec extends SparkSpec {
       .option("checkpointLocation",
         java.nio.file.Files.createTempDirectory("ingck3").toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
-    input.addData(
-      (1L, goodDoc("a clean in-distribution document about the data pipeline")),
-      (2L, junk),
-      (3L, "tiny"))                        // surface-gate reject
-    q.processAllAvailable(); q.stop()
+    try {
+      input.addData(
+        (1L, goodDoc("a clean in-distribution document about the data pipeline")),
+        (2L, junk),
+        (3L, "tiny"))                        // surface-gate reject
+      q.processAllAvailable()
+    } finally q.stop()
 
-    assert(droppedByBatch(0L) == 2L,
-      s"surface reject + LM reject expected: $droppedByBatch")
+    assert(dropped.get() == 2L,
+      s"surface reject + LM reject expected: ${dropped.get()}")
     val corpus = spark.table(s"`$db`.`ing3_corpus`")
     assert(corpus.select("id").as[Long].collect().toSet == Set(1L),
       "only the in-distribution doc may reach the corpus")
