@@ -462,9 +462,28 @@ object Similarity {
     * hint forces a driver-sized assumption either way.
     */
   def semanticDedup(df: DataFrame, cellCol: String, tauE4: Long): DataFrame = {
-    val dominated = cosinePairsLabelAuto(df, cellCol, tauE4)
+    // EXACT-duplicate collapse before any pair scoring (r12 skew
+    // probe): m identical copies of one vector are pairwise cos=1
+    // near-dups, so their candidate mass grows m² in BOTH the exact
+    // and the LSH-bucketed stage (identical vectors share every
+    // bucket) while their contribution to the answer is just "keep
+    // the min id" — one hash aggregate. Grouping is on the vector
+    // VALUE itself (no fingerprint, no collision risk). Equivalence
+    // to the one-pass min-id rule is exact: v has a lower-id
+    // τ-neighbor iff v's representative has a lower-id representative
+    // τ-neighbor (copies share all cosines; the rep carries the
+    // copy-set's min id, and τ ≤ 10⁴ makes same-vector copies
+    // τ-neighbors by definition).
+    val reps = df.groupBy(col(cellCol), col("embedding"))
+      .agg(min(col("vec_id")).as("vec_id"))
+    val dominated = cosinePairsLabelAuto(
+        reps.select(col("vec_id"), col("embedding"), col(cellCol)),
+        cellCol, tauE4)
       .select(col("id_b").as("vec_id")).distinct()
-    df.join(dominated, Seq("vec_id"), "left_anti")
+    // non-reps (an identical twin holds a lower id) drop via the
+    // semi join; dominated reps drop via the anti join
+    df.join(reps.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .join(dominated, Seq("vec_id"), "left_anti")
   }
 
   /** Prototypicality scoring + per-cell diversity cap — the "SemDeDup

@@ -59,8 +59,14 @@ object SkewProbe {
       }
     })
 
-    val alpha = "abcdefghijklmnopqrstuvwxyz"
-    def rot(r: Int): String = alpha.indices.map(i => alpha((i + 7 * r) % 26)).mkString
+    // rotate letters AND digits, over pre-lowercased text: capitalized
+    // or numeric tokens would otherwise survive the rotation unchanged
+    // and fabricate cross-replica intersections (first probe run's
+    // lesson — 63k phantom containment pairs at x2)
+    val alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+    def rot(r: Int): String =
+      (0 until 26).map(i => alpha((i + 7 * r) % 26)).mkString +
+        (26 until 36).map(i => alpha(26 + (i - 26 + 3 * r) % 10)).mkString
     val baseDocs = graft.core.Tables.load(spark, sfDir, "documents")
     val baseEmb = graft.core.Tables.load(spark, sfDir, "embeddings")
 
@@ -79,7 +85,7 @@ object SkewProbe {
     def skewDocs(mult: Int): DataFrame = (0 until mult).map { r =>
       baseDocs.select(
         (col("doc_id") + lit(r.toLong * 1000000000L)).as("doc_id"),
-        translate(concat(col("text"), lit(tail)), alpha, rot(r)).as("text"),
+        translate(lower(concat(col("text"), lit(tail))), alpha, rot(r)).as("text"),
         col("lang"), col("n_chars"))
     }.reduce(_ unionByName _)
 
@@ -124,14 +130,15 @@ object SkewProbe {
         Similarity.semanticDedup(e, "label", 9200L))
       spark.conf.unset("graft.sim.maxBlock")
 
-      // fractional cap (weakens with mult) vs absolute cap (holds)
-      if (mult <= 4) // the fractional row at x10 is the explosion itself; cap the probe's own cost
-        time("q83_skew_dffrac", mult)(
-          Dedup.containmentPairs(d, "doc_id", "text", Seq(col("lang")),
-            8000L, minSize = 5, maxDfFrac = 0.5))
+      // fractional cap (weakens: tail df-fraction is 1/m, under 0.5
+      // from x2 on) vs absolute cap (100 < per-replica df 500: the
+      // engineered stopwords stay dropped at every multiple)
+      time("q83_skew_dffrac", mult)(
+        Dedup.containmentPairs(d, "doc_id", "text", Seq(col("lang")),
+          8000L, minSize = 5, maxDfFrac = 0.5))
       time("q83_skew_dfabs", mult)(
         Dedup.containmentPairs(d, "doc_id", "text", Seq(col("lang")),
-          8000L, minSize = 5, maxDfFrac = 0.5, maxDfAbs = 500L))
+          8000L, minSize = 5, maxDfFrac = 0.5, maxDfAbs = 100L))
     }
     spark.stop()
   }
