@@ -1767,6 +1767,40 @@ object SparkEntry {
           Seq("id_a", "id_b"), 1000L))
         .union(hll)
     }),
+
+    // Gopher-rule repetition signals (Rae et al. §A1.1) — line
+    // duplication + heaviest-n-gram mass + duplicated-5-gram mass per
+    // document, exact integer e6 floors. The fixture corpus has no
+    // newlines, so the "line" split runs at word granularity (delim
+    // " ") — degenerate but fully exercised: the dup_line columns
+    // become word-repetition fractions. Exact oracle: DuckDB replays
+    // split/count/clamp with the same `//` integer division.
+    "q129_repetition" -> ((s, dir) =>
+      ops.Quality.repetitionSignals(T(s, dir, "documents"),
+        "doc_id", "text", topNs = Seq(2, 3), dupN = 5, lineDelim = " ")),
+
+    // The first-failing-reason repetition gate over q129's signals,
+    // thresholds chosen to spread documents across all four reasons on
+    // this corpus. Exact oracle: the same CASE over the same signal
+    // SQL, counts per reason.
+    "q130_repetition_gate" -> ((s, dir) =>
+      ops.Quality.repetitionSignals(T(s, dir, "documents"),
+        "doc_id", "text", topNs = Seq(2), dupN = 3, lineDelim = " ")
+        .select(ops.Quality.repetitionGate(
+          maxDupLineFracE6 = 970000L, maxDupLineCharFracE6 = 950000L,
+          maxTop2CharFracE6 = 100000L, maxDupNCharFracE6 = 20000L,
+          dupNCol = "dup3gram_char_frac_e6")
+          .as("reason"))
+        .groupBy(col("reason")).agg(count(lit(1)).as("ct"))),
+
+    // BPE ENCODE under a fixed 4-merge list — the apply side of q117's
+    // trainer, sharing its sentinel-replace machinery: the whole encode
+    // is |merges| chained codegen'd replaces over the distinct-word
+    // dictionary, and the corpus side is one (id, word) count join.
+    // Exact oracle: DuckDB replays the identical nested replace chain.
+    "q131_bpe_token_counts" -> ((s, dir) =>
+      ops.BpeTrain.tokenCounts(T(s, dir, "documents"), "doc_id", "text",
+        Seq("a" -> "t", "s" -> "t", "t" -> "h", "at" -> "a"))),
   )
 
   // ------------------------------------------------------------------
@@ -3492,6 +3526,154 @@ object SparkEntry {
            ('lsh', CAST(500 AS BIGINT), true),
            ('lsh_multi', CAST(8500 AS BIGINT), true),
            ('uv_hll', CAST(500 AS BIGINT), true)) AS t(gate, floor_e4, meets_floor)""",
+
+    // Gopher repetition signals: duplicated mass counts EVERY
+    // occurrence (c·len, not (c−1)·len); top-gram = max of the c·len
+    // PRODUCT (deterministic without a tie-break); exact `//` integer
+    // e6 floors; overlap-driven masses clamp to 1e6. Grouping grams by
+    // value here == grouping by xxhash64 in the engine (per-document
+    // collision-free contract, as q123).
+    "q129_repetition" ->
+      """WITH l AS (
+           SELECT doc_id, line, count(*) AS c, max(length(line)) AS len
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS line
+                 FROM documents)
+           WHERE length(line) > 0 GROUP BY 1, 2),
+         la AS (
+           SELECT doc_id, sum(c) AS n_lines,
+             sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_lines,
+             sum(c * len) AS line_chars,
+             sum(CASE WHEN c > 1 THEN c * len ELSE 0 END) AS dup_line_chars
+           FROM l GROUP BY 1),
+         w AS (SELECT doc_id,
+                 list_filter(string_split_regex(text, '\s+'),
+                   x -> length(x) > 0) AS words,
+                 length(text) AS total_chars
+               FROM documents),
+         g AS (
+           SELECT doc_id, 2 AS n, array_to_string(words[i:i+1], ' ') AS gram
+           FROM w, unnest(range(1, len(words))) AS t(i)
+           UNION ALL
+           SELECT doc_id, 3, array_to_string(words[i:i+2], ' ')
+           FROM w, unnest(range(1, len(words) - 1)) AS t(i)
+           UNION ALL
+           SELECT doc_id, 5, array_to_string(words[i:i+4], ' ')
+           FROM w, unnest(range(1, len(words) - 3)) AS t(i)),
+         gc AS (SELECT doc_id, n, gram, count(*) AS c,
+                  max(length(gram)) AS len
+                FROM g GROUP BY 1, 2, 3),
+         ga AS (SELECT doc_id,
+                  max(CASE WHEN n = 2 THEN c * len END) AS top2_mass,
+                  max(CASE WHEN n = 3 THEN c * len END) AS top3_mass,
+                  sum(CASE WHEN n = 5 AND c > 1 THEN c * len ELSE 0 END)
+                    AS dup_mass
+                FROM gc GROUP BY 1)
+         SELECT w.doc_id,
+           CAST(COALESCE(la.n_lines, 0) AS BIGINT) AS n_lines,
+           CAST(CASE WHEN COALESCE(la.n_lines, 0) > 0
+             THEN (1000000 * la.dup_lines) // la.n_lines ELSE 0 END
+             AS BIGINT) AS dup_line_frac_e6,
+           CAST(CASE WHEN COALESCE(la.line_chars, 0) > 0
+             THEN (1000000 * la.dup_line_chars) // la.line_chars ELSE 0 END
+             AS BIGINT) AS dup_line_char_frac_e6,
+           CAST(LEAST(CASE WHEN w.total_chars > 0
+             THEN (1000000 * COALESCE(ga.top2_mass, 0)) // w.total_chars
+             ELSE 0 END, 1000000) AS BIGINT) AS top2gram_char_frac_e6,
+           CAST(LEAST(CASE WHEN w.total_chars > 0
+             THEN (1000000 * COALESCE(ga.top3_mass, 0)) // w.total_chars
+             ELSE 0 END, 1000000) AS BIGINT) AS top3gram_char_frac_e6,
+           CAST(LEAST(CASE WHEN w.total_chars > 0
+             THEN (1000000 * COALESCE(ga.dup_mass, 0)) // w.total_chars
+             ELSE 0 END, 1000000) AS BIGINT) AS dup5gram_char_frac_e6
+         FROM w LEFT JOIN la USING (doc_id) LEFT JOIN ga USING (doc_id)""",
+
+    // the same CASE over the same signal SQL, counts per first-failing
+    // reason
+    "q130_repetition_gate" ->
+      """WITH l AS (
+           SELECT doc_id, line, count(*) AS c, max(length(line)) AS len
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS line
+                 FROM documents)
+           WHERE length(line) > 0 GROUP BY 1, 2),
+         la AS (
+           SELECT doc_id, sum(c) AS n_lines,
+             sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_lines,
+             sum(c * len) AS line_chars,
+             sum(CASE WHEN c > 1 THEN c * len ELSE 0 END) AS dup_line_chars
+           FROM l GROUP BY 1),
+         w AS (SELECT doc_id,
+                 list_filter(string_split_regex(text, '\s+'),
+                   x -> length(x) > 0) AS words,
+                 length(text) AS total_chars
+               FROM documents),
+         g AS (
+           SELECT doc_id, 2 AS n, array_to_string(words[i:i+1], ' ') AS gram
+           FROM w, unnest(range(1, len(words))) AS t(i)
+           UNION ALL
+           SELECT doc_id, 3, array_to_string(words[i:i+2], ' ')
+           FROM w, unnest(range(1, len(words) - 1)) AS t(i)),
+         gc AS (SELECT doc_id, n, gram, count(*) AS c,
+                  max(length(gram)) AS len
+                FROM g GROUP BY 1, 2, 3),
+         ga AS (SELECT doc_id,
+                  max(CASE WHEN n = 2 THEN c * len END) AS top2_mass,
+                  sum(CASE WHEN n = 3 AND c > 1 THEN c * len ELSE 0 END)
+                    AS dup_mass
+                FROM gc GROUP BY 1),
+         sig AS (
+           SELECT
+             CAST(CASE WHEN COALESCE(la.n_lines, 0) > 0
+               THEN (1000000 * la.dup_lines) // la.n_lines ELSE 0 END
+               AS BIGINT) AS dlf,
+             CAST(CASE WHEN COALESCE(la.line_chars, 0) > 0
+               THEN (1000000 * la.dup_line_chars) // la.line_chars ELSE 0 END
+               AS BIGINT) AS dlcf,
+             CAST(LEAST(CASE WHEN w.total_chars > 0
+               THEN (1000000 * COALESCE(ga.top2_mass, 0)) // w.total_chars
+               ELSE 0 END, 1000000) AS BIGINT) AS t2f,
+             CAST(LEAST(CASE WHEN w.total_chars > 0
+               THEN (1000000 * COALESCE(ga.dup_mass, 0)) // w.total_chars
+               ELSE 0 END, 1000000) AS BIGINT) AS d5f
+           FROM w LEFT JOIN la USING (doc_id) LEFT JOIN ga USING (doc_id))
+         SELECT reason, count(*) AS ct FROM (
+           SELECT CASE WHEN dlf > 970000 THEN 'dup_lines'
+                       WHEN dlcf > 950000 THEN 'dup_line_chars'
+                       WHEN t2f > 100000 THEN 'top_ngram_mass'
+                       WHEN d5f > 20000 THEN 'dup_ngram_mass'
+                       ELSE 'keep' END AS reason
+           FROM sig)
+         GROUP BY 1""",
+
+    // BPE encode replay: the identical sentinel-replace chain, applied
+    // to the distinct-word dictionary in merge-rank order, then one
+    // count join — DuckDB's replace is the same leftmost
+    // non-overlapping rule
+    "q131_bpe_token_counts" ->
+      """WITH w AS (
+           SELECT doc_id, word FROM (
+             SELECT doc_id, unnest(list_filter(
+               string_split_regex(lower(text), '\s+'),
+               x -> length(x) > 0 AND NOT contains(x, chr(1)))) AS word
+             FROM documents)),
+         wc AS (SELECT doc_id, word, count(*) AS wct FROM w GROUP BY 1, 2),
+         dict AS (SELECT DISTINCT word FROM w),
+         enc AS (SELECT word, len(string_split(trim(
+             replace(replace(replace(replace(
+               array_to_string(list_transform(string_split(word, ''),
+                 c -> chr(1) || c || chr(1)), ''),
+               chr(1)||'a'||chr(1)||chr(1)||'t'||chr(1), chr(1)||'at'||chr(1)),
+               chr(1)||'s'||chr(1)||chr(1)||'t'||chr(1), chr(1)||'st'||chr(1)),
+               chr(1)||'t'||chr(1)||chr(1)||'h'||chr(1), chr(1)||'th'||chr(1)),
+               chr(1)||'at'||chr(1)||chr(1)||'a'||chr(1), chr(1)||'ata'||chr(1)),
+             chr(1)), chr(1) || chr(1))) AS n_tokens
+           FROM dict)
+         SELECT d.doc_id,
+           CAST(COALESCE(sum(x.wct * x.n_tokens), 0) AS BIGINT) AS bpe_tokens,
+           CAST(COALESCE(sum(x.wct), 0) AS BIGINT) AS n_words
+         FROM (SELECT DISTINCT doc_id FROM documents) d
+         LEFT JOIN (SELECT wc.doc_id, wc.wct, enc.n_tokens
+                    FROM wc JOIN enc USING (word)) x USING (doc_id)
+         GROUP BY 1""",
 
     // q33_ann_lsh / q35_cosine_neardup / q36_ann_ivf /
     // q54_ann_lsh_multi: probabilistic and hash-family-specific — the

@@ -107,4 +107,76 @@ object BpeTrain {
     spark.createDataFrame(
       spark.sparkContext.parallelize(merges.toSeq, 1), outSchema)
   }
+
+  /** BPE ENCODING with a fixed learned merge list — the apply side of
+    * [[learnMerges]], and deliberately the SAME machinery: each merge
+    * is one codegen'd sentinel-`replace` over the DISTINCT-WORD
+    * dictionary, so the whole encode is a single projection of
+    * |merges| chained `replace`s — no per-row Scala, no UDF, no loop
+    * at runtime, and the DuckDB oracle replays it as the identical
+    * nested `replace` chain.
+    *
+    * Applying merges exhaustively IN RANK ORDER is equivalent to the
+    * classic lowest-rank-first priority encode: merge j's operands are
+    * built exclusively from merges with rank < j, so applying a later
+    * merge can never create an occurrence of an earlier merge's pair —
+    * once merge j's pass is done, pair j never reappears. Within one
+    * pass, leftmost non-overlapping replacement on the sentinel
+    * encoding is the trainer's own merge rule (BpeTrain.scala:20-28),
+    * so train and encode agree on e.g. `aaaa` under `(a,a)`.
+    *
+    * Scale shape: the replace chain runs over the word DICTIONARY
+    * (vocabulary-sized, Zipf-bounded — the same argument as training);
+    * the corpus-side cost is one (id, word) count aggregate joined to
+    * the encoded dictionary (AQE broadcasts it when small). Corpus
+    * text beyond single words never shuffles.
+    *
+    * Output of [[encodeWords]]: (word, tokens ARRAY<STRING>, n_tokens)
+    * — one row per distinct word of `docs`. Words are lowercased and
+    * `\s+`-split exactly as in training; sentinel-bearing words are
+    * excluded on both engines.
+    */
+  def encodeWords(docs: DataFrame, textCol: String,
+                  merges: Seq[(String, String)]): DataFrame = {
+    val sym0 = array_join(transform(split(col("word"), ""),
+      c => concat(lit(S), c, lit(S))), "")
+    val symN = merges.foldLeft(sym0) { case (sym, (a, b)) =>
+      replace(sym, lit(S + a + S + S + b + S), lit(S + a + b + S))
+    }
+    docs
+      .select(explode(split(lower(col(textCol)), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0 && !col("word").contains(S))
+      .distinct()
+      .select(col("word"), split(trim(symN, S), S + S).as("tokens"))
+      .withColumn("n_tokens", size(col("tokens")).cast("long"))
+  }
+
+  /** Per-document token counts under a fixed merge list: the budget
+    * column every packing / token-budget / mixture op keys on
+    * ([[Pack]], [[Sampling.tokenBudget]]), computed with the REAL
+    * tokenizer instead of the whitespace proxy. One corpus pass
+    * (id, word) → count, joined to the [[encodeWords]] dictionary.
+    * Documents with no countable word are kept at 0 via the left join
+    * on the id spine.
+    */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
+                  merges: Seq[(String, String)]): DataFrame = {
+    val dict = encodeWords(docs, textCol, merges)
+      .select(col("word"), col("n_tokens"))
+    val wordCts = docs
+      .select(col(idCol),
+        explode(split(lower(col(textCol)), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0 && !col("word").contains(S))
+      .groupBy(col(idCol), col("word"))
+      .agg(count(lit(1)).as("wct"))
+    val perDoc = wordCts.join(dict, "word")
+      .groupBy(col(idCol))
+      .agg(sum(col("wct") * col("n_tokens")).as("bpe_tokens"),
+        sum(col("wct")).as("n_words"))
+    docs.select(col(idCol)).distinct()
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("bpe_tokens"), lit(0L)).as("bpe_tokens"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -32,4 +32,141 @@ object Quality {
       .when(stop < minStopE4, "low_stopword_density")
       .otherwise("keep")
   }
+
+  /** Per-document REPETITION signals — the Gopher-rule family (Rae et
+    * al. 2021 §A1.1, the filters every later pretraining pipeline —
+    * RefinedWeb, Dolma, FineWeb — re-implements): duplicated-line
+    * fraction, duplicated-line character fraction, the character mass
+    * of the single heaviest word n-gram (one per n in `topNs`), and the
+    * character mass of all duplicated `dupN`-grams. [[gateReason]]
+    * screens degenerate LENGTH/vocabulary shapes; this screens the
+    * other axis boilerplate fails on: self-repetition inside one
+    * document (templated pages, scraped nav bars, decoding loops).
+    *
+    * Definitions (each exactly replayable by the DuckDB oracle):
+    *  - lines = literal split on `lineDelim`, empties dropped; a line
+    *    is "duplicated" when it occurs >1× in ITS document, and the
+    *    duplicated mass counts every occurrence (c·len, not (c−1)·len —
+    *    pinned convention). `dup_line_frac_e6` is over line COUNTS,
+    *    `dup_line_char_frac_e6` over line chars (delimiters excluded
+    *    from both numerator and denominator, so the ratio is
+    *    delimiter-free).
+    *  - word n-grams = overlapping, single-space re-joined over the
+    *    `\s+` token stream. `top{n}gram_char_frac_e6` = max over grams
+    *    of c·len(gram) / len(text): taking the max of the PRODUCT (not
+    *    "chars of the most frequent gram") makes the signal
+    *    deterministic without a tie-break contract. Overlapping
+    *    occurrences can push c·len past len(text) — clamped to 1e6.
+    *  - `dup{dupN}gram_char_frac_e6` = Σ over grams with c>1 of
+    *    c·len(gram) / len(text), clamped to 1e6.
+    *  - All fractions are exact integer e6 floors (`div`, never a
+    *    float divide); empty denominators yield 0.
+    *
+    * Scale shape: everything is per-document — the only shuffles are
+    * (id, xxhash64(line)) and (id, n, xxhash64(gram)) count aggregates
+    * (map-side partial combine collapses the Zipf head before the
+    * exchange), so line/gram TEXT never shuffles; grouping on the
+    * 64-bit fingerprint equals grouping on the value under the same
+    * collision-free contract as [[Retrieval.tfidfCosinePairs]] — here
+    * per (document, n), where a collision needs two distinct grams of
+    * one document agreeing on 64 bits. The final assembly joins three
+    * id-keyed aggregates, all AQE-broadcastable against the base.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String,
+                        topNs: Seq[Int] = Seq(2, 3, 4), dupN: Int = 5,
+                        lineDelim: String = "\n"): DataFrame = {
+    require(topNs.nonEmpty && topNs.forall(_ >= 1) && dupN >= 1,
+      "n-gram sizes must be >= 1")
+    val allNs = (topNs :+ dupN).distinct.sorted
+    val base = df.select(col(idCol).as("id"),
+      coalesce(col(textCol), lit("")).as("text"))
+
+    // ---- line family: shuffle (id, line-hash, len), never the line
+    val lines = base.select(col("id"),
+      explode(split(col("text"), java.util.regex.Pattern.quote(lineDelim)))
+        .as("line"))
+      .filter(length(col("line")) > 0)
+      .groupBy(col("id"), xxhash64(col("line")).as("lh"))
+      .agg(count(lit(1)).as("c"), max(length(col("line"))).as("len"))
+      .groupBy(col("id"))
+      .agg(sum(col("c")).as("n_lines"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_lines"),
+        sum(col("c") * col("len")).as("line_chars"),
+        sum(when(col("c") > 1, col("c") * col("len")).otherwise(0L))
+          .as("dup_line_chars"))
+
+    // ---- n-gram family, ONE pass for every n: per word position i,
+    // emit the n-gram starting at i for each n that still fits (the
+    // filter-on-positions form sidesteps sequence()'s descending
+    // surprise when size < n)
+    val words = filter(split(col("text"), "\\s+"), w => length(w) > 0)
+    val gramStructs = flatten(array(allNs.map { n =>
+      transform(
+        filter(sequence(lit(1), greatest(size(words), lit(1))),
+          i => i + lit(n - 1) <= size(words)),
+        i => struct(lit(n).as("n"),
+          array_join(slice(words, i, lit(n)), " ").as("g")))
+    }: _*))
+    val gramAgg = base.select(col("id"), explode(gramStructs).as("s"))
+      .select(col("id"), col("s.n").as("n"),
+        xxhash64(col("s.g")).as("gh"), length(col("s.g")).as("len"))
+      .groupBy(col("id"), col("n"), col("gh"))
+      .agg(count(lit(1)).as("c"), max(col("len")).as("len"))
+      .groupBy(col("id"))
+      .agg(
+        max(when(col("n") === topNs.head, col("c") * col("len")))
+          .as(s"top${topNs.head}_mass"),
+        (topNs.tail.map(n =>
+          max(when(col("n") === n, col("c") * col("len")))
+            .as(s"top${n}_mass")) :+
+          sum(when(col("n") === dupN && col("c") > 1,
+            col("c") * col("len")).otherwise(0L)).as("dup_mass")): _*)
+
+    // exact integer e6 floors: `a div b` (IntegralDivide), never a
+    // float divide — a double round-trip can cross the floor boundary
+    def fracE6(numName: String, denName: String): Column =
+      when(col(denName) > 0,
+        expr(s"(1000000L * $numName) div $denName")).otherwise(lit(0L))
+        .cast("long")
+
+    base.select(col("id"), length(col("text")).cast("long").as("total_chars"))
+      .join(lines, Seq("id"), "left")
+      .join(gramAgg, Seq("id"), "left")
+      .select((col("id") +: col("total_chars") +:
+        coalesce(col("n_lines"), lit(0L)).as("n_lines") +:
+        coalesce(col("dup_lines"), lit(0L)).as("dup_lines") +:
+        coalesce(col("line_chars"), lit(0L)).as("line_chars") +:
+        coalesce(col("dup_line_chars"), lit(0L)).as("dup_line_chars") +:
+        coalesce(col("dup_mass"), lit(0L)).as("dup_mass") +:
+        topNs.map(n =>
+          coalesce(col(s"top${n}_mass"), lit(0L)).as(s"top${n}_mass"))): _*)
+      .select((col("id").as(idCol) +:
+        col("n_lines") +:
+        fracE6("dup_lines", "n_lines").as("dup_line_frac_e6") +:
+        fracE6("dup_line_chars", "line_chars").as("dup_line_char_frac_e6") +:
+        topNs.map(n =>
+          least(fracE6(s"top${n}_mass", "total_chars"), lit(1000000L))
+            .as(s"top${n}gram_char_frac_e6"))) :+
+        least(fracE6("dup_mass", "total_chars"), lit(1000000L))
+          .as(s"dup${dupN}gram_char_frac_e6"): _*)
+  }
+
+  /** First-failing-reason gate over [[repetitionSignals]] output — the
+    * Gopher §A1.1 thresholds as plan literals, same doctrine as
+    * [[gateReason]]. Apply to the signals frame (or any frame carrying
+    * the e6 columns); compose with [[gateReason]] by gating text-shape
+    * first, repetition second.
+    */
+  def repetitionGate(maxDupLineFracE6: Long = 300000L,
+                     maxDupLineCharFracE6: Long = 200000L,
+                     maxTop2CharFracE6: Long = 200000L,
+                     maxDupNCharFracE6: Long = 150000L,
+                     top2Col: String = "top2gram_char_frac_e6",
+                     dupNCol: String = "dup5gram_char_frac_e6"): Column =
+    when(col("dup_line_frac_e6") > maxDupLineFracE6, "dup_lines")
+      .when(col("dup_line_char_frac_e6") > maxDupLineCharFracE6,
+        "dup_line_chars")
+      .when(col(top2Col) > maxTop2CharFracE6, "top_ngram_mass")
+      .when(col(dupNCol) > maxDupNCharFracE6, "dup_ngram_mass")
+      .otherwise("keep")
 }

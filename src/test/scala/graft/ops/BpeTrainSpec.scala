@@ -53,4 +53,54 @@ class BpeTrainSpec extends SparkSpec {
     // and single-char words produce no pairs at all
     assert(BpeTrain.learnMerges(Seq("a b c").toDF("text"), "text", 5).count() == 0)
   }
+
+  // ---- encode side ----
+
+  private val sennrichMerges = Seq("e" -> "s", "es" -> "t", "l" -> "o")
+
+  test("encodeWords applies merges in rank order: lowest -> [lo, w, est]") {
+    val got = BpeTrain.encodeWords(
+      Seq("lowest low newest").toDF("text"), "text", sennrichMerges)
+      .as[(String, Seq[String], Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("lowest") == ((Seq("lo", "w", "est"), 3L)), got.toString)
+    assert(got("low") == ((Seq("lo", "w"), 2L)))
+    assert(got("newest") == ((Seq("n", "e", "w", "est"), 4L)))
+  }
+
+  test("rank order equals priority order: later merges cannot re-enable earlier ones") {
+    // merges rank 1 (b,c), rank 2 (a,b): the priority encode of "abc"
+    // applies (b,c) first -> [a, bc]; (a,b) then has no bare pair left.
+    // The sequential replace chain must agree, not produce [ab, c].
+    val got = BpeTrain.encodeWords(
+      Seq("abc").toDF("text"), "text", Seq("b" -> "c", "a" -> "b"))
+      .as[(String, Seq[String], Long)].collect().head
+    assert(got._2 == Seq("a", "bc"), got.toString)
+  }
+
+  test("encode round-trips: concatenated tokens rebuild every word") {
+    val corpus = Seq("the quick brown fox lowest slowest widest",
+      "low lower newest estates")
+    val merges = Seq("e" -> "s", "es" -> "t", "l" -> "o", "lo" -> "w",
+      "t" -> "h", "w" -> "e")
+    val got = BpeTrain.encodeWords(corpus.toDF("text"), "text", merges)
+      .as[(String, Seq[String], Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (w, toks, n) =>
+      assert(toks.mkString("") == w, s"$w -> $toks")
+      assert(n == toks.length)
+    }
+  }
+
+  test("tokenCounts: per-doc budget under the trained tokenizer, zero-spined") {
+    // doc 1: low ×2 (2 toks each) + lower (l o w e r -> lo w e r = 4)
+    // doc 2: newest (n e w est = 4); doc 3: no countable words
+    val docs = Seq((1L, "low lower LOW"), (2L, "newest"), (3L, " "))
+      .toDF("doc_id", "text")
+    val got = BpeTrain.tokenCounts(docs, "doc_id", "text", sennrichMerges)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((8L, 3L)), got.toString)
+    assert(got(2L) == ((4L, 1L)))
+    assert(got(3L) == ((0L, 0L)))
+  }
 }
