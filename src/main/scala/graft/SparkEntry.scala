@@ -1801,6 +1801,27 @@ object SparkEntry {
     "q131_bpe_token_counts" -> ((s, dir) =>
       ops.BpeTrain.tokenCounts(T(s, dir, "documents"), "doc_id", "text",
         Seq("a" -> "t", "s" -> "t", "t" -> "h", "at" -> "a"))),
+
+    // EXACT distributed quantiles (discrete: value at rank
+    // ⌈q·n/10⁶⌉ — an actual element, zero float arithmetic in the
+    // selection) via range-exchange + per-partition offset windows —
+    // never a global sort to one partition. Exact oracle: row_number
+    // rank replay with the same integer ceil and the q120 canonical
+    // renderings.
+    "q132_quantiles" -> ((s, dir) =>
+      ops.Profile.quantiles(T(s, dir, "orders"),
+        Seq("o_totalprice", "o_custkey", "o_orderdate"))),
+
+    // CCNet head/middle/tail bucketing per language — score-agnostic
+    // (n_chars stands in for the LM score here; the LM composition is
+    // spec-covered), rank = (score DESC NULLS LAST, id) with the
+    // integer-ceil cut arithmetic. Exact oracle: the same window
+    // replayed.
+    "q133_perplexity_buckets" -> ((s, dir) =>
+      ops.LmScore.perplexityBuckets(
+        T(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars")),
+        Seq("lang"), "doc_id", "n_chars")),
   )
 
   // ------------------------------------------------------------------
@@ -3674,6 +3695,60 @@ object SparkEntry {
          LEFT JOIN (SELECT wc.doc_id, wc.wct, enc.n_tokens
                     FROM wc JOIN enc USING (word)) x USING (doc_id)
          GROUP BY 1""",
+
+    // discrete-quantile rank replay: same integer ceil
+    // (q·n + 999999) // 1e6, same q120 canonical value renderings;
+    // ties can only sit on equal values so the picked value is
+    // engine-independent
+    "q132_quantiles" ->
+      """WITH q AS (SELECT * FROM (VALUES (250000), (500000), (750000),
+             (900000), (990000)) t(q_e6)),
+         tp AS (SELECT o_totalprice AS v FROM orders
+                WHERE o_totalprice IS NOT NULL),
+         tpr AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM tp),
+         tpn AS (SELECT count(*) AS n FROM tp),
+         ck AS (SELECT o_custkey AS v FROM orders
+                WHERE o_custkey IS NOT NULL),
+         ckr AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM ck),
+         ckn AS (SELECT count(*) AS n FROM ck),
+         od AS (SELECT o_orderdate AS v FROM orders
+                WHERE o_orderdate IS NOT NULL),
+         odr AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM od),
+         odn AS (SELECT count(*) AS n FROM od)
+         SELECT 'o_totalprice' AS "column", CAST(q.q_e6 AS BIGINT) AS q_e6,
+           CAST(CAST(tpr.v AS DECIMAL(38,6)) AS VARCHAR) AS value
+         FROM q CROSS JOIN tpn CROSS JOIN tpr
+         WHERE tpr.rn = LEAST(tpn.n, GREATEST(1,
+             (q.q_e6 * tpn.n + 999999) // 1000000))
+         UNION ALL
+         SELECT 'o_custkey', CAST(q.q_e6 AS BIGINT),
+           CAST(CAST(ckr.v AS DECIMAL(38,6)) AS VARCHAR)
+         FROM q CROSS JOIN ckn CROSS JOIN ckr
+         WHERE ckr.rn = LEAST(ckn.n, GREATEST(1,
+             (q.q_e6 * ckn.n + 999999) // 1000000))
+         UNION ALL
+         SELECT 'o_orderdate', CAST(q.q_e6 AS BIGINT),
+           strftime(odr.v, '%Y-%m-%d %H:%M:%S')
+         FROM q CROSS JOIN odn CROSS JOIN odr
+         WHERE odr.rn = LEAST(odn.n, GREATEST(1,
+             (q.q_e6 * odn.n + 999999) // 1000000))""",
+
+    // the same window + integer-ceil cut replay; DESC defaults to
+    // NULLS FIRST in DuckDB, so the NULLS LAST contract is explicit
+    "q133_perplexity_buckets" ->
+      """WITH r AS (
+           SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY n_chars DESC NULLS LAST, doc_id ASC) AS p,
+             count(*) OVER (PARTITION BY lang) AS n
+           FROM documents)
+         SELECT doc_id, lang,
+           CAST(p AS BIGINT) AS rank_in_group,
+           CAST(n AS BIGINT) AS n_in_group,
+           CASE WHEN p <= (333333 * n + 999999) // 1000000 THEN 'head'
+                WHEN p <= (666667 * n + 999999) // 1000000 THEN 'middle'
+                ELSE 'tail' END AS bucket
+         FROM r""",
 
     // q33_ann_lsh / q35_cosine_neardup / q36_ann_ivf /
     // q54_ann_lsh_multi: probabilistic and hash-family-specific — the

@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -135,4 +136,59 @@ object LmScore {
                   textCol: String, alpha: Double = 0.4): DataFrame =
     scoreWithModel(docs, trainBigramModel(ref, idCol, textCol),
       idCol, textCol, alpha)
+
+  /** CCNet-style PER-GROUP score bucketing (Wenzek et al. 2020): split
+    * each group (typically language) into head/middle/tail by rank
+    * position under a score column — the curation step that follows
+    * [[bigramScore]] (score docs against a clean reference LM, keep
+    * the head, maybe sample the middle, drop the tail). Score-agnostic
+    * on purpose: any deterministic quality column buckets the same
+    * way.
+    *
+    * Contract: rank within the group by (score DESC NULLS LAST,
+    * id ASC) — higher score = better = head, null scores sink to the
+    * tail, ties are id-deterministic. With group size n, a row at
+    * 1-based rank p gets `labels(j)` for the first cut c_j (ascending
+    * e6 fractions) with p ≤ ⌈c_j·n/10⁶⌉ — the same integer-ceil rank
+    * arithmetic as [[Profile.quantiles]], zero float ops.
+    *
+    * Scale shape: ONE shuffle on the group key; both the rank and the
+    * group count share the window sort. Groups are languages —
+    * hundreds at most, but Zipf-heavy (English can be half the
+    * corpus), so the per-group sort is the audit-mode cost; the 100 TB
+    * production path derives per-group score THRESHOLDS once (e.g.
+    * [[Profile.quantiles]] per group, a model-sized table) and buckets
+    * map-side with a broadcast join — same outputs when scores are
+    * distinct at the cut, and no corpus-wide sort. AQE's skew handling
+    * does not split a window partition, so the threshold path is the
+    * dial for a one-language corpus.
+    *
+    * Output: idCol, groupCols…, rank_in_group, n_in_group, bucket.
+    */
+  def perplexityBuckets(scored: DataFrame, groupCols: Seq[String],
+                        idCol: String, scoreCol: String,
+                        cutsE6: Seq[Long] = Seq(333333L, 666667L),
+                        labels: Seq[String] =
+                          Seq("head", "middle", "tail")): DataFrame = {
+    require(labels.size == cutsE6.size + 1,
+      "need one more label than cuts")
+    require(cutsE6 == cutsE6.sorted && cutsE6.forall(c =>
+      c > 0 && c < 1000000L), "cuts must be ascending e6 fractions")
+    val gw = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(scoreCol).desc_nulls_last, col(idCol).asc)
+    val cw = Window.partitionBy(groupCols.map(col): _*)
+    val withRank = scored
+      .select((col(idCol) +: groupCols.map(col)) :+ col(scoreCol): _*)
+      .withColumn("rank_in_group", row_number().over(gw).cast("long"))
+      .withColumn("n_in_group", count(lit(1)).over(cw))
+    val bucket = cutsE6.zip(labels.init).foldRight(
+      lit(labels.last): Column) { case ((c, lab), els) =>
+      when(col("rank_in_group") <=
+        expr(s"(${c}L * n_in_group + 999999L) div 1000000L"), lab)
+        .otherwise(els)
+    }
+    withRank.select((col(idCol) +: groupCols.map(col)) :+
+      col("rank_in_group") :+ col("n_in_group") :+
+      bucket.as("bucket"): _*)
+  }
 }

@@ -184,4 +184,130 @@ object Profile {
           lit(lo) + (col("bin") + 1) * width).as("hi_edge"),
         coalesce(col("n"), lit(0L)).as("n"))
   }
+
+  /** EXACT quantiles per column — distributed rank selection, not a
+    * global sort to one partition and not an interpolation.
+    *
+    * Contract (engine-portable, zero float arithmetic in the
+    * selection): the `q_e6` quantile of a column with n non-null
+    * values is the value at 1-based ascending rank
+    * `clamp(⌈q_e6·n / 10⁶⌉, 1, n)` — integer ceil, an ACTUAL data
+    * value (discrete quantile). Interpolating definitions mix engine
+    * IEEE op orders; a picked element cannot diverge. Values render
+    * through the same type-canonical strings as [[summarize]].
+    *
+    * Shape, per column:
+    *  1. `repartitionByRange` the single-column projection — Spark's
+    *     sampled range exchange, the same machinery a global orderBy
+    *     uses, but stopping at PARTITIONED order;
+    *  2. per-partition counts (one tiny agg) collected driver-side —
+    *     partition-count-sized, the strata-table contract — give each
+    *     partition its exclusive global rank offset AND n (no separate
+    *     count pass);
+    *  3. only partitions that actually hold a target rank are rescanned
+    *     (partition pruning via the broadcast pid set): a per-partition
+    *     `row_number` window (partitionBy pid — never a global window)
+    *     plus the offset picks the values map-side.
+    * Equal values always land in one range partition (partitioning is a
+    * pure function of the value vs the sampled boundaries), and rank
+    * ties can only sit on equal values, so the picked value is
+    * deterministic even though boundary sampling is not.
+    *
+    * `exact = false` is the 100 TB single-pass path: one
+    * `percentile_approx` aggregate for every column at once (t-digest
+    * style sketch, `accuracy` trades error for memory) — same output
+    * schema, not oracle-gated (sketch internals are engine-specific),
+    * same doctrine as [[summarize]]'s HLL flag.
+    */
+  def quantiles(df: DataFrame, cols: Seq[String],
+                qE6: Seq[Long] = Seq(250000L, 500000L, 750000L,
+                  900000L, 990000L),
+                exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
+    require(qE6.nonEmpty && qE6.forall(q => q > 0 && q <= 1000000L),
+      "q_e6 must be in (0, 1000000]")
+    val spark = df.sparkSession
+    val fields = cols.map(c => df.schema(c))
+    require(fields.forall(f => isAtomic(f.dataType)),
+      "quantiles need atomic (orderable) columns")
+    if (!exact) {
+      // one pass, every column: percentile_approx on the native type,
+      // canon-rendered INSIDE the aggregate (array of strings), one
+      // wide row collected (schema-sized)
+      val qsArr = array(qE6.map(q => lit(q.toDouble / 1e6)): _*)
+      def qa(f: StructField): Column =
+        transform(percentile_approx(col(f.name), qsArr, lit(accuracy)),
+          e => canon(e, f.dataType)).as(s"__q_${f.name}")
+      val row = df.agg(qa(fields.head), fields.tail.map(qa): _*)
+        .collect().head
+      val out = fields.flatMap { f =>
+        val i = row.fieldIndex(s"__q_${f.name}")
+        val vals: Seq[String] =
+          if (row.isNullAt(i)) Seq.fill(qE6.size)(null)
+          else row.getSeq[String](i)
+        qE6.zip(vals).map { case (q, v) =>
+          org.apache.spark.sql.Row(f.name, q, v)
+        }
+      }
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(out, 1), quantileSchema)
+    }
+    val perCol = fields.map { f =>
+      val vals = df.select(col(f.name).as("__v"))
+        .filter(col("__v").isNotNull)
+      val ranged = CacheScope.persist(
+        vals.repartitionByRange(col("__v"))
+          .withColumn("__pid", spark_partition_id()))
+      // partition-count-sized: offsets + n in one driver round trip
+      val pc = ranged.groupBy(col("__pid"))
+        .agg(count(lit(1)).as("__c"))
+        .orderBy(col("__pid")).collect()
+        .map(r => (r.getInt(0), r.getLong(1)))
+      val n = pc.map(_._2).sum
+      val result: DataFrame =
+        if (n == 0L) {
+          val out = qE6.map(q =>
+            org.apache.spark.sql.Row(f.name, q, null))
+          spark.createDataFrame(
+            spark.sparkContext.parallelize(out, 1), quantileSchema)
+        } else {
+          // integer ceil: no doubles anywhere near the rank
+          val targets = qE6.map(q =>
+            q -> math.min(n, math.max(1L, (q * n + 999999L) / 1000000L)))
+          val rankSet = targets.map(_._2).toSet
+          val offsets = pc.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) =>
+            (pid, acc + c)
+          }.tail.zip(pc).map { case ((pid, cum), (_, c)) =>
+            (pid, cum - c, c)
+          } // (pid, exclusiveBefore, count)
+          val needed = offsets.filter { case (_, before, c) =>
+            rankSet.exists(r => r > before && r <= before + c)
+          }
+          val offMap = typedLit(needed.map { case (pid, before, _) =>
+            pid -> before
+          }.toMap)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("__pid")).orderBy(col("__v"))
+          val picked = ranged
+            .filter(col("__pid").isin(needed.map(_._1): _*))
+            .withColumn("__rank",
+              offMap(col("__pid")) + row_number().over(w))
+            .filter(col("__rank").isin(rankSet.toSeq: _*))
+            .select(col("__rank"), canon(col("__v"), f.dataType).as("__s"))
+            .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+          val out = targets.map { case (q, r) =>
+            org.apache.spark.sql.Row(f.name, q, picked.getOrElse(r, null))
+          }
+          spark.createDataFrame(
+            spark.sparkContext.parallelize(out, 1), quantileSchema)
+        }
+      ranged.unpersist(blocking = false)
+      result
+    }
+    perCol.reduce(_ unionByName _)
+  }
+
+  private val quantileSchema = StructType(Seq(
+    StructField("column", StringType, nullable = false),
+    StructField("q_e6", LongType, nullable = false),
+    StructField("value", StringType, nullable = true)))
 }

@@ -98,4 +98,50 @@ class LmScoreSpec extends SparkSpec {
     // floored value on this corpus sits far further from an integer
     assert(minMargin > 1e-4, s"floor margin too tight: $minMargin")
   }
+
+  test("perplexityBuckets: hand-checked head/middle/tail per group") {
+    // group a: 6 rows, scores 60..10. Cuts (1/3, 2/3): head ranks
+    // <= ceil(.333333*6)=2, middle <= ceil(.666667*6)=5, tail = 6.
+    // group b: 1 row: head (ceil(.333333*1)=1). Null score sinks last.
+    val df = Seq(
+      (1L, "a", Some(60L)), (2L, "a", Some(50L)), (3L, "a", Some(40L)),
+      (4L, "a", Some(30L)), (5L, "a", Some(20L)), (6L, "a", None),
+      (7L, "b", Some(5L))
+    ).toDF("id", "grp", "score")
+    val got = LmScore.perplexityBuckets(df, Seq("grp"), "id", "score")
+      .select("id", "rank_in_group", "bucket")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(got == Map(
+      1L -> ((1L, "head")), 2L -> ((2L, "head")), 3L -> ((3L, "middle")),
+      4L -> ((4L, "middle")), 5L -> ((5L, "middle")),
+      6L -> ((6L, "tail")), 7L -> ((1L, "head"))), got.toString)
+  }
+
+  test("perplexityBuckets: score-tie order is id-deterministic") {
+    val df = Seq((10L, "x", 7L), (2L, "x", 7L), (5L, "x", 7L))
+      .toDF("id", "grp", "score")
+    val got = LmScore.perplexityBuckets(df, Seq("grp"), "id", "score",
+      cutsE6 = Seq(500000L), labels = Seq("keep", "drop"))
+      .select("id", "rank_in_group").as[(Long, Long)].collect().toMap
+    assert(got == Map(2L -> 1L, 5L -> 2L, 10L -> 3L), got.toString)
+  }
+
+  test("perplexityBuckets composes with bigramScore end-to-end") {
+    val ref = Seq((1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the rug")).toDF("id", "text")
+    val docs = Seq((10L, "the cat sat on the mat"),
+      (11L, "zq zq zq zq"), (12L, "the dog sat")).toDF("id", "text")
+    val scored = LmScore.bigramScore(docs, ref, "id", "text")
+      .withColumn("grp", lit("en"))
+    val got = LmScore.perplexityBuckets(scored, Seq("grp"), "doc_id",
+      "ll_e6", cutsE6 = Seq(333333L, 666667L))
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    // summed ll: the short in-domain doc is least negative (head), the
+    // longer in-domain doc lands mid; with n=3 the 2/3 cut ceils to
+    // rank 3, so the OOV-heavy doc is the LAST middle, not tail —
+    // the integer-ceil contract, not a bug
+    assert(got(12L) == "head" && got(10L) == "middle" &&
+      got(11L) == "middle", got.toString)
+  }
 }

@@ -93,4 +93,47 @@ class ProfileSpec extends SparkSpec {
     val empty = Profile.summarize(spark.emptyDataFrame.withColumn("x", lit(1)).filter(lit(false)))
     assert(empty.count() == 1) // one row for column x, n_rows 0
   }
+
+  test("quantiles: exact rank selection matches the hand-applied contract") {
+    // 10 values with ties and a null; non-null n = 10 (sorted:
+    // 1,2,2,3,5,5,5,8,9,10). rank(q) = clamp(ceil(q·n/1e6), 1, n):
+    // q=100000 -> r1 -> 1; q=250000 -> r3 -> 2; q=500000 -> r5 -> 5;
+    // q=750000 -> r8 (ceil 7.5) -> 8; q=1000000 -> r10 -> 10.
+    val df = Seq[Option[Int]](Some(5), Some(2), Some(9), Some(1), Some(5),
+      Some(3), Some(10), Some(2), Some(8), None, Some(5)).toDF("x")
+    val got = Profile.quantiles(df, Seq("x"),
+      qE6 = Seq(100000L, 250000L, 500000L, 750000L, 1000000L))
+      .as[(String, Long, String)].collect()
+      .map(r => r._2 -> r._3).toMap
+    assert(got == Map(
+      100000L -> "1.000000", 250000L -> "2.000000", 500000L -> "5.000000",
+      750000L -> "8.000000", 1000000L -> "10.000000"), got.toString)
+  }
+
+  test("quantiles: ranks survive many range partitions (offsets + pruning)") {
+    // 1..1000 over the default 8 shuffle partitions: median rank 500
+    // -> value 500; q990000 -> rank 990
+    val df = spark.range(1, 1001).toDF("v")
+      .select($"v", ($"v" % 7).as("noise"))
+    val got = Profile.quantiles(df, Seq("v"),
+      qE6 = Seq(500000L, 990000L))
+      .as[(String, Long, String)].collect().map(r => r._2 -> r._3).toMap
+    assert(got == Map(500000L -> "500.000000", 990000L -> "990.000000"),
+      got.toString)
+  }
+
+  test("quantiles: all-null column yields null values, not a crash") {
+    val df = Seq[Option[Int]](None, None).toDF("x")
+    val got = Profile.quantiles(df, Seq("x"), qE6 = Seq(500000L)).collect()
+    assert(got.length == 1 && got.head.isNullAt(2), got.mkString(","))
+  }
+
+  test("quantiles: approx path shares the schema and lands near exact") {
+    val df = spark.range(1, 10001).toDF("v")
+    val ex = Profile.quantiles(df, Seq("v"), qE6 = Seq(500000L))
+      .collect().head.getString(2).takeWhile(_ != '.').toLong
+    val ap = Profile.quantiles(df, Seq("v"), qE6 = Seq(500000L),
+      exact = false).collect().head.getString(2).takeWhile(_ != '.').toLong
+    assert(math.abs(ex - ap) <= 50, s"exact $ex approx $ap")
+  }
 }
