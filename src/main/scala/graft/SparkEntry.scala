@@ -1822,6 +1822,16 @@ object SparkEntry {
         T(s, dir, "documents")
           .select(col("doc_id"), col("lang"), col("n_chars")),
         Seq("lang"), "doc_id", "n_chars")),
+
+    // Per-doc top-3 TF-IDF keywords — q123's exact integer-weight
+    // conventions, ranked (w DESC, term ASC) inside each document.
+    // Exact oracle: same df screen, idf floor, and window replay.
+    "q134_top_keywords" -> ((s, dir) =>
+      // maxDfFrac 0.9: the synthetic corpus has a ~60-word vocabulary
+      // with most words in >half the docs — the production 0.5 default
+      // would empty the keyword space here
+      ops.Retrieval.topKeywords(T(s, dir, "documents"),
+        "doc_id", "text", k = 3, maxDfFrac = 0.9)),
   )
 
   // ------------------------------------------------------------------
@@ -3749,6 +3759,27 @@ object SparkEntry {
                 WHEN p <= (666667 * n + 999999) // 1000000 THEN 'middle'
                 ELSE 'tail' END AS bucket
          FROM r""",
+
+    // q123's exact vocabulary/weight replay, then the per-document
+    // window with the lexicographic tie-break
+    "q134_top_keywords" ->
+      """WITH t AS (
+           SELECT doc_id, word AS term, count(*) AS tf FROM (
+             SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0)) AS word
+             FROM documents) GROUP BY 1, 2),
+         nd AS (SELECT count(*) AS n FROM documents),
+         d AS (SELECT term, count(*) AS df FROM t GROUP BY 1
+               HAVING count(*) >= 2 AND count(*) <= (SELECT floor(0.9 * n) FROM nd)),
+         w AS (SELECT doc_id, term, tf,
+                 tf * CAST(floor(1000.0 * ln(CAST((SELECT n FROM nd) AS DOUBLE) / df)) AS BIGINT) AS w
+               FROM t JOIN d USING (term)),
+         r AS (SELECT doc_id, term, tf, w,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY w DESC, term ASC) AS rk
+               FROM w)
+         SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+           CAST(w AS BIGINT) AS w, CAST(rk AS BIGINT) AS rk
+         FROM r WHERE rk <= 3""",
 
     // q33_ann_lsh / q35_cosine_neardup / q36_ann_ivf /
     // q54_ann_lsh_multi: probabilistic and hash-family-specific — the

@@ -172,4 +172,52 @@ object Retrieval {
           .cast("long").as("sim_e4"))
       .filter(col("sim_e4") >= minSimE4)
   }
+
+  /** Per-document top-k KEYWORDS by TF-IDF weight — the extractive
+    * tagging op (search facets, topic labels, weak supervision
+    * features), sharing [[tfidfCosinePairs]]' exact conventions:
+    * `\s+` lowercased split, integer weights `tf·⌊10³·ln(N/df)⌋`, and
+    * the same `minDf ≤ df ≤ min(maxDfFrac·N, maxDfAbs)` vocabulary
+    * screen (stopwords fall out via the df cap, hapaxes via minDf —
+    * for keyword extraction minDf=2 keeps corpus-attested terms only).
+    *
+    * Determinism: rank within the document by (w DESC, term ASC) —
+    * integer weights, lexicographic tie-break, so top-k is
+    * engine-exact, never "whichever tied term the heap kept".
+    *
+    * Scale shape: one (id, term) count aggregate, a dictionary-sized
+    * df/idf join (AQE-broadcastable), and a PER-DOCUMENT row_number
+    * window — partitioned by doc id, so the sort unit is one
+    * document's vocabulary, never a global or per-term sort. Term
+    * strings do shuffle here (they ARE the output), at word mass —
+    * the same class as the q04 keyword aggregate.
+    */
+  def topKeywords(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int, minDf: Long = 2, maxDfFrac: Double = 0.5,
+                  maxDfAbs: Long = Long.MaxValue): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val base = docs.select(col(idCol).as("id"),
+      split(lower(col(textCol)), "\\s+").as("toks"))
+    val nDocs = base.count()
+    val terms = base
+      .select(col("id"), explode(col("toks")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf &&
+        col("df") <= lit(math.min(math.floor(maxDfFrac * nDocs),
+          maxDfAbs.toDouble)))
+      .withColumn("idf_e3",
+        floor(lit(1000.0) * log(lit(nDocs.toDouble) / col("df")))
+          .cast("long"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("w").desc, col("term").asc)
+    terms.join(dfreq.select(col("term"), col("idf_e3")), "term")
+      .select(col("id"), col("term"), col("tf"),
+        (col("tf") * col("idf_e3")).as("w"))
+      .withColumn("rk", row_number().over(win).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("id").as(idCol), col("term"), col("tf"),
+        col("w"), col("rk"))
+  }
 }

@@ -94,4 +94,29 @@ class RetrievalSpec extends SparkSpec {
       assert(!got.contains((1L, 3L)) && !got.contains((2L, 4L)), got.toString)
     } finally graft.ops.CacheScope.release(spark)
   }
+
+  test("topKeywords: hand-computed weights, df screen, and tie order") {
+    import spark.implicits._
+    // N = 4. df: alpha 2, beta 2, gamma 2, common 4 (capped out by
+    // maxDfFrac 0.5), zeta 1 (out by minDf). idf_e3 for df=2:
+    // floor(1000·ln 2) = 693.
+    val docs = Seq(
+      (1L, "alpha alpha beta zeta common"),
+      (2L, "alpha beta common"),
+      (3L, "gamma common"),
+      (4L, "gamma common")
+    ).toDF("doc_id", "text")
+    val got = Retrieval.topKeywords(docs, "doc_id", "text", k = 2)
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._5) -> ((r._2, r._3, r._4))).toMap
+    // doc 1: alpha tf2 w1386 > beta tf1 w693
+    assert(got((1L, 1L)) == (("alpha", 2L, 1386L)), got.toString)
+    assert(got((1L, 2L)) == (("beta", 1L, 693L)))
+    // doc 2: equal weights -> lexicographic tie-break alpha < beta
+    assert(got((2L, 1L)) == (("alpha", 1L, 693L)))
+    assert(got((2L, 2L)) == (("beta", 1L, 693L)))
+    // docs 3/4: only gamma survives the screens -> a single keyword
+    assert(got((3L, 1L)) == (("gamma", 1L, 693L)))
+    assert(!got.contains((3L, 2L)), got.toString)
+  }
 }
