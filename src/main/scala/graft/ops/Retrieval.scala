@@ -212,12 +212,16 @@ object Retrieval {
           .cast("long"))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("w").desc, col("term").asc)
+    // filter the RAW row_number (cast only in the output projection):
+    // Catalyst's InferWindowGroupLimit matches a rank predicate sitting
+    // directly on the window expression, turning the per-doc sort into
+    // a map-side top-k heap (WindowGroupLimit, the q63 shape)
     terms.join(dfreq.select(col("term"), col("idf_e3")), "term")
       .select(col("id"), col("term"), col("tf"),
         (col("tf") * col("idf_e3")).as("w"))
-      .withColumn("rk", row_number().over(win).cast("long"))
+      .withColumn("rk", row_number().over(win))
       .filter(col("rk") <= k)
       .select(col("id").as(idCol), col("term"), col("tf"),
-        col("w"), col("rk"))
+        col("w"), col("rk").cast("long").as("rk"))
   }
 }

@@ -265,4 +265,24 @@ class PlanPropertiesSpec extends SparkSpec {
       .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
     assert(read.split(",").length <= 1, s"q116 scan too wide: $read")
   }
+
+  test("q129 repetition signals: line/gram text never appears in an exchange") {
+    // the line and n-gram count aggregates shuffle (id, hash, len)
+    // only — document text, line strings, and gram strings must all be
+    // consumed map-side before the exchange
+    val p = plan("q129_repetition")
+    val textShuffles = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .filter(l => l.contains("text#") || l.contains("line#") || l.contains(", g#"))
+    assert(textShuffles.isEmpty, textShuffles.mkString("\n"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(600))
+  }
+
+  test("q134 top keywords: per-document WindowGroupLimit cuts before the rank") {
+    // Spark's group-limit pushdown must fire for the rk <= k filter so
+    // each document's vocabulary is heap-cut map-side, like q63
+    val p = plan("q134_top_keywords")
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+  }
 }
