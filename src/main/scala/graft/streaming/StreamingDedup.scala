@@ -115,6 +115,18 @@ object StreamingDedup {
             .values.foreach(_.unpersist(blocking = false))
           graft.ops.CacheScope.releaseSince(spark, scopeMark)
           b.unpersist()
+          // ZOMBIE-ENTRY HYGIENE (the r12 flake, ~2%/batch in
+          // IngestStress): the appends' recacheByPlan walk re-registers
+          // cached entries referencing these tables behind the
+          // tracker's back; a leftover entry canonically matches the
+          // NEXT batch's freshly-listed scan (HadoopFsRelation equality
+          // ignores file listings) and serves it the PREVIOUS batch's
+          // table state. Cascade-drop everything referencing the two
+          // tables so batch N+1 resolves them from disk. Driver-only.
+          org.apache.spark.sql.graft.CatalogCache
+            .uncacheReferencing(spark, s"`$db`.`$corpusTable`")
+          org.apache.spark.sql.graft.CatalogCache
+            .uncacheReferencing(spark, s"`$db`.`$indexTable`")
           ()
         }
       }
