@@ -1832,6 +1832,55 @@ object SparkEntry {
       // would empty the keyword space here
       ops.Retrieval.topKeywords(T(s, dir, "documents"),
         "doc_id", "text", k = 3, maxDfFrac = 0.9)),
+
+    // SCD2 dimension history from a changelog: run-collapse on the
+    // tracked attribute, half-open [effective_from, effective_to)
+    // intervals, lead-derived end timestamps. Exact oracle: the same
+    // lag/lead windows in SQL. Timestamps leave as epoch micros
+    // (BIGINT) — the integer-output doctrine.
+    "q135_scd2_history" -> ((s, dir) =>
+      ops.Scd.buildHistory(
+        T(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
+        "user_id", "ts", "event_id", Seq("event_type"))
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("effective_from")).as("ef_us"),
+          unix_micros(col("effective_to")).as("et_us"),
+          col("is_current"))),
+
+    // Point-in-time dimension read over the SCD2 history — one covering
+    // version per user mid-fixture. A pure filter on the history (no
+    // window, no shuffle beyond the build's own).
+    "q136_scd2_snapshot" -> ((s, dir) =>
+      ops.Scd.snapshotAt(
+        ops.Scd.buildHistory(
+          T(s, dir, "events")
+            .select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
+          "user_id", "ts", "event_id", Seq("event_type")),
+        lit("2024-01-15 00:00:00").cast("timestamp"))
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("effective_from")).as("ef_us"),
+          unix_micros(col("effective_to")).as("et_us"))),
+
+    // Regular-grid resample with LOCF fill: 6-hour cells per user,
+    // bucket max as the cell aggregate (picks an input double — both
+    // engines agree bit-for-bit), gaps forward-filled. Exact oracle:
+    // generate_series + IGNORE NULLS last_value replay.
+    "q137_resample_locf" -> ((s, dir) =>
+      ops.TimeFeatures.resampleLocf(
+        T(s, dir, "events").select(col("user_id"), col("ts"), col("value")),
+        "user_id", "ts", "value", stepSeconds = 21600L)),
+
+    // Deterministic weighted interleave — the curriculum key that
+    // schedules source s's r-th doc at virtual time ⌊10⁹·r/w⌋ so the
+    // training order has no single-source pockets. Exact oracle: the
+    // same rank window + integer floor division.
+    "q138_interleave_key" -> ((s, dir) =>
+      ops.Sampling.interleaveBySource(
+        T(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id", "source", "doc_id",
+        Map("src1" -> 3000000L, "src2" -> 2000000L),
+        defaultWeightE6 = 1000000L)),
   )
 
   // ------------------------------------------------------------------
@@ -3780,6 +3829,84 @@ object SparkEntry {
          SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
            CAST(w AS BIGINT) AS w, CAST(rk AS BIGINT) AS rk
          FROM r WHERE rk <= 3""",
+
+    // SCD2 build: identical lag-based run-collapse (IS DISTINCT FROM ==
+    // the engine's null-safe struct compare on a non-null attr), then
+    // lead for the interval end — epoch-micro BIGINT output
+    "q135_scd2_history" ->
+      """WITH m AS (
+           SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+         k AS (
+           SELECT user_id, ts, event_id, event_type FROM m
+           WHERE prev IS DISTINCT FROM event_type)
+         SELECT user_id, event_type,
+           epoch_us(ts) AS ef_us,
+           epoch_us(lead(ts) OVER w) AS et_us,
+           lead(ts) OVER w IS NULL AS is_current
+         FROM k
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+
+    // the same history filtered to the one version covering the as-of
+    // instant (half-open: from <= t < to)
+    "q136_scd2_snapshot" ->
+      """WITH m AS (
+           SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+         k AS (
+           SELECT user_id, ts, event_id, event_type FROM m
+           WHERE prev IS DISTINCT FROM event_type),
+         h AS (
+           SELECT user_id, event_type, ts AS ef,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS et
+           FROM k)
+         SELECT user_id, event_type, epoch_us(ef) AS ef_us, epoch_us(et) AS et_us
+         FROM h
+         WHERE ef <= TIMESTAMP '2024-01-15 00:00:00'
+           AND (et IS NULL OR et > TIMESTAMP '2024-01-15 00:00:00')""",
+
+    // grid resample: integer floor-div bucketing (epoch_us // step),
+    // per-cell max + count, generate_series grid between each key's
+    // first and last cell, IGNORE NULLS last_value as the LOCF; the
+    // carried double hits the same ⌊10⁶·x⌋ floor in both engines
+    "q137_resample_locf" ->
+      """WITH b AS (
+           SELECT user_id, epoch_us(ts) // 21600000000 AS bucket,
+             max(value) AS vmax, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         s AS (
+           SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+           FROM b GROUP BY 1),
+         g AS (
+           SELECT user_id, unnest(generate_series(b0, b1)) AS bucket FROM s),
+         j AS (
+           SELECT g.user_id, g.bucket, b.vmax, b.n
+           FROM g LEFT JOIN b USING (user_id, bucket))
+         SELECT user_id, bucket,
+           CAST(floor(last_value(vmax IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000.0)
+             AS BIGINT) AS v_e6,
+           CAST(coalesce(n, 0) AS BIGINT) AS n_obs,
+           n IS NOT NULL AS observed
+         FROM j""",
+
+    // interleave key: same per-source rank window, same integer floor
+    // division (// == Spark's div on positive operands)
+    "q138_interleave_key" ->
+      """WITH r AS (
+           SELECT doc_id, source,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY doc_id, doc_id) AS BIGINT) AS within_rank
+           FROM documents)
+         SELECT doc_id, source, within_rank,
+           CAST((within_rank * 1000000000) //
+             (CASE WHEN source = 'src1' THEN 3000000
+                   WHEN source = 'src2' THEN 2000000
+                   ELSE 1000000 END) AS BIGINT) AS interleave_key
+         FROM r""",
 
     // q33_ann_lsh / q35_cosine_neardup / q36_ann_ivf /
     // q54_ann_lsh_multi: probabilistic and hash-family-specific — the

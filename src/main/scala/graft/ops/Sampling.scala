@@ -392,4 +392,46 @@ object Sampling {
       .orderBy(col("aes_key_e9").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Deterministic weighted interleave — the curriculum/layout step
+    * that turns a mixed corpus into ONE global training order where
+    * each source appears at its configured rate throughout (no
+    * "all-of-wiki-then-all-of-web" pockets, which bias early training).
+    * Each source's r-th document (1-based rank in `orderCol`,`idCol`
+    * order) is scheduled at virtual time ⌊10⁹·r / w⌋ for weight w
+    * (e6 fixed-point), so a weight-3 source fires 3× as often as a
+    * weight-1 source; sorting by (interleave_key, source, rank) is a
+    * total order and IS the training order.
+    *
+    * The op emits the SORT KEY, not a global row number: a global
+    * row_number is a one-partition window (the anti-pattern), while a
+    * key + range-partitioned sorted write ([[Layout.writeClustered]])
+    * produces the same order with a sampling-based range exchange —
+    * the q71 Z-order doctrine. One shuffle (rank window per source);
+    * weights ride the plan as a literal when-chain like
+    * [[sampleByExact]]'s fractions.
+    *
+    * Integer bound: keys are ⌊10⁹·r/w⌋ ≤ 10⁹·r, so ranks to ~9·10⁹
+    * per source fit a long even at weight 1; beyond that (per-SOURCE
+    * rank, not corpus size) move the division to DECIMAL(38,0).
+    */
+  def interleaveBySource(df: DataFrame, idCol: String, strataCol: String,
+                         orderCol: String, weightsE6: Map[String, Long],
+                         defaultWeightE6: Long = 1000000L): DataFrame = {
+    require(defaultWeightE6 > 0 && weightsE6.values.forall(_ > 0),
+      "interleave weights must be positive")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col(orderCol), col(idCol))
+    val weight = weightsE6.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultWeightE6)) { case (els, (k, v)) =>
+        when(col(strataCol) === lit(k), lit(v)).otherwise(els)
+      }
+    df.withColumn("__w_e6", weight)
+      .withColumn("within_rank", row_number().over(w).cast("long"))
+      // integer floor division (`div`), never float-div+floor: the
+      // oracle's `//` and a double quotient disagree in the last ulp
+      .withColumn("interleave_key",
+        expr("(within_rank * 1000000000L) div __w_e6"))
+      .drop("__w_e6")
+  }
 }

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension (type 2) history build and point-in-time
+  * reads — the warehouse layer under every "what did this dimension
+  * look like when the fact happened" join. The reference materializes
+  * dim tables as last-write-wins upserts (its HBase/Redis dim path,
+  * SRC/utils/PhoenixUtil.scala usage); SCD2 is the batch-side
+  * generalization that keeps the full version history queryable, and
+  * pairs with [[AsOfJoin]] (which answers the same question against an
+  * event stream instead of a versioned dim).
+  *
+  * Scale shape: one hash shuffle by `keyCol` and one sort carry both
+  * windows (run-collapse lag + effective_to lead) — Catalyst reuses the
+  * sort across the intervening filter, so the whole build is a single
+  * exchange. Version-history skew is bounded by per-key change counts,
+  * which for real dimensions are small; the changelog's attribute
+  * payload rides the one shuffle untouched.
+  */
+object Scd {
+
+  /** Collapse a changelog (one row per observed version) into SCD2
+    * history rows `[effective_from, effective_to)`.
+    *
+    * - Ordering within a key is `(tsCol, tieCol)` — the tie column makes
+    *   same-timestamp updates deterministic (q122 doctrine).
+    * - Consecutive versions whose `attrCols` are unchanged (null-safe
+    *   struct compare) are collapsed into the run's first row, so the
+    *   output is run-length bounded, not changelog-sized.
+    * - `effective_to` is the NEXT kept version's `effective_from`
+    *   (half-open intervals; no gaps, no overlaps); null marks the
+    *   current version, also exposed as `is_current`.
+    */
+  def buildHistory(changelog: DataFrame, keyCol: String, tsCol: String,
+                   tieCol: String, attrCols: Seq[String]): DataFrame = {
+    val ord = Seq(col(tsCol), col(tieCol))
+    val w = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
+    val attrs = struct(attrCols.map(col): _*)
+    changelog
+      .withColumn("__prev_attrs", lag(attrs, 1).over(w))
+      // null-safe: the first version (lag null) always starts a run
+      .filter(!(col("__prev_attrs") <=> attrs))
+      .withColumn("effective_from", col(tsCol))
+      .withColumn("effective_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("effective_to").isNull)
+      .select((col(keyCol) +: attrCols.map(col)) ++
+        Seq(col("effective_from"), col("effective_to"), col("is_current")): _*)
+  }
+
+  /** Point-in-time read over an SCD2 history: the one version of each
+    * key whose `[effective_from, effective_to)` interval contains
+    * `asOf`. A plain filter — no window, no shuffle — so it pushes down
+    * to the scan; on a history partitioned by effective_from date it
+    * also prunes partitions.
+    */
+  def snapshotAt(history: DataFrame, asOf: Column): DataFrame =
+    history.filter(col("effective_from") <= asOf &&
+      (col("effective_to").isNull || col("effective_to") > asOf))
+}

@@ -36,4 +36,54 @@ object TimeFeatures {
       .withColumn("trail_sum_e6",
         sum(floor(col(valueCol) * 1000000.0).cast("long")).over(w))
   }
+
+  /** Resample an event series onto a fixed time grid with
+    * last-observation-carried-forward fill — the step that turns
+    * irregular events into the regular series every downstream
+    * forecasting/feature job assumes. Per key: bucket timestamps to
+    * `stepSeconds`-wide cells (floor of epoch micros), aggregate each
+    * observed cell (bucket max — picking an input value, so both
+    * engines agree bit-for-bit on doubles), then emit EVERY cell
+    * between the key's first and last observation, forward-filling the
+    * gaps. `observed` distinguishes real cells from filled ones;
+    * `v_e6` is the ⌊10⁶·value⌋ integer form of the carried value.
+    *
+    * Scale shape: the per-cell aggregate partial-aggregates map-side and
+    * shuffles only (key, bucket, max, count); the grid explode and the
+    * left join both live on the same (key, bucket) keys, and the LOCF
+    * window shuffles by key alone. Nothing row-sized ever re-shuffles.
+    * The hazard is the GRID, not the data: a key alive for years at a
+    * 1-second step would fabricate tens of millions of rows — so the
+    * span is guarded by `maxBuckets` and the build fails loudly
+    * (assert inside the sequence bound, no extra action) instead of
+    * silently exploding an executor.
+    */
+  def resampleLocf(df: DataFrame, keyCol: String, tsCol: String,
+                   valueCol: String, stepSeconds: Long,
+                   maxBuckets: Long = 100000L): DataFrame = {
+    val stepUs = stepSeconds * 1000000L
+    val cells = df
+      .groupBy(col(keyCol), floor(unix_micros(col(tsCol)) / stepUs).as("bucket"))
+      .agg(max(col(valueCol)).as("__vmax"), count(lit(1)).as("n_obs"))
+    // per-key grid bounds; the assert_true rides the upper bound so
+    // Catalyst cannot prune it (a dropped guard column would be
+    // optimized away before it ever ran)
+    val grid = cells.groupBy(col(keyCol))
+      .agg(min(col("bucket")).as("__b0"), max(col("bucket")).as("__b1"))
+      .select(col(keyCol), explode(sequence(col("__b0"),
+        coalesce(assert_true(col("__b1") - col("__b0") < lit(maxBuckets),
+          concat(lit(s"resampleLocf: key "), col(keyCol).cast("string"),
+            lit(s" spans more than $maxBuckets buckets"))).cast("long"),
+          col("__b1")))).as("bucket"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(cells, Seq(keyCol, "bucket"), "left")
+      .withColumn("v_e6",
+        floor(last(col("__vmax"), ignoreNulls = true).over(w) * 1000000.0)
+          .cast("long"))
+      .withColumn("observed", col("n_obs").isNotNull)
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+      .select(col(keyCol), col("bucket"), col("v_e6"), col("n_obs"),
+        col("observed"))
+  }
 }

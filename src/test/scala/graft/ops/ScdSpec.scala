@@ -1,0 +1,64 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ScdSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val changelog = Seq(
+    // key 1: A, A (collapse), B, A — three runs
+    (1L, ts("2024-01-01 00:00:00"), 1L, "A"),
+    (1L, ts("2024-01-02 00:00:00"), 2L, "A"),
+    (1L, ts("2024-01-03 00:00:00"), 3L, "B"),
+    (1L, ts("2024-01-04 00:00:00"), 4L, "A"),
+    // key 2: single version
+    (2L, ts("2024-01-02 12:00:00"), 5L, "C")
+  ).toDF("k", "ts", "seq", "attr")
+
+  test("consecutive duplicate versions collapse; intervals are half-open and gap-free") {
+    val h = Scd.buildHistory(changelog, "k", "ts", "seq", Seq("attr"))
+      .orderBy("k", "effective_from")
+      .as[(Long, String, Timestamp, Option[Timestamp], Boolean)].collect().toSeq
+    assert(h == Seq(
+      (1L, "A", ts("2024-01-01 00:00:00"), Some(ts("2024-01-03 00:00:00")), false),
+      (1L, "B", ts("2024-01-03 00:00:00"), Some(ts("2024-01-04 00:00:00")), false),
+      (1L, "A", ts("2024-01-04 00:00:00"), None, true),
+      (2L, "C", ts("2024-01-02 12:00:00"), None, true)), h.toString)
+  }
+
+  test("same-timestamp updates order by the tie column; later seq wins the interval") {
+    val t0 = ts("2024-01-01 00:00:00")
+    val df = Seq((1L, t0, 2L, "Y"), (1L, t0, 1L, "X"))
+      .toDF("k", "ts", "seq", "attr")
+    val h = Scd.buildHistory(df, "k", "ts", "seq", Seq("attr"))
+      .orderBy("effective_from", "attr")
+      .as[(Long, String, Timestamp, Option[Timestamp], Boolean)].collect().toSeq
+    // X (seq 1) then Y (seq 2): X's interval is zero-length, Y is current
+    assert(h == Seq(
+      (1L, "X", t0, Some(t0), false),
+      (1L, "Y", t0, None, true)), h.toString)
+  }
+
+  test("snapshotAt returns exactly the covering version per key") {
+    val h = Scd.buildHistory(changelog, "k", "ts", "seq", Seq("attr"))
+    val got = Scd.snapshotAt(h, lit(ts("2024-01-03 06:00:00")))
+      .select("k", "attr").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "B", 2L -> "C"), got.toString)
+    // before key 2 existed: only key 1's first version covers
+    val early = Scd.snapshotAt(h, lit(ts("2024-01-01 12:00:00")))
+      .select("k", "attr").as[(Long, String)].collect().toMap
+    assert(early == Map(1L -> "A"), early.toString)
+  }
+
+  test("one exchange: run-collapse lag and effective_to lead share sort and shuffle") {
+    val plan = Scd.buildHistory(changelog, "k", "ts", "seq", Seq("attr"))
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected one shuffle, plan:\n${plan.take(1200)}")
+  }
+}
