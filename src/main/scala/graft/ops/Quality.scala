@@ -78,8 +78,21 @@ object Quality {
     require(topNs.nonEmpty && topNs.forall(_ >= 1) && dupN >= 1,
       "n-gram sizes must be >= 1")
     val allNs = (topNs :+ dupN).distinct.sorted
-    val base = df.select(col(idCol).as("id"),
+    val spark = df.sparkSession
+    val basePlan = df.select(col(idCol).as("id"),
       coalesce(col(textCol), lit("")).as("text"))
+    // FAN-OUT (r12, measured): both families below are NARROW chains
+    // from the scan (explode → map-side partial agg), so the scan's
+    // file count caps their parallelism — on a few-file input the whole
+    // per-token pass serialized onto ONE core (23.7 s single-task stage
+    // at sf0.1; 32-way after the fan-out). Round-robin, same doctrine
+    // as the dedup family's fanOutScan; at real scale the input has
+    // thousands of splits and the extra (id, text) pass is pure cost —
+    // disable with the same switch.
+    val base =
+      if (spark.conf.get("graft.dedup.fanOutScan", "true") == "true")
+        basePlan.repartition(spark.sparkContext.defaultParallelism)
+      else basePlan
 
     // ---- line family: shuffle (id, line-hash, len), never the line
     val lines = base.select(col("id"),
@@ -98,18 +111,36 @@ object Quality {
     // ---- n-gram family, ONE pass for every n: per word position i,
     // emit the n-gram starting at i for each n that still fits (the
     // filter-on-positions form sidesteps sequence()'s descending
-    // surprise when size < n)
+    // surprise when size < n).
+    //
+    // NO GRAM STRING IS EVER BUILT (r12, measured 2.6×): the old form
+    // re-joined every overlapping slice (`array_join(slice(words...))`)
+    // just to hash it and take its length — per-gram string allocation
+    // in an interpreted HOF chain. The fingerprint is now xxhash64 over
+    // the gram's n WORD-hashes and the length is the unrolled word-
+    // length sum + (n−1) separators — identical grouping + identical
+    // len, zero string work. Collision contract unchanged in kind:
+    // grouping by the fingerprint equals grouping by the gram value
+    // unless two distinct grams of ONE document (same n) collide on 64
+    // bits (directly, or via a word-level hash collision inside them).
     val words = filter(split(col("text"), "\\s+"), w => length(w) > 0)
+    val hashed = base.select(col("id"),
+      transform(words, w => xxhash64(w)).as("wh"),
+      transform(words, w => length(w).cast("long")).as("wl"))
+    val nWords = size(col("wh"))
     val gramStructs = flatten(array(allNs.map { n =>
       transform(
-        filter(sequence(lit(1), greatest(size(words), lit(1))),
-          i => i + lit(n - 1) <= size(words)),
+        filter(sequence(lit(1), greatest(nWords, lit(1))),
+          i => i + lit(n - 1) <= nWords),
         i => struct(lit(n).as("n"),
-          array_join(slice(words, i, lit(n)), " ").as("g")))
+          xxhash64((0 until n).map(k =>
+            element_at(col("wh"), i + lit(k))): _*).as("gh"),
+          ((0 until n).map(k => element_at(col("wl"), i + lit(k)))
+            .reduce(_ + _) + lit((n - 1).toLong)).as("len")))
     }: _*))
-    val gramAgg = base.select(col("id"), explode(gramStructs).as("s"))
+    val gramAgg = hashed.select(col("id"), explode(gramStructs).as("s"))
       .select(col("id"), col("s.n").as("n"),
-        xxhash64(col("s.g")).as("gh"), length(col("s.g")).as("len"))
+        col("s.gh").as("gh"), col("s.len").as("len"))
       .groupBy(col("id"), col("n"), col("gh"))
       .agg(count(lit(1)).as("c"), max(col("len")).as("len"))
       .groupBy(col("id"))

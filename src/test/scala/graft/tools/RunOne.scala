@@ -31,9 +31,15 @@ object RunOne {
       })
     }
     val reps = sys.env.getOrElse("RUNONE_REPS", "2").toInt
+    // RUNONE_FULL=1 materializes via toRdd.count() like Bench — a plain
+    // Dataset.count() lets Catalyst ELIMINATE left-joined aggregates
+    // grouped by the join key (r12: q129's whole n-gram pass vanished
+    // and "cold 4.2 s" measured a base scan; Bench said 27 s)
+    val full = sys.env.contains("RUNONE_FULL")
     (1 to reps).foreach { r =>
       val t0 = System.nanoTime()
-      val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      val n = if (full) df.queryExecution.toRdd.count() else df.count()
       println(f"RESULT $name rep=$r rows=$n t=${(System.nanoTime() - t0) / 1e9}%.2f s")
       spark.catalog.clearCache()
     }
