@@ -1881,6 +1881,14 @@ object SparkEntry {
         "doc_id", "source", "doc_id",
         Map("src1" -> 3000000L, "src2" -> 2000000L),
         defaultWeightE6 = 1000000L)),
+
+    // Per-group Pearson correlation + OLS slope on exact integer
+    // moments (q125's doctrine, bivariate): decimal moment sums,
+    // identities exact, final sqrt/divide float in fixed order. Exact
+    // oracle: HUGEINT replay.
+    "q139_correlation" -> ((s, dir) =>
+      ops.Profile.correlation(T(s, dir, "lineitem"),
+        "l_returnflag", "l_quantity", "l_extendedprice")),
   )
 
   // ------------------------------------------------------------------
@@ -3907,6 +3915,32 @@ object SparkEntry {
                    WHEN source = 'src2' THEN 2000000
                    ELSE 1000000 END) AS BIGINT) AS interleave_key
          FROM r""",
+
+    // exact bivariate moments in HUGEINT (DuckDB promotes BIGINT
+    // products automatically), identical identity/divide order
+    "q139_correlation" ->
+      """WITH r AS (
+           SELECT l_returnflag,
+             CAST(round(l_quantity * 10000.0) AS BIGINT) AS cx,
+             CAST(round(l_extendedprice * 10000.0) AS BIGINT) AS cy
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+         m AS (
+           SELECT l_returnflag, count(*) AS n,
+             sum(cx) AS sx, sum(cy) AS sy,
+             sum(cx * cx) AS sxx, sum(cy * cy) AS syy,
+             sum(cx * cy) AS sxy
+           FROM r GROUP BY 1 HAVING count(*) >= 2),
+         m2 AS (
+           SELECT l_returnflag, n,
+             CAST(n * sxy - sx * sy AS DOUBLE) AS covnum,
+             CAST(n * sxx - sx * sx AS DOUBLE) AS varx,
+             CAST(n * syy - sy * sy AS DOUBLE) AS vary
+           FROM m)
+         SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           CAST(floor(10000.0 * (covnum / (sqrt(varx) * sqrt(vary)))) AS BIGINT) AS corr_e4,
+           CAST(floor(1000000.0 * (covnum / varx)) AS BIGINT) AS slope_e6
+         FROM m2 WHERE varx > 0 AND vary > 0""",
 
     // q33_ann_lsh / q35_cosine_neardup / q36_ann_ivf /
     // q54_ann_lsh_multi: probabilistic and hash-family-specific — the

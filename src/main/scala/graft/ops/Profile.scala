@@ -147,6 +147,59 @@ object Profile {
       .select(col(idCol), col(groupCol), col("z_e4"))
   }
 
+  /** Per-group Pearson correlation and OLS slope between two numeric
+    * columns — drift/leakage analysis ("does feature x still track
+    * label y in this slice?") with [[zscoreOutliers]]'s exactness
+    * doctrine extended to the bivariate moments: built-in `corr` /
+    * `regr_slope` aggregate central moments whose merge order varies
+    * with partitioning, so their last-ulp output is not
+    * engine-replayable. Here the six raw moments (n, Σx, Σy, Σx²,
+    * Σy², Σxy over `round(value·scale)` integers) are exact
+    * DECIMAL(38,0) sums — order-independent — the covariance/variance
+    * identities n·Σxy − ΣxΣy evaluate exactly in decimals, and only
+    * the final sqrt/divide runs in floats with a FIXED operation
+    * order, so `corr_e4`/`slope_e6` floors replay bit-for-bit on a
+    * HUGEINT oracle.
+    *
+    * One shuffle (six map-side-combined sums); output is
+    * group-count-sized. Rows with a NULL in either column are outside
+    * the joint distribution and excluded from n and all sums (q125's
+    * null rule). Groups with n < 2 or zero variance in either column
+    * emit nothing (correlation undefined). 38-digit headroom: with
+    * e4 scaling, ΣxΣy stays in range through ~10¹² rows per group at
+    * |value| ≤ 10⁵ — past that, lower `scale` (the q125 dial).
+    */
+  def correlation(df: DataFrame, groupCol: String, xCol: String,
+                  yCol: String, scale: Long = 10000L): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cx = round(col(xCol) * scale.toDouble).cast(LongType)
+    val cy = round(col(yCol) * scale.toDouble).cast(LongType)
+    val rows = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol), cx.as("cx"), cy.as("cy"))
+    rows.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      sum(col("cx").cast(dec)).as("sx"),
+      sum(col("cy").cast(dec)).as("sy"),
+      sum(col("cx").cast(dec) * col("cx").cast(dec)).as("sxx"),
+      sum(col("cy").cast(dec) * col("cy").cast(dec)).as("syy"),
+      sum(col("cx").cast(dec) * col("cy").cast(dec)).as("sxy"))
+      .filter(col("n") >= 2)
+      .withColumn("covnum",
+        (col("n").cast(dec) * col("sxy") - col("sx") * col("sy")).cast("double"))
+      .withColumn("varx",
+        (col("n").cast(dec) * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .withColumn("vary",
+        (col("n").cast(dec) * col("syy") - col("sy") * col("sy")).cast("double"))
+      .filter(col("varx") > 0.0 && col("vary") > 0.0)
+      .withColumn("corr_e4",
+        floor(lit(10000.0) *
+          (col("covnum") / (sqrt(col("varx")) * sqrt(col("vary")))))
+          .cast("long"))
+      .withColumn("slope_e6",
+        floor(lit(1000000.0) * (col("covnum") / col("varx"))).cast("long"))
+      .select(col(groupCol), col("n"), col("corr_e4"), col("slope_e6"))
+  }
+
   /** Equi-width histogram of a numeric column over a CALLER-FIXED
     * [lo, hi) range — the profiling companion to [[summarize]].
     *

@@ -136,4 +136,35 @@ class ProfileSpec extends SparkSpec {
       exact = false).collect().head.getString(2).takeWhile(_ != '.').toLong
     assert(math.abs(ex - ap) <= 50, s"exact $ex approx $ap")
   }
+
+  test("correlation: moment replay matches Scala; nulls and degenerate groups drop") {
+    val df = Seq(
+      ("a", jd(1.0), jd(2.1)), ("a", jd(2.0), jd(3.9)),
+      ("a", jd(3.0), jd(6.2)), ("a", jd(4.0), jd(7.8)),
+      ("a", null.asInstanceOf[java.lang.Double], jd(99.0)), // excluded row
+      ("b", jd(1.0), jd(5.0)), ("b", jd(2.0), jd(5.0)),     // zero y-variance
+      ("c", jd(1.0), jd(1.0))                                // n < 2
+    ).toDF("g", "x", "y")
+    val got = Profile.correlation(df, "g", "x", "y")
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (g, n, c, s) => g -> ((n, c, s)) }.toMap
+    // replay group a with the exact same operation order in Scala
+    val pts = Seq((1.0, 2.1), (2.0, 3.9), (3.0, 6.2), (4.0, 7.8))
+    val cx = pts.map(p => math.round(p._1 * 10000.0))
+    val cy = pts.map(p => math.round(p._2 * 10000.0))
+    val n = BigInt(pts.size)
+    val (sx, sy) = (cx.map(BigInt(_)).sum, cy.map(BigInt(_)).sum)
+    val sxx = cx.map(c => BigInt(c) * c).sum
+    val syy = cy.map(c => BigInt(c) * c).sum
+    val sxy = cx.zip(cy).map { case (a, b) => BigInt(a) * b }.sum
+    val covnum = (n * sxy - sx * sy).toDouble
+    val varx = (n * sxx - sx * sx).toDouble
+    val vary = (n * syy - sy * sy).toDouble
+    val corrE4 = math.floor(10000.0 * (covnum / (math.sqrt(varx) * math.sqrt(vary)))).toLong
+    val slopeE6 = math.floor(1000000.0 * (covnum / varx)).toLong
+    assert(got == Map("a" -> ((4L, corrE4, slopeE6))), got.toString)
+    assert(corrE4 > 9900L && corrE4 <= 10000L, s"near-linear fixture: $corrE4")
+  }
+
+  private def jd(d: Double): java.lang.Double = java.lang.Double.valueOf(d)
 }
