@@ -1889,6 +1889,19 @@ object SparkEntry {
     "q139_correlation" -> ((s, dir) =>
       ops.Profile.correlation(T(s, dir, "lineitem"),
         "l_returnflag", "l_quantity", "l_extendedprice")),
+
+    // Vocabulary drift between two corpus halves: top-k tokens by
+    // per-token Jensen–Shannon contribution over Laplace-smoothed
+    // unigram distributions. Exact oracle: the probabilities are exact
+    // rationals cast to double, the ln/multiply/floor order is fixed,
+    // and the two e9-floored halves sum as integers.
+    "q140_vocab_divergence" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      ops.Retrieval.vocabularyDivergence(
+        d.filter(pmod(col("doc_id"), lit(2L)) === 0L),
+        d.filter(pmod(col("doc_id"), lit(2L)) === 1L),
+        "text", topK = 50)
+    }),
   )
 
   // ------------------------------------------------------------------
@@ -3941,6 +3954,35 @@ object SparkEntry {
            CAST(floor(10000.0 * (covnum / (sqrt(varx) * sqrt(vary)))) AS BIGINT) AS corr_e4,
            CAST(floor(1000000.0 * (covnum / varx)) AS BIGINT) AS slope_e6
          FROM m2 WHERE varx > 0 AND vary > 0""",
+
+    // identical smoothing rationals, double casts, and ln/floor order;
+    // DESC NULLS LAST mirrors Spark's desc
+    "q140_vocab_divergence" ->
+      """WITH ta AS (
+           SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+             x -> length(x) > 0)) AS term
+           FROM documents WHERE doc_id % 2 = 0),
+         tb AS (
+           SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+             x -> length(x) > 0)) AS term
+           FROM documents WHERE doc_id % 2 = 1),
+         ca AS (SELECT term, count(*) AS c FROM ta GROUP BY 1),
+         cb AS (SELECT term, count(*) AS c FROM tb GROUP BY 1),
+         j AS (
+           SELECT COALESCE(ca.term, cb.term) AS term,
+             COALESCE(ca.c, 0) AS ca, COALESCE(cb.c, 0) AS cb
+           FROM ca FULL OUTER JOIN cb ON ca.term = cb.term),
+         t AS (SELECT sum(ca) AS na, sum(cb) AS nb, count(*) AS v FROM j),
+         w AS (
+           SELECT term, ca, cb,
+             CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE) AS pa,
+             CAST(cb + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE) AS pb
+           FROM j CROSS JOIN t)
+         SELECT term, CAST(ca AS BIGINT) AS ca, CAST(cb AS BIGINT) AS cb,
+           CAST(floor(500000000.0 * (pa * ln(pa / ((pa + pb) / 2.0)))) +
+                floor(500000000.0 * (pb * ln(pb / ((pa + pb) / 2.0)))) AS BIGINT) AS js_e9
+         FROM w
+         ORDER BY js_e9 DESC NULLS LAST, term ASC LIMIT 50""",
 
     // q33_ann_lsh / q35_cosine_neardup / q36_ann_ivf /
     // q54_ann_lsh_multi: probabilistic and hash-family-specific — the

@@ -224,4 +224,50 @@ object Retrieval {
       .select(col("id").as(idCol), col("term"), col("tf"),
         col("w"), col("rk").cast("long").as("rk"))
   }
+
+  /** Vocabulary drift between two corpora: the top-k tokens by
+    * per-token Jensen–Shannon divergence contribution — the drill-down
+    * behind "what actually changed between snapshot A and B / between
+    * my train mix and the eval domain". Laplace-smoothed unigram
+    * distributions (p = (c+1)/(N+V) over the UNION vocabulary, so
+    * zero-count tokens are defined on both sides), per-token
+    * contribution ½p·ln(p/m) + ½q·ln(q/m) with m = (p+q)/2 —
+    * non-negative by the log-sum inequality, and summing the e9 floors
+    * of the two halves keeps every value an integer an oracle can
+    * replay (the probabilities are exact rationals cast to double, so
+    * both engines compute identical IEEE ln/multiply/floor).
+    *
+    * Scale shape: two token-count aggregates (map-side combined, the
+    * q63 class), a vocabulary-sized full-outer join on the term, a
+    * 1-row totals broadcast, then `TakeOrderedAndProject` for the
+    * top-k — per-partition heaps, no global sort; nothing document-
+    * sized ever shuffles twice. Ties break lexicographically.
+    */
+  def vocabularyDivergence(a: DataFrame, b: DataFrame, textCol: String,
+                           topK: Int): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    def counts(df: DataFrame) = df
+      .select(explode(split(lower(col(textCol)), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val j = counts(a).withColumnRenamed("c", "ca")
+      .join(counts(b).withColumnRenamed("c", "cb"), Seq("term"), "full_outer")
+      .select(col("term"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val totals = j.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+      count(lit(1)).as("v"))
+    j.crossJoin(broadcast(totals))
+      .withColumn("pa",
+        (col("ca") + 1).cast("double") / (col("na") + col("v")).cast("double"))
+      .withColumn("pb",
+        (col("cb") + 1).cast("double") / (col("nb") + col("v")).cast("double"))
+      .withColumn("m", (col("pa") + col("pb")) / lit(2.0))
+      .withColumn("js_e9",
+        (floor(lit(500000000.0) * (col("pa") * log(col("pa") / col("m")))) +
+          floor(lit(500000000.0) * (col("pb") * log(col("pb") / col("m")))))
+          .cast("long"))
+      .select(col("term"), col("ca"), col("cb"), col("js_e9"))
+      .orderBy(col("js_e9").desc, col("term").asc)
+      .limit(topK)
+  }
 }

@@ -119,4 +119,30 @@ class RetrievalSpec extends SparkSpec {
     assert(got((3L, 1L)) == (("gamma", 1L, 693L)))
     assert(!got.contains((3L, 2L)), got.toString)
   }
+
+  test("vocabularyDivergence: Scala replay of the smoothed JS contributions") {
+    val a = Seq("the cat", "the dog").toDF("text")
+    val b = Seq("the cat", "the bird bird").toDF("text")
+    val got = Retrieval.vocabularyDivergence(a, b, "text", topK = 10)
+      .as[(String, Long, Long, Long)].collect()
+    // exact replay: na=4 nb=5 v=4; p = (c+1)/(N+V)
+    def js(cA: Long, cB: Long): Long = {
+      val pa = (cA + 1).toDouble / 8.0
+      val pb = (cB + 1).toDouble / 9.0
+      val m = (pa + pb) / 2.0
+      math.floor(5e8 * (pa * math.log(pa / m))).toLong +
+        math.floor(5e8 * (pb * math.log(pb / m))).toLong
+    }
+    val expect = Map("the" -> ((2L, 2L)), "cat" -> ((1L, 1L)),
+      "dog" -> ((1L, 0L)), "bird" -> ((0L, 2L)))
+    assert(got.map(r => r._1 -> ((r._2, r._3))).toMap == expect, got.toSeq.toString)
+    got.foreach { case (t, cA, cB, j) =>
+      assert(j == js(cA, cB), s"$t: $j != ${js(cA, cB)}")
+      assert(j >= -1L, s"$t contribution below the floor bound: $j")
+    }
+    // the shifted tokens outrank the shared ones; desc order holds
+    val order = got.map(_._1).toSeq
+    assert(order.take(2).toSet == Set("bird", "dog"), order.toString)
+    assert(got.map(_._4).toSeq == got.map(_._4).sortBy(-_).toSeq, order.toString)
+  }
 }

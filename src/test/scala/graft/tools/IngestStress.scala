@@ -42,6 +42,20 @@ object IngestStress {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
+    // a killed prior run leaves ing_stress_*.db dirs the fresh
+    // InMemoryCatalog knows nothing about; CREATE TABLE then fails on
+    // LOCATION_ALREADY_EXISTS — sweep them before starting
+    val wh = new java.io.File("spark-warehouse")
+    Option(wh.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("ing_stress_"))
+      .foreach { d =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        rm(d)
+      }
+
     var failures = 0
     (1 to iters).foreach { i =>
       val db = s"ing_stress_$i"
@@ -56,6 +70,29 @@ object IngestStress {
         (pairs, droppedCt, batchId) =>
           val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
           events.synchronized { events += ((batchId, droppedCt, got)) }
+          if (phase2 && got.isEmpty) {
+            // LIVE probe inside the failing batch, BEFORE its appends:
+            // distinguishes (a) zombie cached-plan substitution (the
+            // pairs plan shows InMemoryTableScan), (b) stale catalog
+            // file listing (catalog count < direct-parquet count),
+            // (c) uncommitted files (both counts low)
+            val plan = pairs.queryExecution.executedPlan.toString
+            println(s"--- PROBE batch=$batchId empty pairs in phase 2")
+            println("  plan has InMemoryTableScan=" +
+              plan.contains("InMemoryTableScan"))
+            val catCt = spark.table(s"`$db`.`ing_index`").count()
+            val dirCt = spark.read.parquet(
+              s"spark-warehouse/$db.db/ing_index").count()
+            println(s"  index counts: catalog=$catCt directParquet=$dirCt")
+            val catCo = spark.table(s"`$db`.`ing_corpus`").count()
+            val dirCo = spark.read.parquet(
+              s"spark-warehouse/$db.db/ing_corpus").count()
+            println(s"  corpus counts: catalog=$catCo directParquet=$dirCo")
+            val scanLines = plan.linesIterator
+              .filter(l => l.contains("FileScan") || l.contains("InMemoryTableScan"))
+              .map(_.trim.take(200)).mkString("\n  ")
+            println(s"  scans:\n  $scanLines")
+          }
           if (!phase2) phase1Pairs ++= got
           allPairs ++= got
           dropped.addAndGet(droppedCt); ()
