@@ -71,6 +71,39 @@ object StreamingDedup {
                            threshold: Double = 0.8)
                           (onPairs: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
     ensureTables(spark, db, corpusTable, indexTable, k)
+    // VISIBILITY BARRIER state (r12): batch N+1 dedups against batches
+    // 1..N only if its catalog-table reads SEE batch N's appends. That
+    // visibility is supposed to be automatic, but a rare (~1%/batch
+    // unmitigated, measured by graft.tools.IngestStress) staleness race
+    // between insertInto's cache refresh machinery and the next read
+    // served a one-batch-old snapshot — a silently weaker dedup. The
+    // sink tracks the EXPECTED cumulative row count of both tables
+    // (single-writer contract) and, after each batch's appends,
+    // re-reads the counts through the same spark.table path the next
+    // batch will use — refreshTable + bounded retries on mismatch,
+    // loud failure if freshness can't be established. Parquet counts
+    // are metadata-only jobs; the two tiny count jobs per trigger are
+    // the price of a dedup index that is never silently behind.
+    var expectedCorpus = spark.table(s"`$db`.`$corpusTable`").count()
+    var expectedIndex = spark.table(s"`$db`.`$indexTable`").count()
+    def awaitVisible(): Unit = {
+      var attempts = 0
+      def counts() = (spark.table(s"`$db`.`$corpusTable`").count(),
+        spark.table(s"`$db`.`$indexTable`").count())
+      var c = counts()
+      while ((c._1 != expectedCorpus || c._2 != expectedIndex) && attempts < 5) {
+        System.err.println(s"[StreamingDedup] stale table snapshot after append " +
+          s"(corpus ${c._1}/$expectedCorpus, index ${c._2}/$expectedIndex) — refreshing")
+        spark.catalog.refreshTable(s"`$db`.`$corpusTable`")
+        spark.catalog.refreshTable(s"`$db`.`$indexTable`")
+        attempts += 1
+        c = counts()
+      }
+      if (c._1 != expectedCorpus || c._2 != expectedIndex)
+        throw new IllegalStateException(
+          s"dedup tables failed to become visible after $attempts refreshes: " +
+            s"corpus ${c._1}/$expectedCorpus, index ${c._2}/$expectedIndex")
+    }
     (batch: DataFrame, batchId: Long) => {
       // NO-DATA micro-batches (watermark/timeout bookkeeping triggers —
       // and any quiet period on a real source) must not pay the full
@@ -109,6 +142,10 @@ object StreamingDedup {
           }
           Await.result(appendIndex, Duration.Inf)
           Await.result(appendCorpus, Duration.Inf)
+          // newSigs/b are persisted — these counts are cache-local jobs
+          expectedIndex += newSigs.count()
+          expectedCorpus += b.count()
+          awaitVisible()
         } finally {
           spark.sparkContext.getPersistentRDDs
             .filter { case (rddId, _) => !preexisting.contains(rddId) }
