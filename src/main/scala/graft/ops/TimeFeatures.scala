@@ -62,8 +62,16 @@ object TimeFeatures {
                    valueCol: String, stepSeconds: Long,
                    maxBuckets: Long = 100000L): DataFrame = {
     val stepUs = stepSeconds * 1000000L
+    // EXACT floor division, never float-div+floor: a double quotient
+    // one ulp above an integer boundary would bucket a row differently
+    // from the oracle's integer `//`. (a − pmod(a, s)) is an exact
+    // multiple of s, so the final divide is exact in IEEE; pmod's
+    // nonnegative remainder makes this a true FLOOR (not truncation)
+    // for pre-1970 timestamps too, matching DuckDB's `//`.
+    val us = unix_micros(col(tsCol))
+    val bucketExpr = ((us - pmod(us, lit(stepUs))) / lit(stepUs)).cast("long")
     val cells = df
-      .groupBy(col(keyCol), floor(unix_micros(col(tsCol)) / stepUs).as("bucket"))
+      .groupBy(col(keyCol), bucketExpr.as("bucket"))
       .agg(max(col(valueCol)).as("__vmax"), count(lit(1)).as("n_obs"))
     // per-key grid bounds; the assert_true rides the upper bound so
     // Catalyst cannot prune it (a dropped guard column would be
