@@ -1890,6 +1890,33 @@ object SparkEntry {
       ops.Profile.correlation(T(s, dir, "lineitem"),
         "l_returnflag", "l_quantity", "l_extendedprice")),
 
+    // The general CEP state machine (begin→next→next within t, strict
+    // contiguity, skip-till-next-match) run END TO END in batch via
+    // the fold the streaming operator shares. Exact oracle: for a
+    // strict pattern whose step types are DISJOINT, attempts can never
+    // overlap, so the completed-match set is exactly the consecutive
+    // (lead,lead²) triples inside the window — provable from the fold:
+    // strict kills on any contiguity miss, and a restart can only
+    // begin at a head-type event.
+    "q141_cep_sequence" -> ((s, dir) => {
+      import s.implicits._
+      val ev = T(s, dir, "events")
+        .select(col("user_id").cast("string").as("key"), col("ts"),
+          col("event_type").as("etype"))
+        .as[graft.streaming.CepEvent]
+      graft.streaming.Cep.sequencePatternBatch[graft.streaming.CepEvent](
+          ev, _.key, _.ts,
+          Seq(_.etype == "view", _.etype == "click", _.etype == "purchase"),
+          withinSeconds = 604800L, strict = true)
+        .filter(_.completed)
+        .map(m => (m.key.toLong, m.events.head.ts, m.events.last.ts))
+        .toDF("user_id", "t0", "t2")
+        // unix_micros, not Timestamp.getTime*1000 — getTime is millis
+        // and would drop the fixture's sub-millisecond digits
+        .select(col("user_id"), unix_micros(col("t0")).as("t0_us"),
+          unix_micros(col("t2")).as("t2_us"))
+    }),
+
     // Vocabulary drift between two corpus halves: top-k tokens by
     // per-token Jensen–Shannon contribution over Laplace-smoothed
     // unigram distributions. Exact oracle: the probabilities are exact
@@ -3954,6 +3981,24 @@ object SparkEntry {
            CAST(floor(10000.0 * (covnum / (sqrt(varx) * sqrt(vary)))) AS BIGINT) AS corr_e4,
            CAST(floor(1000000.0 * (covnum / varx)) AS BIGINT) AS slope_e6
          FROM m2 WHERE varx > 0 AND vary > 0""",
+
+    // disjoint-step strict CEP == consecutive lead-triples (see the
+    // query comment); the window compare runs on MILLIS (epoch_ms)
+    // because the fold's deadline arithmetic is Timestamp.getTime —
+    // a micros-based oracle bound could disagree within 1 ms of the
+    // window edge
+    "q141_cep_sequence" ->
+      """WITH o AS (
+           SELECT user_id, ts, event_type,
+             lead(event_type, 1) OVER w AS e1,
+             lead(event_type, 2) OVER w AS e2,
+             lead(ts, 2) OVER w AS t2
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+         SELECT user_id, epoch_us(ts) AS t0_us, epoch_us(t2) AS t2_us
+         FROM o
+         WHERE event_type = 'view' AND e1 = 'click' AND e2 = 'purchase'
+           AND epoch_ms(t2) - epoch_ms(ts) <= 604800000""",
 
     // identical smoothing rationals, double casts, and ln/floor order;
     // DESC NULLS LAST mirrors Spark's desc

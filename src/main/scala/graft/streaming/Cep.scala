@@ -14,6 +14,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 case class PatternMatch[T](key: String, step: Int, completed: Boolean, events: Seq[T])
 
+/** Minimal keyed event for pattern queries over the events table. */
+case class CepEvent(key: String, ts: Timestamp, etype: String)
+
 private[streaming] case class CepPartial[T](events: Seq[T], deadlineMs: Long)
 
 /** General sequential-pattern detection over a keyed event stream —
@@ -71,43 +74,9 @@ object Cep {
           state.remove()
           Iterator.single(PatternMatch(key, p.events.size, completed = false, p.events))
         } else {
-          val out = scala.collection.mutable.ArrayBuffer.empty[PatternMatch[T]]
           val sorted = it.toSeq.sortBy(tsFn(_).getTime)
-          var partial = state.getOption
-          def tryStart(e: T, t: Long): Unit =
-            if (steps.head(e)) {
-              if (steps.size == 1) () // unreachable: size >= 2 required
-              partial = Some(CepPartial(Seq(e), t + withinMs))
-            }
-          for (e <- sorted) {
-            val t = tsFn(e).getTime
-            partial match {
-              case Some(p) if t < tsFn(p.events.last).getTime =>
-                () // late, precedes the attempt's progress: documented drop
-              case Some(p) if t > p.deadlineMs =>
-                // window expired before this event: timeout side output,
-                // then the event may start the next attempt
-                out += PatternMatch(key, p.events.size, completed = false, p.events)
-                partial = None
-                tryStart(e, t)
-              case Some(p) =>
-                if (steps(p.events.size)(e)) {
-                  val evs = p.events :+ e
-                  if (evs.size == steps.size) {
-                    out += PatternMatch(key, steps.size, completed = true, evs)
-                    partial = None
-                  } else partial = Some(p.copy(events = evs))
-                } else if (strict) {
-                  // strict `next`: a contiguity miss discards the attempt
-                  // (no timeout output — CEP's discard, not its expiry);
-                  // the event itself may open the next attempt
-                  partial = None
-                  tryStart(e, t)
-                } // relaxed `followedBy`: ignore and keep waiting
-              case None =>
-                tryStart(e, t)
-            }
-          }
+          val (out, partial) = foldEvents(key, sorted, state.getOption,
+            tsFn, steps, withinMs, strict)
           partial match {
             case Some(p) =>
               state.update(p)
@@ -121,5 +90,84 @@ object Cep {
           out.iterator
         }
       })
+  }
+
+  /** The pattern state machine itself, as a pure per-key fold — ONE
+    * definition shared by the streaming operator (per micro-batch,
+    * seeded with the carried partial) and [[sequencePatternBatch]]
+    * (whole history, no seed). Returns the emitted matches/timeouts
+    * and the attempt left open at end-of-input.
+    */
+  private[streaming] def foldEvents[T](key: String, sorted: Seq[T],
+      initial: Option[CepPartial[T]], tsFn: T => Timestamp,
+      steps: Seq[T => Boolean], withinMs: Long, strict: Boolean)
+      : (Seq[PatternMatch[T]], Option[CepPartial[T]]) = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[PatternMatch[T]]
+    var partial = initial
+    def tryStart(e: T, t: Long): Unit =
+      if (steps.head(e)) {
+        partial = Some(CepPartial(Seq(e), t + withinMs))
+      }
+    for (e <- sorted) {
+      val t = tsFn(e).getTime
+      partial match {
+        case Some(p) if t < tsFn(p.events.last).getTime =>
+          () // late, precedes the attempt's progress: documented drop
+        case Some(p) if t > p.deadlineMs =>
+          // window expired before this event: timeout side output,
+          // then the event may start the next attempt
+          out += PatternMatch(key, p.events.size, completed = false, p.events)
+          partial = None
+          tryStart(e, t)
+        case Some(p) =>
+          if (steps(p.events.size)(e)) {
+            val evs = p.events :+ e
+            if (evs.size == steps.size) {
+              out += PatternMatch(key, steps.size, completed = true, evs)
+              partial = None
+            } else partial = Some(p.copy(events = evs))
+          } else if (strict) {
+            // strict `next`: a contiguity miss discards the attempt
+            // (no timeout output — CEP's discard, not its expiry);
+            // the event itself may open the next attempt
+            partial = None
+            tryStart(e, t)
+          } // relaxed `followedBy`: ignore and keep waiting
+        case None =>
+          tryStart(e, t)
+      }
+    }
+    (out.toSeq, partial)
+  }
+
+  /** Batch twin of [[sequencePattern]]: the SAME fold over each key's
+    * complete (ts-sorted) history — so an exact SQL oracle can gate
+    * the state machine the streaming operator runs. In batch,
+    * end-of-data plays the watermark's role: `emitPartials = true`
+    * emits the attempt still open at end-of-input as the timeout side
+    * output (what the stream would emit when the watermark passes its
+    * deadline); mid-history expiries (proven by a later event) emit
+    * either way, exactly as in the stream.
+    */
+  def sequencePatternBatch[T](events: Dataset[T], keyFn: T => String,
+                              tsFn: T => Timestamp,
+                              steps: Seq[T => Boolean], withinSeconds: Long,
+                              strict: Boolean = true,
+                              emitPartials: Boolean = false)(
+      implicit outEnc: Encoder[PatternMatch[T]]): Dataset[PatternMatch[T]] = {
+    require(steps.size >= 2, "a sequence pattern needs at least 2 steps")
+    require(withinSeconds > 0, "within window must be positive")
+    val withinMs = withinSeconds * 1000
+    events.groupByKey(keyFn)(org.apache.spark.sql.Encoders.STRING)
+      .flatMapGroups { (key: String, it: Iterator[T]) =>
+        val sorted = it.toSeq.sortBy(tsFn(_).getTime)
+        val (out, partial) = foldEvents(key, sorted, None, tsFn, steps,
+          withinMs, strict)
+        val tail = if (emitPartials)
+          partial.map(p => PatternMatch(key, p.events.size,
+            completed = false, p.events)).toSeq
+        else Seq.empty
+        (out ++ tail).iterator
+      }
   }
 }

@@ -127,4 +127,38 @@ class CepSpec extends SparkSpec {
     assert(bounces == Set(("101", 10L), ("102", 38L), ("103", 30L)),
       s"the CEP timeout side output must be the bounce set: $bounces")
   }
+
+  test("batch twin runs the same fold: matches, kills, and end-of-data partials") {
+    val evs = Seq(
+      // key a: home -> product -> pay completes
+      PageEvent("a", "home", None, "0", ts(0)),
+      PageEvent("a", "product", None, "0", ts(10)),
+      PageEvent("a", "pay", None, "0", ts(20)),
+      // key b: strict kill (other page between) then a fresh complete
+      PageEvent("b", "home", None, "0", ts(0)),
+      PageEvent("b", "search", None, "0", ts(5)),
+      PageEvent("b", "home", None, "0", ts(10)),
+      PageEvent("b", "product", None, "0", ts(15)),
+      PageEvent("b", "pay", None, "0", ts(25)),
+      // key c: attempt still open at end of data
+      PageEvent("c", "home", None, "0", ts(0)),
+      PageEvent("c", "product", None, "0", ts(10))
+    ).toDS()
+    def run(emitPartials: Boolean) =
+      Cep.sequencePatternBatch[PageEvent](evs, _.mid, _.ts,
+        steps = Seq(_.pageId == "home", _.pageId == "product", _.pageId == "pay"),
+        withinSeconds = 60, strict = true, emitPartials = emitPartials)
+        .collect()
+        .map(m => (m.key, m.step, m.completed, m.events.map(_.ts.getTime / 1000)))
+        .toSet
+    assert(run(emitPartials = false) == Set(
+      ("a", 3, true, Seq(0L, 10L, 20L)),
+      ("b", 3, true, Seq(10L, 15L, 25L))), run(false).toString)
+    // end-of-data plays the watermark: the open attempt emits as the
+    // timeout side output, exactly what the stream would do
+    assert(run(emitPartials = true) == Set(
+      ("a", 3, true, Seq(0L, 10L, 20L)),
+      ("b", 3, true, Seq(10L, 15L, 25L)),
+      ("c", 2, false, Seq(0L, 10L))), run(true).toString)
+  }
 }
