@@ -1890,6 +1890,13 @@ object SparkEntry {
       ops.Profile.correlation(T(s, dir, "lineitem"),
         "l_returnflag", "l_quantity", "l_extendedprice")),
 
+    // Per-group winsorization at exact rank-based quantile bounds —
+    // the clip picks one of three INPUT doubles, so w_e6 floors replay
+    // exactly (q132's rank contract per group).
+    "q142_winsorize" -> ((s, dir) =>
+      ops.Profile.winsorize(T(s, dir, "events"),
+        "event_id", "value", "event_type")),
+
     // The general CEP state machine (begin→next→next within t, strict
     // contiguity, skip-till-next-match) run END TO END in batch via
     // the fold the streaming operator shares. Exact oracle: for a
@@ -3981,6 +3988,26 @@ object SparkEntry {
            CAST(floor(10000.0 * (covnum / (sqrt(varx) * sqrt(vary)))) AS BIGINT) AS corr_e4,
            CAST(floor(1000000.0 * (covnum / varx)) AS BIGINT) AS slope_e6
          FROM m2 WHERE varx > 0 AND vary > 0""",
+
+    // same rank targets (integer ceil via (q*n+999999)//1e6, clamp
+    // >= 1), same (value, id) ordering, clip on input doubles
+    "q142_winsorize" ->
+      """WITH r AS (
+           SELECT event_id, event_type, "value" AS v,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY "value", event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM events WHERE "value" IS NOT NULL),
+         b AS (
+           SELECT event_type,
+             min(CASE WHEN rn = greatest(1, (50000 * n + 999999) // 1000000)
+                 THEN v END) AS lo,
+             max(CASE WHEN rn = greatest(1, (950000 * n + 999999) // 1000000)
+                 THEN v END) AS hi
+           FROM r GROUP BY 1)
+         SELECT r.event_id, r.event_type,
+           CAST(floor(least(greatest(r.v, b.lo), b.hi) * 1000000.0) AS BIGINT) AS w_e6
+         FROM r JOIN b USING (event_type)""",
 
     // disjoint-step strict CEP == consecutive lead-triples (see the
     // query comment); the window compare runs on MILLIS (epoch_ms)

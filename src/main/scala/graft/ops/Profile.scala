@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -145,6 +146,49 @@ object Profile {
           .cast("long"))
       .filter(abs(col("z_e4")) >= zE4)
       .select(col(idCol), col(groupCol), col("z_e4"))
+  }
+
+  /** Per-group winsorization — clip values to the group's exact
+    * rank-based [lo, hi] quantile bounds (the feature-cleaning step
+    * before scaling/training; outliers saturate instead of dominating).
+    * The bound is the ACTUAL element at 1-based rank ⌈q·n/10⁶⌉
+    * (clamped ≥ 1) under (value, id) ordering — [[quantiles]]'s
+    * discrete-rank contract per group, so zero float arithmetic picks
+    * the bound and the clip chooses one of three input doubles: the
+    * whole output replays bit-for-bit on the oracle (`w_e6` =
+    * ⌊10⁶·clipped⌋). NULL values are outside the distribution (q125's
+    * rule): excluded from ranks and from the output.
+    *
+    * One shuffle: the rank and count windows share the group
+    * partitioning, the bound rows are filtered BEFORE the tiny
+    * per-group aggregate, and the bounds table broadcasts back. The
+    * sort unit is one group — for ONE giant group use [[quantiles]]'s
+    * range-exchange selection for the two bounds and broadcast them,
+    * the same dial as perplexityBuckets' threshold-table variant.
+    */
+  def winsorize(df: DataFrame, idCol: String, valueCol: String,
+                groupCol: String, loE6: Long = 50000L,
+                hiE6: Long = 950000L): DataFrame = {
+    require(loE6 >= 0 && hiE6 <= 1000000L && loE6 < hiE6,
+      "need 0 <= loE6 < hiE6 <= 1000000")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__v"), col(idCol))
+    val cw = Window.partitionBy(col(groupCol))
+    val ranked = df.filter(col(valueCol).isNotNull)
+      .select(col(idCol), col(groupCol), col(valueCol).as("__v"))
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(cw))
+    def target(q: Long) =
+      greatest(lit(1L), expr(s"(${q}L * __n + 999999L) div 1000000L"))
+    val bounds = ranked
+      .filter(col("__rn") === target(loE6) || col("__rn") === target(hiE6))
+      .groupBy(col(groupCol)).agg(
+        min(when(col("__rn") === target(loE6), col("__v"))).as("__lo"),
+        max(when(col("__rn") === target(hiE6), col("__v"))).as("__hi"))
+    ranked.join(broadcast(bounds), Seq(groupCol))
+      .withColumn("w_e6",
+        floor(least(greatest(col("__v"), col("__lo")), col("__hi")) * 1000000.0)
+          .cast("long"))
+      .select(col(idCol), col(groupCol), col("w_e6"))
   }
 
   /** Per-group Pearson correlation and OLS slope between two numeric

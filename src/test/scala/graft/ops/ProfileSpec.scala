@@ -167,4 +167,20 @@ class ProfileSpec extends SparkSpec {
   }
 
   private def jd(d: Double): java.lang.Double = java.lang.Double.valueOf(d)
+
+  test("winsorize: rank-contract bounds clip per group; nulls and singletons") {
+    val rows = (1L to 10L).map(i => (i, "a", jd(i.toDouble))) ++ Seq(
+      (11L, "a", null.asInstanceOf[java.lang.Double]), // excluded
+      (12L, "b", jd(42.0)))                            // singleton group
+    val got = Profile.winsorize(rows.toDF("id", "g", "v"), "id", "v", "g",
+        loE6 = 250000L, hiE6 = 750000L)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r._3).toMap
+    // group a, n=10: lo rank ceil(2.5)=3 -> 3.0, hi rank ceil(7.5)=8 -> 8.0
+    assert(got(1L) == 3000000L && got(2L) == 3000000L && got(3L) == 3000000L)
+    assert(got(5L) == 5000000L, got.toString)
+    assert(got(8L) == 8000000L && got(9L) == 8000000L && got(10L) == 8000000L)
+    assert(!got.contains(11L), "null value must not appear in the output")
+    // singleton: both targets clamp to rank 1 -> clipped to itself
+    assert(got(12L) == 42000000L, got.toString)
+  }
 }
