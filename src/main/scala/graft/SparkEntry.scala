@@ -1890,6 +1890,24 @@ object SparkEntry {
       ops.Profile.correlation(T(s, dir, "lineitem"),
         "l_returnflag", "l_quantity", "l_extendedprice")),
 
+    // INCREMENTAL SCD2: the nightly merge path. The oracle is the FULL
+    // REBUILD's SQL over the complete changelog — gating the equality
+    // incremental ≡ rebuild, the property that makes the incremental
+    // path trustworthy at all.
+    "q143_scd2_apply" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val cutoff = lit("2024-01-15 00:00:00").cast("timestamp")
+      val history = ops.Scd.buildHistory(ev.filter(col("ts") < cutoff),
+        "user_id", "ts", "event_id", Seq("event_type"))
+      ops.Scd.applyChangelog(history, ev.filter(col("ts") >= cutoff),
+        "user_id", "ts", "event_id", Seq("event_type"))
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("effective_from")).as("ef_us"),
+          unix_micros(col("effective_to")).as("et_us"),
+          col("is_current"))
+    }),
+
     // Per-group winsorization at exact rank-based quantile bounds —
     // the clip picks one of three INPUT doubles, so w_e6 floors replay
     // exactly (q132's rank contract per group).
@@ -3988,6 +4006,23 @@ object SparkEntry {
            CAST(floor(10000.0 * (covnum / (sqrt(varx) * sqrt(vary)))) AS BIGINT) AS corr_e4,
            CAST(floor(1000000.0 * (covnum / varx)) AS BIGINT) AS slope_e6
          FROM m2 WHERE varx > 0 AND vary > 0""",
+
+    // incremental ≡ rebuild: the oracle is q135's full-rebuild SQL over
+    // the COMPLETE changelog, byte-identical conventions
+    "q143_scd2_apply" ->
+      """WITH m AS (
+           SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+         k AS (
+           SELECT user_id, ts, event_id, event_type FROM m
+           WHERE prev IS DISTINCT FROM event_type)
+         SELECT user_id, event_type,
+           epoch_us(ts) AS ef_us,
+           epoch_us(lead(ts) OVER w) AS et_us,
+           lead(ts) OVER w IS NULL AS is_current
+         FROM k
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
 
     // same rank targets (integer ceil via (q*n+999999)//1e6, clamp
     // >= 1), same (value, id) ordering, clip on input doubles

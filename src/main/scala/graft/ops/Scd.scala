@@ -59,4 +59,52 @@ object Scd {
   def snapshotAt(history: DataFrame, asOf: Column): DataFrame =
     history.filter(col("effective_from") <= asOf &&
       (col("effective_to").isNull || col("effective_to") > asOf))
+
+  /** INCREMENTAL SCD2: apply a new changelog batch to an existing
+    * history — the nightly production shape, where rebuilding a
+    * billion-row history from the full changelog for a day's updates
+    * is the naive path. Result ≡ [[buildHistory]] over (original ∪ new)
+    * changelog — the q143 oracle gates exactly that equality — under
+    * the APPEND-ONLY contract: every new row's ts is later than its
+    * key's current `effective_from`. Violating rows (retro-edits) are
+    * DROPPED; retro-edits need the rebuild path, silently splicing them
+    * would corrupt closed intervals.
+    *
+    * Shape: only AFFECTED keys (those present in the batch) do any
+    * work. Their CURRENT rows re-enter the fold as seeds — carrying
+    * their ORIGINAL `effective_from` and a minimal tie value, so an
+    * unchanged-attribute first new version collapses into the open row
+    * exactly as the full rebuild would — and the fold is
+    * [[buildHistory]] over (seeds ∪ batch): batch-sized + one-row-per-
+    * affected-key, never history-sized. Untouched keys and affected
+    * keys' CLOSED rows pass through without a shuffle beyond the
+    * semi/anti joins on the key (AQE broadcasts the affected-key list
+    * when the batch is small — the common case).
+    */
+  def applyChangelog(history: DataFrame, changelog: DataFrame,
+                     keyCol: String, tsCol: String, tieCol: String,
+                     attrCols: Seq[String]): DataFrame = {
+    val affected = changelog.select(col(keyCol)).distinct()
+    val affectedCurrent = history
+      .join(affected, Seq(keyCol), "left_semi").filter(col("is_current"))
+    val tieType = changelog.schema(tieCol).dataType
+    val seeds = affectedCurrent.select(
+      (col(keyCol) +: col("effective_from").as(tsCol) +:
+        lit(Long.MinValue).cast(tieType).as(tieCol) +:
+        attrCols.map(col)): _*)
+    // append-only guard: a batch row at or before its key's current
+    // effective_from would sort before the seed and corrupt the splice
+    val guarded = changelog
+      .join(affectedCurrent.select(col(keyCol),
+        col("effective_from").as("__cur_from")), Seq(keyCol), "left")
+      .filter(col("__cur_from").isNull || col(tsCol) > col("__cur_from"))
+      .select((col(keyCol) +: col(tsCol) +: col(tieCol) +:
+        attrCols.map(col)): _*)
+    val fragment = buildHistory(seeds.unionByName(guarded),
+      keyCol, tsCol, tieCol, attrCols)
+    history.join(affected, Seq(keyCol), "left_anti")
+      .unionByName(history.join(affected, Seq(keyCol), "left_semi")
+        .filter(!col("is_current")))
+      .unionByName(fragment)
+  }
 }

@@ -55,6 +55,44 @@ class ScdSpec extends SparkSpec {
     assert(early == Map(1L -> "A"), early.toString)
   }
 
+  test("applyChangelog == rebuild: boundary collapse, reopened rows, new keys") {
+    val c1 = changelog // keys 1 (A,A,B,A runs) and 2 (C), all <= Jan 4
+    val c2 = Seq(
+      (1L, ts("2024-01-05 00:00:00"), 6L, "A"), // == current attr: collapses
+      (1L, ts("2024-01-06 00:00:00"), 7L, "B"), // real new version
+      (2L, ts("2024-01-05 00:00:00"), 8L, "D"), // closes key 2's only row
+      (3L, ts("2024-01-05 00:00:00"), 9L, "E")  // brand-new key
+    ).toDF("k", "ts", "seq", "attr")
+    val incremental = Scd.applyChangelog(
+      Scd.buildHistory(c1, "k", "ts", "seq", Seq("attr")),
+      c2, "k", "ts", "seq", Seq("attr"))
+    val rebuild = Scd.buildHistory(c1.unionByName(c2), "k", "ts", "seq", Seq("attr"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .as[(Long, String, Timestamp, Option[Timestamp], Boolean)]
+      .collect().toSet
+    assert(rows(incremental) == rows(rebuild), rows(incremental).toString)
+    // the collapsed boundary kept the ORIGINAL effective_from open row
+    val key1Current = rows(incremental).filter(r => r._1 == 1L && r._5)
+    assert(key1Current.map(r => (r._2, r._3)) ==
+      Set(("B", ts("2024-01-06 00:00:00"))), key1Current.toString)
+    assert(rows(incremental).exists(r =>
+      r._1 == 1L && r._2 == "A" && r._3 == ts("2024-01-04 00:00:00") &&
+        r._4.contains(ts("2024-01-06 00:00:00"))),
+      "the reopened run must keep its original effective_from")
+  }
+
+  test("applyChangelog drops retro-edits (append-only contract), never corrupts") {
+    val h = Scd.buildHistory(changelog, "k", "ts", "seq", Seq("attr"))
+    val retro = Seq(
+      (1L, ts("2024-01-03 12:00:00"), 6L, "Z"), // before key 1's current from (Jan 4)
+      (2L, ts("2024-01-06 00:00:00"), 7L, "D")  // valid
+    ).toDF("k", "ts", "seq", "attr")
+    val got = Scd.applyChangelog(h, retro, "k", "ts", "seq", Seq("attr"))
+      .as[(Long, String, Timestamp, Option[Timestamp], Boolean)].collect().toSet
+    assert(!got.exists(_._2 == "Z"), s"retro-edit must be dropped: $got")
+    assert(got.exists(r => r._1 == 2L && r._2 == "D" && r._5), got.toString)
+  }
+
   test("one exchange: run-collapse lag and effective_to lead share sort and shuffle") {
     val plan = Scd.buildHistory(changelog, "k", "ts", "seq", Seq("attr"))
       .queryExecution.executedPlan.toString
