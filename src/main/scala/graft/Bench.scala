@@ -73,16 +73,31 @@ object Bench {
     // bug, not a regression).
     sys.env.get("SPARK_GRAFT_BENCH_ONE").orElse(args.headOption) match {
       case Some(one) =>
-        // same artifact contract as the sequence mode: one-time builds
-        // off the timed path
+        // Same instrument as the sequence mode (r13): warm the JVM/
+        // codegen paths, prebuild artifacts off the timed path, then
+        // median of 3 cold reps with blocking releaseAll between. A
+        // single unwarmed rep mixed ~2 s of JIT/codegen warm-up into
+        // every "cold-isolated" number, so one-mode and suite medians
+        // were never comparable (the r12 q108 adjudication problem).
+        try {
+          SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
+          SparkEntry.queries("q19_dedup_exact")(spark, sfDir).count()
+        } catch { case _: Throwable => () }
         try SparkEntry.prepareArtifacts(spark, sfDir)
         catch { case e: Throwable =>
           System.err.println(s"[bench] prepareArtifacts failed: $e") }
-        // and the same isolation contract: the artifact builds' async
-        // unpersists must not land inside the one timed window
+        // the artifact builds' async unpersists must not land inside
+        // the timed windows
         releaseAll(spark)
-        val (dt, err) = runTimed(spark, one, sfDir)
-        println(s"""{"metric":"one","query":"$one","value":$dt,"unit":"sec","err":$err,"sf":"$sfDir"}""")
+        val runs = (0 until 3).map { _ =>
+          val r = runTimed(spark, one, sfDir)
+          releaseAll(spark)
+          r
+        }
+        val med = { val s = runs.map(_._1).sorted; s(1) }
+        val repsStr = runs.map(r =>
+          String.format(java.util.Locale.ROOT, "%.3f", Double.box(r._1))).mkString("[", ",", "]")
+        println(s"""{"metric":"one","query":"$one","value":$med,"unit":"sec","reps":$repsStr,"err":${runs.exists(_._2)},"sf":"$sfDir"}""")
         spark.stop()
         return
       case None => ()
@@ -160,7 +175,51 @@ object Bench {
         String.format(java.util.Locale.ROOT, "%.2f", Double.box(m))
     }.mkString("{", ",", "}")
     println(repLine)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$medians,"errors":$errs,"reps_file":"$repsFile","method":"median of $reps cold reps; one-time artifacts prebuilt; blocking releaseAll off the timed path","sf":"$sfDir"}""")
+    // Isolated cross-check (r12 verdict ask #8): re-run the 10 heaviest
+    // queries in a FRESH SparkContext — new block manager, new shuffle
+    // dirs, none of the 143-query sequence's retained state — so an
+    // in-suite number that disagrees with its isolated twin by >1.3x is
+    // adjudicable from the record alone as a measurement artifact
+    // (q108's 5.08 s in-suite vs 3.64 s cold-isolated in r12). Same
+    // instrument: warm-up, prebuilt artifacts, median of `reps` cold
+    // reps with blocking releaseAll between.
     spark.stop()
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val top10 = results.filterNot(_._4).sortBy(-_._2).take(10).map(_._1)
+    val isoLine = try {
+      val s2 = session(cpus)
+      try {
+        SparkEntry.queries("q01_pricing_summary")(s2, sfDir).count()
+        SparkEntry.queries("q19_dedup_exact")(s2, sfDir).count()
+      } catch { case _: Throwable => () }
+      try SparkEntry.prepareArtifacts(s2, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] isolated prepareArtifacts failed: $e") }
+      releaseAll(s2)
+      val iso = top10.map { name =>
+        val runs = (0 until reps).map { _ =>
+          val r = runTimed(s2, name, sfDir)
+          releaseAll(s2)
+          r
+        }
+        (name, median(runs.map(_._1)))
+      }
+      s2.stop()
+      val isoMap = iso.map { case (k, m) =>
+        "\"" + k.takeWhile(_ != '_') + "\":" +
+          String.format(java.util.Locale.ROOT, "%.2f", Double.box(m))
+      }.mkString("{", ",", "}")
+      s"""{"metric":"isolated","queries":$isoMap,"unit":"sec","method":"fresh SparkContext after the suite; top-10 by in-suite median; same warmup+artifacts+median-of-$reps instrument","sf":"$sfDir"}"""
+    } catch { case e: Throwable =>
+      s"""{"metric":"isolated","error":"${e.getClass.getSimpleName}","sf":"$sfDir"}"""
+    }
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(repsFile),
+        (isoLine + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case _: Throwable => () }
+    println(isoLine)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$medians,"errors":$errs,"reps_file":"$repsFile","method":"median of $reps cold reps; one-time artifacts prebuilt; blocking releaseAll off the timed path; isolated cross-check on penultimate line","sf":"$sfDir"}""")
   }
 }

@@ -159,9 +159,13 @@ object FuzzyJoin {
         s"(cluster chain deeper than maxIter=$maxIter) — labels would be " +
         "PARTIAL; raise maxIter")
     val labels = run.labels
-    val dict = df.select(col(valueCol).as("value")).filter(col("value").isNotNull)
-      .distinct()
-      .select(col("value"), xxhash64(col("value")).as("__h"))
+    // persist-first ordering (the q123 doctrine): the guard's eager
+    // aggregate materializes the persisted dictionary, so the raw value
+    // column is scanned once, not once for the guard and once per join
+    val dict = CacheScope.persist(
+      df.select(col(valueCol).as("value")).filter(col("value").isNotNull)
+        .distinct()
+        .select(col("value"), xxhash64(col("value")).as("__h")))
     requireCollisionFree(dict, "value", "__h")
     val canon = dict.join(labels, dict("__h") === labels("id"))
       .groupBy(col("label")).agg(min(col("value")).as("canonical"))

@@ -136,24 +136,35 @@ object Retrieval {
     val base = docs.select(col(idCol).as("id"),
       split(lower(col(textCol)), "\\s+").as("toks"))
     val nDocs = base.count()
-    val terms = base
+    // terms is persisted BEFORE the collision guard below runs its eager
+    // aggregate: the guard materializes dfreq's lineage, and without the
+    // persist the tokenize→explode→groupBy pass would execute once for the
+    // guard and AGAIN for the weights join — at 100 TB that doubles the
+    // operator's most expensive stage (the r12 q123 regression)
+    val terms = CacheScope.persist(base
       .select(col("id"), explode(col("toks")).as("term"))
       .filter(length(col("term")) > 0)
-      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= minDf &&
-        col("df") <= lit(math.min(math.floor(maxDfFrac * nDocs), maxDfAbs.toDouble)))
-      .withColumn("idf_e3",
-        floor(lit(1000.0) * log(lit(nDocs.toDouble) / col("df"))).cast("long"))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf")))
+    val dfreq = CacheScope.persist(
+      terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= minDf &&
+          col("df") <= lit(math.min(math.floor(maxDfFrac * nDocs), maxDfAbs.toDouble)))
+        .withColumn("idf_e3",
+          floor(lit(1000.0) * log(lit(nDocs.toDouble) / col("df"))).cast("long")))
     // the df-filtered vocabulary is dictionary-sized; a 64-bit term-hash
     // collision would silently merge two terms' weights into one vector
-    // dimension, so it fails loudly here instead (one cheap aggregate)
+    // dimension, so it fails loudly here instead (one cheap aggregate
+    // over the just-persisted dictionary — the persists above make this
+    // the materializing action, not a second full corpus pass)
     FuzzyJoin.requireCollisionFree(
       dfreq.select(col("term"), xxhash64(col("term")).as("__th")), "term", "__th")
-    val w = CacheScope.persist(
-      terms.join(dfreq.select(col("term"), col("idf_e3")), "term")
-        .select(xxhash64(col("term")).as("th"), col("id"),
-          (col("tf") * col("idf_e3")).as("w")))
+    // NOT persisted: with terms and dfreq cached above, w is one
+    // AQE-broadcastable dictionary join on top of the cache — cheaper to
+    // recompute map-side in each consumer than to force a third
+    // materialization barrier and cache write of the same word-mass rows
+    val w = terms.join(dfreq.select(col("term"), col("idf_e3")), "term")
+      .select(xxhash64(col("term")).as("th"), col("id"),
+        (col("tf") * col("idf_e3")).as("w"))
     // operands cast to decimal BEFORE the multiply — (w*w).cast(dec)
     // would run the product on longs first and overflow (ANSI throw)
     // exactly in the regime the decimal sum exists for
