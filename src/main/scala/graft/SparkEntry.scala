@@ -1894,6 +1894,39 @@ object SparkEntry {
     // REBUILD's SQL over the complete changelog — gating the equality
     // incremental ≡ rebuild, the property that makes the incremental
     // path trustworthy at all.
+    // Perceptual image dedup (r13): synthesize COMPLETE valid PNGs
+    // (real zlib IDAT, real CRCs, alternating scanline filters) whose
+    // 9x8 grayscale pixels are a declarative integer formula of
+    // doc_id — groups of 3 consecutive ids share a base image, the two
+    // variants perturb one pixel each — then full pixel decode →
+    // 64-bit dHash → Hamming-radius pairing via the simhash
+    // chunk-blocking machinery (complete by pigeonhole at h=4). The
+    // oracle replays pixels → dhash → brute-force pairs arithmetically;
+    // Spark's blocked pair set must equal it exactly.
+    "q144_image_neardup" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val did = col("doc_id")
+      val base = did - pmod(did, lit(3L))
+      val pos = pmod(did * lit(13L), lit(72L))
+      val pixels = flatten(transform(sequence(lit(0), lit(7)), y =>
+        transform(sequence(lit(0), lit(8)), x => {
+          val xl = x.cast("long"); val yl = y.cast("long")
+          val i = yl * lit(9L) + xl
+          // hash-like mix (xor/shift diffusion) — a LINEAR formula makes
+          // adjacent-pixel deltas constant, which collapses the dhash
+          // space (329 cross-base collisions at 500 docs when tried)
+          val h = (base + lit(1L)) * lit(2654435761L) +
+            xl * lit(97L) + yl * lit(1031L)
+          val g = h.bitwiseXOR(shiftright(h, 7))
+          val p = pmod(g * lit(31L) + shiftright(g, 11), lit(241L))
+          when(pmod(did, lit(3L)) =!= lit(0L) && i === pos,
+            pmod(p + lit(128L), lit(241L))).otherwise(p).cast("int")
+        })))
+      val media = ops.Multimodal.asGrayPngMediaTable(docs, "doc_id", 9, 8, pixels)
+      ops.Multimodal.imageNearDupPairs(media, maxHamming = 4)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+    }),
+
     "q143_scd2_apply" -> ((s, dir) => {
       val ev = T(s, dir, "events")
         .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
@@ -4009,6 +4042,49 @@ object SparkEntry {
 
     // incremental ≡ rebuild: the oracle is q135's full-rebuild SQL over
     // the COMPLETE changelog, byte-identical conventions
+    // Replays the q144 pipeline end-to-end from the pixel formula: the
+    // same 9x8 grayscale values, the dHash bit rule (bit y*8+x set iff
+    // left < right), then BRUTE-FORCE pairs at hamming <= 4 — Spark's
+    // chunk-blocked set must match exactly (blocking is complete by
+    // pigeonhole at this radius).
+    "q144_image_neardup" ->
+      """WITH hx AS (
+           SELECT d.doc_id, xs.x AS x, ys.y AS y,
+             ((d.doc_id - d.doc_id % 3) + 1) * 2654435761
+               + xs.x * 97 + ys.y * 1031 AS h
+           FROM documents d
+           CROSS JOIN (SELECT unnest(range(0, 9)) AS x) xs
+           CROSS JOIN (SELECT unnest(range(0, 8)) AS y) ys),
+         gx AS (
+           SELECT doc_id, x, y, xor(h, h >> 7) AS g FROM hx),
+         px AS (
+           SELECT doc_id, x, y,
+             CASE WHEN doc_id % 3 <> 0
+                    AND y * 9 + x = (doc_id * 13) % 72
+               THEN ((g * 31 + (g >> 11)) % 241 + 128) % 241
+               ELSE (g * 31 + (g >> 11)) % 241
+             END AS p
+           FROM gx),
+         dh AS (
+           -- bit 63 cannot be built as 1<<63 in signed BIGINT; adding
+           -- -2^63 sets it (two's complement), and the HUGEINT sum of
+           -- bits 0..62 plus that term lands back in BIGINT range
+           SELECT l.doc_id,
+             CAST(COALESCE(SUM(
+               CASE WHEN l.p < r.p AND l.y * 8 + l.x = 63
+                 THEN CAST(-9223372036854775808 AS HUGEINT)
+               WHEN l.p < r.p
+                 THEN CAST(CAST(1 AS BIGINT) << (l.y * 8 + l.x) AS HUGEINT)
+               ELSE CAST(0 AS HUGEINT) END), 0) AS BIGINT) AS dhash
+           FROM px l JOIN px r
+             ON r.doc_id = l.doc_id AND r.y = l.y AND r.x = l.x + 1
+           WHERE l.x < 8
+           GROUP BY l.doc_id)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+         FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.dhash, b.dhash)) <= 4""",
+
     "q143_scd2_apply" ->
       """WITH m AS (
            SELECT user_id, ts, event_id, event_type,

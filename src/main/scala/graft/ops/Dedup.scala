@@ -35,12 +35,7 @@ object Dedup {
     * `spark.sql.files.maxPartitionBytes` at read time) and no reshuffle
     * of the corpus ever happens.
     */
-  private def fanOutScan(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    if (spark.conf.get("graft.dedup.fanOutScan", "true") == "true")
-      df.repartition(spark.sparkContext.defaultParallelism)
-    else df
-  }
+  private def fanOutScan(df: DataFrame): DataFrame = ScanFanOut(df)
 
   /** Parallel width for small-bytes/heavy-compute shuffle outputs
     * (candidate-pair verification: per-row array intersections). AQE's
@@ -548,13 +543,39 @@ object Dedup {
     */
   private def chunkBlockedPairs(df: DataFrame, idCol: String, textCol: String,
                                 nChunks: Int, maxHamming: Int,
-                                portable: Boolean): DataFrame = {
+                                portable: Boolean): DataFrame =
+    // persist the signatures: both sides of the chunk self-join consume
+    // them, and the token explode + 64-counter aggregation must run once
+    // (the cache is two longs per doc)
+    chunkBlockedPairsFromSigs(
+      simhashSignatures(df, idCol, textCol, portable).persistTracked(),
+      nChunks, maxHamming)
+
+  /** Hamming-radius pairing over PRECOMPUTED 64-bit signatures — the
+    * chunk-blocking machinery decoupled from text simhash, so any
+    * 64-bit perceptual/locality hash (image dHash, audio fingerprint)
+    * reuses it. Complete by pigeonhole for `maxHamming ≤ 15` (blocks on
+    * `maxHamming + 1` chunks). Output: (id_a, id_b, hamming).
+    */
+  def hammingPairs(sigs: DataFrame, idCol: String, sigCol: String,
+                   maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming=$maxHamming: h+1 chunks need width >= 4 bits (h <= 15)")
+    // persist: both sides of the chunk self-join consume the signatures,
+    // and the caller's signature computation (e.g. an image decode
+    // kernel) must run once — the cache is two longs per item
+    chunkBlockedPairsFromSigs(
+      sigs.select(col(idCol).as("id"), col(sigCol).as("sh")).persistTracked(),
+      nChunks = maxHamming + 1, maxHamming)
+  }
+
+  /** Shared blocking core over an (id, sh) frame — see
+    * [[chunkBlockedPairs]] for the text path and [[hammingPairs]] for
+    * the precomputed-signature path.
+    */
+  private def chunkBlockedPairsFromSigs(base: DataFrame, nChunks: Int,
+                                        maxHamming: Int): DataFrame = {
     val width = 64 / nChunks
-    // both sides of the chunk self-join consume the signatures; persist
-    // so the token explode + 64-counter aggregation runs once (the cache
-    // is two longs per doc)
-    val base = simhashSignatures(df, idCol, textCol, portable)
-      .persistTracked()
     val chunked = base.select(col("id"), col("sh"),
       explode(array((0 until nChunks).map { c =>
         val w = if (c == nChunks - 1) 64 - c * width else width

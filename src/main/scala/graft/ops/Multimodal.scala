@@ -290,4 +290,236 @@ object Multimodal {
         }
       }(enc)
   }
+
+  // --------------------------------------------------------------------
+  // Full-pixel PNG codec + perceptual hashing (r13). Dependency-free:
+  // PNG's pixel stream is zlib (java.util.zip Inflater/Deflater) under
+  // five per-scanline byte filters (ISO 15948 §9) — a complete decode
+  // path for the formats this pipeline synthesizes and for any
+  // well-formed 8-bit gray/truecolor non-interlaced PNG at scale.
+  // --------------------------------------------------------------------
+
+  private[ops] def pngChunk(tag: String, data: Array[Byte]): Array[Byte] = {
+    val tb = tag.getBytes("US-ASCII")
+    val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+    bb.putInt(data.length); bb.put(tb); bb.put(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(tb); crc.update(data)
+    bb.putInt(crc.getValue.toInt)
+    bb.array()
+  }
+
+  /** Encode grayscale pixels (row-major, 0-255) as a complete, valid
+    * 8-bit color-type-0 PNG — real CRCs, real zlib IDAT. Scanline
+    * filters alternate None/Up so the decoder's unfilter path is
+    * genuinely exercised, not just pass-through.
+    */
+  private[ops] def encodeGrayPng(w: Int, h: Int, px: Array[Int]): Array[Byte] = {
+    require(px.length == w * h, s"pixel count ${px.length} != $w x $h")
+    val raw = new java.io.ByteArrayOutputStream(h * (w + 1))
+    val prev = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      val filter = if (y % 2 == 1) 2 else 0 // alternate None / Up
+      raw.write(filter)
+      var x = 0
+      while (x < w) {
+        val v = px(y * w + x) & 0xFF
+        raw.write(if (filter == 2) (v - prev(x)) & 0xFF else v)
+        prev(x) = v
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw.toByteArray); deflater.finish()
+    val zOut = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!deflater.finished()) zOut.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(0.toByte) // depth 8, gray
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(sig)
+    out.write(pngChunk("IHDR", ihdr))
+    out.write(pngChunk("IDAT", zOut.toByteArray))
+    out.write(pngChunk("IEND", Array.empty[Byte]))
+    out.toByteArray
+  }
+
+  /** Full PNG pixel decode to grayscale: signature + chunk walk (IDAT
+    * segments concatenate), zlib inflate, per-scanline unfilter (all
+    * five filters incl. Paeth), 8-bit gray (type 0) or truecolor
+    * (type 2, integer ITU-R 601 luma (299r+587g+114b)/1000). None for
+    * anything else — the never-throws contract of the decode layer.
+    */
+  private[ops] def decodePngGray(p: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (p == null || p.length < 41) return None
+    if (!((p(0) & 0xFF) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G' &&
+          p(4) == 0x0D && p(5) == 0x0A && p(6) == 0x1A && p(7) == 0x0A)) return None
+    var w = 0; var h = 0; var colorType = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var i = 8
+    var done = false
+    while (!done && i + 8 <= p.length) {
+      val len = be32(p, i)
+      if (len < 0 || i + 12 + len > p.length) return None
+      val tag = new String(p, i + 4, 4, "US-ASCII")
+      tag match {
+        case "IHDR" =>
+          if (len != 13) return None
+          w = be32(p, i + 8); h = be32(p, i + 12)
+          val depth = p(i + 16) & 0xFF
+          colorType = p(i + 17) & 0xFF
+          val interlace = p(i + 20) & 0xFF
+          if (depth != 8 || (colorType != 0 && colorType != 2) ||
+              interlace != 0) return None
+          if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) return None
+        case "IDAT" => idat.write(p, i + 8, len)
+        case "IEND" => done = true
+        case _ => () // ancillary chunk: skip
+      }
+      i += 12 + len
+    }
+    if (colorType < 0 || idat.size() == 0) return None
+    val bpp = if (colorType == 2) 3 else 1
+    val stride = w * bpp
+    val rawLen = h * (1 + stride)
+    val raw = new Array[Byte](rawLen)
+    try {
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat.toByteArray)
+      var off = 0
+      while (off < rawLen && !inf.finished()) {
+        val n = inf.inflate(raw, off, rawLen - off)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        off += n
+      }
+      inf.end()
+      if (off != rawLen) return None
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    // unfilter in place (ISO 15948 §9.2): Recon(x) from the filter byte
+    val cur = new Array[Int](stride)
+    val prior = new Array[Int](stride)
+    val gray = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val rowOff = y * (1 + stride)
+      val filter = raw(rowOff) & 0xFF
+      var x = 0
+      while (x < stride) {
+        val f = raw(rowOff + 1 + x) & 0xFF
+        val a = if (x >= bpp) cur(x - bpp) else 0      // left
+        val b = if (y > 0) prior(x) else 0             // up
+        val c = if (x >= bpp && y > 0) prior(x - bpp) else 0 // up-left
+        val recon = filter match {
+          case 0 => f
+          case 1 => f + a
+          case 2 => f + b
+          case 3 => f + (a + b) / 2
+          case 4 =>
+            val pp = a + b - c
+            val pa = math.abs(pp - a); val pb = math.abs(pp - b)
+            val pc = math.abs(pp - c)
+            f + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+          case _ => return None
+        }
+        cur(x) = recon & 0xFF
+        x += 1
+      }
+      var px = 0
+      while (px < w) {
+        gray(y * w + px) =
+          if (bpp == 1) cur(px)
+          else (cur(px * 3) * 299 + cur(px * 3 + 1) * 587 +
+            cur(px * 3 + 2) * 114) / 1000
+        px += 1
+      }
+      System.arraycopy(cur, 0, prior, 0, stride)
+      y += 1
+    }
+    Some((w, h, gray))
+  }
+
+  /** 64-bit difference hash (dHash) over a grayscale image: box-sample
+    * to a 9x8 grid (top-left nearest — integer index math an external
+    * oracle can replay), bit `y*8+x` set iff grid(x,y) < grid(x+1,y).
+    * A 9x8 source is used as-is, so the hash is an exact integer
+    * function of the pixels.
+    */
+  private[ops] def dhash64(w: Int, h: Int, g: Array[Int]): Long = {
+    var sh = 0L
+    var y = 0
+    while (y < 8) {
+      val gy = y * h / 8
+      var x = 0
+      while (x < 8) {
+        val l = g(gy * w + x * w / 9)
+        val r = g(gy * w + (x + 1) * w / 9)
+        if (l < r) sh |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    sh
+  }
+
+  /** Media table whose payloads are complete synthesized PNGs carrying
+    * caller-provided grayscale pixels (row-major ints 0-255) — the
+    * pixel values stay a declarative Column expression, so an external
+    * oracle can recompute everything downstream of the codec
+    * arithmetically while the Spark side round-trips real bytes.
+    */
+  def asGrayPngMediaTable(df: DataFrame, idCol: String,
+                          width: Int, height: Int,
+                          pixels: Column): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    df.select(col(idCol).cast("long").as("media_id"),
+        pixels.cast(ArrayType(IntegerType)).as("px"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val px = r.getSeq[Int](1).toArray
+          Row(id, "image", encodeGrayPng(width, height, px),
+            width, height, null)
+        }
+      }(enc)
+  }
+
+  private val dhashSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("dhash", LongType, nullable = true)))
+
+  /** Per-image perceptual hash: full PNG pixel decode → [[dhash64]].
+    * Narrow per-partition map — media bytes never shuffle; the output
+    * is (media_id, dhash), dhash null for undecodable payloads (the
+    * never-throws contract; filter or count nulls for observability).
+    */
+  def imageDHash(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(dhashSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          val dh = decodePngGray(payload)
+            .map { case (w, h, g) => dhash64(w, h, g) }
+          Row(id, dh.map(Long.box).orNull)
+        }
+      }(enc)
+  }
+
+  /** Perceptual near-duplicate image pairs: dHash each image, then
+    * Hamming-radius pairing via the simhash chunk-blocking machinery
+    * ([[graft.ops.Dedup.hammingPairs]] — complete by pigeonhole for the
+    * radii perceptual dedup uses, ≤ 15). Only (media_id, dhash) longs
+    * enter the exchange; pixels and payloads stay partition-local.
+    * Undecodable payloads are excluded (null dhash).
+    */
+  def imageNearDupPairs(media: DataFrame, maxHamming: Int = 4): DataFrame =
+    Dedup.hammingPairs(
+      imageDHash(media).filter(col("dhash").isNotNull),
+      "media_id", "dhash", maxHamming)
 }

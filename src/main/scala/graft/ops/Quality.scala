@@ -85,14 +85,10 @@ object Quality {
     // from the scan (explode → map-side partial agg), so the scan's
     // file count caps their parallelism — on a few-file input the whole
     // per-token pass serialized onto ONE core (23.7 s single-task stage
-    // at sf0.1; 32-way after the fan-out). Round-robin, same doctrine
-    // as the dedup family's fanOutScan; at real scale the input has
-    // thousands of splits and the extra (id, text) pass is pure cost —
-    // disable with the same switch.
-    val base =
-      if (spark.conf.get("graft.dedup.fanOutScan", "true") == "true")
-        basePlan.repartition(spark.sparkContext.defaultParallelism)
-      else basePlan
+    // at sf0.1; 32-way after the fan-out). Operator-neutral switch
+    // ([[ScanFanOut]], `graft.fanOutScan`) — disabling the DEDUP
+    // family's fan-out no longer silently reshapes this Quality plan.
+    val base = ScanFanOut(basePlan)
 
     // ---- line family: shuffle (id, line-hash, len), never the line
     val lines = base.select(col("id"),

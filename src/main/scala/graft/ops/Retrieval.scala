@@ -124,6 +124,13 @@ object Retrieval {
     * per term at maxDfAbs² regardless of corpus growth — the same
     * doctrine as [[graft.ops.Dedup.lshParams]]). Only (term-hash, id,
     * weight) triples shuffle; term strings and text stay columnar.
+    *
+    * EAGER by design: composing this operator runs Spark jobs (the
+    * corpus count and the collision guard's aggregate, which also
+    * materializes the persisted term caches) — callers composing plans
+    * lazily should call it at execution time. [[topKeywords]] is the
+    * fully-lazy sibling (in-plan nDocs, no guard — it never groups by
+    * the term HASH, so collisions cannot merge dimensions there).
     */
   def tfidfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
                        minSimE4: Long, minDf: Long = 2,
@@ -209,18 +216,27 @@ object Retrieval {
     require(k >= 1, "k must be >= 1")
     val base = docs.select(col(idCol).as("id"),
       split(lower(col(textCol)), "\\s+").as("toks"))
-    val nDocs = base.count()
+    // nDocs derived IN the plan (1-row count aggregate, broadcast into
+    // the df screen) — composing this operator must not trigger a Spark
+    // job, and the cap must not freeze against a corpus snapshot taken
+    // at build time (r12 advice). The arithmetic is the same IEEE
+    // double multiply/floor/ln the driver-side literal produced, so the
+    // oracle replay is unchanged.
+    val totals = docs.select(lit(1).as("__one"))
+      .agg(count(lit(1)).as("__n"))
     val terms = base
       .select(col("id"), explode(col("toks")).as("term"))
       .filter(length(col("term")) > 0)
       .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(totals))
       .filter(col("df") >= minDf &&
-        col("df") <= lit(math.min(math.floor(maxDfFrac * nDocs),
-          maxDfAbs.toDouble)))
+        col("df") <= least(floor(lit(maxDfFrac) * col("__n").cast("double")),
+          lit(maxDfAbs)).cast("double"))
       .withColumn("idf_e3",
-        floor(lit(1000.0) * log(lit(nDocs.toDouble) / col("df")))
+        floor(lit(1000.0) * log(col("__n").cast("double") / col("df")))
           .cast("long"))
+      .drop("__n")
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("w").desc, col("term").asc)
     // filter the RAW row_number (cast only in the output projection):

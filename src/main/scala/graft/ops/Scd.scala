@@ -83,7 +83,31 @@ object Scd {
     */
   def applyChangelog(history: DataFrame, changelog: DataFrame,
                      keyCol: String, tsCol: String, tieCol: String,
-                     attrCols: Seq[String]): DataFrame = {
+                     attrCols: Seq[String]): DataFrame =
+    applyChangelogWithRejects(history, changelog, keyCol, tsCol, tieCol,
+      attrCols)._1
+
+  /** [[applyChangelog]] plus the REJECTED rows as a side output — the
+    * observability half of the append-only contract: dropped rows
+    * (retro-edits) otherwise leave no trace, so incremental-vs-rebuild
+    * drift in production is undetectable until an audit rebuild. Write
+    * the second frame to a quarantine table or count it; non-empty
+    * means this batch needs the rebuild path.
+    *
+    * Why the guard stays STRICT (`ts > effective_from`, ties rejected)
+    * rather than tuple-comparing `(ts, tie)`: the history no longer
+    * carries the tie column, and — deeper — the open run may have
+    * COLLAPSED same-attribute versions whose (ts, tie) positions are
+    * gone from the history entirely. A same-ts batch row can interleave
+    * between those vanished members in the full rebuild (splitting the
+    * run into versions the incremental fold cannot reconstruct), so
+    * accepting ties would silently diverge from the rebuild exactly
+    * where the q143 oracle demands equality. Same-ts updates are
+    * retro-edits under this contract; give them to the rebuild.
+    */
+  def applyChangelogWithRejects(history: DataFrame, changelog: DataFrame,
+                                keyCol: String, tsCol: String, tieCol: String,
+                                attrCols: Seq[String]): (DataFrame, DataFrame) = {
     val affected = changelog.select(col(keyCol)).distinct()
     val affectedCurrent = history
       .join(affected, Seq(keyCol), "left_semi").filter(col("is_current"))
@@ -94,17 +118,23 @@ object Scd {
         attrCols.map(col)): _*)
     // append-only guard: a batch row at or before its key's current
     // effective_from would sort before the seed and corrupt the splice
-    val guarded = changelog
+    val withCur = changelog
       .join(affectedCurrent.select(col(keyCol),
         col("effective_from").as("__cur_from")), Seq(keyCol), "left")
+    val outCols = (col(keyCol) +: col(tsCol) +: col(tieCol) +:
+      attrCols.map(col))
+    val guarded = withCur
       .filter(col("__cur_from").isNull || col(tsCol) > col("__cur_from"))
-      .select((col(keyCol) +: col(tsCol) +: col(tieCol) +:
-        attrCols.map(col)): _*)
+      .select(outCols: _*)
+    val rejected = withCur
+      .filter(col("__cur_from").isNotNull && col(tsCol) <= col("__cur_from"))
+      .select(outCols: _*)
     val fragment = buildHistory(seeds.unionByName(guarded),
       keyCol, tsCol, tieCol, attrCols)
-    history.join(affected, Seq(keyCol), "left_anti")
+    val merged = history.join(affected, Seq(keyCol), "left_anti")
       .unionByName(history.join(affected, Seq(keyCol), "left_semi")
         .filter(!col("is_current")))
       .unionByName(fragment)
+    (merged, rejected)
   }
 }

@@ -74,7 +74,7 @@ object Cep {
           state.remove()
           Iterator.single(PatternMatch(key, p.events.size, completed = false, p.events))
         } else {
-          val sorted = it.toSeq.sortBy(tsFn(_).getTime)
+          val sorted = it.toSeq.sortBy(e => tsKey(tsFn(e)))
           val (out, partial) = foldEvents(key, sorted, state.getOption,
             tsFn, steps, withinMs, strict)
           partial match {
@@ -92,6 +92,19 @@ object Cep {
       })
   }
 
+  /** Full-precision ordering key: (epoch ms, nanos-of-second). Event
+    * ORDER and the late-event comparison use this, never bare ms —
+    * fixtures and oracles carry microsecond timestamps, and two
+    * same-key events inside one millisecond would otherwise sort by
+    * Spark's arbitrary group-iterator order (run-to-run nondeterminism
+    * AND divergence from the microsecond-ordered SQL oracle). Deadline
+    * ARITHMETIC stays ms on purpose: `within` is a ms-granular window
+    * contract, matching the streaming timeout clock
+    * (`setTimeoutTimestamp` is ms).
+    */
+  @inline private def tsKey(ts: Timestamp): (Long, Int) =
+    (ts.getTime, ts.getNanos)
+
   /** The pattern state machine itself, as a pure per-key fold — ONE
     * definition shared by the streaming operator (per micro-batch,
     * seeded with the carried partial) and [[sequencePatternBatch]]
@@ -103,6 +116,7 @@ object Cep {
       steps: Seq[T => Boolean], withinMs: Long, strict: Boolean)
       : (Seq[PatternMatch[T]], Option[CepPartial[T]]) = {
     val out = scala.collection.mutable.ArrayBuffer.empty[PatternMatch[T]]
+    val tupleOrd = implicitly[Ordering[(Long, Int)]]
     var partial = initial
     def tryStart(e: T, t: Long): Unit =
       if (steps.head(e)) {
@@ -111,8 +125,9 @@ object Cep {
     for (e <- sorted) {
       val t = tsFn(e).getTime
       partial match {
-        case Some(p) if t < tsFn(p.events.last).getTime =>
+        case Some(p) if tupleOrd.lt(tsKey(tsFn(e)), tsKey(tsFn(p.events.last))) =>
           () // late, precedes the attempt's progress: documented drop
+             // (full-precision compare — a sub-ms-later event is NOT late)
         case Some(p) if t > p.deadlineMs =>
           // window expired before this event: timeout side output,
           // then the event may start the next attempt
@@ -160,7 +175,7 @@ object Cep {
     val withinMs = withinSeconds * 1000
     events.groupByKey(keyFn)(org.apache.spark.sql.Encoders.STRING)
       .flatMapGroups { (key: String, it: Iterator[T]) =>
-        val sorted = it.toSeq.sortBy(tsFn(_).getTime)
+        val sorted = it.toSeq.sortBy(e => tsKey(tsFn(e)))
         val (out, partial) = foldEvents(key, sorted, None, tsFn, steps,
           withinMs, strict)
         val tail = if (emitPartials)

@@ -59,16 +59,23 @@ object StreamingDedup {
     *    is one coalesced task + a commit; the wall cost is the max,
     *    not the sum). Appends stay AFTER onPairs so the pair plan's
     *    table snapshots cannot race the batch's own appends;
-    *  - one file per batch per table (`coalesce(1)`) — at trigger
-    *    cadence the file count, not file size, is what degrades every
-    *    later table scan. A giant batch should lower the trigger rate,
-    *    not the file hygiene.
+    *  - output files per batch per table scale with the BATCH, not a
+    *    constant: `⌈rows/rowsPerFile⌉` coalesced tasks, floor 1
+    *    (Compaction's sizing arithmetic). At trigger cadence small
+    *    batches still write one file each — file count, not file size,
+    *    is what degrades every later table scan — but a GB-scale
+    *    micro-batch is no longer serialized through a single write
+    *    task (the r12 throughput ceiling): `coalesce` caps parallelism
+    *    without adding a shuffle, and the batch's cached row counts
+    *    (needed by the visibility barrier anyway) price the sizing at
+    *    zero extra scans.
     */
   def incrementalDedupSink(spark: SparkSession, db: String,
                            corpusTable: String, indexTable: String,
                            idCol: String, textCol: String,
                            shingleN: Int = 5, k: Int = 32, bands: Int = 8,
-                           threshold: Double = 0.8)
+                           threshold: Double = 0.8,
+                           rowsPerFile: Long = 1L << 20)
                           (onPairs: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
     ensureTables(spark, db, corpusTable, indexTable, k)
     // VISIBILITY BARRIER state (r12): batch N+1 dedups against batches
@@ -132,19 +139,27 @@ object StreamingDedup {
           import scala.concurrent.{Await, Future}
           import scala.concurrent.ExecutionContext.Implicits.global
           import scala.concurrent.duration.Duration
+          // newSigs/b are persisted — these counts are cache-local
+          // jobs, and they both feed the visibility barrier AND size
+          // the append file counts (rows-proportional, floor 1)
+          val nIdx = newSigs.count()
+          val nCorpus = b.count()
+          def nFiles(rows: Long): Int =
+            math.max(1L, math.min(Int.MaxValue.toLong,
+              (rows + rowsPerFile - 1) / rowsPerFile)).toInt
           val appendIndex = Future {
-            newSigs.coalesce(1)
+            newSigs.coalesce(nFiles(nIdx))
               .write.mode("append").insertInto(s"`$db`.`$indexTable`")
           }
           val appendCorpus = Future {
-            b.select(col(idCol).as("id"), col(textCol).as("text")).coalesce(1)
+            b.select(col(idCol).as("id"), col(textCol).as("text"))
+              .coalesce(nFiles(nCorpus))
               .write.mode("append").insertInto(s"`$db`.`$corpusTable`")
           }
           Await.result(appendIndex, Duration.Inf)
           Await.result(appendCorpus, Duration.Inf)
-          // newSigs/b are persisted — these counts are cache-local jobs
-          expectedIndex += newSigs.count()
-          expectedCorpus += b.count()
+          expectedIndex += nIdx
+          expectedCorpus += nCorpus
           awaitVisible()
         } finally {
           spark.sparkContext.getPersistentRDDs

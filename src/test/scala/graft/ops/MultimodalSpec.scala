@@ -99,4 +99,121 @@ class MultimodalSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getSeq[Float](5)).toMap
     assert(again == first)
   }
+
+  // ---- full-pixel PNG codec + perceptual dedup (r13) ----
+
+  test("gray PNG encode->decode round-trips pixels through real zlib and filters") {
+    val w = 9; val h = 8
+    val px = Array.tabulate(w * h)(i => (i * 37 + 11) % 256)
+    val png = Multimodal.encodeGrayPng(w, h, px)
+    // it is also a valid header for the existing metadata parser
+    assert(Multimodal.parseImageHeader(png).contains((9, 8, 1)))
+    val got = Multimodal.decodePngGray(png)
+    assert(got.isDefined, "decode failed")
+    val (gw, gh, gpx) = got.get
+    assert((gw, gh) == (w, h))
+    assert(gpx.toSeq == px.toSeq,
+      "pixels must survive deflate->inflate->unfilter exactly")
+  }
+
+  test("decoder handles Sub/Average/Paeth filters and truecolor luma") {
+    // hand-assemble PNGs exercising filter types the encoder never
+    // emits, via the same chunk/CRC helpers
+    def buildPng(w: Int, h: Int, colorType: Int,
+                 rawScanlines: Array[Byte]): Array[Byte] = {
+      val deflater = new java.util.zip.Deflater()
+      deflater.setInput(rawScanlines); deflater.finish()
+      val zOut = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!deflater.finished()) zOut.write(buf, 0, deflater.deflate(buf))
+      deflater.end()
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+        .putInt(w).putInt(h).put(8.toByte).put(colorType.toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte).array()
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A))
+      out.write(Multimodal.pngChunk("IHDR", ihdr))
+      out.write(Multimodal.pngChunk("IDAT", zOut.toByteArray))
+      out.write(Multimodal.pngChunk("IEND", Array.empty[Byte]))
+      out.toByteArray
+    }
+    // gray 3x3, rows filtered Sub(1) / Average(3) / Paeth(4) — filtered
+    // bytes computed by hand from the spec's reconstruction rules
+    val want = Array(10, 20, 30, 40, 50, 60, 70, 80, 90)
+    def flt(y: Int, x: Int, f: Int): Int = {
+      val v = want(y * 3 + x)
+      val a = if (x > 0) want(y * 3 + x - 1) else 0
+      val b = if (y > 0) want((y - 1) * 3 + x) else 0
+      val c = if (x > 0 && y > 0) want((y - 1) * 3 + x - 1) else 0
+      f match {
+        case 1 => (v - a) & 0xFF
+        case 3 => (v - (a + b) / 2) & 0xFF
+        case 4 =>
+          val p = a + b - c
+          val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+          val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+          (v - pred) & 0xFF
+      }
+    }
+    val raw = new java.io.ByteArrayOutputStream()
+    Seq(1, 3, 4).zipWithIndex.foreach { case (f, y) =>
+      raw.write(f); (0 until 3).foreach(x => raw.write(flt(y, x, f)))
+    }
+    val gray = Multimodal.decodePngGray(buildPng(3, 3, 0, raw.toByteArray))
+    assert(gray.isDefined && gray.get._3.toSeq == want.toSeq,
+      s"unfilter mismatch: ${gray.map(_._3.toSeq)}")
+    // truecolor 2x1, filter None: luma = (299r+587g+114b)/1000
+    val rgbRaw = Array[Byte](0, 255.toByte, 0, 0, 0, 0, 255.toByte)
+    val rgb = Multimodal.decodePngGray(buildPng(2, 1, 2, rgbRaw))
+    assert(rgb.isDefined && rgb.get._3.toSeq == Seq(255 * 299 / 1000, 255 * 114 / 1000))
+    // corrupt payloads: never throw
+    assert(Multimodal.decodePngGray(null).isEmpty)
+    assert(Multimodal.decodePngGray("not a png at all".getBytes).isEmpty)
+    val truncated = Multimodal.encodeGrayPng(9, 8, Array.fill(72)(5)).take(40)
+    assert(Multimodal.decodePngGray(truncated).isEmpty)
+  }
+
+  test("dhash64 compares adjacent grid cells; one-pixel edits stay within small hamming") {
+    val base = Array.tabulate(72)(i => (i * 53 + 7) % 241)
+    val h0 = Multimodal.dhash64(9, 8, base)
+    // flipping one pixel changes at most the two comparisons touching it
+    val edited = base.clone(); edited(40) = (edited(40) + 128) % 241
+    val h1 = Multimodal.dhash64(9, 8, edited)
+    assert(java.lang.Long.bitCount(h0 ^ h1) <= 2)
+    // a 18x16 image box-samples down to the same hash as its 9x8 source
+    val big = Array.tabulate(18 * 16) { i =>
+      val x = i % 18; val y = i / 18
+      base((y / 2) * 9 + (x / 2))
+    }
+    assert(Multimodal.dhash64(18, 16, big) == h0,
+      "2x upscale must box-sample to the identical dhash")
+  }
+
+  test("imageNearDupPairs finds engineered near-dups through the full codec path") {
+    // 3 images: 101/102 near-dups (one-pixel edit), 103 unrelated
+    val mk: Long => Array[Int] = seed =>
+      Array.tabulate(72) { i =>
+        val g = (seed * 2654435761L + i * 97L) ^ ((seed * 2654435761L + i * 97L) >> 7)
+        ((g * 31) % 241).toInt.abs
+      }
+    val a = mk(1L)
+    val b = a.clone(); b(30) = (b(30) + 120) % 241
+    val c = mk(9L)
+    val pixelRows = Seq((101L, a.toSeq), (102L, b.toSeq), (103L, c.toSeq))
+      .toDF("doc_id", "px")
+    val media = Multimodal.asGrayPngMediaTable(
+      pixelRows, "doc_id", 9, 8, org.apache.spark.sql.functions.col("px"))
+    val pairs = Multimodal.imageNearDupPairs(media, maxHamming = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((101L, 102L)),
+      s"engineered near-dup must pair: $pairs")
+    assert(!pairs.exists(p => p._1 == 103L || p._2 == 103L),
+      s"unrelated image must not pair: $pairs")
+    // undecodable payloads are excluded, not fatal
+    val broken = media.unionByName(Multimodal.asMediaTable(
+      Seq((999L, "garbage")).toDF("doc_id", "text"), "doc_id", "text"))
+    val withBroken = Multimodal.imageNearDupPairs(broken, maxHamming = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(withBroken == pairs)
+  }
 }

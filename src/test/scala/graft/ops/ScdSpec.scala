@@ -87,10 +87,17 @@ class ScdSpec extends SparkSpec {
       (1L, ts("2024-01-03 12:00:00"), 6L, "Z"), // before key 1's current from (Jan 4)
       (2L, ts("2024-01-06 00:00:00"), 7L, "D")  // valid
     ).toDF("k", "ts", "seq", "attr")
-    val got = Scd.applyChangelog(h, retro, "k", "ts", "seq", Seq("attr"))
+    val (merged, rejects) = Scd.applyChangelogWithRejects(
+      h, retro, "k", "ts", "seq", Seq("attr"))
+    val got = merged
       .as[(Long, String, Timestamp, Option[Timestamp], Boolean)].collect().toSet
     assert(!got.exists(_._2 == "Z"), s"retro-edit must be dropped: $got")
     assert(got.exists(r => r._1 == 2L && r._2 == "D" && r._5), got.toString)
+    // the drop is OBSERVABLE: the retro-edit row comes back on the
+    // rejects side output (schema = changelog columns), valid rows don't
+    val rej = rejects.as[(Long, Timestamp, Long, String)].collect().toSeq
+    assert(rej == Seq((1L, ts("2024-01-03 12:00:00"), 6L, "Z")),
+      s"rejects must carry exactly the dropped retro-edit: $rej")
   }
 
   test("one exchange: run-collapse lag and effective_to lead share sort and shuffle") {
