@@ -1894,6 +1894,77 @@ object SparkEntry {
     // REBUILD's SQL over the complete changelog — gating the equality
     // incremental ≡ rebuild, the property that makes the incremental
     // path trustworthy at all.
+    // THE COMPOSED CORPUS-BUILD PIPELINE (r13): the chain a real
+    // LLM-data user runs, as ONE query under ONE oracle — repetition
+    // gate → repeated-span scrub → keep-best near-dup dedup →
+    // split-leakage decontamination → temperature mix → sequence pack
+    // → weighted interleave. Every stage consumes the PREVIOUS stage's
+    // output (gate reasons on raw text, span df on survivors, dedup
+    // bands on CLEANED lengths, mix strata on post-dedup counts...),
+    // so the oracle replaying the full composition proves the operator
+    // contracts compose without column/caching/eagerness surprises.
+    "q145_corpus_pipeline" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      // A. repetition gate (q130's thresholds): drop template-heavy docs
+      val reasons = ops.Quality.repetitionSignals(docs, "doc_id", "text",
+          topNs = Seq(2), dupN = 3, lineDelim = " ")
+        .select(col("doc_id"), ops.Quality.repetitionGate(
+          maxDupLineFracE6 = 970000L, maxDupLineCharFracE6 = 950000L,
+          maxTop2CharFracE6 = 100000L, maxDupNCharFracE6 = 20000L,
+          dupNCol = "dup3gram_char_frac_e6").as("reason"))
+      // STAGE-BOUNDARY PERSISTS: each stage's output is consumed
+      // several times by the next operator's internal plan (the scrub
+      // alone references its input 3x) — unpersisted, the gate's
+      // explode-aggregate would re-execute once per reference and the
+      // whole chain goes combinatorial (measured: 28 s/rep -> the
+      // persisted chain below; this is exactly the composition lesson
+      // the pipeline query exists to lock in)
+      val d1 = ops.CacheScope.persist(docs.join(
+        reasons.filter(col("reason") === "keep").select("doc_id"), Seq("doc_id")))
+      // B. boilerplate scrub (q102's window df) over the SURVIVORS —
+      // the hot-window set is recomputed on the gated corpus
+      val d2 = ops.CacheScope.persist(
+        ops.SpanScrub.scrubRepeatedSpans(d1, "doc_id", "text",
+            k = 40, stride = 4, maxDf = 3)
+          .select(col("doc_id"), col("clean_text"))
+          .join(d1.select(col("doc_id"), col("lang")), Seq("doc_id"))
+          .select(col("doc_id"), col("lang"), col("clean_text").as("text")))
+      // C. keep-best dedup: exact blocked Jaccard pairs on the CLEANED
+      // text (bands from cleaned lengths), CC, best = longest survivor
+      val banded = d2.withColumn("n_chars", length(col("text")).cast("long"))
+      val pairs = ops.Dedup.ngramJaccardPairs(banded, "doc_id", "text",
+        Seq(col("lang"), floor(col("n_chars") / 100).cast("long")), 9500L)
+      // inline CC + keep-best (dedupByPairsScored): same keep policy as
+      // the q101 artifact path, without pricing a labels parquet
+      // round-trip inside the recurring pipeline
+      val d3 = ops.Dedup.dedupByPairsScored(banded, "doc_id", "n_chars", pairs)
+      // D. decontamination: portable split, then train docs sharing a
+      // TEST doc's exact text are removed (bloom-prefiltered anti join)
+      val withSplit = ops.CacheScope.persist(
+        d3.withColumn("split", Sampling.splitExpr(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), portable = true)))
+      val d4 = ops.CacheScope.persist(ops.Decontaminate.antiJoin(
+        withSplit.filter(col("split") === "train"), col("text"),
+        withSplit.filter(col("split") === "test"), col("text")))
+      // E. temperature mix (√n targets) over the decontaminated train set
+      val d5 = Sampling.temperatureMix(
+        d4.select(col("doc_id"), col("lang"), col("text")),
+        "lang", "doc_id", totalN = 200)
+      // F. greedy sequence packing per (lang, shard) at 1024 tokens
+      val toPack = d5.select(col("doc_id"), col("lang"),
+        TF.tokenCount(col("text")).cast("long").as("token_ct"),
+        Sampling.portableBucket(col("doc_id"), 8).as("shard"))
+      val packed = ops.Pack.packGreedy(toPack, Seq("lang", "shard"),
+        "doc_id", "token_ct", 1024L)
+      // G. weighted interleave of the packed docs across languages
+      Sampling.interleaveBySource(packed, "doc_id", "lang", "doc_id",
+          Map("en" -> 3000000L, "zh" -> 2000000L), defaultWeightE6 = 1000000L)
+        .select(col("doc_id"), col("lang"), col("token_ct"), col("shard"),
+          col("tokens_before"), col("seq_id"), col("within_rank"),
+          col("interleave_key"))
+    }),
+
     // Perceptual image dedup (r13): synthesize COMPLETE valid PNGs
     // (real zlib IDAT, real CRCs, alternating scanline filters) whose
     // 9x8 grayscale pixels are a declarative integer formula of
@@ -4042,6 +4113,172 @@ object SparkEntry {
 
     // incremental ≡ rebuild: the oracle is q135's full-rebuild SQL over
     // the COMPLETE changelog, byte-identical conventions
+    // Replays the ENTIRE q145 composition stage by stage (gate -> scrub
+    // -> keep-best CC dedup -> split decontamination -> temperature mix
+    // -> pack -> interleave); every intermediate relation d1..d6 feeds
+    // the next stage exactly as the Spark operators chain.
+    "q145_corpus_pipeline" ->
+      """WITH RECURSIVE d0 AS (SELECT doc_id, lang, text FROM documents),
+         -- A. repetition gate (q130 replay over d0)
+         rl AS (
+           SELECT doc_id, line, count(*) AS c, max(length(line)) AS len
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS line FROM d0)
+           WHERE length(line) > 0 GROUP BY 1, 2),
+         rla AS (
+           SELECT doc_id, sum(c) AS n_lines,
+             sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_lines,
+             sum(c * len) AS line_chars,
+             sum(CASE WHEN c > 1 THEN c * len ELSE 0 END) AS dup_line_chars
+           FROM rl GROUP BY 1),
+         rw AS (SELECT doc_id,
+                  list_filter(string_split_regex(text, '\s+'),
+                    x -> length(x) > 0) AS words,
+                  length(text) AS total_chars
+                FROM d0),
+         rg AS (
+           SELECT doc_id, 2 AS n, array_to_string(words[i:i+1], ' ') AS gram
+           FROM rw, unnest(range(1, len(words))) AS t(i)
+           UNION ALL
+           SELECT doc_id, 3, array_to_string(words[i:i+2], ' ')
+           FROM rw, unnest(range(1, len(words) - 1)) AS t(i)),
+         rgc AS (SELECT doc_id, n, gram, count(*) AS c, max(length(gram)) AS len
+                 FROM rg GROUP BY 1, 2, 3),
+         rga AS (SELECT doc_id,
+                   max(CASE WHEN n = 2 THEN c * len END) AS top2_mass,
+                   sum(CASE WHEN n = 3 AND c > 1 THEN c * len ELSE 0 END) AS dup_mass
+                 FROM rgc GROUP BY 1),
+         rsig AS (
+           SELECT rw.doc_id,
+             CAST(CASE WHEN COALESCE(rla.n_lines, 0) > 0
+               THEN (1000000 * rla.dup_lines) // rla.n_lines ELSE 0 END AS BIGINT) AS dlf,
+             CAST(CASE WHEN COALESCE(rla.line_chars, 0) > 0
+               THEN (1000000 * rla.dup_line_chars) // rla.line_chars ELSE 0 END AS BIGINT) AS dlcf,
+             CAST(LEAST(CASE WHEN rw.total_chars > 0
+               THEN (1000000 * COALESCE(rga.top2_mass, 0)) // rw.total_chars
+               ELSE 0 END, 1000000) AS BIGINT) AS t2f,
+             CAST(LEAST(CASE WHEN rw.total_chars > 0
+               THEN (1000000 * COALESCE(rga.dup_mass, 0)) // rw.total_chars
+               ELSE 0 END, 1000000) AS BIGINT) AS d5f
+           FROM rw LEFT JOIN rla USING (doc_id) LEFT JOIN rga USING (doc_id)),
+         d1 AS MATERIALIZED (
+           SELECT d0.* FROM d0 JOIN rsig USING (doc_id)
+           WHERE NOT (dlf > 970000 OR dlcf > 950000 OR t2f > 100000 OR d5f > 20000)),
+         -- B. span scrub (q102 replay over d1)
+         sw AS MATERIALIZED (
+           SELECT doc_id, CAST(o AS INT) AS o,
+             substr(text, CAST(o AS INT) + 1, 40) AS win
+           FROM (SELECT doc_id, text,
+                   unnest(range(0, CAST(length(text) AS BIGINT) - 39, 4)) AS o
+                 FROM d1 WHERE length(text) >= 40)),
+         swdf AS MATERIALIZED (
+           SELECT win FROM (SELECT DISTINCT doc_id, win FROM sw)
+           GROUP BY win HAVING count(*) > 3),
+         shot AS MATERIALIZED (SELECT DISTINCT sw.doc_id, sw.o FROM sw JOIN swdf USING (win)),
+         spos AS (
+           SELECT doc_id, text,
+             CAST(unnest(range(1, CAST(length(text) AS BIGINT) + 1)) AS INT) AS p
+           FROM d1),
+         skept AS (
+           SELECT spos.doc_id, spos.p, substr(spos.text, spos.p, 1) AS ch
+           FROM spos
+           WHERE NOT EXISTS (SELECT 1 FROM shot h
+             WHERE h.doc_id = spos.doc_id AND spos.p > h.o AND spos.p <= h.o + 40)),
+         d2 AS MATERIALIZED (
+           SELECT d1.doc_id, d1.lang, coalesce(k.clean_text, '') AS text
+           FROM d1 LEFT JOIN (
+             SELECT doc_id, string_agg(ch, '' ORDER BY p) AS clean_text
+             FROM skept GROUP BY doc_id) k USING (doc_id)),
+         -- C. keep-best dedup (q101 replay over d2, bands on cleaned lengths)
+         ct AS MATERIALIZED (
+           SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(floor(length(text) / 100) AS BIGINT) AS band,
+             list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+               x -> length(x) > 0)) AS toks
+           FROM d2),
+         cp AS MATERIALIZED (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM ct a JOIN ct b
+             ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+           WHERE CAST(floor(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+               / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE)
+               * 10000) AS BIGINT) >= 9500),
+         ce AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM cp UNION SELECT id_b, id_a FROM cp),
+         creach AS (
+           SELECT src AS id, src AS r FROM ce
+           UNION
+           SELECT ce.src, creach.r FROM ce JOIN creach ON ce.dst = creach.id),
+         clabels AS (SELECT id, min(r) AS rep FROM creach GROUP BY id),
+         cranked AS (
+           SELECT t.doc_id, t.lang, t.n_chars,
+             row_number() OVER (PARTITION BY l.rep
+               ORDER BY t.n_chars DESC, t.doc_id) AS rk
+           FROM ct t JOIN clabels l ON t.doc_id = l.id),
+         d3 AS MATERIALIZED (
+           SELECT d2.doc_id, d2.lang, d2.text
+           FROM d2 JOIN cranked USING (doc_id) WHERE cranked.rk = 1
+           UNION ALL
+           SELECT d2.doc_id, d2.lang, d2.text
+           FROM d2 WHERE doc_id NOT IN (SELECT id FROM clabels)),
+         -- D. decontamination: portable split; train docs with a test doc's text removed
+         dsplit AS (
+           SELECT doc_id, lang, text,
+             CASE WHEN b < 800000 THEN 'train'
+                  WHEN b < 900000 THEN 'val'
+                  ELSE 'test' END AS split
+           FROM (SELECT d3.*,
+                   ((doc_id % 1000003) * 2654435761) % 1000000007 % 1000000 AS b
+                 FROM d3)),
+         d4 AS MATERIALIZED (
+           SELECT tr.doc_id, tr.lang, tr.text
+           FROM dsplit tr
+           WHERE tr.split = 'train'
+             AND NOT EXISTS (SELECT 1 FROM dsplit te
+               WHERE te.split = 'test' AND te.text = tr.text)),
+         -- E. temperature mix totalN=200 over d4
+         mc AS (SELECT lang, count(*) AS n FROM d4 GROUP BY 1),
+         mw AS (SELECT lang, n,
+           CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000) AS BIGINT) AS s FROM mc),
+         mt AS (SELECT lang,
+           least(n, (200 * s) // (SELECT sum(s) FROM mw)) AS target FROM mw),
+         mr AS (SELECT d4.doc_id, d4.lang, d4.text,
+           row_number() OVER (PARTITION BY d4.lang
+             ORDER BY ((d4.doc_id % 1000003) * 2654435761) % 1000000007,
+               d4.doc_id) AS rn
+           FROM d4),
+         d5 AS MATERIALIZED (
+           SELECT mr.doc_id, mr.lang, mr.text FROM mr JOIN mt USING (lang)
+           WHERE rn <= target),
+         -- F. pack (q65 replay over d5, shard % 8, 1024 tokens)
+         pt AS (
+           SELECT doc_id, lang,
+             CAST(len(list_filter(string_split_regex(text, '\s+'),
+               x -> length(x) > 0)) AS BIGINT) AS token_ct,
+             ((doc_id % 1000003) * 2654435761) % 1000000007 % 8 AS shard
+           FROM d5),
+         pc AS (
+           SELECT doc_id, lang, token_ct, shard,
+             CAST(COALESCE(sum(token_ct) OVER (PARTITION BY lang, shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS tokens_before
+           FROM pt),
+         d6 AS MATERIALIZED (
+           SELECT doc_id, lang, token_ct, shard, tokens_before,
+             CAST(tokens_before // 1024 AS BIGINT) AS seq_id
+           FROM pc),
+         -- G. weighted interleave (q138 replay over d6)
+         gr AS (
+           SELECT d6.*,
+             CAST(row_number() OVER (PARTITION BY lang
+               ORDER BY doc_id, doc_id) AS BIGINT) AS within_rank
+           FROM d6)
+         SELECT doc_id, lang, token_ct, CAST(shard AS BIGINT) AS shard,
+           tokens_before, seq_id, within_rank,
+           CAST((within_rank * 1000000000) //
+             (CASE WHEN lang = 'en' THEN 3000000
+                   WHEN lang = 'zh' THEN 2000000
+                   ELSE 1000000 END) AS BIGINT) AS interleave_key
+         FROM gr""",
+
     // Replays the q144 pipeline end-to-end from the pixel formula: the
     // same 9x8 grayscale values, the dHash bit rule (bit y*8+x set iff
     // left < right), then BRUTE-FORCE pairs at hamming <= 4 — Spark's
