@@ -1894,6 +1894,25 @@ object SparkEntry {
     // REBUILD's SQL over the complete changelog — gating the equality
     // incremental ≡ rebuild, the property that makes the incremental
     // path trustworthy at all.
+    // IVF-PQ recall gate (r13): the memory-scale ANN path — coarse IVF
+    // routing + product-quantized codes (8 subspaces x 32 codewords =
+    // 8 B/vector standing index vs 256 B of floats) + ADC shortlist +
+    // exact re-rank of k·refine. Measured recall@5 vs brute force:
+    // 0.85 @ sf0.01, 0.80 @ sf0.1; floor 0.65 keeps margin below both
+    // (the q94 floor doctrine — a floor at a measured value would gate
+    // on exact equality through float shuffle-order wobble).
+    "q146_ivfpq_recall_gate" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+      val cents = Similarity.trainCentroids(emb, nCells = 8, iters = 2)
+      val cb = Similarity.trainProductQuantizer(emb, nSub = 8, k = 32, iters = 2)
+      recallGate(
+        Similarity.ivfPqTopK(q, emb, 5, cents, cb, nSub = 8,
+          nProbe = 2, refine = 8),
+        Similarity.bruteForceTopK(q, emb, 5),
+        Seq("query_id", "neighbor_id"), 6500L)
+    }),
+
     // THE COMPOSED CORPUS-BUILD PIPELINE (r13): the chain a real
     // LLM-data user runs, as ONE query under ONE oracle — repetition
     // gate → repeated-span scrub → keep-best near-dup dedup →
@@ -3116,6 +3135,8 @@ object SparkEntry {
       "SELECT CAST(8500 AS BIGINT) AS floor_e4, true AS meets_floor",
     "q98_cosine_neardup_recall_gate" ->
       "SELECT CAST(1000 AS BIGINT) AS floor_e4, true AS meets_floor",
+    "q146_ivfpq_recall_gate" ->
+      "SELECT CAST(6500 AS BIGINT) AS floor_e4, true AS meets_floor",
 
     // q48's error gate: the day set is exact SQL; the bound check on
     // the Spark side must hold for every day

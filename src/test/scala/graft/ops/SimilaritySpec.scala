@@ -63,6 +63,31 @@ class SimilaritySpec extends SparkSpec {
     assert(one.contains(11L), s"nearest neighbor must share 10's cell; got $one")
   }
 
+  test("IVF-PQ: probe-all + refine-all equals brute force; codes are index-sized") {
+    val cents = Similarity.trainCentroids(emb, nCells = 2, iters = 2)
+    val nCells = cents.count().toInt
+    val cb = Similarity.trainProductQuantizer(emb, nSub = 2, k = 4, iters = 2)
+    // every cell probed + a refine pool covering every candidate → the
+    // exact re-rank sees the full candidate set → identical to brute
+    // force regardless of how lossy the ADC shortlist ordering is
+    val all = Similarity.ivfPqTopK(emb, emb, 2, cents, cb, nSub = 2,
+        nProbe = nCells, refine = emb.count().toInt)
+      .as[(Long, Int, Long)].collect().toSet
+    val brute = Similarity.bruteForceTopK(emb, emb, 2)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(all == brute, s"probe-all+refine-all must equal brute force: $all vs $brute")
+    // the standing index is (vec_id, nSub codes) — one row per vector,
+    // codes within the codebook range
+    val codes = Similarity.pqEncode(emb, cb, nSub = 2)
+      .as[(Long, Seq[Int])].collect()
+    assert(codes.length == 5 && codes.forall(_._2.length == 2))
+    assert(codes.forall(_._2.forall(c => c >= 0 && c < 4)))
+    // reconstruction concatenates per-subspace codewords back to full dim
+    val xhat = Similarity.pqReconstruct(
+      Similarity.pqEncode(emb, cb, nSub = 2), cb)
+    assert(xhat.select(size($"xhat")).as[Int].collect().forall(_ == 2))
+  }
+
   test("recall@5 floor vs brute force on the sf0.01 corpus (q33/q54 defaults)") {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.functions.col
