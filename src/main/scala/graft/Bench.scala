@@ -49,6 +49,24 @@ object Bench {
   def session(cpus: String): SparkSession =
     graft.core.GraftSession.local(cpus.toInt)
 
+  /** JVM/codegen/scan warm-up: q01 covers scan+agg, q19 the dedup
+    * family's explode/persist machinery. Catches NonFatal ONLY (an OOM
+    * must crash the bench, not silently fake a warmed instrument) and
+    * reports failure on stderr + in the return — the emitted JSON
+    * carries `warmed` so a renamed query or missing table can never
+    * silently turn "warmed, comparable" false with no signal (r13
+    * ADVICE).
+    */
+  def warmUp(spark: SparkSession, sfDir: String): Boolean =
+    try {
+      SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
+      SparkEntry.queries("q19_dedup_exact")(spark, sfDir).count()
+      true
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] warm-up failed (numbers are UNWARMED): $e")
+      false
+    }
+
   def runTimed(spark: SparkSession, name: String, sfDir: String): (Double, Boolean) = {
     val t0 = System.nanoTime()
     // materialize through toRdd.count(), NOT Dataset.count(): a count
@@ -79,10 +97,7 @@ object Bench {
         // single unwarmed rep mixed ~2 s of JIT/codegen warm-up into
         // every "cold-isolated" number, so one-mode and suite medians
         // were never comparable (the r12 q108 adjudication problem).
-        try {
-          SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
-          SparkEntry.queries("q19_dedup_exact")(spark, sfDir).count()
-        } catch { case _: Throwable => () }
+        val warmed = warmUp(spark, sfDir)
         try SparkEntry.prepareArtifacts(spark, sfDir)
         catch { case e: Throwable =>
           System.err.println(s"[bench] prepareArtifacts failed: $e") }
@@ -97,19 +112,14 @@ object Bench {
         val med = { val s = runs.map(_._1).sorted; s(1) }
         val repsStr = runs.map(r =>
           String.format(java.util.Locale.ROOT, "%.3f", Double.box(r._1))).mkString("[", ",", "]")
-        println(s"""{"metric":"one","query":"$one","value":$med,"unit":"sec","reps":$repsStr,"err":${runs.exists(_._2)},"sf":"$sfDir"}""")
+        println(s"""{"metric":"one","query":"$one","value":$med,"unit":"sec","reps":$repsStr,"err":${runs.exists(_._2)},"warmed":$warmed,"sf":"$sfDir"}""")
         spark.stop()
         return
       case None => ()
     }
     // Warm the JVM/codegen/scan paths once so the first timed query
-    // doesn't absorb session startup; q01 covers scan+agg, q19 covers the
-    // dedup family's explode/persist machinery so q30 (first heavy query
-    // in name order) isn't charged for it.
-    try {
-      SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
-      SparkEntry.queries("q19_dedup_exact")(spark, sfDir).count()
-    } catch { case _: Throwable => () }
+    // doesn't absorb session startup (see warmUp).
+    val warmed = warmUp(spark, sfDir)
     // one-time artifact builds (q57's standing minhash index, q93/
     // q101's dedup report) run OFF the timed path — the recurring
     // queries price recurring work in EVERY rep, not just the ones
@@ -189,10 +199,7 @@ object Bench {
     val top10 = results.filterNot(_._4).sortBy(-_._2).take(10).map(_._1)
     val isoLine = try {
       val s2 = session(cpus)
-      try {
-        SparkEntry.queries("q01_pricing_summary")(s2, sfDir).count()
-        SparkEntry.queries("q19_dedup_exact")(s2, sfDir).count()
-      } catch { case _: Throwable => () }
+      val isoWarmed = warmUp(s2, sfDir)
       try SparkEntry.prepareArtifacts(s2, sfDir)
       catch { case e: Throwable =>
         System.err.println(s"[bench] isolated prepareArtifacts failed: $e") }
@@ -210,7 +217,7 @@ object Bench {
         "\"" + k.takeWhile(_ != '_') + "\":" +
           String.format(java.util.Locale.ROOT, "%.2f", Double.box(m))
       }.mkString("{", ",", "}")
-      s"""{"metric":"isolated","queries":$isoMap,"unit":"sec","method":"fresh SparkContext after the suite; top-10 by in-suite median; same warmup+artifacts+median-of-$reps instrument","sf":"$sfDir"}"""
+      s"""{"metric":"isolated","queries":$isoMap,"unit":"sec","warmed":$isoWarmed,"method":"fresh SparkContext after the suite; top-10 by in-suite median; same warmup+artifacts+median-of-$reps instrument","sf":"$sfDir"}"""
     } catch { case e: Throwable =>
       s"""{"metric":"isolated","error":"${e.getClass.getSimpleName}","sf":"$sfDir"}"""
     }
@@ -220,6 +227,6 @@ object Bench {
         java.nio.file.StandardOpenOption.APPEND)
     } catch { case _: Throwable => () }
     println(isoLine)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$medians,"errors":$errs,"reps_file":"$repsFile","method":"median of $reps cold reps; one-time artifacts prebuilt; blocking releaseAll off the timed path; isolated cross-check on penultimate line","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$medians,"errors":$errs,"warmed":$warmed,"reps_file":"$repsFile","method":"median of $reps cold reps; one-time artifacts prebuilt; blocking releaseAll off the timed path; isolated cross-check on penultimate line","sf":"$sfDir"}""")
   }
 }

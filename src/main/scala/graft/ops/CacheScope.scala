@@ -53,6 +53,29 @@ object CacheScope {
     df
   }
 
+  private val stageNames =
+    new ConcurrentHashMap[SparkSession, java.util.Deque[String]]()
+
+  /** [[persist]] plus a stage name recorded for observability — the
+    * [[Pipeline.stage]] backing. Names drain with [[release]].
+    */
+  private[graft] def persistStage(name: String, df: DataFrame,
+                                  level: StorageLevel): DataFrame = {
+    val out = persist(df, level)
+    stageNames.computeIfAbsent(df.sparkSession,
+      _ => new java.util.concurrent.ConcurrentLinkedDeque[String]()).add(name)
+    out
+  }
+
+  /** Stage names registered via [[persistStage]] since the last
+    * [[release]], in registration order (test/ops observability: a
+    * composition spec asserts its persist points exist by name).
+    */
+  def stagedNames(spark: SparkSession): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    Option(stageNames.get(spark)).map(_.asScala.toSeq).getOrElse(Seq.empty)
+  }
+
   /** Eager localCheckpoint returning the checkpointed frame plus the
     * checkpoint's backing RDDs (captured by diffing the persistent-RDD
     * table — the checkpoint RDD is not reachable through the public
@@ -95,6 +118,8 @@ object CacheScope {
     Option(rdds.remove(spark)).foreach { q =>
       q.forEach(r => { r.unpersist(blocking = false); () })
     }
+    stageNames.remove(spark)
+    ()
   }
 
   /** Number of currently-registered intermediates (test observability). */

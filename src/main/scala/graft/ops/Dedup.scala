@@ -556,11 +556,25 @@ object Dedup {
     * 64-bit perceptual/locality hash (image dHash, audio fingerprint)
     * reuses it. Complete by pigeonhole for `maxHamming ≤ 15` (blocks on
     * `maxHamming + 1` chunks). Output: (id_a, id_b, hamming).
+    *
+    * COST CLIFF at high radii (the lshParams blow-up doctrine): chunk
+    * key width is ⌊64/(h+1)⌋ bits, so candidate volume per chunk is
+    * ~n²/2^width — h ≤ 7 keeps ≥ 8-bit keys (256 values/chunk); at
+    * h = 15 the key shrinks to 4 bits and the self-join degenerates
+    * toward ~n²/16 per chunk × 16 chunks, effectively the full cross
+    * product the blocking exists to avoid. Perceptual dedup radii
+    * (2-6) are safely below the cliff; a caller above h = 7 gets a
+    * stderr warning rather than a hard failure (completeness still
+    * holds — only cost degrades).
     */
   def hammingPairs(sigs: DataFrame, idCol: String, sigCol: String,
                    maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
       s"maxHamming=$maxHamming: h+1 chunks need width >= 4 bits (h <= 15)")
+    if (maxHamming > 7)
+      System.err.println(s"[graft.dedup] hammingPairs maxHamming=$maxHamming " +
+        s"blocks on ${64 / (maxHamming + 1)}-bit chunk keys — candidate " +
+        "volume approaches quadratic; radii <= 7 keep >= 8-bit keys")
     // persist: both sides of the chunk self-join consume the signatures,
     // and the caller's signature computation (e.g. an image decode
     // kernel) must run once — the cache is two longs per item

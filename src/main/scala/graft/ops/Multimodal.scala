@@ -388,8 +388,13 @@ object Multimodal {
     val stride = w * bpp
     val rawLen = h * (1 + stride)
     val raw = new Array[Byte](rawLen)
+    // inf.end() in finally: every early exit (truncated stream, length
+    // mismatch, DataFormatException) must release the native zlib
+    // buffers — a corpus scan hitting many corrupt payloads (exactly
+    // the never-throws contract's target case) would otherwise
+    // accumulate native memory per executor until finalization
+    val inf = new java.util.zip.Inflater()
     try {
-      val inf = new java.util.zip.Inflater()
       inf.setInput(idat.toByteArray)
       var off = 0
       while (off < rawLen && !inf.finished()) {
@@ -397,9 +402,9 @@ object Multimodal {
         if (n == 0 && inf.needsInput()) return None // truncated stream
         off += n
       }
-      inf.end()
       if (off != rawLen) return None
-    } catch { case _: java.util.zip.DataFormatException => return None }
+    } catch { case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
     // unfilter in place (ISO 15948 §9.2): Recon(x) from the filter byte
     val cur = new Array[Int](stride)
     val prior = new Array[Int](stride)

@@ -126,8 +126,14 @@ object Scd {
     val guarded = withCur
       .filter(col("__cur_from").isNull || col(tsCol) > col("__cur_from"))
       .select(outCols: _*)
+    // the reject filter is the EXACT complement of the guard (not the
+    // naive `ts <= __cur_from`): a NULL ts against a non-null
+    // __cur_from is three-valued-NULL under BOTH comparisons, which
+    // would drop the row from both outputs silently — precisely the
+    // invisibility this side output exists to eliminate
     val rejected = withCur
-      .filter(col("__cur_from").isNotNull && col(tsCol) <= col("__cur_from"))
+      .filter(col("__cur_from").isNotNull &&
+        !coalesce(col(tsCol) > col("__cur_from"), lit(false)))
       .select(outCols: _*)
     val fragment = buildHistory(seeds.unionByName(guarded),
       keyCol, tsCol, tieCol, attrCols)

@@ -246,16 +246,34 @@ object Similarity {
   /** Top-`nProbe` cells per vector by centroid dot product (vectors
     * must be unit-norm for the dot to rank like cosine). Broadcast
     * nested-loop against the model table; ties break on cell id.
+    *
+    * The nProbe=1 case (the CANDIDATE side — every vector of the
+    * corpus, on training, encode, and index-build paths) is the q91
+    * argmin doctrine: a map-side-combinable `max(struct(sim, -cell))`
+    * shuffles one best-so-far partial per vector per partition, where
+    * the window-rank form exchanged the full |vecs|·nCells
+    * centroid-expanded frame. nProbe>1 (the bounded QUERY side) keeps
+    * the window — a multi-row top-k per key needs the rank.
     */
   private def assignCells(vecs: DataFrame, idName: String, uName: String,
                           centroids: DataFrame, nProbe: Int): DataFrame = {
-    val w = Window.partitionBy(col(idName))
-      .orderBy(col("__csim").desc, col("cell").asc)
-    vecs.crossJoin(broadcast(centroids))
+    val scored = vecs.crossJoin(broadcast(centroids))
       .withColumn("__csim", VectorFunctions.dot(col(uName), col("cent")))
-      .withColumn("__crn", row_number().over(w))
-      .filter(col("__crn") <= nProbe)
-      .select(col(idName), col("cell"))
+    if (nProbe == 1) {
+      scored
+        .select(col(idName),
+          struct(col("__csim"), (-col("cell")).as("negcell")).as("__sc"))
+        .groupBy(col(idName))
+        .agg(max(col("__sc")).as("__best"))
+        .select(col(idName), (-col("__best.negcell")).cast("int").as("cell"))
+    } else {
+      val w = Window.partitionBy(col(idName))
+        .orderBy(col("__csim").desc, col("cell").asc)
+      scored
+        .withColumn("__crn", row_number().over(w))
+        .filter(col("__crn") <= nProbe)
+        .select(col(idName), col("cell"))
+    }
   }
 
   /** IVF with a TRAINED codebook and multi-probe: candidates live in
@@ -331,10 +349,19 @@ object Similarity {
       .persistTracked()
     def withNorm(c: DataFrame): DataFrame =
       c.withColumn("cnorm2", VectorFunctions.dot(col("cent"), col("cent")))
+    // init: the k lowest vec_ids, ONCE, via orderBy.limit — plans as
+    // TakeOrderedAndProject (the trainCentroids shape: map-side top-k
+    // heaps, model-sized result). Every vector carries all nSub
+    // subspaces, so "k lowest ids per subspace" == "k lowest ids" —
+    // the previous Window.partitionBy(m) sorted the ENTIRE expanded
+    // corpus through nSub reducer partitions for the same k·nSub rows.
+    // The residual window ranks the k·nSub-row broadcast-joined init
+    // set (model-sized).
+    val initIds = unit.select(col("vec_id")).orderBy(col("vec_id")).limit(k)
     val initW = Window.partitionBy(col("m")).orderBy(col("vec_id"))
     var (cents, centRdds) = CacheScope.localCheckpointTracked(withNorm(
-      subs.withColumn("__rn", row_number().over(initW))
-        .filter(col("__rn") <= k)
+      subs.join(broadcast(initIds), "vec_id")
+        .withColumn("__rn", row_number().over(initW))
         .select(col("m"), (col("__rn") - 1).cast("int").as("code"),
           col("sub").as("cent"))))
     for (_ <- 0 until iters) {
@@ -361,17 +388,25 @@ object Similarity {
   /** Nearest codeword per (vector, subspace) by the L2-argmin identity
     * (vectors' own norms are constant within the argmin). Broadcast
     * join against the model table; ties break on code asc.
+    *
+    * The q91 argmin doctrine (this sits on training AND the standing-
+    * index encode — recurring ingest work): a map-side-combinable
+    * `max(struct(score, -code))` shuffles ONE best-so-far partial per
+    * (vector, subspace) per partition, where the previous window-rank
+    * form exchanged the whole codebook-expanded frame
+    * (|vecs|·nSub·k rows — 256× at the gated 8×32 config).
     */
-  private def pqAssign(subs: DataFrame, codebooks: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"), col("m"))
-      .orderBy(col("__ps").desc, col("code").asc)
+  private def pqAssign(subs: DataFrame, codebooks: DataFrame): DataFrame =
     subs.join(broadcast(codebooks), Seq("m"))
-      .withColumn("__ps",
-        VectorFunctions.dot(col("sub"), col("cent")) - col("cnorm2") / 2.0)
-      .withColumn("__prn", row_number().over(w))
-      .filter(col("__prn") === 1)
-      .select(col("vec_id"), col("m"), col("code"))
-  }
+      .select(col("vec_id"), col("m"),
+        struct(
+          (VectorFunctions.dot(col("sub"), col("cent")) - col("cnorm2") / 2.0)
+            .as("ps"),
+          (-col("code")).as("negcode")).as("__sc"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(max(col("__sc")).as("__best"))
+      .select(col("vec_id"), col("m"),
+        (-col("__best.negcode")).cast("int").as("code"))
 
   /** PQ-encode: (vec_id, codes array<int> ordered by subspace) — THE
     * standing-index payload (nSub small ints per vector).
@@ -407,50 +442,117 @@ object Similarity {
       .select(col("vec_id"),
         flatten(transform(col("pc"), p => p.getField("cent"))).as("xhat"))
 
-  /** IVF-PQ: coarse cells from [[trainCentroids]] route the search
-    * (candidates live in 1 cell, queries probe `nProbe`); within probed
-    * cells, scoring uses the PQ reconstruction `dot(q, x̂)` instead of
-    * the exact vector — the memory-scale ANN path (index = cell id +
-    * nSub codes per vector; true embeddings never enter the pair join).
-    * Ranking: ADC estimate desc, neighbor_id asc. Recall is gated
-    * numerically (the q94 floor pattern) — composes the q58 coarse
-    * router with the PQ approximation.
+  /** THE standing IVF-PQ index: (vec_id, cell int, codes array<int>) —
+    * one coarse cell + nSub small codes per vector, the at-rest ANN
+    * artifact (8 B/vector at the gated 8×32 config vs 256 B of
+    * doubles). Built ONCE per corpus against frozen models (a nightly
+    * artifact, the q57 standing-index doctrine); queries consume it via
+    * [[ivfPqTopK]] without re-encoding anything, and new batches append
+    * via [[pqIndexAppend]] without retraining.
     */
-  def ivfPqTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-                centroids: DataFrame, codebooks: DataFrame, nSub: Int,
-                nProbe: Int = 2, refine: Int = 8): DataFrame = {
-    require(refine >= 1, "refine factor must be >= 1")
+  def pqIndex(candidates: DataFrame, centroids: DataFrame,
+              codebooks: DataFrame, nSub: Int): DataFrame = {
     val cu = candidates.select(col("vec_id"),
       VectorFunctions.normalize(col("embedding")).as("u"))
-    val cCells = assignCells(cu, "vec_id", "u", centroids, nProbe = 1)
-    val recon = pqReconstruct(pqEncode(candidates, codebooks, nSub), codebooks)
-    val c = recon.select(col("vec_id").as("neighbor_id"), col("xhat"))
-      .join(cCells.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+    val cells = assignCells(cu, "vec_id", "u", centroids, nProbe = 1)
+    pqEncode(candidates, codebooks, nSub).join(cells, "vec_id")
+      .select(col("vec_id"), col("cell"), col("codes"))
+  }
+
+  /** Incremental index maintenance — the q57 doctrine for vectors: a
+    * training-data pipeline ingests embeddings continuously, so only
+    * the DELTA batch is assigned + encoded (delta-sized work against
+    * the frozen, model-sized centroids/codebooks) and appended to the
+    * standing index. Cell assignment and codeword argmin are pure
+    * per-vector functions of the models, so
+    * `pqIndexAppend(pqIndex(base), delta) == pqIndex(base ∪ delta)`
+    * EXACTLY — the property q148's oracle gates. What this does NOT
+    * refresh is the MODELS: codebooks drift as the corpus distribution
+    * shifts; retrain when the delta's quantization error (ADC score of
+    * each vector against its own reconstruction) degrades vs the
+    * training-time value (see SCALE.md's drift note).
+    */
+  def pqIndexAppend(index: DataFrame, delta: DataFrame, centroids: DataFrame,
+                    codebooks: DataFrame, nSub: Int): DataFrame =
+    index.unionByName(pqIndex(delta, centroids, codebooks, nSub))
+
+  /** IVF-PQ query over the STANDING index: coarse cells route the
+    * search (index rows live in 1 cell, queries probe `nProbe`); within
+    * probed cells, scoring is asymmetric-distance (ADC) via PER-QUERY
+    * LOOKUP TABLES — `lut[m][code] = dot(q_sub_m, codeword_{m,code})`,
+    * nSub·k doubles per query, built by one broadcast join of the
+    * exploded query subvectors against the model-sized codebooks. The
+    * pair join then carries (query: lut, candidate: nSub ints) and the
+    * ADC estimate is nSub O(1) array lookups + adds per pair —
+    * mathematically identical to `dot(q, x̂)` (the reconstruction
+    * concatenates exactly those codewords) with none of x̂'s D-double
+    * payload in the exchange, and NO touch of candidate embeddings:
+    * the corpus side of the big join is the index verbatim.
+    *
+    * `fullVectors` feeds only the exact re-rank of the k·refine ADC
+    * shortlist (point lookups against the full-precision store — the
+    * standard IVF-PQ deployment shape; on weakly-clustered data the
+    * quantized estimate is noisy enough that ranking by it directly
+    * INVERTS with nProbe — measured 0.33→0.30 recall at sf0.01).
+    * nSub and the code range are read off the codebooks (model-sized
+    * head) — one fewer way to pass the wrong constant.
+    * Ranking: ADC desc → shortlist; exact sim desc, neighbor_id asc.
+    * Recall is gated numerically (q146, the q94 floor pattern).
+    */
+  def ivfPqTopK(queries: DataFrame, index: DataFrame, fullVectors: DataFrame,
+                k: Int, centroids: DataFrame, codebooks: DataFrame,
+                nProbe: Int = 2, refine: Int = 8): DataFrame = {
+    require(refine >= 1, "refine factor must be >= 1")
+    // model-sized probes (documented eager): subspace count + code
+    // stride off the codebook table, dimension off one query row
+    val shape = codebooks
+      .agg(max(col("m")).as("mm"), max(col("code")).as("mc")).head()
+    val nSub = shape.getInt(0) + 1
+    val stride = shape.getInt(1) + 1
+    val dim = queries.select(size(col("embedding")).as("d")).head().getInt(0)
+    require(dim % nSub == 0, s"dim $dim not divisible into $nSub subspaces")
+    val subD = dim / nSub
     val qu = queries.select(col("vec_id"),
       VectorFunctions.normalize(col("embedding")).as("u"))
+    // per-query ADC LUTs: dense array<double> per (query, m) indexed by
+    // code (codes dropped by Lloyd's degeneracy never appear in the
+    // index, so their 0.0 slots are never read), collected to one
+    // array<array<double>> per query ordered by m
+    val qsubs = qu.select(col("vec_id"),
+        explode(array((0 until nSub).map(j =>
+          struct(lit(j).as("m"), slice(col("u"), j * subD + 1, subD).as("sub"))): _*))
+          .as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.sub").as("sub"))
+    val lut = qsubs.join(broadcast(codebooks), Seq("m"))
+      .select(col("vec_id"), col("m"), col("code"),
+        VectorFunctions.dot(col("sub"), col("cent")).as("pd"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(map_from_entries(collect_list(struct(col("code"), col("pd")))).as("cm"))
+      .select(col("vec_id"), col("m"),
+        transform(sequence(lit(0), lit(stride - 1)),
+          c => coalesce(element_at(col("cm"), c), lit(0.0))).as("lm"))
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("lm")))),
+        x => x.getField("lm")).as("lut"))
     val q = qu.select(col("vec_id").as("query_id"), col("u").as("q_u"))
+      .join(lut.withColumnRenamed("vec_id", "query_id"), "query_id")
       .join(assignCells(qu, "vec_id", "u", centroids, nProbe)
         .withColumnRenamed("vec_id", "query_id"), "query_id")
+    val c = index.select(col("vec_id").as("neighbor_id"), col("cell"), col("codes"))
     val scored = q.join(c, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", VectorFunctions.dot(col("q_u"), col("xhat")))
+      .withColumn("sim", aggregate(
+        zip_with(col("lut"), col("codes"), (l, cd) => element_at(l, cd + 1)),
+        lit(0.0), (a, v) => a + v))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    // ADC shortlist of k·refine, then EXACT re-rank of just those rows:
-    // on weakly-clustered data the quantized estimate is noisy enough
-    // that ranking by it directly INVERTS with nProbe (more candidates
-    // = more false tops — measured 0.33→0.30 recall at sf0.01); the
-    // refine join touches true vectors for only k·refine candidates per
-    // query (point lookups against the full-precision store), which is
-    // the standard IVF-PQ deployment shape and keeps the big pair join
-    // on codes only.
     val shortlist = scored
       .withColumn("__adc_rk", row_number().over(w))
       .filter(col("__adc_rk") <= k * refine)
       .select(col("query_id"), col("q_u"), col("neighbor_id"))
     val exact = shortlist
-      .join(cu.select(col("vec_id").as("neighbor_id"), col("u").as("c_u")),
-        "neighbor_id")
+      .join(fullVectors.select(col("vec_id").as("neighbor_id"),
+        VectorFunctions.normalize(col("embedding")).as("c_u")), "neighbor_id")
       .withColumn("sim", VectorFunctions.dot(col("q_u"), col("c_u")))
     val w2 = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)

@@ -100,6 +100,25 @@ class ScdSpec extends SparkSpec {
       s"rejects must carry exactly the dropped retro-edit: $rej")
   }
 
+  test("null-ts changelog row for an existing key surfaces in rejects, not in neither") {
+    // three-valued logic trap (r13 ADVICE): a NULL ts satisfies neither
+    // `ts > cur_from` (merge) nor `ts <= cur_from` (naive reject) — the
+    // reject filter must be the guard's exact complement so the drop
+    // stays observable
+    val h = Scd.buildHistory(changelog, "k", "ts", "seq", Seq("attr"))
+    val batch = Seq(
+      (1L, null.asInstanceOf[Timestamp], 6L, "Z"), // null ts, existing key
+      (2L, ts("2024-01-06 00:00:00"), 7L, "D")     // valid
+    ).toDF("k", "ts", "seq", "attr")
+    val (merged, rejects) = Scd.applyChangelogWithRejects(
+      h, batch, "k", "ts", "seq", Seq("attr"))
+    assert(!merged.as[(Long, String, Timestamp, Option[Timestamp], Boolean)]
+      .collect().exists(_._2 == "Z"), "null-ts retro row must not merge")
+    val rej = rejects.as[(Long, Option[Timestamp], Long, String)].collect().toSeq
+    assert(rej == Seq((1L, None, 6L, "Z")),
+      s"null-ts drop must be observable on the rejects side: $rej")
+  }
+
   test("one exchange: run-collapse lag and effective_to lead share sort and shuffle") {
     val plan = Scd.buildHistory(changelog, "k", "ts", "seq", Seq("attr"))
       .queryExecution.executedPlan.toString

@@ -67,25 +67,66 @@ class SimilaritySpec extends SparkSpec {
     val cents = Similarity.trainCentroids(emb, nCells = 2, iters = 2)
     val nCells = cents.count().toInt
     val cb = Similarity.trainProductQuantizer(emb, nSub = 2, k = 4, iters = 2)
+    val idx = Similarity.pqIndex(emb, cents, cb, nSub = 2)
     // every cell probed + a refine pool covering every candidate → the
     // exact re-rank sees the full candidate set → identical to brute
     // force regardless of how lossy the ADC shortlist ordering is
-    val all = Similarity.ivfPqTopK(emb, emb, 2, cents, cb, nSub = 2,
+    val all = Similarity.ivfPqTopK(emb, idx, emb, 2, cents, cb,
         nProbe = nCells, refine = emb.count().toInt)
       .as[(Long, Int, Long)].collect().toSet
     val brute = Similarity.bruteForceTopK(emb, emb, 2)
       .as[(Long, Int, Long)].collect().toSet
     assert(all == brute, s"probe-all+refine-all must equal brute force: $all vs $brute")
-    // the standing index is (vec_id, nSub codes) — one row per vector,
-    // codes within the codebook range
-    val codes = Similarity.pqEncode(emb, cb, nSub = 2)
-      .as[(Long, Seq[Int])].collect()
-    assert(codes.length == 5 && codes.forall(_._2.length == 2))
-    assert(codes.forall(_._2.forall(c => c >= 0 && c < 4)))
+    // the standing index is (vec_id, cell, nSub codes) — one row per
+    // vector, codes within the codebook range
+    val rows = idx.select($"vec_id", $"cell", $"codes")
+      .as[(Long, Int, Seq[Int])].collect()
+    assert(rows.length == 5 && rows.forall(_._3.length == 2))
+    assert(rows.forall(_._3.forall(c => c >= 0 && c < 4)))
     // reconstruction concatenates per-subspace codewords back to full dim
     val xhat = Similarity.pqReconstruct(
       Similarity.pqEncode(emb, cb, nSub = 2), cb)
     assert(xhat.select(size($"xhat")).as[Int].collect().forall(_ == 2))
+  }
+
+  test("IVF-PQ query consumes the standing index: LUT scoring, no reconstruction") {
+    val cents = Similarity.trainCentroids(emb, nCells = 2, iters = 2)
+    val cb = Similarity.trainProductQuantizer(emb, nSub = 2, k = 4, iters = 2)
+    // materialize the index the way production does (a parquet-backed
+    // artifact): the query plan below must reference THESE rows, not
+    // the encode lineage
+    val idxRows = Similarity.pqIndex(emb, cents, cb, nSub = 2).collect().toSeq
+    val idx = spark.createDataFrame(
+      spark.sparkContext.parallelize(idxRows),
+      Similarity.pqIndex(emb, cents, cb, nSub = 2).schema)
+    val out = Similarity.ivfPqTopK(emb, idx, emb, 2, cents, cb,
+      nProbe = 1, refine = 2)
+    out.count() // finalize AQE
+    val p = out.queryExecution.executedPlan.toString
+    // the ADC pair join scores codes via per-query LUTs — the
+    // reconstructed-vector column must not exist anywhere in the plan
+    assert(!p.contains("xhat"),
+      s"pair join must carry codes, not reconstructed vectors:\n${p.take(800)}")
+    // no exchange carries an embedding-derived vector column alongside
+    // the code array (the q80 no-payload-in-exchange pattern): the
+    // corpus side of the cell join is (id, cell, codes) verbatim
+    val bad = p.linesIterator.filter(_.contains("Exchange"))
+      .filter(l => l.contains("codes#") &&
+        (l.contains("embedding#") || l.contains("c_u#") || l.contains("u#")))
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
+
+  test("incremental index append equals the full rebuild exactly (q148 property)") {
+    val cents = Similarity.trainCentroids(emb, nCells = 2, iters = 2)
+    val cb = Similarity.trainProductQuantizer(emb, nSub = 2, k = 4, iters = 2)
+    val base = emb.filter($"vec_id" <= 12L)
+    val delta = emb.filter($"vec_id" > 12L)
+    val inc = Similarity.pqIndexAppend(
+        Similarity.pqIndex(base, cents, cb, nSub = 2), delta, cents, cb, nSub = 2)
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    val reb = Similarity.pqIndex(emb, cents, cb, nSub = 2)
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    assert(inc == reb, s"incremental must equal rebuild: $inc vs $reb")
   }
 
   test("recall@5 floor vs brute force on the sf0.01 corpus (q33/q54 defaults)") {

@@ -31,7 +31,8 @@ object PqProbe {
     for (nSub <- Seq(4, 8); kc <- Seq(16, 32); nProbe <- Seq(2, 4)) {
       val cents = Similarity.trainCentroids(emb, nCells = 8, iters = 2)
       val cb = Similarity.trainProductQuantizer(emb, nSub = nSub, k = kc, iters = 2)
-      val r = recall(Similarity.ivfPqTopK(q, emb, k, cents, cb, nSub, nProbe, refine = 8))
+      val idx = Similarity.pqIndex(emb, cents, cb, nSub)
+      val r = recall(Similarity.ivfPqTopK(q, idx, emb, k, cents, cb, nProbe, refine = 8))
       println(f"ivfPqTopK nSub=$nSub k=$kc nProbe=$nProbe recall=$r%.3f")
       graft.ops.CacheScope.release(spark)
     }

@@ -45,6 +45,8 @@ object RunOne {
     }
     if (args.length > 2 && args(2) == "explain")
       graft.SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    if (args.length > 2 && args(2) == "show")
+      graft.SparkEntry.queries(name)(spark, sfDir).show(20, truncate = false)
     spark.stop()
   }
 }
