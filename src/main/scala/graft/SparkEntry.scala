@@ -2088,6 +2088,38 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
     }),
 
+    // Perceptual audio dedup (r14): the q144 doctrine on the audio
+    // modality, through the SAME generalized pairing machinery
+    // (Dedup.hammingPairs — exactly what its text-decoupling existed
+    // for). Synthesize complete 16-bit mono PCM WAVs whose 520 samples
+    // are a declarative integer formula of doc_id (groups of 3
+    // consecutive ids share a base signal; the two variants perturb
+    // one sample each, moving ONE frame's energy → ≤ 2 fingerprint
+    // bits), full PCM decode → 65-frame energy-difference 64-bit
+    // fingerprint → Hamming pairing at radius 4. The oracle replays
+    // samples → frame energies → fingerprint → brute-force pairs
+    // arithmetically; Spark's blocked pair set must equal it exactly.
+    "q147_audio_neardup" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val did = col("doc_id")
+      val base = did - pmod(did, lit(3L))
+      val pos = pmod(did * lit(13L), lit(520L))
+      val samples = transform(sequence(lit(0), lit(519)), i => {
+        val il = i.cast("long")
+        // xor/shift diffusion (the q144 lesson: a linear formula
+        // collapses the fingerprint space)
+        val h = (base + lit(1L)) * lit(2654435761L) + il * lit(7349L)
+        val g = h.bitwiseXOR(shiftright(h, 7))
+        val raw = pmod(g * lit(31L) + shiftright(g, 11), lit(30000L))
+        val rawP = when(pmod(did, lit(3L)) =!= lit(0L) && il === pos,
+          pmod(raw + lit(9000L), lit(30000L))).otherwise(raw)
+        (rawP - lit(15000L)).cast("int")
+      })
+      val media = ops.Multimodal.asPcmWavMediaTable(docs, "doc_id", 16000, samples)
+      ops.Multimodal.audioNearDupPairs(media, maxHamming = 4)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+    }),
+
     "q143_scd2_apply" -> ((s, dir) => {
       val ev = T(s, dir, "events")
         .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
@@ -4421,6 +4453,48 @@ object SparkEntry {
            CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
          FROM dh a JOIN dh b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.dhash, b.dhash)) <= 4""",
+
+    // Replays the q147 pipeline from the sample formula: the same 520
+    // PCM values, 65 frame energies (sum |sample| per 8-sample frame),
+    // the difference-bit rule (bit j set iff e(j) < e(j+1), bit 63 via
+    // the two's-complement HUGEINT trick, see q144), then BRUTE-FORCE
+    // pairs at hamming <= 4 — Spark's chunk-blocked set must match
+    // exactly (blocking complete by pigeonhole at this radius).
+    "q147_audio_neardup" ->
+      """WITH s AS (
+           SELECT d.doc_id, ix.i AS i,
+             ((d.doc_id - d.doc_id % 3) + 1) * 2654435761
+               + ix.i * 7349 AS h
+           FROM documents d
+           CROSS JOIN (SELECT unnest(range(0, 520)) AS i) ix),
+         g AS (
+           SELECT doc_id, i, xor(h, h >> 7) AS g FROM s),
+         p AS (
+           SELECT doc_id, i,
+             CASE WHEN doc_id % 3 <> 0 AND i = (doc_id * 13) % 520
+               THEN ((g * 31 + (g >> 11)) % 30000 + 9000) % 30000 - 15000
+               ELSE (g * 31 + (g >> 11)) % 30000 - 15000
+             END AS smp
+           FROM g),
+         e AS (
+           SELECT doc_id, i // 8 AS frame, SUM(abs(smp)) AS en
+           FROM p GROUP BY doc_id, i // 8),
+         fp AS (
+           SELECT l.doc_id,
+             CAST(COALESCE(SUM(
+               CASE WHEN l.en < r.en AND l.frame = 63
+                 THEN CAST(-9223372036854775808 AS HUGEINT)
+               WHEN l.en < r.en
+                 THEN CAST(CAST(1 AS BIGINT) << l.frame AS HUGEINT)
+               ELSE CAST(0 AS HUGEINT) END), 0) AS BIGINT) AS afp
+           FROM e l JOIN e r
+             ON r.doc_id = l.doc_id AND r.frame = l.frame + 1
+           WHERE l.frame < 64
+           GROUP BY l.doc_id)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.afp, b.afp)) AS BIGINT) AS hamming
+         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.afp, b.afp)) <= 4""",
 
     "q143_scd2_apply" ->
       """WITH m AS (

@@ -527,4 +527,154 @@ object Multimodal {
     Dedup.hammingPairs(
       imageDHash(media).filter(col("dhash").isNotNull),
       "media_id", "dhash", maxHamming)
+
+  // --------------------------------------------------------------------
+  // PCM WAV codec + audio perceptual fingerprint (r14). The audio twin
+  // of the PNG/dHash path: real RIFF payloads carrying 16-bit mono PCM
+  // whose sample values stay a declarative Column formula (so an
+  // external oracle replays everything downstream arithmetically), a
+  // full decode back to samples, and a frame-energy difference
+  // fingerprint paired via the same hammingPairs machinery.
+  // --------------------------------------------------------------------
+
+  /** Media table whose payloads are complete 16-bit mono PCM WAVs
+    * carrying caller-provided samples (array<int>, clamped to the
+    * signed 16-bit range at encode). Header is the canonical 44-byte
+    * RIFF/fmt/data layout [[parseWavHeader]] walks; samples are
+    * little-endian per RIFF.
+    */
+  def asPcmWavMediaTable(df: DataFrame, idCol: String, sampleRate: Int,
+                         samples: Column): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    df.select(col(idCol).cast("long").as("media_id"),
+        samples.cast(ArrayType(IntegerType)).as("pcm"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val pcm = r.getSeq[Int](1).toArray
+          Row(id, "audio", encodePcmWav(sampleRate, pcm),
+            null, null, pcm.length.toLong * 1000L / sampleRate)
+        }
+      }(enc)
+  }
+
+  private[ops] def encodePcmWav(sampleRate: Int, pcm: Array[Int]): Array[Byte] = {
+    val dataLen = pcm.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    bb.putShort(1.toShort).putShort(1.toShort) // PCM, mono
+    bb.putInt(sampleRate).putInt(sampleRate * 2)
+    bb.putShort(2.toShort).putShort(16.toShort) // block align, bits
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    pcm.foreach(s => bb.putShort(math.max(-32768, math.min(32767, s)).toShort))
+    bb.array()
+  }
+
+  /** Full PCM decode: RIFF chunk walk to "fmt " (must be PCM, 16-bit,
+    * mono) and "data", signed little-endian samples back as ints. None
+    * for anything malformed (never-throws contract); a data size past
+    * the payload end is truncated to what is actually present (a
+    * storage-truncated file should still fingerprint, not vanish).
+    */
+  private[ops] def decodeWavPcm(p: Array[Byte]): Option[Array[Int]] = {
+    if (p == null || p.length < 44 ||
+        !(p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F') ||
+        !(p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E')) return None
+    var fmtOk = false
+    var i = 12L
+    while (i + 8 <= p.length) {
+      val ii = i.toInt
+      val size = le32(p, ii + 4)
+      if (size < 0) return None
+      val tag = new String(p, ii, 4, "US-ASCII")
+      if (tag == "fmt ") {
+        if (size < 16 || i + 8 + 16 > p.length) return None
+        if (le16(p, ii + 8) != 1 || le16(p, ii + 10) != 1 ||
+            le16(p, ii + 22) != 16) return None
+        fmtOk = true
+      } else if (tag == "data") {
+        if (!fmtOk) return None // fmt must precede data per spec order
+        val avail = p.length - (ii + 8)
+        val n = math.min(size, avail) / 2
+        val out = new Array[Int](n)
+        var k = 0
+        while (k < n) {
+          out(k) = (le16(p, ii + 8 + k * 2) << 16) >> 16 // sign-extend
+          k += 1
+        }
+        return Some(out)
+      }
+      i += 8L + size.toLong + (size & 1)
+    }
+    None
+  }
+
+  /** 64-bit frame-energy difference fingerprint over PCM samples (the
+    * dHash rule transplanted to audio): the stream is cut into 65
+    * frames by integer boundaries (frame j = samples [j·n/65,
+    * (j+1)·n/65)), each frame's energy is the exact integer sum of
+    * |sample|, and bit j is set iff e(j) < e(j+1) — a pure integer
+    * function of the samples an external oracle replays exactly.
+    * Robust to uniform gain (energy ratios preserved under clipping-
+    * free scaling) and to small edits (one changed sample moves one
+    * frame's energy → ≤ 2 bits flip).
+    */
+  private[ops] def audioFingerprint64(pcm: Array[Int]): Long = {
+    val n = pcm.length
+    val e = new Array[Long](65)
+    var j = 0
+    while (j < 65) {
+      val lo = j * n / 65
+      val hi = (j + 1) * n / 65
+      var s = 0L
+      var k = lo
+      while (k < hi) { s += math.abs(pcm(k).toLong); k += 1 }
+      e(j) = s
+      j += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (e(b) < e(b + 1)) fp |= 1L << b
+      b += 1
+    }
+    fp
+  }
+
+  private val afpSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("afp", LongType, nullable = true)))
+
+  /** Per-payload audio fingerprint: full PCM decode →
+    * [[audioFingerprint64]]. Narrow per-partition map — audio bytes
+    * never shuffle; output is (media_id, afp), null for undecodable
+    * or empty payloads.
+    */
+  def audioFingerprints(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(afpSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          val fp = decodeWavPcm(payload).filter(_.nonEmpty)
+            .map(audioFingerprint64)
+          Row(id, fp.map(Long.box).orNull)
+        }
+      }(enc)
+  }
+
+  /** Perceptual near-duplicate audio pairs: fingerprint each payload,
+    * then Hamming-radius pairing via [[graft.ops.Dedup.hammingPairs]]
+    * (the machinery's second consumer, exactly what its text-decoupling
+    * existed for). Only (media_id, afp) longs enter the exchange;
+    * samples and payloads stay partition-local.
+    */
+  def audioNearDupPairs(media: DataFrame, maxHamming: Int = 4): DataFrame =
+    Dedup.hammingPairs(
+      audioFingerprints(media).filter(col("afp").isNotNull),
+      "media_id", "afp", maxHamming)
 }

@@ -216,4 +216,63 @@ class MultimodalSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(withBroken == pairs)
   }
+
+  test("PCM WAV encode->decode round-trips signed samples; out-of-range clamps") {
+    val pcm = Array(0, 1, -1, 32767, -32768, 15000, -15000, 123, -9999)
+    val decoded = Multimodal.decodeWavPcm(Multimodal.encodePcmWav(16000, pcm))
+    assert(decoded.exists(_.sameElements(pcm)), s"round-trip: ${decoded.map(_.toSeq)}")
+    // encode clamps to the signed 16-bit range instead of wrapping
+    val clamped = Multimodal.decodeWavPcm(
+      Multimodal.encodePcmWav(16000, Array(40000, -40000))).get
+    assert(clamped.toSeq == Seq(32767, -32768))
+    // malformed payloads decode to None, never throw
+    assert(Multimodal.decodeWavPcm(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.decodeWavPcm("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
+    // a storage-truncated data chunk still yields the present samples
+    val full = Multimodal.encodePcmWav(16000, Array(5, 6, 7, 8))
+    val truncated = Multimodal.decodeWavPcm(full.dropRight(4)).get
+    assert(truncated.toSeq == Seq(5, 6))
+  }
+
+  test("audioFingerprint64: one-sample edits flip at most 2 bits; gain-invariant") {
+    val base = Array.tabulate(520) { i =>
+      val g = (7L * 2654435761L + i * 7349L) ^ ((7L * 2654435761L + i * 7349L) >> 7)
+      ((g * 31) % 30000).toInt.abs - 15000
+    }
+    val f0 = Multimodal.audioFingerprint64(base)
+    // one changed sample moves one frame's energy -> <= 2 adjacent-
+    // frame comparisons change
+    val edited = base.clone(); edited(200) = edited(200) + 9000
+    assert(java.lang.Long.bitCount(f0 ^ Multimodal.audioFingerprint64(edited)) <= 2)
+    // uniform gain preserves every energy comparison exactly
+    val louder = base.map(_ * 2)
+    assert(Multimodal.audioFingerprint64(louder) == f0,
+      "uniform gain must not change the fingerprint")
+  }
+
+  test("audioNearDupPairs finds engineered near-dups through the full codec path") {
+    val mk: Long => Array[Int] = seed =>
+      Array.tabulate(520) { i =>
+        val g = (seed * 2654435761L + i * 7349L) ^ ((seed * 2654435761L + i * 7349L) >> 7)
+        ((g * 31) % 30000).toInt.abs - 15000
+      }
+    val a = mk(1L)
+    val b = a.clone(); b(100) = b(100) + 9000 // one-sample edit
+    val c = mk(9L)                            // unrelated signal
+    val rows = Seq((201L, a.toSeq), (202L, b.toSeq), (203L, c.toSeq))
+      .toDF("doc_id", "pcm")
+    val media = Multimodal.asPcmWavMediaTable(rows, "doc_id", 16000,
+      org.apache.spark.sql.functions.col("pcm"))
+    val pairs = Multimodal.audioNearDupPairs(media, maxHamming = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((201L, 202L)), s"engineered near-dup must pair: $pairs")
+    assert(!pairs.exists(p => p._1 == 203L || p._2 == 203L),
+      s"unrelated audio must not pair: $pairs")
+    // undecodable payloads are excluded, not fatal
+    val broken = media.unionByName(Multimodal.asMediaTable(
+      Seq((999L, "garbage")).toDF("doc_id", "text"), "doc_id", "text"))
+    val withBroken = Multimodal.audioNearDupPairs(broken, maxHamming = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(withBroken == pairs)
+  }
 }
