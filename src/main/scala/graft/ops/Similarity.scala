@@ -494,6 +494,14 @@ object Similarity {
     * standard IVF-PQ deployment shape; on weakly-clustered data the
     * quantized estimate is noisy enough that ranking by it directly
     * INVERTS with nProbe — measured 0.33→0.30 recall at sf0.01).
+    *
+    * SIZE k·refine ABOVE the expected near-duplicate cluster size (or
+    * dedup before indexing): copies of one vector quantize to nearly
+    * identical codes, so inside a cluster the ADC shortlist is a tie
+    * broken by nothing correlated with the exact ranking — measured at
+    * ×100 duplicate density (VectorScaleProbe, SCALE.md r14): cluster
+    * 100 vs shortlist 40 → recall 0.35; shortlist 80 → 0.85 at
+    * comparable wall. nProbe does not help (copies share the cell).
     * nSub and the code range are read off the codebooks (model-sized
     * head) — one fewer way to pass the wrong constant.
     * Ranking: ADC desc → shortlist; exact sim desc, neighbor_id asc.
