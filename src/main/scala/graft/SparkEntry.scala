@@ -1984,6 +1984,43 @@ object SparkEntry {
           (col("mism") === 0L).as("incremental_equals_rebuild"))
     }),
 
+    // PQ DRIFT DETECTOR GATE (r14): makes the incremental-index
+    // regime's retrain trigger EXECUTABLE, not just documented.
+    // pqIndexAppend (q148) freezes the models, so the operational
+    // question is "when do I retrain?" — answer: when a delta batch's
+    // mean quantization self-error degrades materially vs the
+    // training-time value. This query measures the base corpus's
+    // self-error under the standing artifacts, then a genuinely
+    // SHIFTED delta (one dimension spiked to a constant — the
+    // hot-feature class of upstream pipeline bug, a distribution the
+    // per-subspace codebooks never saw), and gates that the detector
+    // fires. Calibration (DriftProbe, both SFs): base 0.459 @ sf0.01 /
+    // 0.506 @ sf0.1 → ceiling 0.70; spike-shift ratio 1.89× / 1.99× →
+    // trigger 1.5× (the q94 margin doctrine on both sides). Weaker
+    // shifts measured and rejected: reversed dims 1.06-1.20×, +2.0
+    // offset 1.03-1.27× — near-iid synthetic dims quantize almost as
+    // well permuted, which is itself a finding: the detector needs a
+    // trigger BELOW those ratios to catch real drift, hence 1.5× only
+    // fires on genuine distribution change. A codebook regression that
+    // inflates base error, or an error metric that stops
+    // discriminating, flips the constant-oracle booleans.
+    "q149_pq_drift_gate" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val (cents, cb, idx) = pqModelArtifact(s, dir)
+      val base = Similarity.pqSelfErrorE6(emb, idx, cb)
+        .select(col("n_vectors"), col("mean_sq_err_e6").as("base_e6"))
+      val shifted = emb.select(col("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, lit(10.0f)).otherwise(x)).as("embedding"))
+      val shiftedIdx = Similarity.pqIndex(shifted, cents, cb, nSub = 8)
+      val drift = Similarity.pqSelfErrorE6(shifted, shiftedIdx, cb)
+        .select(col("mean_sq_err_e6").as("shifted_e6"))
+      base.crossJoin(drift).select(
+        col("n_vectors"),
+        (col("base_e6") <= 700000L).as("base_within_ceiling"),
+        (col("shifted_e6") * 2L > col("base_e6") * 3L).as("drift_detected"))
+    }),
+
     // THE COMPOSED CORPUS-BUILD PIPELINE (r13): the chain a real
     // LLM-data user runs, as ONE query under ONE oracle — repetition
     // gate → repeated-span scrub → keep-best near-dup dedup →
@@ -3247,6 +3284,14 @@ object SparkEntry {
     // into the encode path flips the boolean and fails the hash
     "q148_pq_index_incremental" ->
       """SELECT count(*) AS n_vectors, true AS incremental_equals_rebuild
+         FROM embeddings""",
+
+    // both booleans are numeric gates (the q94/q146 floor doctrine):
+    // base error measured 0.459-0.506 across SFs, ceiling 0.70; the
+    // spiked-dimension shift measured 1.89-1.99x base, trigger 1.5x
+    "q149_pq_drift_gate" ->
+      """SELECT count(*) AS n_vectors, true AS base_within_ceiling,
+           true AS drift_detected
          FROM embeddings""",
 
     // q48's error gate: the day set is exact SQL; the bound check on

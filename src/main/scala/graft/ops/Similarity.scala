@@ -476,6 +476,37 @@ object Similarity {
                     codebooks: DataFrame, nSub: Int): DataFrame =
     index.unionByName(pqIndex(delta, centroids, codebooks, nSub))
 
+  /** Mean PQ quantization error of a standing index against its
+    * full-precision vectors: squared L2 between each unit vector and
+    * its code reconstruction, averaged over the corpus, in ×10⁶ fixed
+    * point — THE drift signal for the incremental-index regime
+    * ([[pqIndexAppend]] freezes the models, so quantization error grows
+    * as the ingested distribution shifts away from the training
+    * corpus). Operationally: record this at train time, re-measure on
+    * each delta batch (delta-sized work — one broadcast reconstruction
+    * join + one aggregate), and RETRAIN + re-encode when it degrades
+    * materially (2× is a reasonable default trigger — q149 gates that
+    * the detector actually fires on a genuine shift). Cheap by
+    * construction: model-sized broadcast, one corpus scan, one scalar
+    * out.
+    *
+    * Output: (n_vectors, mean_sq_err_e6).
+    */
+  def pqSelfErrorE6(vectors: DataFrame, index: DataFrame,
+                    codebooks: DataFrame): DataFrame = {
+    val xhat = pqReconstruct(index.select(col("vec_id"), col("codes")), codebooks)
+    vectors.select(col("vec_id"),
+        VectorFunctions.normalize(col("embedding")).as("u"))
+      .join(xhat, "vec_id")
+      .select(aggregate(
+        zip_with(col("u"), col("xhat"), (a, b) => {
+          val d = a.cast("double") - b.cast("double")
+          d * d
+        }), lit(0.0), (acc, v) => acc + v).as("sqerr"))
+      .agg(count(lit(1)).as("n_vectors"),
+        floor(avg(col("sqerr")) * 1000000.0).cast("long").as("mean_sq_err_e6"))
+  }
+
   /** IVF-PQ query over the STANDING index: coarse cells route the
     * search (index rows live in 1 cell, queries probe `nProbe`); within
     * probed cells, scoring is asymmetric-distance (ADC) via PER-QUERY

@@ -116,6 +116,31 @@ class SimilaritySpec extends SparkSpec {
     assert(bad.isEmpty, bad.mkString("\n"))
   }
 
+  test("pqSelfErrorE6: exact-cover quantizer reconstructs perfectly; shift degrades") {
+    val cents = Similarity.trainCentroids(emb, nCells = 2, iters = 1)
+    // k >= corpus with 0 Lloyd's iterations: init makes every vector's
+    // subvectors codewords -> reconstruction is exact, error must be 0
+    val cbExact = Similarity.trainProductQuantizer(emb, nSub = 2, k = 8, iters = 0)
+    val idxExact = Similarity.pqIndex(emb, cents, cbExact, nSub = 2)
+    val exact = Similarity.pqSelfErrorE6(emb, idxExact, cbExact)
+      .as[(Long, Long)].head()
+    assert(exact == ((5L, 0L)), s"exact-cover error must be zero: $exact")
+    // a lossy quantizer has positive error, and a shifted corpus
+    // (codewords never trained on it) degrades further — the q149
+    // drift-signal property
+    val cbLossy = Similarity.trainProductQuantizer(emb, nSub = 2, k = 2, iters = 2)
+    val idxLossy = Similarity.pqIndex(emb, cents, cbLossy, nSub = 2)
+    val lossy = Similarity.pqSelfErrorE6(emb, idxLossy, cbLossy)
+      .as[(Long, Long)].head()._2
+    assert(lossy > 0L, "a 2-codeword quantizer over 5 distinct vectors cannot be exact")
+    // the shift-degrades-error property is NOT asserted on this 2-D
+    // fixture: spiking one of two dimensions concentrates the vector
+    // mass and quantizes BETTER (measured 0.012 vs 0.120) — in-
+    // distribution vs drift discrimination only exists with real
+    // dimensionality, where q149's oracle gate measures it every round
+    // (calibration in graft.tools.DriftProbe)
+  }
+
   test("incremental index append equals the full rebuild exactly (q148 property)") {
     val cents = Similarity.trainCentroids(emb, nCells = 2, iters = 2)
     val cb = Similarity.trainProductQuantizer(emb, nSub = 2, k = 4, iters = 2)
