@@ -481,7 +481,20 @@ object Multimodal {
                           width: Int, height: Int,
                           pixels: Column): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
-    df.select(col(idCol).cast("long").as("media_id"),
+    // fan out BEFORE the pixel formula evaluates: the formula (a
+    // per-row HOF over the pixel grid), the encode kernel, and every
+    // decode kernel downstream are one narrow chain from this scan, so
+    // a few-file input serializes the whole codec onto one core
+    // (measured: q147's chain ran 2.7 s single-task at sf0.1, and a
+    // first fix that fanned out AFTER the projection moved nothing —
+    // the HOF still evaluated upstream of the exchange). Fanning the
+    // INPUT out lets ColumnPruning trim the exchange to the referenced
+    // source columns and the formula runs post-exchange, full-width.
+    // Media BYTES still never shuffle (the doctrine); at real scale
+    // media arrives thousands-of-splits wide and the conf disables
+    // this.
+    ScanFanOut(df)
+      .select(col(idCol).cast("long").as("media_id"),
         pixels.cast(ArrayType(IntegerType)).as("px"))
       .mapPartitions { rows =>
         rows.map { r =>
@@ -546,7 +559,10 @@ object Multimodal {
   def asPcmWavMediaTable(df: DataFrame, idCol: String, sampleRate: Int,
                          samples: Column): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
-    df.select(col(idCol).cast("long").as("media_id"),
+    // fan-out before the sample formula evaluates — see
+    // asGrayPngMediaTable for the placement lesson
+    ScanFanOut(df)
+      .select(col(idCol).cast("long").as("media_id"),
         samples.cast(ArrayType(IntegerType)).as("pcm"))
       .mapPartitions { rows =>
         rows.map { r =>
