@@ -1,0 +1,94 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ops.Similarity
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming embedding ingest: cross-batch id dedup, delta-only
+  * encoding against frozen models, the drift trigger, and the
+  * streaming-path twin of the q148 property (the table after N batches
+  * equals one batch-blind `pqIndex` of the distinct union).
+  */
+class VectorIngestSpec extends SparkSpec {
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+  import spark.implicits._
+
+  private val db = "graft_vingest_spec"
+
+  override def afterAll(): Unit = {
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    super.afterAll()
+  }
+
+  test("batches append incrementally; re-sent ids skip; drift fires on a shifted batch") {
+    val emb = graft.core.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+      .select($"vec_id", $"embedding")
+    val base = emb.filter($"vec_id" < 300)
+    // materialize the models OFF their training lineage (the
+    // production contract: models are parquet artifacts) — the trained
+    // frames are backed by localCheckpoint blocks that CacheScope
+    // releases, and a standing sink must not read released lineage
+    def materialize(df: org.apache.spark.sql.DataFrame) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(df.collect().toSeq), df.schema)
+    val cents = materialize(Similarity.trainCentroids(base, nCells = 4, iters = 2))
+    val books = materialize(
+      Similarity.trainProductQuantizer(base, nSub = 8, k = 16, iters = 2))
+    val baseErr = Similarity.pqSelfErrorE6(
+        base, Similarity.pqIndex(base, cents, books, nSub = 8), books)
+      .select($"mean_sq_err_e6").head().getLong(0)
+    graft.ops.CacheScope.release(spark)
+
+    val results = scala.collection.mutable.ArrayBuffer[(Long, Long, Boolean)]()
+    val sink = VectorIngest.pqIngestSink(spark, db, "ving_index",
+      cents, books, nSub = 8, baseErrE6 = baseErr) {
+      (nNew, errE6, drift, _) => results += ((nNew, errE6, drift)); ()
+    }
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = input.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch(sink)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("vingck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
+    try {
+      def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Seq[Float])] =
+        df.select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().toSeq
+      // batch 1: in-distribution vectors
+      input.addData(rows(emb.filter($"vec_id" >= 300 && $"vec_id" < 320)): _*)
+      q.processAllAvailable()
+      // batch 2: overlap (310-319 re-sent — must be skipped) + fresh rows
+      input.addData(rows(emb.filter($"vec_id" >= 310 && $"vec_id" < 330)): _*)
+      q.processAllAvailable()
+      // batch 3: a genuinely shifted delta (one dimension spiked) —
+      // fresh ids so the dedup passes them through to the drift check
+      input.addData(rows(emb.filter($"vec_id" >= 330 && $"vec_id" < 350)
+        .select($"vec_id", transform($"embedding", (x, i) =>
+          when(i === 0, lit(10.0f)).otherwise(x)).as("embedding"))): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val worked = results.filter(_._1 > 0).toSeq
+    assert(worked.map(_._1) == Seq(20L, 10L, 20L),
+      s"id dedup must skip the 10 re-sent vectors: $results")
+    assert(!worked(0)._3 && !worked(1)._3,
+      s"in-distribution batches must not fire the drift trigger: $results")
+    assert(worked(2)._3,
+      s"the spiked batch must fire the drift trigger (base $baseErr): $results")
+
+    // the streaming-path q148 property: the standing table equals one
+    // batch-blind encode of everything ingested (50 distinct vectors,
+    // batch-3 rows under their shifted embeddings)
+    val ingested = emb.filter($"vec_id" >= 300 && $"vec_id" < 330).unionByName(
+      emb.filter($"vec_id" >= 330 && $"vec_id" < 350)
+        .select($"vec_id", transform($"embedding", (x, i) =>
+          when(i === 0, lit(10.0f)).otherwise(x)).as("embedding")))
+    val expected = Similarity.pqIndex(ingested, cents, books, nSub = 8)
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    val got = spark.table(s"`$db`.`ving_index`")
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    assert(got == expected,
+      s"standing table must equal the batch-blind encode: ${got.size} vs ${expected.size}")
+    graft.ops.CacheScope.release(spark)
+  }
+}
