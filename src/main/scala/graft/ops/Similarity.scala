@@ -408,18 +408,45 @@ object Similarity {
       .select(col("vec_id"), col("m"),
         (-col("__best.negcode")).cast("int").as("code"))
 
+  /** Subvector width read off the MODEL (one model-sized head — every
+    * codeword of every subspace has length subD by construction), so
+    * encode/query paths never need a corpus-facing dimension probe:
+    * the streaming ingest sink encodes a delta PER TRIGGER, and a
+    * per-trigger corpus head() is a job on the trigger floor.
+    */
+  private def subDimOf(codebooks: DataFrame): Int =
+    codebooks.select(size(col("cent")).as("d")).head().getInt(0)
+
+  /** Plan-embedded dimension guard: the slice arithmetic silently
+    * mis-encodes a vector whose length disagrees with the trained
+    * nSub·subD, so the mismatch must fail LOUD at runtime (the
+    * assert_true grid-guard doctrine) — a codegen'd per-row compare,
+    * not a corpus probe. It RIDES the subspace id (`coalesce(assert
+    * .cast, lit(j))` — the q137 un-prunable shape: a free-standing
+    * guard column would be optimized away before it ever ran).
+    */
+  private def subspaceIdGuarded(u: org.apache.spark.sql.Column, dim: Int,
+                                j: Int) =
+    coalesce(
+      assert_true(size(u) === dim,
+        concat(lit(s"embedding length != trained dim $dim: got "),
+          size(u).cast("string"))).cast("int"),
+      lit(j))
+
   /** PQ-encode: (vec_id, codes array<int> ordered by subspace) — THE
-    * standing-index payload (nSub small ints per vector).
+    * standing-index payload (nSub small ints per vector). Vector
+    * dimension is dictated by the codebooks; a mismatched vector fails
+    * loud in-plan.
     */
   def pqEncode(candidates: DataFrame, codebooks: DataFrame,
                nSub: Int): DataFrame = {
-    val dim = candidates.select(size(col("embedding")).as("d")).head().getInt(0)
-    require(dim % nSub == 0, s"dim $dim not divisible into $nSub subspaces")
-    val subD = dim / nSub
+    val subD = subDimOf(codebooks)
+    val dim = subD * nSub
     val unit = candidates
       .select(col("vec_id"), VectorFunctions.normalize(col("embedding")).as("u"))
     val subs = unit.select(col("vec_id"), explode(array((0 until nSub).map(j =>
-        struct(lit(j).as("m"), slice(col("u"), j * subD + 1, subD).as("sub"))): _*)).as("s"))
+        struct(subspaceIdGuarded(col("u"), dim, j).as("m"),
+          slice(col("u"), j * subD + 1, subD).as("sub"))): _*)).as("s"))
       .select(col("vec_id"), col("s.m").as("m"), col("s.sub").as("sub"))
     pqAssign(subs, codebooks)
       .groupBy(col("vec_id"))
@@ -542,15 +569,18 @@ object Similarity {
                 k: Int, centroids: DataFrame, codebooks: DataFrame,
                 nProbe: Int = 2, refine: Int = 8): DataFrame = {
     require(refine >= 1, "refine factor must be >= 1")
-    // model-sized probes (documented eager): subspace count + code
-    // stride off the codebook table, dimension off one query row
+    // ONE model-sized probe (documented eager): subspace count, code
+    // stride, and subvector width all come off the codebook table —
+    // the query/candidate frames are never probed, and a query whose
+    // dimension disagrees with the trained nSub·subD fails loud
+    // in-plan (subspaceIdGuarded)
     val shape = codebooks
-      .agg(max(col("m")).as("mm"), max(col("code")).as("mc")).head()
+      .agg(max(col("m")).as("mm"), max(col("code")).as("mc"),
+        max(size(col("cent"))).as("sd")).head()
     val nSub = shape.getInt(0) + 1
     val stride = shape.getInt(1) + 1
-    val dim = queries.select(size(col("embedding")).as("d")).head().getInt(0)
-    require(dim % nSub == 0, s"dim $dim not divisible into $nSub subspaces")
-    val subD = dim / nSub
+    val subD = shape.getInt(2)
+    val dim = subD * nSub
     val qu = queries.select(col("vec_id"),
       VectorFunctions.normalize(col("embedding")).as("u"))
     // per-query ADC LUTs: dense array<double> per (query, m) indexed by
@@ -559,7 +589,8 @@ object Similarity {
     // array<array<double>> per query ordered by m
     val qsubs = qu.select(col("vec_id"),
         explode(array((0 until nSub).map(j =>
-          struct(lit(j).as("m"), slice(col("u"), j * subD + 1, subD).as("sub"))): _*))
+          struct(subspaceIdGuarded(col("u"), dim, j).as("m"),
+            slice(col("u"), j * subD + 1, subD).as("sub"))): _*))
           .as("s"))
       .select(col("vec_id"), col("s.m").as("m"), col("s.sub").as("sub"))
     val lut = qsubs.join(broadcast(codebooks), Seq("m"))

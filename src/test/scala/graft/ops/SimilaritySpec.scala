@@ -141,6 +141,22 @@ class SimilaritySpec extends SparkSpec {
     // (calibration in graft.tools.DriftProbe)
   }
 
+  test("pqEncode fails loud on a vector whose length disagrees with the model") {
+    val cents = Similarity.trainCentroids(emb, nCells = 2, iters = 1)
+    val cb = Similarity.trainProductQuantizer(emb, nSub = 2, k = 4, iters = 1)
+    // dimension comes from the CODEBOOKS (no corpus probe — the
+    // streaming sink encodes per trigger); a 3-dim vector against the
+    // 2-dim model must fail in-plan, not silently mis-slice
+    val bad = Seq((99L, Seq(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.pqIndex(bad, cents, cb, nSub = 2).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("embedding length != trained dim")),
+      s"mismatch must carry the guard message: ${msgs(e)}")
+  }
+
   test("incremental index append equals the full rebuild exactly (q148 property)") {
     val cents = Similarity.trainCentroids(emb, nCells = 2, iters = 2)
     val cb = Similarity.trainProductQuantizer(emb, nSub = 2, k = 4, iters = 2)
