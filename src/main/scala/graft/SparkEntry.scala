@@ -1336,6 +1336,22 @@ object SparkEntry {
       ops.Multimodal.decodeAudioMeta(media)
     }),
 
+    // VIDEO metadata (r14): the q86 doctrine on the third modality —
+    // real MP4/ISO-BMFF payloads (ftyp + moov{mvhd, trak/tkhd})
+    // synthesized from row-derived parameters, walked by the real box
+    // parser (big-endian sizes, nested box walk, 16.16 fixed-point
+    // track dims), oracle-replayed arithmetically including the
+    // integer duration·1000/timescale millisecond conversion.
+    "q150_video_meta" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val media = ops.Multimodal.asMp4MediaTable(docs, "doc_id",
+        lit(600L) + pmod(col("doc_id"), lit(5L)) * 100L,
+        pmod(col("doc_id") * lit(37L), lit(100000L)),
+        lit(320L) + pmod(col("doc_id"), lit(8L)) * 16L,
+        lit(240L) + pmod(col("doc_id"), lit(6L)) * 16L)
+      ops.Multimodal.decodeVideoMeta(media)
+    }),
+
     // (selective predicates keep the difference non-empty at test SFs —
     // with only ~150 users every unfiltered per-type user set is equal)
     "q50_except" -> ((s, dir) => {
@@ -3258,6 +3274,19 @@ object SparkEntry {
          CAST(1 + doc_id % 2 AS INT) AS channels,
          16 AS bits_per_sample,
          CAST(44 AS BIGINT) AS n_bytes
+         FROM documents""",
+
+    // payload size is constant by construction: 16 (ftyp) + 216 (moov
+    // with one mvhd + one trak/tkhd); duration_ms is the integer
+    // duration*1000/timescale the decoder computes
+    "q150_video_meta" ->
+      """SELECT doc_id AS media_id,
+         CAST(600 + (doc_id % 5) * 100 AS INT) AS timescale,
+         CAST(((doc_id * 37) % 100000) * 1000
+           // (600 + (doc_id % 5) * 100) AS BIGINT) AS duration_ms,
+         CAST(320 + (doc_id % 8) * 16 AS INT) AS width,
+         CAST(240 + (doc_id % 6) * 16 AS INT) AS height,
+         CAST(232 AS BIGINT) AS n_bytes
          FROM documents""",
 
     // q94-q98: the measured-recall gates for the probabilistic family.

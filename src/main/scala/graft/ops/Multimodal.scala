@@ -220,6 +220,155 @@ object Multimodal {
     }
   }
 
+  /** A REAL (synthesized) minimal MP4/ISO-BMFF header as a column
+    * expression: `ftyp` + a `moov` containing a version-0 `mvhd`
+    * (timescale + duration) and one `trak`/`tkhd` (track dimensions as
+    * 16.16 fixed point) — the box layout ISO/IEC 14496-12 §8.2 defines
+    * and [[parseMp4Header]] walks. Codegen'd hex string ops, no UDF.
+    */
+  def syntheticMp4(timescale: Column, duration: Column,
+                   width: Column, height: Column): Column = {
+    def be32(v: Column): Column = lpad(hex(v.cast("long")), 8, "0")
+    val mvhd = concat(
+      lit("0000006C"), lit("6D766864"), // size 108, "mvhd"
+      lit("00000000"),                  // version 0 + flags
+      lit("00000000"), lit("00000000"), // ctime, mtime
+      be32(timescale), be32(duration),
+      lit("00010000"), lit("0100"), lit("0000"), // rate 1.0, volume 1.0, reserved
+      lit("0000000000000000"),          // reserved[8]
+      lit("00010000000000000000000000000000"
+        + "0001000000000000000000000000000040000000"), // unity matrix (36 B)
+      lit("0000000000000000000000000000000000000000000000"
+        + "00"),                        // pre_defined[24]
+      lit("00000002"))                  // next_track_id
+    val tkhd = concat(
+      lit("0000005C"), lit("746B6864"), // size 92, "tkhd"
+      lit("00000007"),                  // version 0 + enabled/in-movie/in-preview
+      lit("00000000"), lit("00000000"), // ctime, mtime
+      lit("00000001"), lit("00000000"), // track id, reserved
+      be32(duration),
+      lit("0000000000000000"),          // reserved[8]
+      lit("0000"), lit("0000"), lit("0000"), lit("0000"), // layer, altgroup, volume, reserved
+      lit("00010000000000000000000000000000"
+        + "0001000000000000000000000000000040000000"), // unity matrix
+      concat(lpad(hex(width.cast("long")), 4, "0"), lit("0000")),  // width 16.16
+      concat(lpad(hex(height.cast("long")), 4, "0"), lit("0000"))) // height 16.16
+    unhex(concat(
+      lit("00000010"), lit("66747970"), lit("69736F6D"), lit("00000000"), // ftyp isom
+      lit("000000D8"), lit("6D6F6F76"), // moov: 8 + 108 + (8 + 92)
+      mvhd,
+      lit("00000064"), lit("7472616B"), // trak: 8 + 92
+      tkhd))
+  }
+
+  /** Media table whose payloads are real synthesized MP4 headers with
+    * row-derived parameters (the q86 WAV doctrine on the video
+    * modality) — [[decodeVideoMeta]] exercises the real box walker and
+    * an external oracle verifies the parsed fields arithmetically.
+    */
+  def asMp4MediaTable(df: DataFrame, idCol: String, timescale: Column,
+                      duration: Column, width: Column,
+                      height: Column): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      lit("video").as("media_type"),
+      syntheticMp4(timescale, duration, width, height).as("payload"),
+      width.cast("int").as("meta_width"),
+      height.cast("int").as("meta_height"),
+      (duration.cast("long") * 1000L / timescale.cast("long"))
+        .as("meta_duration_ms"))
+
+  /** Parse (timescale, duration, width, height) from a real MP4/
+    * ISO-BMFF header (ISO/IEC 14496-12): top-level [u32 BE size][4cc]
+    * box walk to `moov`, then its children to a version-0 `mvhd`
+    * (timescale at +20, duration at +24 from the box start) and the
+    * first `trak` whose `tkhd` carries 16.16-fixed track dimensions
+    * (+84/+88 for version 0). None for anything malformed, version-1
+    * (64-bit) headers included — the never-throws decode contract;
+    * cursors walk as Long so an adversarial 2³¹-ish box size cannot
+    * wrap the bounds check (the WAV lesson).
+    */
+  private[ops] def parseMp4Header(p: Array[Byte]): Option[(Int, Long, Int, Int)] = {
+    if (p == null || p.length < 16) return None
+    def boxAt(i: Long, end: Long): Option[(String, Long, Long)] = {
+      if (i + 8 > end) None
+      else {
+        val size = be32(p, i.toInt).toLong & 0xFFFFFFFFL
+        if (size < 8 || i + size > end) None
+        else Some((new String(p, i.toInt + 4, 4, "US-ASCII"), i + 8, i + size))
+      }
+    }
+    // top level: find moov
+    var i = 0L
+    var moov: Option[(Long, Long)] = None
+    while (moov.isEmpty) {
+      boxAt(i, p.length.toLong) match {
+        case Some(("moov", body, boxEnd)) => moov = Some((body, boxEnd))
+        case Some((_, _, boxEnd)) => i = boxEnd
+        case None => return None
+      }
+    }
+    val (mBody, mEnd) = moov.get
+    var ts = -1; var dur = -1L; var w = -1; var h = -1
+    var j = mBody
+    while (j < mEnd && (ts < 0 || w < 0)) {
+      boxAt(j, mEnd) match {
+        case Some(("mvhd", body, boxEnd)) =>
+          if (p(body.toInt) != 0) return None // version 1 (64-bit): unsupported
+          if (body + 28 > boxEnd) return None
+          ts = be32(p, body.toInt + 12)
+          dur = be32(p, body.toInt + 16).toLong & 0xFFFFFFFFL
+          j = boxEnd
+        case Some(("trak", body, boxEnd)) =>
+          var k = body
+          while (k < boxEnd && w < 0) {
+            boxAt(k, boxEnd) match {
+              case Some(("tkhd", tb, tEnd)) =>
+                if (p(tb.toInt) != 0) return None
+                if (tb + 84 > tEnd) return None
+                w = be32(p, tb.toInt + 76) >>> 16
+                h = be32(p, tb.toInt + 80) >>> 16
+                k = tEnd
+              case Some((_, _, bEnd)) => k = bEnd
+              case None => return None
+            }
+          }
+          j = boxEnd
+        case Some((_, _, boxEnd)) => j = boxEnd
+        case None => return None
+      }
+    }
+    if (ts <= 0 || dur < 0 || w < 0 || h < 0) None
+    else Some((ts, dur, w, h))
+  }
+
+  private val videoSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("timescale", IntegerType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false)))
+
+  /** Video-metadata extraction over partition-local batches — narrow,
+    * no shuffle, payload bytes dropped on output; unparseable payloads
+    * come back zeroed (never-throws at scale). duration_ms is the
+    * integer `duration·1000/timescale` an external oracle replays.
+    */
+  def decodeVideoMeta(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(videoSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+          val (ts, dur, w, h) = parseMp4Header(payload).getOrElse((0, 0L, 0, 0))
+          val durMs = if (ts > 0) dur * 1000L / ts else 0L
+          Row(id, ts, durMs, w, h, payload.length.toLong)
+        }
+      }(enc)
+  }
+
   private val audioSchema = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("sample_rate", IntegerType, nullable = false),

@@ -217,6 +217,40 @@ class MultimodalSpec extends SparkSpec {
     assert(withBroken == pairs)
   }
 
+  test("synthesized MP4 payloads round-trip through the real box walker") {
+    val rows = Seq((1L, 600, 30000L, 640, 480), (2L, 1000, 99999L, 320, 240))
+      .toDF("doc_id", "ts", "dur", "w", "h")
+    val media = Multimodal.asMp4MediaTable(rows, "doc_id",
+      $"ts", $"dur", $"w", $"h")
+    val got = Multimodal.decodeVideoMeta(media)
+      .as[(Long, Int, Long, Int, Int, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 600, 30000L * 1000 / 600, 640, 480, 232L),
+      (2L, 1000, 99999L * 1000 / 1000, 320, 240, 232L)), got.toString)
+  }
+
+  test("parseMp4Header walks boxes, rejects malformed and version-1 payloads") {
+    // a valid payload parses; version-0 offsets verified by round-trip above
+    val ok = Multimodal.asMp4MediaTable(
+        Seq((1L, 600, 1200L, 64, 48)).toDF("doc_id", "ts", "dur", "w", "h"),
+        "doc_id", $"ts", $"dur", $"w", $"h")
+      .select("payload").as[Array[Byte]].head()
+    assert(Multimodal.parseMp4Header(ok).contains((600, 1200L, 64, 48)))
+    // truncated mid-box
+    assert(Multimodal.parseMp4Header(ok.take(40)).isEmpty)
+    // garbage and non-MP4
+    assert(Multimodal.parseMp4Header("not an mp4 file at all!!".getBytes).isEmpty)
+    assert(Multimodal.parseMp4Header(null).isEmpty)
+    // an adversarial box size near 2^32 must not wrap the bounds walk
+    val evil = ok.clone()
+    evil(16) = 0xFF.toByte; evil(17) = 0xFF.toByte // moov size -> huge
+    assert(Multimodal.parseMp4Header(evil).isEmpty)
+    // version-1 (64-bit) mvhd: refused, not mis-read at wrong offsets
+    val v1 = ok.clone()
+    v1(16 + 8 + 8) = 1 // mvhd version byte (ftyp 16 + moov hdr 8 + mvhd hdr 8)
+    assert(Multimodal.parseMp4Header(v1).isEmpty)
+  }
+
   test("PCM WAV encode->decode round-trips signed samples; out-of-range clamps") {
     val pcm = Array(0, 1, -1, 32767, -32768, 15000, -15000, 123, -9999)
     val decoded = Multimodal.decodeWavPcm(Multimodal.encodePcmWav(16000, pcm))
