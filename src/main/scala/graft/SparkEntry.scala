@@ -1336,6 +1336,31 @@ object SparkEntry {
       ops.Multimodal.decodeAudioMeta(media)
     }),
 
+    // VIDEO FRAME SAMPLING (r14): payloads carry real frame data (the
+    // ftyp+moov header plus an mdat of raw 9x8 grayscale frames — the
+    // layout where sampling is a SEEK: unsampled frames are never
+    // materialized), every 2nd frame is sliced partition-local and
+    // dHashed with the q144 kernel. The oracle replays pixels → dhash
+    // for exactly the sampled frames; frame pixels mix the frame index
+    // into the q144 diffusion formula.
+    "q151_video_frame_sample" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val did = col("doc_id")
+      val pixels = flatten(transform(sequence(lit(0), lit(3)), f =>
+        flatten(transform(sequence(lit(0), lit(7)), y =>
+          transform(sequence(lit(0), lit(8)), x => {
+            val xl = x.cast("long"); val yl = y.cast("long")
+            val fl = f.cast("long")
+            val h = (did + lit(1L)) * lit(2654435761L) + fl * lit(8191L) +
+              xl * lit(97L) + yl * lit(1031L)
+            val g = h.bitwiseXOR(shiftright(h, 7))
+            pmod(g * lit(31L) + shiftright(g, 11), lit(241L)).cast("int")
+          })))))
+      val media = ops.Multimodal.asMp4FramesMediaTable(docs, "doc_id",
+        timescale = 600, w = 9, h = 8, nFrames = 4, pixels)
+      ops.Multimodal.videoFrameDHash(media, everyN = 2)
+    }),
+
     // VIDEO metadata (r14): the q86 doctrine on the third modality —
     // real MP4/ISO-BMFF payloads (ftyp + moov{mvhd, trak/tkhd})
     // synthesized from row-derived parameters, walked by the real box
@@ -3275,6 +3300,35 @@ object SparkEntry {
          16 AS bits_per_sample,
          CAST(44 AS BIGINT) AS n_bytes
          FROM documents""",
+
+    // Replays the q151 pipeline from the pixel formula for exactly the
+    // SAMPLED frames (range(0,4,2) = frames 0 and 2): same 9x8 values
+    // with the frame index mixed into the diffusion, the q144 dhash
+    // bit rule (bit 63 via the two's-complement HUGEINT trick)
+    "q151_video_frame_sample" ->
+      """WITH hx AS (
+           SELECT d.doc_id, fs.f AS f, xs.x AS x, ys.y AS y,
+             (d.doc_id + 1) * 2654435761 + fs.f * 8191
+               + xs.x * 97 + ys.y * 1031 AS h
+           FROM documents d
+           CROSS JOIN (SELECT unnest(range(0, 4, 2)) AS f) fs
+           CROSS JOIN (SELECT unnest(range(0, 9)) AS x) xs
+           CROSS JOIN (SELECT unnest(range(0, 8)) AS y) ys),
+         px AS (
+           SELECT doc_id, f, x, y,
+             (xor(h, h >> 7) * 31 + (xor(h, h >> 7) >> 11)) % 241 AS p
+           FROM hx)
+         SELECT l.doc_id AS media_id, CAST(l.f AS INT) AS frame_idx,
+           CAST(COALESCE(SUM(
+             CASE WHEN l.p < r.p AND l.y * 8 + l.x = 63
+               THEN CAST(-9223372036854775808 AS HUGEINT)
+             WHEN l.p < r.p
+               THEN CAST(CAST(1 AS BIGINT) << (l.y * 8 + l.x) AS HUGEINT)
+             ELSE CAST(0 AS HUGEINT) END), 0) AS BIGINT) AS dhash
+         FROM px l JOIN px r
+           ON r.doc_id = l.doc_id AND r.f = l.f AND r.y = l.y AND r.x = l.x + 1
+         WHERE l.x < 8
+         GROUP BY l.doc_id, l.f""",
 
     // payload size is constant by construction: 16 (ftyp) + 216 (moov
     // with one mvhd + one trak/tkhd); duration_ms is the integer

@@ -369,6 +369,122 @@ object Multimodal {
       }(enc)
   }
 
+  /** [[syntheticMp4]]'s byte-level twin for payloads that also carry
+    * FRAME DATA: the same ftyp+moov header followed by an `mdat` box
+    * of `nFrames` raw w×h grayscale frames (row-major bytes) — the
+    * simplest container layout that lets frame-sampling be a SEEK, not
+    * a decode (frame k starts at mdatStart + k·w·h).
+    */
+  private[ops] def mp4WithFramesBytes(timescale: Int, w: Int, h: Int,
+                                      frames: Array[Array[Int]]): Array[Byte] = {
+    def box(tag: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length); bb.put(tag.getBytes("US-ASCII"))
+      bb.put(payload); bb.array()
+    }
+    val unity = Array(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+    val mvhd = java.nio.ByteBuffer.allocate(100)
+    mvhd.putInt(0).putInt(0).putInt(0) // ver/flags, ctime, mtime
+      .putInt(timescale).putInt(frames.length) // duration = nFrames ticks
+      .putInt(0x00010000).putShort(0x0100.toShort).putShort(0)
+      .putLong(0L)
+    unity.foreach(mvhd.putInt); (0 until 6).foreach(_ => mvhd.putInt(0))
+    mvhd.putInt(2)
+    val tkhd = java.nio.ByteBuffer.allocate(84)
+    tkhd.putInt(7).putInt(0).putInt(0).putInt(1).putInt(0)
+      .putInt(frames.length).putLong(0L)
+      .putShort(0).putShort(0).putShort(0).putShort(0)
+    unity.foreach(tkhd.putInt)
+    tkhd.putInt(w << 16).putInt(h << 16)
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0))
+    val moov = box("moov", box("mvhd", mvhd.array()) ++ box("trak", box("tkhd", tkhd.array())))
+    val mdat = box("mdat", frames.flatMap(_.map(v => (v & 0xFF).toByte)))
+    ftyp ++ moov ++ mdat
+  }
+
+  /** Media table of frame-carrying MP4s: `pixels` is the flattened
+    * nFrames·w·h grayscale values (a declarative Column formula — the
+    * oracle-replayable synthesis contract of the whole media family).
+    */
+  def asMp4FramesMediaTable(df: DataFrame, idCol: String, timescale: Int,
+                            w: Int, h: Int, nFrames: Int,
+                            pixels: Column): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    ScanFanOut(df)
+      .select(col(idCol).cast("long").as("media_id"),
+        pixels.cast(ArrayType(IntegerType)).as("px"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val px = r.getSeq[Int](1).toArray
+          require(px.length == nFrames * w * h,
+            s"pixel count ${px.length} != $nFrames x $w x $h")
+          val frames = Array.tabulate(nFrames)(f =>
+            px.slice(f * w * h, (f + 1) * w * h))
+          Row(id, "video", mp4WithFramesBytes(timescale, w, h, frames),
+            w, h, frames.length.toLong * 1000L / timescale)
+        }
+      }(enc)
+  }
+
+  /** Locate the mdat payload span: (start, end) byte offsets. */
+  private def findMdat(p: Array[Byte]): Option[(Int, Int)] = {
+    var i = 0L
+    while (i + 8 <= p.length) {
+      val size = be32(p, i.toInt).toLong & 0xFFFFFFFFL
+      if (size < 8 || i + size > p.length) return None
+      if (p(i.toInt + 4) == 'm' && p(i.toInt + 5) == 'd' &&
+          p(i.toInt + 6) == 'a' && p(i.toInt + 7) == 't')
+        return Some(((i + 8).toInt, (i + size).toInt))
+      i += size
+    }
+    None
+  }
+
+  private val frameHashSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("dhash", LongType, nullable = false)))
+
+  /** FRAME SAMPLING + per-frame perceptual hash: every `everyN`-th
+    * frame of each payload is sliced out of the mdat (a partition-local
+    * SEEK — unsampled frames are never materialized, which is the point
+    * of sampling) and dHashed with the same [[dhash64]] the image path
+    * uses. Output: (media_id, frame_idx, dhash); undecodable payloads
+    * contribute no rows (never-throws). Temporal dedup / scene-cut
+    * detection follows by pairing dhashes — [[graft.ops.Dedup.hammingPairs]]
+    * on the (media_id·2³²+frame) key, or a lag() compare per media for
+    * cut detection.
+    */
+  def videoFrameDHash(media: DataFrame, everyN: Int = 1): DataFrame = {
+    require(everyN >= 1)
+    val enc = org.apache.spark.sql.Encoders.row(frameHashSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          (for {
+            p <- Option(payload)
+            (_, _, w, h) <- parseMp4Header(p)
+            if w > 0 && h > 0
+            (s, e) <- findMdat(p)
+          } yield {
+            val frameBytes = w * h
+            val nFrames = (e - s) / frameBytes
+            (0 until nFrames by everyN).map { f =>
+              val g = new Array[Int](frameBytes)
+              var k = 0
+              while (k < frameBytes) {
+                g(k) = p(s + f * frameBytes + k) & 0xFF; k += 1
+              }
+              Row(id, f, dhash64(w, h, g))
+            }
+          }).getOrElse(Seq.empty)
+        }
+      }(enc)
+  }
+
   private val audioSchema = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("sample_rate", IntegerType, nullable = false),

@@ -251,6 +251,39 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseMp4Header(v1).isEmpty)
   }
 
+  test("videoFrameDHash samples frames by seek and matches the image dhash kernel") {
+    // 3 frames of known pixels; frame 1 equals a standalone 9x8 image,
+    // so its dhash must equal the image path's on the same pixels
+    val frame = (s: Long) => Array.tabulate(72) { i =>
+      ((s * 2654435761L + i * 97L) % 241).toInt.abs
+    }
+    val f0 = frame(1); val f1 = frame(2); val f2 = frame(3)
+    val px = (f0 ++ f1 ++ f2).toSeq
+    val media = Multimodal.asMp4FramesMediaTable(
+      Seq((7L, px)).toDF("doc_id", "px"), "doc_id",
+      timescale = 600, w = 9, h = 8, nFrames = 3, $"px")
+    val all = Multimodal.videoFrameDHash(media, everyN = 1)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(all.map(_._2) == Set(0, 1, 2))
+    assert(all.find(_._2 == 1).get._3 == Multimodal.dhash64(9, 8, f1),
+      "frame dhash must equal the image kernel on the same pixels")
+    // sampling keeps exactly every 2nd frame
+    val sampled = Multimodal.videoFrameDHash(media, everyN = 2)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(sampled.map(_._2) == Set(0, 2), sampled.toString)
+    assert(sampled == all.filter(r => r._2 % 2 == 0))
+    // metadata of the frame container parses too (duration = nFrames ticks)
+    val meta = Multimodal.decodeVideoMeta(media)
+      .as[(Long, Int, Long, Int, Int, Long)].head()
+    assert(meta._2 == 600 && meta._3 == 3L * 1000 / 600 &&
+      meta._4 == 9 && meta._5 == 8, meta.toString)
+    // corrupt payloads contribute no rows, never throw
+    val broken = media.unionByName(Multimodal.asMediaTable(
+      Seq((999L, "garbage")).toDF("doc_id", "text"), "doc_id", "text"))
+    assert(Multimodal.videoFrameDHash(broken, 1)
+      .as[(Long, Int, Long)].collect().toSet == all)
+  }
+
   test("PCM WAV encode->decode round-trips signed samples; out-of-range clamps") {
     val pcm = Array(0, 1, -1, 32767, -32768, 15000, -15000, 123, -9999)
     val decoded = Multimodal.decodeWavPcm(Multimodal.encodePcmWav(16000, pcm))
