@@ -1361,6 +1361,54 @@ object SparkEntry {
       ops.Multimodal.videoFrameDHash(media, everyN = 2)
     }),
 
+    // VIDEO SCENE-CUT DETECTION (r14): the temporal-segmentation
+    // composition the frame machinery exists for — per-frame dHash →
+    // one window per media (lag over frame order) → emit frames whose
+    // Hamming distance to the previous frame crosses the cut
+    // threshold. Synthesis: 4 frames per doc; within a scene each
+    // frame perturbs ONE pixel of the scene's base image (consecutive
+    // hamming ≤ 4, the q144 locality property); docs with
+    // doc_id % 3 == 0 switch scenes at frame 2 (a different diffusion
+    // seed — hamming ~32). Threshold 10 separates the regimes with
+    // margin on both sides. Only (media_id, frame, dhash) longs enter
+    // the window exchange — frames stay partition-local.
+    "q152_video_scene_cuts" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val did = col("doc_id")
+      val pixels = flatten(transform(sequence(lit(0), lit(3)), f => {
+        val fl = f.cast("long")
+        val scene = when(pmod(did, lit(3L)) === 0L && fl >= 2L, lit(1L))
+          .otherwise(lit(0L))
+        val pos = pmod(did * lit(13L) + fl * lit(29L), lit(72L))
+        flatten(transform(sequence(lit(0), lit(7)), y =>
+          transform(sequence(lit(0), lit(8)), x => {
+            val xl = x.cast("long"); val yl = y.cast("long")
+            val i = yl * lit(9L) + xl
+            // scene offset stays ~1e9 so g*31 cannot overflow a Long
+            // under ANSI (the diffusion spreads it across the grid)
+            val h = (did + lit(1L)) * lit(2654435761L) +
+              scene * lit(999999937L) +
+              xl * lit(97L) + yl * lit(1031L)
+            val g = h.bitwiseXOR(shiftright(h, 7))
+            val p = pmod(g * lit(31L) + shiftright(g, 11), lit(241L))
+            when(i === pos, pmod(p + lit(128L), lit(241L)))
+              .otherwise(p).cast("int")
+          })))
+      }))
+      val media = ops.Multimodal.asMp4FramesMediaTable(docs, "doc_id",
+        timescale = 600, w = 9, h = 8, nFrames = 4, pixels)
+      val hashes = ops.Multimodal.videoFrameDHash(media, everyN = 1)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("media_id")).orderBy(col("frame_idx"))
+      hashes
+        .withColumn("prev", lag(col("dhash"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .withColumn("hamming_prev",
+          bit_count(col("dhash").bitwiseXOR(col("prev"))).cast("long"))
+        .filter(col("hamming_prev") > 10L)
+        .select(col("media_id"), col("frame_idx"), col("hamming_prev"))
+    }),
+
     // VIDEO metadata (r14): the q86 doctrine on the third modality —
     // real MP4/ISO-BMFF payloads (ftyp + moov{mvhd, trak/tkhd})
     // synthesized from row-derived parameters, walked by the real box
@@ -3300,6 +3348,50 @@ object SparkEntry {
          16 AS bits_per_sample,
          CAST(44 AS BIGINT) AS n_bytes
          FROM documents""",
+
+    // Replays the q152 pipeline: all four frames' dhashes from the
+    // scene/perturbation formula, consecutive-frame Hamming via a
+    // self-join on f-1, cuts = distance > 10 (q144's HUGEINT bit-63
+    // trick in the dhash fold)
+    "q152_video_scene_cuts" ->
+      """WITH hx AS (
+           SELECT d.doc_id, fs.f AS f, xs.x AS x, ys.y AS y,
+             (d.doc_id * 13 + fs.f * 29) % 72 AS pos,
+             (d.doc_id + 1) * 2654435761
+               + (CASE WHEN d.doc_id % 3 = 0 AND fs.f >= 2
+                  THEN 999999937 ELSE 0 END)
+               + xs.x * 97 + ys.y * 1031 AS h
+           FROM documents d
+           CROSS JOIN (SELECT unnest(range(0, 4)) AS f) fs
+           CROSS JOIN (SELECT unnest(range(0, 9)) AS x) xs
+           CROSS JOIN (SELECT unnest(range(0, 8)) AS y) ys),
+         gx AS (
+           SELECT doc_id, f, x, y, pos, xor(h, h >> 7) AS g FROM hx),
+         px AS (
+           SELECT doc_id, f, x, y,
+             CASE WHEN y * 9 + x = pos
+               THEN ((g * 31 + (g >> 11)) % 241 + 128) % 241
+               ELSE (g * 31 + (g >> 11)) % 241
+             END AS p
+           FROM gx),
+         dh AS (
+           SELECT l.doc_id, l.f,
+             CAST(COALESCE(SUM(
+               CASE WHEN l.p < r.p AND l.y * 8 + l.x = 63
+                 THEN CAST(-9223372036854775808 AS HUGEINT)
+               WHEN l.p < r.p
+                 THEN CAST(CAST(1 AS BIGINT) << (l.y * 8 + l.x) AS HUGEINT)
+               ELSE CAST(0 AS HUGEINT) END), 0) AS BIGINT) AS dhash
+           FROM px l JOIN px r
+             ON r.doc_id = l.doc_id AND r.f = l.f
+               AND r.y = l.y AND r.x = l.x + 1
+           WHERE l.x < 8
+           GROUP BY l.doc_id, l.f)
+         SELECT a.doc_id AS media_id, CAST(a.f AS INT) AS frame_idx,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming_prev
+         FROM dh a JOIN dh b
+           ON b.doc_id = a.doc_id AND b.f = a.f - 1
+         WHERE bit_count(xor(a.dhash, b.dhash)) > 10""",
 
     // Replays the q151 pipeline from the pixel formula for exactly the
     // SAMPLED frames (range(0,4,2) = frames 0 and 2): same 9x8 values
