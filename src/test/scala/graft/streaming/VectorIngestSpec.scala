@@ -91,4 +91,35 @@ class VectorIngestSpec extends SparkSpec {
       s"standing table must equal the batch-blind encode: ${got.size} vs ${expected.size}")
     graft.ops.CacheScope.release(spark)
   }
+
+  test("empty and all-duplicate batches take the cheap exits, not the encode path") {
+    // foreachBatch sinks are plain functions — drive the two guard
+    // paths directly: a no-data batch and a fully-re-sent batch must
+    // each fire the callback with (0, 0, false) and append nothing
+    // (a failure here would strand a live stream on a quiet source)
+    val emb = graft.core.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+      .select($"vec_id", $"embedding")
+    val base = emb.filter($"vec_id" < 100)
+    def materialize(df: org.apache.spark.sql.DataFrame) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(df.collect().toSeq), df.schema)
+    val cents = materialize(Similarity.trainCentroids(base, nCells = 2, iters = 1))
+    val books = materialize(
+      Similarity.trainProductQuantizer(base, nSub = 8, k = 8, iters = 1))
+    graft.ops.CacheScope.release(spark)
+    val results = scala.collection.mutable.ArrayBuffer[(Long, Long, Boolean)]()
+    val sink = VectorIngest.pqIngestSink(spark, db, "ving_guard_index",
+      cents, books, nSub = 8, baseErrE6 = 1000000L) {
+      (nNew, errE6, drift, _) => results += ((nNew, errE6, drift)); ()
+    }
+    val batch = emb.filter($"vec_id" >= 100 && $"vec_id" < 120)
+    sink(batch.limit(0), 0L)          // no-data micro-batch
+    sink(batch, 1L)                   // real work
+    sink(batch, 2L)                   // fully re-sent: all ids already indexed
+    assert(results.toSeq == Seq((0L, 0L, false), (20L, results(1)._2, results(1)._3),
+      (0L, 0L, false)), results.toString)
+    assert(spark.table(s"`$db`.`ving_guard_index`").count() == 20L,
+      "duplicate batch must append nothing")
+    graft.ops.CacheScope.release(spark)
+  }
 }
