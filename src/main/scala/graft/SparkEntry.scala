@@ -1425,6 +1425,36 @@ object SparkEntry {
       ops.Multimodal.decodeVideoMeta(media)
     }),
 
+    // HTML → TEXT EXTRACTION (r14): the crawl pipeline's first stage
+    // (WET generation), the q112/q150 synthesis doctrine — markup is
+    // built in-query from row data (title, heading, escaped entities,
+    // a script whose body contains raw < > && that must NOT leak into
+    // the text, doc_id%4 anchor tags, a comment that must vanish), so
+    // the oracle replays synthesis AND extraction char-for-char. The
+    // whole query is one codegen'd narrow projection — no shuffle, no
+    // UDF; raw HTML never enters an exchange.
+    "q153_html_extract" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val did = col("doc_id").cast("string")
+      val html = concat(
+        lit("<html><head><title> "), col("source"), lit(" #"), did,
+        lit(" </title>\n<style>p { color: #333; }</style>"),
+        lit("<script type=\"text/javascript\">var t = 1 < 2 && 3 > 2;</script>"),
+        lit("</head>\n<body>\n\t<h1>"), upper(col("source")),
+        lit("</h1>\n<p>"), substring(col("text"), 1, 120),
+        lit("</p>\n<p>Tom &amp; Jerry &lt;3 &quot;quoted&quot; &#39;s&nbsp;end</p>"),
+        array_join(array_repeat(
+          lit("<a href=\"https://example.com/p\">l</a>"),
+          pmod(col("doc_id"), lit(4L)).cast("int")), ""),
+        lit("<!-- hidden "), did, lit(" -->\n</body></html>"))
+      docs.select(col("doc_id"), html.as("__html"))
+        .select(col("doc_id"),
+          ops.Html.extractTitle(col("__html")).as("title"),
+          ops.Html.extractText(col("__html")).as("body_text"),
+          ops.Html.countLinks(col("__html")).cast("long").as("n_links"),
+          ops.Html.linkDensityE6(col("__html")).as("link_density_e6"))
+    }),
+
     // (selective predicates keep the difference non-empty at test SFs —
     // with only ~150 users every unfiltered per-type user set is equal)
     "q50_except" -> ((s, dir) => {
@@ -3434,6 +3464,56 @@ object SparkEntry {
          CAST(240 + (doc_id % 6) * 16 AS INT) AS height,
          CAST(232 AS BIGINT) AS n_bytes
          FROM documents""",
+
+    // replays synthesis AND the extraction chain char-for-char: DuckDB
+    // regexes are RE2 (no lookaround, no \x0B in any class — the
+    // operator avoids both by construction), replacement backrefs are
+    // \1 vs Spark's $1 (none used here), and regexp_replace needs the
+    // explicit 'g' flag where Spark replaces globally by default
+    "q153_html_extract" ->
+      """WITH h AS (
+           SELECT doc_id,
+             '<html><head><title> ' || source || ' #' || doc_id ||
+             ' </title>' || chr(10) || '<style>p { color: #333; }</style>' ||
+             '<script type="text/javascript">var t = 1 < 2 && 3 > 2;</script>' ||
+             '</head>' || chr(10) || '<body>' || chr(10) || chr(9) ||
+             '<h1>' || upper(source) || '</h1>' || chr(10) || '<p>' ||
+             substring(text, 1, 120) || '</p>' || chr(10) ||
+             '<p>Tom &amp; Jerry &lt;3 &quot;quoted&quot; &#39;s&nbsp;end</p>' ||
+             repeat('<a href="https://example.com/p">l</a>',
+               CAST(doc_id % 4 AS INT)) ||
+             '<!-- hidden ' || doc_id || ' -->' || chr(10) ||
+             '</body></html>' AS html
+           FROM documents),
+         u AS (
+           SELECT doc_id, html,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+               '(?is)<script\b[^>]*>.*?</script>', '', 'g'),
+               '(?is)<style\b[^>]*>.*?</style>', '', 'g'),
+               '(?s)<!--.*?-->', '', 'g'),
+               '(?s)<[^>]+>', ' ', 'g') AS untag,
+             regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1) AS rawtitle
+           FROM h),
+         dec AS (
+           SELECT doc_id, html,
+             replace(replace(replace(replace(replace(replace(replace(untag,
+               '&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',chr(39)),
+               '&apos;',chr(39)),'&nbsp;',' '),'&amp;','&') AS dtext,
+             replace(replace(replace(replace(replace(replace(replace(rawtitle,
+               '&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',chr(39)),
+               '&apos;',chr(39)),'&nbsp;',' '),'&amp;','&') AS dtitle
+           FROM u),
+         fin AS (
+           SELECT doc_id,
+             trim(regexp_replace(dtitle, '[ \t\r\n]+', ' ', 'g')) AS title,
+             trim(regexp_replace(dtext, '[ \t\r\n]+', ' ', 'g')) AS body_text,
+             CAST(len(regexp_extract_all(html, '(?is)<a\b[^>]*href', 0)) AS BIGINT) AS n_links
+           FROM dec)
+         SELECT doc_id, title, body_text, n_links,
+           CASE WHEN length(body_text) = 0 THEN CAST(0 AS BIGINT)
+             ELSE CAST(floor(n_links * 100000000.0 / length(body_text)) AS BIGINT)
+           END AS link_density_e6
+         FROM fin""",
 
     // q94-q98: the measured-recall gates for the probabilistic family.
     // The MEASUREMENT happens on the Spark side (approx operator vs its
