@@ -1455,6 +1455,39 @@ object SparkEntry {
           ops.Html.linkDensityE6(col("__html")).as("link_density_e6"))
     }),
 
+    // URL CANONICALIZATION (r14): the q153 sibling — synthesized URLs
+    // exercise every rule (uppercase scheme+host, co.uk vs .com
+    // registrable domains, default vs real ports, tracking-param runs
+    // in every position, fragments), and the oracle replays synthesis
+    // + normalization char-for-char. One narrow codegen'd projection.
+    "q154_url_normalize" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val did = col("doc_id")
+      val scheme = when(pmod(did, lit(2L)) === 0L, lit("HTTP")).otherwise(lit("https"))
+      val hostS = concat(lit("WWW."), col("source"),
+        when(pmod(did, lit(3L)) === 0L, lit(".Example.CO.uk"))
+          .otherwise(lit(".Example.com")))
+      val port = when(pmod(did, lit(5L)) === 0L,
+          when(pmod(did, lit(2L)) === 0L, lit(":80")).otherwise(lit(":443")))
+        .when(pmod(did, lit(5L)) === 1L, lit(":8080"))
+        .otherwise(lit(""))
+      val path = concat(lit("/Articles/p"), pmod(did, lit(50L)).cast("string"))
+      val query = when(pmod(did, lit(4L)) === 0L,
+          lit("?utm_source=feed&utm_medium=rss&utm_campaign=x1"))
+        .when(pmod(did, lit(4L)) === 1L,
+          concat(lit("?id="), pmod(did, lit(7L)).cast("string"), lit("&utm_source=tw&gclid=z9")))
+        .when(pmod(did, lit(4L)) === 2L,
+          concat(lit("?a=1&fbclid=abc&b="), pmod(did, lit(9L)).cast("string")))
+        .otherwise(lit(""))
+      val frag = when(pmod(did, lit(6L)) === 0L, lit("#Sec-2")).otherwise(lit(""))
+      val url = concat(scheme, lit("://"), hostS, port, path, query, frag)
+      docs.select(did, url.as("__url"))
+        .select(did,
+          ops.Url.normalizeUrl(col("__url")).as("url_norm"),
+          ops.Url.host(col("__url")).as("host"),
+          ops.Url.registrableDomain(ops.Url.host(col("__url"))).as("domain"))
+    }),
+
     // (selective predicates keep the difference non-empty at test SFs —
     // with only ~150 users every unfiltered per-type user set is equal)
     "q50_except" -> ((s, dir) => {
@@ -3514,6 +3547,52 @@ object SparkEntry {
              ELSE CAST(floor(n_links * 100000000.0 / length(body_text)) AS BIGINT)
            END AS link_density_e6
          FROM fin""",
+
+    // replays synthesis + every normalization rule; anchored port
+    // patterns need no 'g', the tracking/collapse passes do
+    "q154_url_normalize" ->
+      """WITH u0 AS (
+           SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
+             'WWW.' || source ||
+             (CASE WHEN doc_id % 3 = 0 THEN '.Example.CO.uk' ELSE '.Example.com' END) ||
+             (CASE WHEN doc_id % 5 = 0 THEN
+                (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+               WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END) ||
+             '/Articles/p' || (doc_id % 50) ||
+             (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&utm_medium=rss&utm_campaign=x1'
+               WHEN doc_id % 4 = 1 THEN '?id=' || (doc_id % 7) || '&utm_source=tw&gclid=z9'
+               WHEN doc_id % 4 = 2 THEN '?a=1&fbclid=abc&b=' || (doc_id % 9)
+               ELSE '' END) ||
+             (CASE WHEN doc_id % 6 = 0 THEN '#Sec-2' ELSE '' END) AS url
+           FROM documents),
+         n1 AS (
+           SELECT doc_id,
+             lower(regexp_extract(url, '^([^/?#]*://[^/?#]*)', 1)) ||
+               regexp_extract(url, '(?s)^[^/?#]*://[^/?#]*(.*)$', 1) AS lowered,
+             lower(regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1)) AS host
+           FROM u0),
+         n2 AS (
+           SELECT doc_id, host,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(regexp_replace(lowered,
+                 '(?s)#.*', '', 'g'),
+                 '^(http://[^/:?#]*):80([/?#].*)?$', '\1\2'),
+                 '^(https://[^/:?#]*):443([/?#].*)?$', '\1\2'),
+                 '([?&])(utm_[a-z0-9]+|fbclid|gclid|msclkid)=[^&]*', '\1', 'g'),
+                 '([?&])&+', '\1', 'g'),
+                 '[?&]+$', '') AS url_norm
+           FROM n1)
+         SELECT doc_id, url_norm, host,
+           CASE WHEN regexp_extract(host,
+               '([^.]+\.(?:co|com|org|net|ac|gov|edu)\.[a-z][a-z])$', 1) <> ''
+             THEN regexp_extract(host,
+               '([^.]+\.(?:co|com|org|net|ac|gov|edu)\.[a-z][a-z])$', 1)
+             WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) <> ''
+             THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+             ELSE host END AS domain
+         FROM n2""",
 
     // q94-q98: the measured-recall gates for the probabilistic family.
     // The MEASUREMENT happens on the Spark side (approx operator vs its

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization — the crawl pipeline's identity function:
+  * URL-keyed dedup, per-domain caps ([[Sampling]] q75) and
+  * robots/blocklist joins all key on a CANONICAL url/domain, and a
+  * miss (http vs https, tracking params, default ports, fragments)
+  * silently double-counts a page. Everything is a codegen'd
+  * regexp/Column chain — a narrow per-row map, no shuffle, no UDF —
+  * and every pattern is RE2-safe (no lookaround: RE2 has none, so the
+  * default-port and tracking-param rules are written as
+  * capture+backref instead of lookahead; replacement backrefs are $1
+  * here, \1 in the DuckDB oracle dialect).
+  *
+  * Scope (documented, not accidental): absolute http(s)-style URLs;
+  * rows that do not match `scheme://authority` pass through
+  * [[normalizeUrl]] unchanged (a total function — crawl frontiers
+  * contain garbage; a null would trip downstream joins). Path case and
+  * trailing slashes are preserved verbatim (paths are case-sensitive
+  * per RFC 3986; root-slash folding is a site-specific policy, not a
+  * safe default). Param ORDER is preserved: sorting the query string
+  * would need an explode+re-join per URL — at crawl scale that is a
+  * shuffle of every URL for a canonicalization real pipelines
+  * (trafilatura/courlan) skip too.
+  */
+object Url {
+
+  private val schemeAuth = "^[A-Za-z][A-Za-z0-9+.-]*://"
+
+  /** Lowercased registered host: authority minus userinfo and port.
+    * Empty string (never null) when the value is not an absolute URL.
+    */
+  def host(url: Column): Column =
+    lower(regexp_extract(url, schemeAuth + "(?:[^/@?#]*@)?([^/:?#]+)", 1))
+
+  /** Registrable-domain heuristic: last two labels, or last three when
+    * the suffix is a two-level public suffix of the `co.uk` shape
+    * (second-level in co|com|org|net|ac|gov|edu under a 2-letter
+    * ccTLD). The full public-suffix list is a data file, not logic —
+    * at scale it broadcast-joins exactly like this expression
+    * evaluates, so the heuristic keeps the operator dependency-free
+    * without changing the dataflow.
+    */
+  def registrableDomain(hostCol: Column): Column = {
+    val three = regexp_extract(hostCol,
+      "([^.]+\\.(?:co|com|org|net|ac|gov|edu)\\.[a-z][a-z])$", 1)
+    val two = regexp_extract(hostCol, "([^.]+\\.[^.]+)$", 1)
+    when(three =!= "", three).when(two =!= "", two).otherwise(hostCol)
+  }
+
+  /** Canonical form: lowercase scheme+authority, fragment stripped,
+    * default ports (:80 http, :443 https) stripped, tracking params
+    * (utm_*, fbclid, gclid, msclkid) removed with delimiter repair.
+    * The tracking pass replaces `[?&]name=value` with its leading
+    * delimiter; a run of tracking params therefore leaves `?&&…`,
+    * which the two cleanup passes collapse (`([?&])&+` → `$1`) and
+    * trim (`[?&]+$` → empty) — bounded, single-scan each, no
+    * fixed-point iteration.
+    */
+  def normalizeUrl(url: Column): Column = {
+    val auth = regexp_extract(url, "^([^/?#]*://[^/?#]*)", 1)
+    val lowered = concat(lower(auth),
+      regexp_extract(url, "(?s)^[^/?#]*://[^/?#]*(.*)$", 1))
+    val noFrag = regexp_replace(lowered, "(?s)#.*", "")
+    val noP80 = regexp_replace(noFrag, "^(http://[^/:?#]*):80([/?#].*)?$", "$1$2")
+    val noP443 = regexp_replace(noP80, "^(https://[^/:?#]*):443([/?#].*)?$", "$1$2")
+    val noTrack = regexp_replace(noP443,
+      "([?&])(utm_[a-z0-9]+|fbclid|gclid|msclkid)=[^&]*", "$1")
+    val collapsed = regexp_replace(noTrack, "([?&])&+", "$1")
+    val trimmed = regexp_replace(collapsed, "[?&]+$", "")
+    when(auth === "", url).otherwise(trimmed)
+  }
+}

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Hand cases through [[Url]]: each pins one canonicalization rule,
+  * plus the delimiter-repair hazards (tracking runs at every position)
+  * and the total-function contract on non-URL garbage.
+  */
+class UrlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def norm(u: String): String =
+    Seq(u).toDF("u").select(Url.normalizeUrl(col("u"))).as[String].head()
+
+  private def hostOf(u: String): String =
+    Seq(u).toDF("u").select(Url.host(col("u"))).as[String].head()
+
+  private def dom(h: String): String =
+    Seq(h).toDF("h").select(Url.registrableDomain(col("h"))).as[String].head()
+
+  test("scheme+authority lowercase; path case preserved") {
+    assert(norm("HTTPS://WWW.Ex.COM/Path/File") === "https://www.ex.com/Path/File")
+  }
+
+  test("default ports strip, real ports stay, with and without path") {
+    assert(norm("http://a.com:80/x") === "http://a.com/x")
+    assert(norm("http://a.com:80") === "http://a.com")
+    assert(norm("https://a.com:443?q=1") === "https://a.com?q=1")
+    assert(norm("http://a.com:8080/x") === "http://a.com:8080/x")
+    // the OTHER scheme's default port is a real port
+    assert(norm("https://a.com:80/x") === "https://a.com:80/x")
+  }
+
+  test("fragment always strips") {
+    assert(norm("http://a.com/x#frag?fake=1") === "http://a.com/x")
+  }
+
+  test("tracking params: leading, trailing, consecutive, all, mixed") {
+    assert(norm("http://a.com/x?utm_a=1&id=2") === "http://a.com/x?id=2")
+    assert(norm("http://a.com/x?id=2&utm_a=1") === "http://a.com/x?id=2")
+    assert(norm("http://a.com/x?utm_a=1&utm_b=2&id=3") === "http://a.com/x?id=3")
+    assert(norm("http://a.com/x?utm_a=1&gclid=g&fbclid=f") === "http://a.com/x")
+    assert(norm("http://a.com/x?a=1&msclkid=m&b=2") === "http://a.com/x?a=1&b=2")
+    // a param merely CONTAINING a tracking name is untouched
+    assert(norm("http://a.com/x?xutm_a=1") === "http://a.com/x?xutm_a=1")
+  }
+
+  test("non-URL garbage passes through unchanged, host is empty") {
+    assert(norm("not a url at all") === "not a url at all")
+    assert(hostOf("not a url at all") === "")
+  }
+
+  test("host: strips userinfo and port, lowercases") {
+    assert(hostOf("http://User:p@WWW.Ex.Org:8080/a?b#c") === "www.ex.org")
+  }
+
+  test("registrable domain: com, co.uk shape, bare host, no dot") {
+    assert(dom("www.news.example.com") === "example.com")
+    assert(dom("a.b.example.co.uk") === "example.co.uk")
+    assert(dom("example.org") === "example.org")
+    assert(dom("localhost") === "localhost")
+    // 2-level suffix needs a 2-letter ccTLD: example.com.com is NOT
+    // the co.uk shape (TLD 'com' is 3 letters)
+    assert(dom("x.example.com.com") === "com.com")
+  }
+}
