@@ -1488,6 +1488,27 @@ object SparkEntry {
           ops.Url.registrableDomain(ops.Url.host(col("__url"))).as("domain"))
     }),
 
+    // WARC ROUND-TRIP (r14): crawl-container ingestion under the q150
+    // synth→parse doctrine — records (with CJK/emoji payloads on
+    // doc_id%4==0, so Content-Length is genuinely octets ≠ chars) are
+    // concatenated into 8 file blobs, then the REAL byte-walk parser
+    // (Content-Length-driven, not separator-split) re-emits every
+    // field; the oracle computes the expected parse arithmetically,
+    // rec_index replaying byte order as the member sort.
+    "q155_warc_roundtrip" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val did = col("doc_id")
+      val payload = concat(substring(col("text"), 1, 100),
+        when(pmod(did, lit(4L)) === 0L, lit(" — 中文 😀")).otherwise(lit("")))
+      val rec = ops.Warc.recordString(
+        concat(lit("<urn:uuid:"), did.cast("string"), lit(">")),
+        concat(lit("https://example.com/"), col("source"), lit("/"),
+          did.cast("string")),
+        payload)
+      ops.Warc.parseRecords(
+        ops.Warc.asWarcFiles(docs, pmod(did, lit(8L)), did, rec))
+    }),
+
     // (selective predicates keep the difference non-empty at test SFs —
     // with only ~150 users every unfiltered per-type user set is equal)
     "q50_except" -> ((s, dir) => {
@@ -3593,6 +3614,26 @@ object SparkEntry {
              THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
              ELSE host END AS domain
          FROM n2""",
+
+    // the parse is replayed arithmetically: every field is a pure
+    // function of the source row, content_length in OCTETS (DuckDB
+    // strlen = bytes, mirroring Spark octet_length), rec_index = the
+    // member's rank in its file (byte order == doc_id order)
+    "q155_warc_roundtrip" ->
+      """WITH d AS (
+           SELECT doc_id, source,
+             substring(text, 1, 100) ||
+               CASE WHEN doc_id % 4 = 0 THEN ' — 中文 😀' ELSE '' END AS payload
+           FROM documents)
+         SELECT doc_id % 8 AS file_id,
+           CAST(row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) - 1
+             AS BIGINT) AS rec_index,
+           'response' AS warc_type,
+           '<urn:uuid:' || doc_id || '>' AS record_id,
+           'https://example.com/' || source || '/' || doc_id AS target_uri,
+           CAST(strlen(payload) AS BIGINT) AS content_length,
+           payload AS payload_text
+         FROM d""",
 
     // q94-q98: the measured-recall gates for the probabilistic family.
     // The MEASUREMENT happens on the Spark side (approx operator vs its
