@@ -1509,6 +1509,36 @@ object SparkEntry {
         ops.Warc.asWarcFiles(docs, pmod(did, lit(8L)), did, rec))
     }),
 
+    // PCA GATE (r14): distributed dimensionality reduction under the
+    // q149 numeric-gate doctrine (an eigendecomposition is not
+    // SQL-replayable). One-pass moment fit (d²-sized partials, corpus
+    // never shuffles) + driver Jacobi + literal-broadcast projection.
+    // Three booleans: (a) variance explained by k=32 of 64 ≥ 0.52 —
+    // measured 0.651 @ sf0.01 / 0.574 @ sf0.1 (PcaProbe), and any
+    // CORRECT top-k selection is ≥ 0.50 on any spectrum, so the floor
+    // sits in the band only a broken solver/ordering can miss; (b) the
+    // strong self-check: measured reconstruction MSE (explicit x̂ =
+    // mean + Wᵀy per row, no orthonormality assumed) equals the
+    // spectrum's prediction (trace − Σtop-k λ)/d — measured agreement
+    // is machine epsilon (~1e-16), gate 1e-9; a single wrong
+    // eigenvector moves it by ~1e-3; (c) Σλ == trace(cov) within
+    // 1e-9·trace (driver-side invariant of the solve).
+    "q156_pca_gate" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val m = ops.Pca.fit(emb, "embedding", 32)
+      val mse = emb.select(
+        ops.Pca.reconstructionSqErr(col("embedding"),
+          ops.Pca.project(col("embedding"), m), m).as("e"))
+      mse.agg(count(lit(1)).as("n_vectors"),
+          (avg(col("e")) / m.d).as("__mse"))
+        .select(col("n_vectors"),
+          lit(520000L).as("floor_e6"),
+          ((lit(1.0) - col("__mse") * m.d / m.trace) * 1e6 >= 520000.0)
+            .as("meets_floor"),
+          (abs(col("__mse") - m.predictedMse) <= 1e-9).as("spectrum_consistent"),
+          lit(m.traceConsistent).as("trace_consistent"))
+    }),
+
     // (selective predicates keep the difference non-empty at test SFs —
     // with only ~150 users every unfiltered per-type user set is equal)
     "q50_except" -> ((s, dir) => {
@@ -3634,6 +3664,14 @@ object SparkEntry {
            CAST(strlen(payload) AS BIGINT) AS content_length,
            payload AS payload_text
          FROM d""",
+
+    // all three booleans are numeric gates (PcaProbe calibration in
+    // the query comment); the eigensolve itself is not SQL-replayable
+    "q156_pca_gate" ->
+      """SELECT count(*) AS n_vectors, CAST(520000 AS BIGINT) AS floor_e6,
+           true AS meets_floor, true AS spectrum_consistent,
+           true AS trace_consistent
+         FROM embeddings""",
 
     // q94-q98: the measured-recall gates for the probabilistic family.
     // The MEASUREMENT happens on the Spark side (approx operator vs its
