@@ -1539,6 +1539,33 @@ object SparkEntry {
           lit(m.traceConsistent).as("trace_consistent"))
     }),
 
+    // PCA→ANN COMPOSITION GATE (r14): cosine top-5 through the
+    // 32-of-64 reduced space (uncentered projection — the LSA
+    // convention for angular retrieval) vs full-dim truth. The
+    // synthetic embeddings are near-iid — PCA's WORST case (flat
+    // spectrum, no intrinsic low dimension): measured recall@5 is
+    // 0.425 @ sf0.01 / 0.25 @ sf0.1 (PcaProbe; centered and
+    // uncentered identical — the corpus mean is ≈0), so the floor
+    // (0.10) documents that honestly and gates composition collapse
+    // (wrong dims, NaN scores, empty projection), not retrieval
+    // quality. PcaSpec proves the ≈1.0 recall on data that HAS
+    // intrinsic structure — the dial is intrinsic dim vs k, recorded
+    // in SCALE.md.
+    "q157_pca_ann_gate" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      // the retrieval-correct fit: uncentered second moment (truncated
+      // SVD) — PcaSpec measures how the centered fit can lose the
+      // mean direction full-space cosine is dominated by
+      val m = ops.Pca.fit(emb, "embedding", 32, centered = false)
+      val reduced = emb.select(col("vec_id"),
+        transform(ops.Pca.project(col("embedding"), m, center = false),
+          y => y.cast("float")).as("embedding"))
+      recallGate(
+        Similarity.bruteForceTopK(reduced.filter(col("vec_id") < 8), reduced, 5),
+        Similarity.bruteForceTopK(emb.filter(col("vec_id") < 8), emb, 5),
+        Seq("query_id", "neighbor_id"), 1000L)
+    }),
+
     // (selective predicates keep the difference non-empty at test SFs —
     // with only ~150 users every unfiltered per-type user set is equal)
     "q50_except" -> ((s, dir) => {
@@ -3690,6 +3717,8 @@ object SparkEntry {
       "SELECT CAST(1000 AS BIGINT) AS floor_e4, true AS meets_floor",
     "q146_ivfpq_recall_gate" ->
       "SELECT CAST(6500 AS BIGINT) AS floor_e4, true AS meets_floor",
+    "q157_pca_ann_gate" ->
+      "SELECT CAST(1000 AS BIGINT) AS floor_e4, true AS meets_floor",
 
     // incremental-vs-rebuild equality is exact by construction (pure
     // per-vector encoding against frozen models), so the oracle is the

@@ -164,7 +164,22 @@ object Pca {
   }
 
   /** One corpus pass → moments → driver eigensolve → top-k model. */
-  def fit(df: DataFrame, vecCol: String, k: Int): PcaModel = {
+  def fit(df: DataFrame, vecCol: String, k: Int): PcaModel =
+    fit(df, vecCol, k, centered = true)
+
+  /** `centered = false` eigendecomposes the raw SECOND MOMENT E[xxᵀ]
+    * instead of the covariance — truncated SVD (LSA). This is the
+    * fit retrieval wants: with a nonzero corpus mean, full-space
+    * cosine is dominated by the shared mean direction, which
+    * covariance-PCA by definition discards — a centered-fit reduced
+    * space can lose the neighborhood structure entirely (measured in
+    * PcaSpec: rank-2+mean data drops to ~0.44 recall under the
+    * centered fit, ≈1.0 under the uncentered one). The model's mean
+    * is zeros, so [[project]]/[[reconstructionSqErr]] compose
+    * unchanged, and `predictedMse`/`trace` read as second-moment
+    * mass rather than variance.
+    */
+  def fit(df: DataFrame, vecCol: String, k: Int, centered: Boolean): PcaModel = {
     val spark = df.sparkSession
     import spark.implicits._
     val probe = df.select(col(vecCol)).as[Seq[Float]](ExpressionEncoder())
@@ -175,7 +190,8 @@ object Pca {
     val mom = probe.select(momentsAgg(d).toColumn).head()
     require(mom.n > 1, s"fitPca: need >1 vectors, got ${mom.n}")
     val n = mom.n.toDouble
-    val mean = mom.s.map(_ / n)
+    val mean =
+      if (centered) mom.s.map(_ / n) else new Array[Double](d)
     val cov = Array.ofDim[Double](d, d)
     var t = 0
     var i = 0
@@ -198,10 +214,20 @@ object Pca {
     * — k·d multiply-adds per row, components ride the plan as
     * literals (driver-broadcast), no shuffle.
     */
-  def project(vec: Column, model: PcaModel): Column = {
+  def project(vec: Column, model: PcaModel): Column =
+    project(vec, model, center = true)
+
+  /** `center = false` gives y = x·W without the mean shift — the
+    * LSA/truncated-SVD convention for COSINE retrieval, where
+    * centering moves the origin and distorts angles; use centered
+    * scores for variance analysis/whitening, uncentered for
+    * similarity search in the reduced space.
+    */
+  def project(vec: Column, model: PcaModel, center: Boolean): Column = {
     val comps = typedLit(model.components.map(_.toSeq).toSeq)
     val offs = typedLit(model.components.map(w =>
-      w.zip(model.mean).map { case (a, b) => a * b }.sum).toSeq)
+      if (center) w.zip(model.mean).map { case (a, b) => a * b }.sum
+      else 0.0).toSeq)
     transform(sequence(lit(0), lit(model.k - 1)), j =>
       aggregate(
         zip_with(vec, element_at(comps, j + 1),

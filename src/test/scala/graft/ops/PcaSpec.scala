@@ -17,7 +17,11 @@ class PcaSpec extends SparkSpec {
   private val d = 6
   private val u = Array(1.0, 0.0, 1.0, 0.0, 1.0, 0.0)
   private val vv = Array(0.0, 1.0, 0.0, -1.0, 0.0, 1.0)
-  private val base = Array(5.0, -3.0, 2.0, 0.0, 1.0, 4.0)
+  // base ⟂ u and base ⟂ v (verified: b·u = 12−9−3 = 0, b·v =
+  // 6−15+9 = 0), and large — so full-space cosine is mean-dominated
+  // while the mean is INVISIBLE to the centered fit's components:
+  // the regime that separates the two fits in the recall test
+  private val base = Array(12.0, 6.0, -9.0, 15.0, -3.0, 9.0)
   private def row(i: Int): Seq[Float] = {
     val a = ((i * 37) % 11 - 5).toDouble
     val b = ((i * 53) % 7 - 3).toDouble
@@ -63,6 +67,57 @@ class PcaSpec extends SparkSpec {
       val want = if (a eq b) 1.0 else 0.0
       assert(math.abs(dot - want) < 1e-9)
     }
+  }
+
+  test("ANN through the reduced space: near-perfect recall when the data HAS intrinsic structure") {
+    // rank-2 signal + tiny deterministic per-dim jitter: cosine top-3
+    // through k=2 must agree with full-dim truth — the q157 contrast
+    // case (the synthetic corpus is iid ⇒ low recall; THIS is the
+    // regime PCA reduction exists for)
+    val noisy = (0 until 60).map { i =>
+      val r = row(i)
+      (i.toLong, r.zipWithIndex.map { case (x, j) =>
+        x + (((i * 13 + j * 7) % 5 - 2) * 0.001f) })
+    }.toDF("vec_id", "embedding")
+    // signal spans {u, v, base-mean} ⇒ the raw second moment is rank
+    // 3: the UNCENTERED (truncated-SVD) fit at k=3 preserves cosine
+    // geometry; the centered fit discards the mean direction that
+    // dominates full-space cosine and collapses recall — both
+    // measured here as the operator's use-the-right-fit contract
+    val truth = Similarity.bruteForceTopK(
+      noisy.filter(col("vec_id") < 6), noisy, 3)
+    def recallWith(m: Pca.PcaModel): Long = {
+      val reduced = noisy.select(col("vec_id"),
+        transform(Pca.project(col("embedding"), m, center = false),
+          y => y.cast("float")).as("embedding"))
+      val got = Similarity.bruteForceTopK(
+        reduced.filter(col("vec_id") < 6), reduced, 3)
+      truth.join(got, Seq("query_id", "neighbor_id"), "left_semi").count()
+    }
+    // k is each fit's NATURAL choice: the raw second moment is rank 3
+    // (mean ⟂ signal), the covariance rank 2 — so the centered fit at
+    // k=2 captures ~100% of the VARIANCE yet still breaks cosine
+    // retrieval (the mean direction that dominates full-space angles
+    // is invisible to it); jitter-direction components at larger k
+    // can smuggle a shared offset back in, which is why the contrast
+    // is pinned at full-variance k, not equal k
+    val svdHits = recallWith(Pca.fit(noisy, "embedding", 3, centered = false))
+    val covHits = recallWith(Pca.fit(noisy, "embedding", 2))
+    assert(svdHits >= 17L, s"uncentered recall ${svdHits}/18")
+    assert(covHits < svdHits,
+      s"centered fit should lose the mean direction: $covHits vs $svdHits")
+  }
+
+  test("whitened scores have unit variance per component") {
+    val m = Pca.fit(df, "embedding", 2)
+    val scores = df.select(Pca.project(col("embedding"), m).as("y"))
+      .select(element_at(col("y"), 1).as("y1"), element_at(col("y"), 2).as("y2"))
+    val (v1, v2) = scores.agg(
+      avg(col("y1") * col("y1")), avg(col("y2") * col("y2")))
+      .as[(Double, Double)].head()
+    // population variance of centered scores along component j is λ_j
+    assert(math.abs(v1 - m.eigenvalues(0)) < 1e-9)
+    assert(math.abs(v2 - m.eigenvalues(1)) < 1e-9)
   }
 
   test("dimension mismatch fails loud; k out of range rejected") {

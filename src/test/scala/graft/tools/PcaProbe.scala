@@ -28,6 +28,17 @@ object PcaProbe {
         println(f"$sf k=$k n=${m.n} trace=${m.trace}%.4f predMse=${m.predictedMse}%.6f " +
           f"measMse=$mse%.6f |diff|=${math.abs(mse - m.predictedMse)}%.2e ve=$ve%.4f " +
           f"top1=${m.eigenvalues.head}%.4f ev16=${m.eigenvalues(15)}%.4f ev63=${m.eigenvalues.last}%.4f")
+        // ANN recall through the reduced space (q157 calibration)
+        val reduced = emb.select(col("vec_id"),
+          transform(Pca.project(col("embedding"), m, center = false),
+            y => y.cast("float")).as("embedding"))
+        val truth = graft.ops.Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") < 8), emb, 5)
+        val got = graft.ops.Similarity.bruteForceTopK(
+          reduced.filter(col("vec_id") < 8), reduced, 5)
+        val hits = truth.join(got, Seq("query_id", "neighbor_id"), "left_semi").count()
+        val total = truth.count()
+        println(f"$sf k=$k ann recall@5 = ${hits.toDouble / total}%.3f ($hits/$total)")
       }
     }
     spark.stop()
