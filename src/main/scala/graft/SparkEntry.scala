@@ -1566,6 +1566,25 @@ object SparkEntry {
         Seq("query_id", "neighbor_id"), 1000L)
     }),
 
+    // PAGERANK (r14): link-graph centrality over a synthesized
+    // doc→doc graph (1–3 out-edges per node, arithmetic dst), 3
+    // damped rounds in e12 integer fixed point — EXACTLY replayable
+    // by the oracle's three unrolled CTE iterations (the reason the
+    // operator is integer-arithmetic: distributed float sums are
+    // order-dependent). GraphSpec pins hand-computed values; the
+    // fixed-point cycle case proves the arithmetic is mass-stable.
+    "q158_pagerank" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val n = docs.agg(count(lit(1)).as("n"))
+      val edges = docs.crossJoin(broadcast(n))
+        .select(col("doc_id"), col("n"),
+          explode(sequence(lit(1L), lit(1L) + pmod(col("doc_id"), lit(3L)))).as("k"))
+        .select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 31L + col("k") * 17L, col("n")).as("dst"))
+      val pr = ops.Graph.pageRank(edges, "src", "dst", iters = 3)
+      pr.select(col("id").as("doc_id"), col("score_e12"))
+    }),
+
     // (selective predicates keep the difference non-empty at test SFs —
     // with only ~150 users every unfiltered per-type user set is equal)
     "q50_except" -> ((s, dir) => {
@@ -3691,6 +3710,47 @@ object SparkEntry {
            CAST(strlen(payload) AS BIGINT) AS content_length,
            payload AS payload_text
          FROM d""",
+
+    // three unrolled integer-arithmetic iterations — '//' is DuckDB
+    // integral division (both sides positive, so trunc == floor ==
+    // Spark's div); the (nodes × t) pre-join avoids the comma-join /
+    // LEFT JOIN precedence trap
+    "q158_pagerank" ->
+      """WITH nd AS (SELECT count(*) AS n FROM documents),
+         e AS (
+           SELECT doc_id AS src,
+             (doc_id * 31 + k * 17) % (SELECT n FROM nd) AS dst
+           FROM (SELECT doc_id,
+                   unnest(generate_series(1, CAST(1 + doc_id % 3 AS BIGINT))) AS k
+                 FROM documents)),
+         nodes AS (
+           SELECT DISTINCT id
+           FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+         t AS (SELECT count(*) AS nn FROM nodes),
+         outdeg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+         s0 AS (SELECT id, 1000000000000 // nn AS score FROM nodes, t),
+         i1 AS (SELECT e.dst, sum((s.score * 85) // (100 * o.outdeg)) AS inflow
+                FROM e JOIN s0 s ON e.src = s.id
+                JOIN outdeg o ON o.src = e.src GROUP BY 1),
+         s1 AS (SELECT b.id, (15 * 1000000000000 // (100 * b.nn)) +
+                  COALESCE(i1.inflow, 0) AS score
+                FROM (SELECT id, nn FROM nodes, t) b
+                LEFT JOIN i1 ON b.id = i1.dst),
+         i2 AS (SELECT e.dst, sum((s.score * 85) // (100 * o.outdeg)) AS inflow
+                FROM e JOIN s1 s ON e.src = s.id
+                JOIN outdeg o ON o.src = e.src GROUP BY 1),
+         s2 AS (SELECT b.id, (15 * 1000000000000 // (100 * b.nn)) +
+                  COALESCE(i2.inflow, 0) AS score
+                FROM (SELECT id, nn FROM nodes, t) b
+                LEFT JOIN i2 ON b.id = i2.dst),
+         i3 AS (SELECT e.dst, sum((s.score * 85) // (100 * o.outdeg)) AS inflow
+                FROM e JOIN s2 s ON e.src = s.id
+                JOIN outdeg o ON o.src = e.src GROUP BY 1),
+         s3 AS (SELECT b.id, (15 * 1000000000000 // (100 * b.nn)) +
+                  COALESCE(i3.inflow, 0) AS score
+                FROM (SELECT id, nn FROM nodes, t) b
+                LEFT JOIN i3 ON b.id = i3.dst)
+         SELECT id AS doc_id, CAST(score AS BIGINT) AS score_e12 FROM s3""",
 
     // all three booleans are numeric gates (PcaProbe calibration in
     // the query comment); the eigensolve itself is not SQL-replayable
