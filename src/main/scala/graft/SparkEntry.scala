@@ -1585,6 +1585,56 @@ object SparkEntry {
       pr.select(col("id").as("doc_id"), col("score_e12"))
     }),
 
+    // THE COMPOSED CRAWL-INGEST PIPELINE (r14): q145's sibling for the
+    // crawl side, under ONE oracle — WARC files → byte-walk record
+    // parse → HTML text extraction → URL canonicalization → canonical-
+    // URL dedup (even/odd doc pairs share a page, the odd twin
+    // differing only by tracking params + fragment: the dedup MUST
+    // fold them) → link-density/length quality gate. Every stage
+    // consumes the previous stage's output; the oracle replays the
+    // whole composition (the WARC leg as the identity it proves,
+    // HTML/URL legs by their regex chains). doc_id is recovered from
+    // the parsed record_id, not threaded through — the pipeline sees
+    // only what a real crawl consumer would.
+    "q159_crawl_pipeline" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val did = col("doc_id")
+      val page = (did - pmod(did, lit(2L))).cast("string")
+      val rawUrl = concat(
+        when(pmod(did, lit(2L)) === 0L, lit("HTTPS://")).otherwise(lit("https://")),
+        lit("WWW.crawl"),
+        pmod(did - pmod(did, lit(2L)), lit(5L)).cast("string"),
+        lit(".Example.org/page/"), page,
+        when(pmod(did, lit(2L)) === 1L,
+          lit("?utm_source=mirror&utm_medium=rss#ref")).otherwise(lit("")))
+      val html = concat(
+        lit("<html><head><title>Doc "), page, lit("</title></head>\n<body><p>"),
+        substring(col("text"), 1, 150), lit("</p>"),
+        array_join(array_repeat(lit("<a href=\"/l\">x</a>"),
+          pmod(did, lit(6L)).cast("int")), ""),
+        lit("</body></html>"))
+      val rec = ops.Warc.recordString(
+        concat(lit("<urn:uuid:"), did.cast("string"), lit(">")), rawUrl, html)
+      val parsed = ops.Pipeline.stage("warc_parse", ops.Warc.parseRecords(
+        ops.Warc.asWarcFiles(docs, pmod(did, lit(8L)), did, rec)))
+      val extracted = ops.Pipeline.stage("extract", parsed.select(
+        regexp_extract(col("record_id"), "<urn:uuid:([0-9]+)>", 1)
+          .cast("long").as("doc_id"),
+        ops.Url.normalizeUrl(col("target_uri")).as("url_norm"),
+        ops.Url.registrableDomain(ops.Url.host(col("target_uri"))).as("domain"),
+        ops.Html.extractTitle(col("payload_text")).as("title"),
+        ops.Html.extractText(col("payload_text")).as("body_text"),
+        ops.Html.linkDensityE6(col("payload_text")).as("link_density_e6")))
+      val w = Window.partitionBy(col("url_norm")).orderBy(col("doc_id"))
+      extracted
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1).drop("rk")
+        .filter(length(col("body_text")) >= 120 &&
+          col("link_density_e6") <= 2500000L)
+        .select(col("doc_id"), col("url_norm"), col("domain"), col("title"),
+          length(col("body_text")).cast("long").as("n_chars"),
+          col("link_density_e6"))
+    }),
+
     // (selective predicates keep the difference non-empty at test SFs —
     // with only ~150 users every unfiltered per-type user set is equal)
     "q50_except" -> ((s, dir) => {
@@ -3710,6 +3760,75 @@ object SparkEntry {
            CAST(strlen(payload) AS BIGINT) AS content_length,
            payload AS payload_text
          FROM d""",
+
+    // replays the FULL composition: synthesis, the WARC leg as the
+    // identity it proves, the q153 extract chain, the q154 normalize
+    // chain, canonical dedup, and the gate — one SQL statement
+    "q159_crawl_pipeline" ->
+      """WITH h AS (
+           SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END) ||
+               'WWW.crawl' || ((doc_id - (doc_id % 2)) % 5) ||
+               '.Example.org/page/' || (doc_id - (doc_id % 2)) ||
+               (CASE WHEN doc_id % 2 = 1
+                 THEN '?utm_source=mirror&utm_medium=rss#ref' ELSE '' END) AS url,
+             '<html><head><title>Doc ' || (doc_id - (doc_id % 2)) ||
+               '</title></head>' || chr(10) || '<body><p>' ||
+               substring(text, 1, 150) || '</p>' ||
+               repeat('<a href="/l">x</a>', CAST(doc_id % 6 AS INT)) ||
+               '</body></html>' AS html
+           FROM documents),
+         x AS (
+           SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(regexp_replace(
+                 lower(regexp_extract(url, '^([^/?#]*://[^/?#]*)', 1)) ||
+                   regexp_extract(url, '(?s)^[^/?#]*://[^/?#]*(.*)$', 1),
+                 '(?s)#.*', '', 'g'),
+                 '^(http://[^/:?#]*):80([/?#].*)?$', '\1\2'),
+                 '^(https://[^/:?#]*):443([/?#].*)?$', '\1\2'),
+                 '([?&])(utm_[a-z0-9]+|fbclid|gclid|msclkid)=[^&]*', '\1', 'g'),
+                 '([?&])&+', '\1', 'g'),
+                 '[?&]+$', '') AS url_norm,
+             lower(regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1)) AS host,
+             trim(regexp_replace(
+               regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1),
+               '[ \t\r\n]+', ' ', 'g')) AS title,
+             trim(regexp_replace(
+               replace(replace(replace(replace(replace(replace(replace(
+                 regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+                   '(?is)<script\b[^>]*>.*?</script>', '', 'g'),
+                   '(?is)<style\b[^>]*>.*?</style>', '', 'g'),
+                   '(?s)<!--.*?-->', '', 'g'),
+                   '(?s)<[^>]+>', ' ', 'g'),
+                 '&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',chr(39)),
+                 '&apos;',chr(39)),'&nbsp;',' '),'&amp;','&'),
+               '[ \t\r\n]+', ' ', 'g')) AS body_text,
+             CAST(len(regexp_extract_all(html, '(?is)<a\b[^>]*href', 0))
+               AS BIGINT) AS n_links
+           FROM h),
+         y AS (
+           SELECT doc_id, url_norm, title, body_text,
+             CASE WHEN regexp_extract(host,
+                 '([^.]+\.(?:co|com|org|net|ac|gov|edu)\.[a-z][a-z])$', 1) <> ''
+               THEN regexp_extract(host,
+                 '([^.]+\.(?:co|com|org|net|ac|gov|edu)\.[a-z][a-z])$', 1)
+               WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) <> ''
+               THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+               ELSE host END AS domain,
+             CASE WHEN length(body_text) = 0 THEN CAST(0 AS BIGINT)
+               ELSE CAST(floor(n_links * 100000000.0 / length(body_text))
+                 AS BIGINT) END AS link_density_e6
+           FROM x),
+         z AS (
+           SELECT y.*, row_number() OVER (PARTITION BY url_norm
+             ORDER BY doc_id) AS rk FROM y)
+         SELECT doc_id, url_norm, domain, title,
+           CAST(length(body_text) AS BIGINT) AS n_chars, link_density_e6
+         FROM z
+         WHERE rk = 1 AND length(body_text) >= 120
+           AND link_density_e6 <= 2500000""",
 
     // three unrolled integer-arithmetic iterations — '//' is DuckDB
     // integral division (both sides positive, so trunc == floor ==
