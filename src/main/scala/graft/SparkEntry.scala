@@ -1635,6 +1635,39 @@ object SparkEntry {
           col("link_density_e6"))
     }),
 
+    // PER-DOMAIN BOILERPLATE LINE REMOVAL (r14): the site-template pass
+    // (CCNet/trafilatura class) — a line carried by ≥ 60% of the SAME
+    // domain's pages is chrome, deleted from every page of that domain.
+    // The synthesis engineers every contract clause: a domain-specific
+    // NAV + footer (100% → removed), "Subscribe to our newsletter" hot
+    // in domains d0–d4 (every page) but on only ~20% of pages in d5–d9
+    // (SAME string, removed there vs KEPT — frequencies must never pool
+    // across domains), a per-doc body line (kept), and a 2-char "ad"
+    // line everywhere that minLen=3 exempts (kept even at 100% df).
+    // Thresholds are pure integer arithmetic (⌈n·frac/10⁶⌉ via div);
+    // only (domain, 8-byte line hash) rows enter the df exchange.
+    "q160_boilerplate_scrub" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val did = col("doc_id")
+      val dom = concat(lit("d"), pmod(did, lit(10L)).cast("string"))
+      val r = expr("doc_id div 10")
+      val synth = concat(
+        lit("NAV d"), pmod(did, lit(10L)).cast("string"),
+        lit(" | home | about"), lit("\n"),
+        when(pmod(did, lit(10L)) < 5L || pmod(r, lit(5L)) === 0L,
+          lit("Subscribe to our newsletter"))
+          .otherwise(concat(lit("Local news item "),
+            pmod(r, lit(11L)).cast("string"))), lit("\n"),
+        substring(col("text"), 1, 200), lit("\n"),
+        lit("ad"), lit("\n"),
+        lit("(c) d"), pmod(did, lit(10L)).cast("string"),
+        lit(" media group"))
+      ops.SpanScrub.scrubBoilerplateLines(
+        docs.select(did, dom.as("dom"), synth.as("text")),
+        "doc_id", "dom", "text",
+        minFracE6 = 600000L, minAbs = 2L, minLen = 3)
+    }),
+
     // (selective predicates keep the difference non-empty at test SFs —
     // with only ~150 users every unfiltered per-type user set is equal)
     "q50_except" -> ((s, dir) => {

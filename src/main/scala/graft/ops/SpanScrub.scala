@@ -144,4 +144,83 @@ object SpanScrub {
         .as("clean_text"),
       coalesce(size(col("__kill")), lit(0)).cast("long").as("removed_paras"))
   }
+
+  /** PER-DOMAIN boilerplate line removal — the site-template pass of a
+    * crawl pipeline (CCNet/trafilatura class): a LINE that appears on a
+    * large fraction of the SAME domain's pages is chrome (navigation,
+    * cookie banners, copyright footers), not content — it is deleted
+    * from every page of that domain, wherever it occurs. The domain
+    * grouping is what distinguishes this from [[dedupParagraphs]]
+    * (corpus-wide keep-FIRST): boilerplate has no "first legitimate
+    * occurrence" — every copy goes — and a line that is boilerplate on
+    * one site is legitimate content on another (a quote of a famous
+    * footer), so frequencies must never pool across domains.
+    *
+    * Hot threshold per domain: `df ≥ max(minAbs, ⌈minFracE6·nDocs/10⁶⌉)`
+    * — the fraction rides domain size (a 1M-page domain needs ~50% of
+    * pages, not 2) while `minAbs ≥ 2` keeps singleton domains inert (a
+    * fraction alone would mark EVERY line of a 1-page domain hot). All
+    * integer arithmetic (the e6 doctrine): the ceil is
+    * `(n·frac + 999999) div 10⁶`, engine-exact.
+    *
+    * Shape (the family doctrine):
+    *  1. explode → (id, domain, pos, xxhash64(line)): line STRINGS drop
+    *     before any exchange (the q108 8-byte-key contract); lines
+    *     shorter than `minLen` never participate ("" between structural
+    *     newlines, "Yes.") — they pass through untouched;
+    *  2. per-domain doc counts — domain-count-sized aggregate;
+    *  3. line df within domain: distinct (domain, id, h) then a
+    *     combinable count by (domain, h);
+    *  4. kill-list per doc = ALL positions of hot lines — boilerplate-
+    *     sized, AQE broadcasts it back;
+    *  5. rebuild map-side exactly like [[dedupParagraphs]] (split, drop
+    *     killed positions, rejoin — lossless for untouched docs).
+    *
+    * Output: (idCol, clean_text, removed_lines).
+    */
+  def scrubBoilerplateLines(df: DataFrame, idCol: String, domainCol: String,
+                            textCol: String, sep: String = "\n",
+                            minFracE6: Long = 500000L, minAbs: Long = 2L,
+                            minLen: Int = 1): DataFrame = {
+    require(sep.nonEmpty, "separator must be non-empty")
+    require(minFracE6 >= 0L && minFracE6 <= 1000000L,
+      s"minFracE6=$minFracE6 must be a fraction in e6 fixed point [0, 1000000]")
+    require(minAbs >= 2L,
+      s"minAbs=$minAbs must be >= 2: at 1 every line of every singleton-domain page is 'boilerplate'")
+    require(minLen >= 1, "minLen must be >= 1")
+    val qsep = java.util.regex.Pattern.quote(sep)
+    val text = col(textCol)
+    val lines = split(text, qsep, -1)
+    // persisted: the df aggregate and the kill join both consume the
+    // occurrence frame (the dedupParagraphs lifecycle; CacheScope.release)
+    val occ = CacheScope.persist(
+      df.select(col(idCol).as("__id"), col(domainCol).as("__dom"),
+          posexplode(lines))
+        .filter(length(col("col")) >= minLen)
+        .select(col("__id"), col("__dom"), col("pos").cast("long").as("pos"),
+          xxhash64(col("col")).as("h")))
+    val nDocs = df.groupBy(col(domainCol).as("__dom"))
+      .agg(count(lit(1)).as("__n"))
+    // distinct first: a line repeated WITHIN one page counts once
+    // toward "fraction of the domain's pages carrying it"
+    val ldf = occ.select(col("__dom"), col("__id"), col("h")).distinct()
+      .groupBy(col("__dom"), col("h")).agg(count(lit(1)).as("ldf"))
+    val hot = ldf.join(nDocs, "__dom")
+      .filter(col("ldf") >= greatest(lit(minAbs),
+        expr(s"(__n * ${minFracE6}L + 999999L) div 1000000L")))
+      .select(col("__dom"), col("h"))
+    val kills = occ.join(hot, Seq("__dom", "h"))
+      .groupBy(col("__id"))
+      .agg(array_sort(collect_list(col("pos"))).as("__kill"))
+    val joined = df.join(kills, df(idCol) === kills("__id"), "left")
+    val idx = transform(lines, (p, i) =>
+      struct(p.as("p"), i.cast("long").as("i")))
+    val kept = filter(idx, s => !array_contains(col("__kill"), s.getField("i")))
+    joined.select(
+      df(idCol),
+      when(col("__kill").isNull, text)
+        .otherwise(array_join(transform(kept, s => s.getField("p")), sep))
+        .as("clean_text"),
+      coalesce(size(col("__kill")), lit(0)).cast("long").as("removed_lines"))
+  }
 }
