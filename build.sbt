@@ -30,5 +30,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32g: local[32] puts driver AND all 32 executor threads in ONE JVM;
+  // at 8g the unified memory pool (~4.6 GB) plus the bench's session-
+  // lifetime listener/cleaner state ran the old gen full and inflated
+  // later queries' in-suite times up to 7x vs cold-isolated (r14
+  // verdict #1). The machine has 128 GiB; headroom is the cheap fix.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

@@ -154,6 +154,13 @@ object Bench {
         releaseAll(spark)
         r
       }
+      // Heap telemetry (r14 verdict #1: in-suite inflation must be
+      // adjudicable from the record): used heap AFTER the final
+      // release+GC is retained session state — if this line climbs
+      // across the suite, whatever grows it is what contaminates later
+      // queries' timed windows. stderr: the driver parses stdout.
+      val rt = Runtime.getRuntime
+      System.err.println(f"[bench] $name reps=${runs.map(r => f"${r._1}%.2f").mkString(",")} heapUsedGB=${(rt.totalMemory - rt.freeMemory) / 1e9}%.2f")
       (name, median(runs.map(_._1)), runs.map(_._1), runs.exists(_._2))
     }
     val detail = results.map { case (k, _, runs, _) =>
@@ -175,16 +182,31 @@ object Bench {
       java.nio.file.Files.write(java.nio.file.Paths.get(repsFile),
         (repLine + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
-    // Final parseable line LAST and SHORT: the driver's tail capture
-    // truncates long lines from the front (r6 and r7 both lost the
-    // official total that way) and parses the FINAL JSON line — medians
-    // at %.2f under "qNN" short keys (~1.2 KB at 105 queries; at ~120
-    // queries move the medians map to the penultimate line).
-    val medians = results.map { case (k, m, _, _) =>
+    // Final parseable line LAST and SHORT: the driver's tail capture is
+    // 2000 BYTES and truncates long lines from the FRONT (r6 and r7
+    // lost the official total that way; r13 AND r14 had parsed=null in
+    // BENCH_r{N}.json because the 146/148-query medians map pushed the
+    // final line past 2 KB and the cut line no longer parsed). At 161
+    // queries the full map is ~2.1 KB, so it moves to its own
+    // penultimate-ish line AND the reps file; the final line carries
+    // only the top-20 slowest medians (~350 B) plus the totals — under
+    // the capture with room to grow.
+    val mediansAll = results.map { case (k, m, _, _) =>
       "\"" + k.takeWhile(_ != '_') + "\":" +
         String.format(java.util.Locale.ROOT, "%.2f", Double.box(m))
     }.mkString("{", ",", "}")
+    val medians = results.sortBy(-_._2).take(20).map { case (k, m, _, _) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" +
+        String.format(java.util.Locale.ROOT, "%.2f", Double.box(m))
+    }.mkString("{", ",", "}")
+    val medLine = s"""{"metric":"medians","queries":$mediansAll,"sf":"$sfDir"}"""
     println(repLine)
+    println(medLine)
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(repsFile),
+        (medLine + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case _: Throwable => () }
     // Isolated cross-check (r12 verdict ask #8): re-run the 10 heaviest
     // queries in a FRESH SparkContext — new block manager, new shuffle
     // dirs, none of the 143-query sequence's retained state — so an
@@ -227,6 +249,6 @@ object Bench {
         java.nio.file.StandardOpenOption.APPEND)
     } catch { case _: Throwable => () }
     println(isoLine)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$medians,"errors":$errs,"warmed":$warmed,"reps_file":"$repsFile","method":"median of $reps cold reps; one-time artifacts prebuilt; blocking releaseAll off the timed path; isolated cross-check on penultimate line","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$medians,"errors":$errs,"warmed":$warmed,"reps_file":"$repsFile","method":"median of $reps cold reps; artifacts prebuilt; releaseAll off timed path; queries=top-20 slowest medians, FULL medians + isolated cross-check in reps_file","sf":"$sfDir"}""")
   }
 }

@@ -62,6 +62,22 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Status-store retention caps (r15 bench-instrument fix): even
+      // with the UI off, AppStatusListener + SQLAppStatusListener
+      // retain per-job/stage/task rows and per-execution PLAN GRAPHS
+      // in driver heap — defaults keep 1000 jobs/stages, 100k tasks
+      // and 1000 SQL executions. A 160-query × 3-rep bench in ONE
+      // session accumulates thousands of executions whose retained
+      // plan strings/metrics grow the old gen until GC pressure
+      // contaminates later queries' timed windows (r14: q145 90.6 s
+      // in-suite vs 13.3 s isolated on identical code). Nothing in
+      // this repo reads the status APIs; cap them near zero. Same
+      // knobs, same reason, on a real cluster driver.
+      .config("spark.ui.retainedJobs", "50")
+      .config("spark.ui.retainedStages", "50")
+      .config("spark.ui.retainedTasks", "500")
+      .config("spark.ui.retainedDeadExecutors", "0")
+      .config("spark.sql.ui.retainedExecutions", "5")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

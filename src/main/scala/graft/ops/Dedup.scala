@@ -568,12 +568,39 @@ object Dedup {
     * holds — only cost degrades).
     */
   def hammingPairs(sigs: DataFrame, idCol: String, sigCol: String,
-                   maxHamming: Int): DataFrame = {
+                   maxHamming: Int): DataFrame =
+    hammingPairs(sigs, idCol, sigCol, maxHamming, corpusSizeHint = None)
+
+  /** `corpusSizeHint` makes the cost cliff CORPUS-SIZE-AWARE (r13/r14
+    * ADVICE): with a hint the expected candidate volume
+    * ~ nChunks · n²/2^width is computed up front, logged, and REFUSED
+    * (require) past 10^12 candidates — at that point the "blocked"
+    * join is a cross product in disguise and the caller must lower the
+    * radius or pre-partition. Without a hint (the corpus size may not
+    * be known plan-time; counting here would add a job) the static
+    * high-radius warning still fires.
+    */
+  def hammingPairs(sigs: DataFrame, idCol: String, sigCol: String,
+                   maxHamming: Int, corpusSizeHint: Option[Long]): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
       s"maxHamming=$maxHamming: h+1 chunks need width >= 4 bits (h <= 15)")
-    if (maxHamming > 7)
+    val width = 64 / (maxHamming + 1)
+    corpusSizeHint.foreach { n =>
+      val perChunk = n.toDouble * n.toDouble / math.pow(2.0, width.toDouble)
+      val est = perChunk * (maxHamming + 1)
+      require(est <= 1e12,
+        f"hammingPairs: ~$est%.2g expected candidate pairs at n=$n, " +
+          f"maxHamming=$maxHamming ($width-bit chunk keys) — effectively a " +
+          "cross product; lower the radius (<= 7 keeps >= 8-bit keys) or " +
+          "block on more bits")
+      if (est > 1e9)
+        System.err.println(f"[graft.dedup] hammingPairs: ~$est%.2g expected " +
+          f"candidate pairs at n=$n, maxHamming=$maxHamming — heavy but " +
+          "bounded; consider radius <= 7")
+    }
+    if (maxHamming > 7 && corpusSizeHint.isEmpty)
       System.err.println(s"[graft.dedup] hammingPairs maxHamming=$maxHamming " +
-        s"blocks on ${64 / (maxHamming + 1)}-bit chunk keys — candidate " +
+        s"blocks on $width-bit chunk keys — candidate " +
         "volume approaches quadratic; radii <= 7 keep >= 8-bit keys")
     // persist: both sides of the chunk self-join consume the signatures,
     // and the caller's signature computation (e.g. an image decode

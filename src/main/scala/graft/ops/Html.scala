@@ -67,6 +67,31 @@ object Html {
         regexp_replace(dropPayloadBlocks(html), "(?s)<[^>]+>", " ")),
       "[ \\t\\r\\n]+", " "))
 
+  /** Visible text with BLOCK STRUCTURE kept: block-level tag
+    * boundaries (`p div br li ul ol h1-h6 tr table title head body
+    * html section article header footer blockquote pre`) become
+    * newlines, inline tags become spaces, then per-line whitespace is
+    * collapsed, line edges trimmed, and blank lines dropped — the
+    * newline-joined lines are what a per-domain boilerplate pass
+    * ([[SpanScrub.scrubBoilerplateLines]]) needs: one DOM block ≈ one
+    * line, so a nav bar or footer is a single removable unit instead
+    * of being fused into the prose ([[extractText]] deliberately
+    * collapses ALL whitespace and is the right call for dedup
+    * shingling, wrong for line-frequency statistics). Same codegen'd
+    * regexp chain discipline as [[extractText]]: no `\s`, no
+    * lookaround, replayable by an external SQL engine step for step.
+    */
+  def extractTextLines(html: Column): Column = {
+    val blockTag = "(?i)</?(?:p|div|br|li|ul|ol|h[1-6]|tr|table|title|head|" +
+      "body|html|section|article|header|footer|blockquote|pre)\\b[^>]*>"
+    val blocks = regexp_replace(dropPayloadBlocks(html), blockTag, "\n")
+    val decoded = decodeEntities(regexp_replace(blocks, "(?s)<[^>]+>", " "))
+    val oneSpace = regexp_replace(decoded, "[ \\t\\r]+", " ")
+    val trimmedLines = regexp_replace(oneSpace, "[ ]*\\n[ ]*", "\n")
+    val noBlank = regexp_replace(trimmedLines, "\\n+", "\n")
+    regexp_replace(noBlank, "^[\\n ]+|[\\n ]+$", "")
+  }
+
   /** `<title>` content (first occurrence), entity-decoded and
     * whitespace-collapsed; empty string when absent — a crawl-scale
     * pipeline wants a total function, not a null to trip joins.

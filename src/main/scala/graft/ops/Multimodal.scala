@@ -228,7 +228,21 @@ object Multimodal {
     */
   def syntheticMp4(timescale: Column, duration: Column,
                    width: Column, height: Column): Column = {
-    def be32(v: Column): Column = lpad(hex(v.cast("long")), 8, "0")
+    // u32 range guard (r14 ADVICE): hex() of a value ≥ 2^32 is >8 chars
+    // and lpad would TRUNCATE to the left 8 — a silently corrupt box
+    // size, the opposite of the fail-loud doctrine for bad parameters.
+    // coalesce(assert_true(...).cast, v) is the un-prunable guard shape
+    // (q137): assert_true yields NULL when the range holds, so coalesce
+    // returns v; out of range it throws in-plan.
+    def be32(v: Column): Column = {
+      val lv = v.cast("long")
+      val guarded = coalesce(
+        assert_true(lv >= 0L && lv <= 4294967295L,
+          concat(lit("syntheticMp4: field out of u32 range: "),
+            lv.cast("string"))).cast("long"),
+        lv)
+      lpad(hex(guarded), 8, "0")
+    }
     val mvhd = concat(
       lit("0000006C"), lit("6D766864"), // size 108, "mvhd"
       lit("00000000"),                  // version 0 + flags
@@ -908,8 +922,12 @@ object Multimodal {
     val e = new Array[Long](65)
     var j = 0
     while (j < 65) {
-      val lo = j * n / 65
-      val hi = (j + 1) * n / 65
+      // boundaries in Long: j·n at j=64 overflows Int past ~33M samples
+      // (a ~12-minute 44.1 kHz WAV — realistic in a crawl corpus) and a
+      // negative index would throw inside the scan, violating the
+      // never-throws decode contract (r14 ADVICE)
+      val lo = (j.toLong * n / 65).toInt
+      val hi = ((j + 1).toLong * n / 65).toInt
       var s = 0L
       var k = lo
       while (k < hi) { s += math.abs(pcm(k).toLong); k += 1 }

@@ -55,17 +55,25 @@ object Pca {
       (eigenvalues.sum - eigenvalues.take(k).sum) / d
   }
 
-  /** (n, Σx, upper ΣxxT) one-pass moment accumulator. Public only
-    * because `Encoders.kryo` refuses non-public classes; not API.
+  /** (n, Σx, upper ΣxxT) one-pass moment accumulator. `s`/`ss` are
+    * null until the first vector arrives — the dimension comes from
+    * the DATA, so the fit needs no separate dim-probe job (r14 verdict
+    * hygiene: the old `probe.head()` was an extra tiny job per fit).
+    * Public only because `Encoders.kryo` refuses non-public classes;
+    * not API.
     */
   final class Moments(var n: Long, var s: Array[Double],
                       var ss: Array[Double]) extends Serializable
 
-  private def momentsAgg(d: Int): Aggregator[Seq[Float], Moments, Moments] =
+  private def momentsAgg(): Aggregator[Seq[Float], Moments, Moments] =
     new Aggregator[Seq[Float], Moments, Moments] {
-      override def zero: Moments =
-        new Moments(0L, new Array[Double](d), new Array[Double](d * (d + 1) / 2))
+      override def zero: Moments = new Moments(0L, null, null)
       override def reduce(b: Moments, x: Seq[Float]): Moments = {
+        if (b.s == null) {
+          b.s = new Array[Double](x.length)
+          b.ss = new Array[Double](x.length * (x.length + 1) / 2)
+        }
+        val d = b.s.length
         require(x.length == d, s"vector dim ${x.length} != fitted d=$d")
         val v = new Array[Double](d)
         var i = 0
@@ -80,6 +88,10 @@ object Pca {
         b.n += 1; b
       }
       override def merge(a: Moments, b: Moments): Moments = {
+        if (a.s == null) return b
+        if (b.s == null) return a
+        require(a.s.length == b.s.length,
+          s"moment partials disagree on dim: ${a.s.length} vs ${b.s.length}")
         var i = 0
         while (i < a.s.length) { a.s(i) += b.s(i); i += 1 }
         i = 0
@@ -183,12 +195,12 @@ object Pca {
     val spark = df.sparkSession
     import spark.implicits._
     val probe = df.select(col(vecCol)).as[Seq[Float]](ExpressionEncoder())
-    // dimension from ONE row (model-sized eager probe, the documented
-    // Similarity pattern), then the single full pass
-    val d = probe.head().length
-    require(k > 0 && k <= d, s"k=$k out of range for d=$d")
-    val mom = probe.select(momentsAgg(d).toColumn).head()
+    // ONE pass total: the aggregator discovers the dimension from the
+    // first vector it sees (no separate dim-probe job — r14 hygiene)
+    val mom = probe.select(momentsAgg().toColumn).head()
     require(mom.n > 1, s"fitPca: need >1 vectors, got ${mom.n}")
+    val d = mom.s.length
+    require(k > 0 && k <= d, s"k=$k out of range for d=$d")
     val n = mom.n.toDouble
     val mean =
       if (centered) mom.s.map(_ / n) else new Array[Double](d)
@@ -240,6 +252,14 @@ object Pca {
     * the measurement that catches a broken eigensolver). `compT` is
     * the transposed component matrix so the inner fold per coordinate
     * touches one literal row.
+    *
+    * CALLER CONTRACT: `proj` must be a MATERIALIZED column (a
+    * persisted stage boundary or at least a read-back attribute) — the
+    * rebuild references it once per output coordinate, and Catalyst
+    * inlines (never CSEs) interpreted higher-order subtrees, so
+    * passing `project(...)` inline re-evaluates the k·d projection d
+    * times: O(d²·k) per row, measured 24 s vs ~2 s at sf0.1 (r14
+    * verdict #2).
     */
   def reconstructionSqErr(vec: Column, proj: Column, model: PcaModel): Column = {
     val d = model.d

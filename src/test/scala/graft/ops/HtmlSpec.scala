@@ -65,4 +65,26 @@ class HtmlSpec extends SparkSpec {
     val df = Seq("<p></p>").toDF("h")
     assert(df.select(Html.linkDensityE6(col("h"))).as[Long].head() === 0L)
   }
+
+  private def lines(h: String): String =
+    Seq(h).toDF("h").select(Html.extractTextLines(col("h"))).as[String].head()
+
+  test("extractTextLines: blocks become lines, inline tags stay in-line") {
+    val h = "<html><head><title>T</title></head><body>" +
+      "<div>nav | <a href=\"/\">home</a></div>" +
+      "<p>one <b>bold</b> para</p><p>two</p></body></html>"
+    assert(lines(h) === "T\nnav | home\none bold para\ntwo")
+  }
+
+  test("extractTextLines: blank lines drop, edges trim, entities decode") {
+    val h = "<body>\n\n<p>  a &amp; b  </p><div></div><br><p>c</p>\n</body>"
+    assert(lines(h) === "a & b\nc")
+    // script payload never sheds a line
+    assert(lines("<body><script>var x=1;\n</script><p>only</p></body>")
+      === "only")
+  }
+
+  test("extractTextLines: all-markup input gives the empty string") {
+    assert(lines("<html><body><div></div></body></html>") === "")
+  }
 }

@@ -129,4 +129,67 @@ class SpanScrubSpec extends SparkSpec {
       .map(r => r._1 -> ((r._2, r._3))).toMap
     assert(again == strict)
   }
+
+  private def runBoiler(docs: Seq[(Long, String, String)],
+                        minFracE6: Long = 600000L, minAbs: Long = 2L,
+                        minLen: Int = 3): Map[Long, (String, Long)] =
+    SpanScrub.scrubBoilerplateLines(
+        docs.toDF("doc_id", "dom", "text"), "doc_id", "dom", "text",
+        minFracE6 = minFracE6, minAbs = minAbs, minLen = minLen)
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+  test("scrubBoilerplateLines: frequencies never pool across domains") {
+    // "Subscribe now" is on EVERY page of domain a (hot, removed) but
+    // on only 1 of 3 pages of domain b (cold there, KEPT) — the q160
+    // d0-d4 vs d5-d9 contract in miniature
+    val docs = Seq(
+      (1L, "a", "Subscribe now\nbody one"),
+      (2L, "a", "Subscribe now\nbody two"),
+      (3L, "a", "Subscribe now\nbody three"),
+      (4L, "b", "Subscribe now\nother body"),
+      (5L, "b", "fresh content\nmore text"),
+      (6L, "b", "unrelated page\nlast text"))
+    val out = runBoiler(docs)
+    assert(out(1L) == (("body one", 1L)), out(1L))
+    assert(out(2L) == (("body two", 1L)))
+    // domain b: df("Subscribe now") = 1 < ceil(3*0.6) = 2 → kept
+    assert(out(4L) == (("Subscribe now\nother body", 0L)), out(4L))
+    assert(out(5L) == (("fresh content\nmore text", 0L)))
+  }
+
+  test("scrubBoilerplateLines: minLen exempts short lines even at 100% df") {
+    // "ad" (2 chars < minLen=3) is on every page but never
+    // participates; the 3-char "nav" IS removed
+    val docs = Seq(
+      (1L, "a", "nav\nad\nunique body 1"),
+      (2L, "a", "nav\nad\nunique body 2"),
+      (3L, "a", "nav\nad\nunique body 3"))
+    val out = runBoiler(docs)
+    assert(out(1L) == (("ad\nunique body 1", 1L)), out(1L))
+    // raising minLen past "nav" keeps everything
+    val lax = runBoiler(docs, minLen = 4)
+    assert(lax(1L) == (("nav\nad\nunique body 1", 0L)))
+  }
+
+  test("scrubBoilerplateLines: minAbs keeps singleton domains inert; every copy goes") {
+    val docs = Seq(
+      // singleton domain: ceil(1*0.6)=1 but minAbs=2 → nothing hot
+      (1L, "solo", "only page\nof this domain"),
+      // hot line repeated WITHIN a page: df counts distinct docs (2 of
+      // 2 ≥ 2), and removal kills ALL positions including the repeat
+      (2L, "c", "footer line\nbody two\nfooter line"),
+      (3L, "c", "footer line\nbody three"))
+    val out = runBoiler(docs)
+    assert(out(1L) == (("only page\nof this domain", 0L)))
+    assert(out(2L) == (("body two", 2L)), out(2L))
+    assert(out(3L) == (("body three", 1L)))
+    // determinism under repartition
+    val again = SpanScrub.scrubBoilerplateLines(
+        docs.toDF("doc_id", "dom", "text").repartition(5),
+        "doc_id", "dom", "text", minFracE6 = 600000L, minAbs = 2L, minLen = 3)
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(again == out)
+  }
 }

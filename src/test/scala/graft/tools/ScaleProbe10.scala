@@ -197,6 +197,94 @@ object ScaleProbe10 {
         graft.ops.Sessionize.assignSessions(ev, "user_id", "ts", "event_id", 1800L))
       time("q124_trailing", mult)(
         graft.ops.TimeFeatures.trailingStats(ev, "user_id", "ts", "value", 3600L))
+      // r14 additions (r15 verdict ask #6): the crawl/link/PCA family.
+      // q153/q154 are narrow codegen'd projections — the filter
+      // references every output so Catalyst cannot prune the extraction
+      // (the q114 probe trap).
+      val didC = col("doc_id")
+      val urlC = concat(lit("HTTPS://WWW.crawl"),
+        pmod(didC, lit(5L)).cast("string"),
+        lit(".Example.org/p/"), didC.cast("string"),
+        lit("?utm_source=probe&id="), pmod(didC, lit(7L)).cast("string"),
+        lit("#f"))
+      val htmlC = concat(lit("<html><head><title>T "), didC.cast("string"),
+        lit("</title></head><body><div>nav | home</div><p>"),
+        substring(col("text"), 1, 200),
+        lit("</p><a href=\"/l\">x</a></body></html>"))
+      time("q153_htmlextract", mult)(
+        d.select(graft.ops.Html.extractText(htmlC).as("t"),
+            graft.ops.Html.extractTitle(htmlC).as("ti"),
+            graft.ops.Html.linkDensityE6(htmlC).as("ld"))
+          .filter(length(col("t")) + length(col("ti")) + col("ld") >= 0))
+      time("q154_urlnorm", mult)(
+        d.select(graft.ops.Url.normalizeUrl(urlC).as("u"),
+            graft.ops.Url.host(urlC).as("h"))
+          .filter(length(col("u")) + length(col("h")) >= 1))
+      // q155: blob build (groupBy file_id concat) + byte-walk parse.
+      // FILE COUNT is the 100 TB dial: a fixed file count would grow
+      // each blob with the corpus and serialize the concat — the probe
+      // scales files with the corpus (the deployment contract:
+      // bounded records/file), so both stages should stay ~linear.
+      val recC = graft.ops.Warc.recordString(
+        concat(lit("<urn:uuid:"), didC.cast("string"), lit(">")), urlC,
+        substring(col("text"), 1, 150))
+      time("q155_warc", mult)(
+        graft.ops.Warc.parseRecords(
+          graft.ops.Warc.asWarcFiles(d, pmod(didC, lit(8L * mult)), didC,
+            recC)))
+      // q156 core: the one-pass moment fit (d+d(d+1)/2 doubles per
+      // partition, map-side combined — the distributed part; the
+      // eigensolve is driver-side O(d³) and corpus-independent). fit
+      // runs its action eagerly inside the timed block.
+      time("q156_pcafit", mult) {
+        val m = graft.ops.Pca.fit(e, "embedding", 32)
+        import spark.implicits._
+        Seq((m.n, m.trace)).toDF("n", "trace")
+      }
+      // q158: the shipped shape — synthesized 1-3 out-edges/node,
+      // 3 damped integer rounds over localCheckpointed pre-partitioned
+      // edges. Per-round cost is |V| + map-side-combined |E|→|V|.
+      time("q158_pagerank", mult) {
+        val nDf = d.agg(count(lit(1)).as("n"))
+        val edges = d.crossJoin(broadcast(nDf))
+          .select(col("doc_id"), col("n"),
+            explode(sequence(lit(1L), lit(1L) + pmod(col("doc_id"), lit(3L))))
+              .as("k"))
+          .select(col("doc_id").as("src"),
+            pmod(col("doc_id") * 31L + col("k") * 17L, col("n")).as("dst"))
+        graft.ops.Graph.pageRank(edges, "src", "dst", iters = 3)
+      }
+      // q159 composition core: WARC → parse → extract → canonical-URL
+      // argmin dedup → gate (the shipped stage chain minus persists —
+      // single-reference here).
+      time("q159_crawl", mult) {
+        val parsed = graft.ops.Warc.parseRecords(
+          graft.ops.Warc.asWarcFiles(d, pmod(didC, lit(8L * mult)), didC,
+            graft.ops.Warc.recordString(
+              concat(lit("<urn:uuid:"), didC.cast("string"), lit(">")),
+              urlC, htmlC)))
+        val ex = parsed.select(
+          regexp_extract(col("record_id"), "<urn:uuid:([0-9]+)>", 1)
+            .cast("long").as("doc_id"),
+          graft.ops.Url.normalizeUrl(col("target_uri")).as("url_norm"),
+          graft.ops.Html.extractText(col("payload_text")).as("body"))
+        ex.groupBy(col("url_norm"))
+          .agg(min(struct(col("doc_id"), col("body"))).as("w"))
+          .filter(length(col("w.body")) >= 50)
+      }
+      // q160 scrub core: domain count FIXED as the corpus grows (the
+      // realistic regime — sites don't multiply with pages), so
+      // per-domain line-df groups grow linearly; only (dom, 8-byte
+      // hash) rows enter the exchange.
+      time("q160_boiler", mult)(
+        graft.ops.SpanScrub.scrubBoilerplateLines(
+          d.select(didC,
+            concat(lit("d"), pmod(didC, lit(10L)).cast("string")).as("dom"),
+            concat(lit("NAV | home\n"), substring(col("text"), 1, 200),
+              lit("\n(c) footer")).as("text")),
+          "doc_id", "dom", "text",
+          minFracE6 = 600000L, minAbs = 2L, minLen = 3)
+          .filter(length(col("clean_text")) >= 0))
     }
     spark.stop()
   }
