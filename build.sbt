@@ -36,4 +36,23 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // later queries' in-suite times up to 7x vs cold-isolated (r14
   // verdict #1). The machine has 128 GiB; headroom is the cheap fix.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // -Xms == -Xmx: Bench.releaseAll's explicit full GC otherwise lets
+  // G1 UNCOMMIT the freed regions (MaxHeapFreeRatio shrink), and the
+  // next timed rep re-commits gigabytes of zeroed pages mid-window —
+  // measured as 11.5 s vs 27 s bistable reps of the same q145 plan
+  // even after the ContextCleaner storm was fully quiesced (r15).
+  // A floor equal to the cap makes committed heap monotone: pages
+  // fault in once per JVM, never inside a later timed window.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // JIT code cache: the decisive fix for the r14 in-suite bench
+  // inflation (q145 90.6 s in-suite vs 13.3 s isolated). Every rep of
+  // every query generates FRESH whole-stage-codegen classes (exprIds
+  // differ, so the 100-entry source-keyed codegen cache can't hit),
+  // and 160 queries x 3 reps overflow the 240 MB default reserved
+  // code cache; the sweeper then flushes hot compiled methods and
+  // random reps run partly interpreted — measured on q145: same 1535
+  // tasks/107 stages but 1.6x taskCpu and 5x executorDeserializeTime,
+  // bistable 9.5-80 s. At 1g the reps are stable (9.2-10.8 s after
+  // JIT warm-up). Applies to tests too (same suite-length effect).
+  "-XX:ReservedCodeCacheSize=1g",
 )

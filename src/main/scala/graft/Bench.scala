@@ -34,13 +34,41 @@ object Bench {
     // blocking sweep, clearing the SQL cache and draining the registry
     // are pure bookkeeping (every block is already gone; unpersist is
     // idempotent).
-    spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = true))
+    // Bisect knob for instrument forensics (SEQ mode): a comma list of
+    // stages to SKIP — "unpersist", "drain", "gc".
+    val skip = sys.env.getOrElse("SPARK_GRAFT_RELEASE_SKIP", "")
+      .split(",").toSet
+    if (!skip("unpersist")) {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+    }
     spark.catalog.clearCache()
     ops.CacheScope.release(spark)
-    System.gc()
-    Thread.sleep(300)
-    System.gc()
+    // Drain shuffle cleanup SYNCHRONOUSLY before the GC (r15): the GC
+    // hands the finished rep's dead shuffles to the ContextCleaner,
+    // whose ASYNC removal RPCs would otherwise execute inside the NEXT
+    // timed window and contend with stage submission on the
+    // single-threaded BlockManagerMaster endpoint. (Attribution note:
+    // the r14 record's 7x in-suite inflation turned out to be
+    // DOMINATED by JIT code-cache flushing — see ReservedCodeCacheSize
+    // in build.sbt — but the drain keeps disk/metadata cleanup off the
+    // timed path and makes the GC-found refs cheap no-ops, and the
+    // SEQ-mode diskFiles telemetry shows it holds /tmp flat.)
+    if (!skip("drain"))
+      org.apache.spark.graft.ShuffleDrain.drain(spark.sparkContext)
+    // ...then GC and WAIT until the ContextCleaner's reference buffer
+    // stabilizes: the leftover refs (broadcasts/accumulators — after an
+    // artifact-build phase, thousands) are individually cheap but their
+    // async removals still took whole seconds inside the next rep's
+    // window (measured: first post-artifacts rep 41.9 s with the drain
+    // alone vs ~16 s once quiesced). The fixed gc/sleep/gc it replaces
+    // bounded the wait at 300 ms regardless of queue depth.
+    if (!skip("gc")) {
+      val (w, s0, s1) =
+        org.apache.spark.graft.ShuffleDrain.quiesce(spark.sparkContext)
+      if (sys.env.contains("SPARK_GRAFT_BENCH_SEQ"))
+        System.err.println(s"[release] quiesce waited=${w}ms buf=$s0->$s1")
+    }
   }
 
   // ONE definition of the session configs (round-2 postmortem: Bench
@@ -116,6 +144,90 @@ object Bench {
         spark.stop()
         return
       case None => ()
+    }
+    // Bisect mode (r15 instrument forensics): run an explicit comma-list
+    // of queries IN ORDER with the standard warmup/artifacts/releaseAll
+    // instrument, one rep each unless SPARK_GRAFT_BENCH_REPS says
+    // otherwise — for finding which predecessor contaminates a later
+    // query's timed window (the q145 in-suite inflation).
+    sys.env.get("SPARK_GRAFT_BENCH_SEQ").foreach { seq =>
+      val warmed0 = warmUp(spark, sfDir)
+      try SparkEntry.prepareArtifacts(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] prepareArtifacts failed: $e") }
+      releaseAll(spark)
+      val reps0 = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt)
+      // spark-local-dir footprint (shuffle + block files): growth here
+      // across the sequence is state releaseAll cannot drop
+      def diskStat(): (Long, Long) = {
+        val tmp = new java.io.File(
+          sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+        val roots = Option(tmp.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith("blockmgr-") ||
+            f.getName.startsWith("spark-"))
+        var files = 0L; var bytes = 0L
+        def walk(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(walk)
+          else { files += 1; bytes += f.length() }
+        }
+        roots.foreach(walk)
+        (files, bytes)
+      }
+      val noRelease = sys.env.contains("SPARK_GRAFT_BENCH_NORELEASE")
+      // per-rep JVM telemetry: where does a slow rep's wall go?
+      import scala.jdk.CollectionConverters._
+      def gcMs(): Long = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+      def jitMs(): Long = java.lang.management.ManagementFactory
+        .getCompilationMXBean.getTotalCompilationTime
+      def cpuMs(): Long =
+        java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+          case os: com.sun.management.OperatingSystemMXBean =>
+            os.getProcessCpuTime / 1000000L
+          case _ => -1L
+        }
+      // task/stage census: a slow rep with ~4x the TASKS is recompute
+      // (eviction/lost blocks); same tasks but more run time is
+      // per-task slowdown
+      val census = new org.apache.spark.scheduler.SparkListener {
+        val tasks = new java.util.concurrent.atomic.AtomicLong
+        val stages = new java.util.concurrent.atomic.AtomicLong
+        val runMs = new java.util.concurrent.atomic.AtomicLong
+        val cpuMs = new java.util.concurrent.atomic.AtomicLong
+        val deserMs = new java.util.concurrent.atomic.AtomicLong
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          tasks.incrementAndGet()
+          val m = te.taskMetrics
+          if (m != null) {
+            runMs.addAndGet(m.executorRunTime)
+            cpuMs.addAndGet(m.executorCpuTime / 1000000L)
+            deserMs.addAndGet(m.executorDeserializeTime)
+          }
+        }
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          stages.incrementAndGet()
+        def snap(): (Long, Long, Long, Long, Long) =
+          (tasks.get, stages.get, runMs.get, cpuMs.get, deserMs.get)
+      }
+      spark.sparkContext.addSparkListener(census)
+      seq.split(",").filter(_.nonEmpty).foreach { name =>
+        val runs = (0 until reps0).map { _ =>
+          val (g0, j0, c0) = (gcMs(), jitMs(), cpuMs())
+          val (t0, s0, r0, tc0, d0) = census.snap()
+          val r = runTimed(spark, name, sfDir)
+          val (t1, s1, r1, tc1, d1) = census.snap()
+          System.err.println(f"[rep] $name t=${r._1}%.2f gc=${gcMs() - g0}ms jit=${jitMs() - j0}ms cpu=${cpuMs() - c0}ms tasks=${t1 - t0} stages=${s1 - s0} taskRun=${r1 - r0}ms taskCpu=${tc1 - tc0}ms deser=${d1 - d0}ms")
+          if (noRelease) spark.catalog.clearCache() else releaseAll(spark)
+          r
+        }
+        val rt = Runtime.getRuntime
+        val (df0, db0) = diskStat()
+        println(f"SEQ $name reps=${runs.map(r => f"${r._1}%.2f").mkString(",")} err=${runs.exists(_._2)} heapGB=${(rt.totalMemory - rt.freeMemory) / 1e9}%.2f diskFiles=$df0 diskMB=${db0 / 1000000}")
+      }
+      spark.stop()
+      return
     }
     // Warm the JVM/codegen/scan paths once so the first timed query
     // doesn't absorb session startup (see warmUp).

@@ -1567,7 +1567,12 @@ object SparkEntry {
     "q157_pca_ann_gate" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       val vid = col("vec_id")
-      val structured = emb.select(vid,
+      // staged: the synthesis transform is ~512 interpreted HOF ops per
+      // row, and its consumers (fit pass, projection, both sides of two
+      // brute-force joins) would each re-inline it via CollapseProject —
+      // the q156 materialization lesson applies to the synth too
+      // (measured: 17 s inline vs ~2 s staged at sf0.1)
+      val structured = ops.Pipeline.stage("pca_ann_synth", emb.select(vid,
         transform(sequence(lit(0), lit(63)), i => {
           val sig = (0 until 8).map { j =>
             val cj = pmod(vid * 31L + lit(j * 17L), lit(97L)).cast("double") /
@@ -1579,14 +1584,17 @@ object SparkEntry {
           val eps = (pmod(vid * 7L + i.cast("long") * 3L, lit(11L))
             .cast("double") - 5.0) / 5.0 * 0.02
           (sig + eps).cast("float")
-        }).as("embedding"))
+        }).as("embedding")))
       // the retrieval-correct fit: uncentered second moment (truncated
       // SVD) — PcaSpec measures how the centered fit can lose the
       // mean direction full-space cosine is dominated by
       val m = ops.Pca.fit(structured, "embedding", 32, centered = false)
-      val reduced = structured.select(col("vec_id"),
-        transform(ops.Pca.project(col("embedding"), m, center = false),
-          y => y.cast("float")).as("embedding"))
+      // reduced is consumed by BOTH sides of the brute-force join —
+      // stage it so the projection runs once per row, not per consumer
+      val reduced = ops.Pipeline.stage("pca_ann_reduced",
+        structured.select(col("vec_id"),
+          transform(ops.Pca.project(col("embedding"), m, center = false),
+            y => y.cast("float")).as("embedding")))
       recallGate(
         Similarity.bruteForceTopK(reduced.filter(col("vec_id") < 8), reduced, 5),
         Similarity.bruteForceTopK(structured.filter(col("vec_id") < 8),
@@ -1775,6 +1783,76 @@ object SparkEntry {
         .select(col("doc_id"), col("url_norm"), col("site"), col("title"),
           length(col("clean_text")).cast("long").as("n_chars_clean"),
           col("removed_lines"))
+    }),
+
+    // ROBOTS.TXT DECISIONS (r15): RFC 9309 crawl-politeness gating —
+    // parse per-host robots bodies into groups/rules (window-assigned
+    // group ids, host-partitioned), select the fetch agent's group
+    // (named exactly, else the '*' fallback — even hosts carry a
+    // graftbot group, odd hosts only '*', so BOTH selection paths run
+    // under the oracle), translate RFC patterns (prefix, '*' wildcard,
+    // '$' anchor) to engine-portable LIKE, decide by longest-match
+    // with Allow winning ties. The oracle is an INDEPENDENT
+    // hand-derived truth table over the synthesized (host, path)
+    // pairs — stronger than a replay: any parser/matcher bug diverges
+    // from RFC semantics stated directly in SQL.
+    "q162_robots_decisions" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val did = col("doc_id")
+      val hk = pmod(did, lit(5L))
+      val host = concat(lit("h"), hk.cast("string"))
+      val body = concat(
+        when(pmod(hk, lit(2L)) === 0L,
+          lit("# policy\nUser-agent: graftbot\nDisallow: /private/\n" +
+            "Allow: /private/pub*\n\n")).otherwise(lit("")),
+        lit("User-agent: *\nDisallow: /tmp/$\nDisallow: /search\n" +
+          "Allow: /search/docs\nDisallow: /*.zip$\n"))
+      val m = pmod(expr("doc_id div 5"), lit(8L))
+      val r = expr("doc_id div 40").cast("string")
+      val path = when(m === 0, concat(lit("/private/secret/"), r))
+        .when(m === 1, concat(lit("/private/pub"), r))
+        .when(m === 2, concat(lit("/search?q="), r))
+        .when(m === 3, concat(lit("/search/docs/"), r))
+        .when(m === 4, lit("/tmp/"))
+        .when(m === 5, concat(lit("/tmp/f"), r))
+        .when(m === 6, concat(lit("/data/f"), r, lit(".zip")))
+        .otherwise(concat(lit("/page/"), r))
+      ops.Robots.decisions(
+        docs.select(host.as("host"), path.as("path")),
+        "host", "path",
+        ops.Robots.parseRules(
+          docs.select(host.as("host"), body.as("txt")).distinct(),
+          "host", "txt"),
+        "graftbot")
+    }),
+
+    // MIME SNIFFING (r15): multimodal ingest dispatch by MAGIC BYTES
+    // (extensions and crawl Content-Type headers lie) — eight payload
+    // kinds synthesized through the repo's own REAL container encoders
+    // (syntheticPng, syntheticMp4, WARC recordString) plus raw
+    // magic-prefixed bytes, sniffed back by the codegen'd when-chain.
+    // The oracle is the independent truth table by construction kind.
+    "q163_mime_sniff" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val did = col("doc_id")
+      val k = pmod(did, lit(8L))
+      val textB = encode(substring(col("text"), 1, 64), "UTF-8")
+      val payload = when(k === 0L, ops.Multimodal.syntheticPng(lit(2), lit(2)))
+        .when(k === 1L,
+          concat(unhex(lit("524946461000000057415645")), textB))
+        .when(k === 2L, ops.Multimodal.syntheticMp4(
+          lit(1000L), lit(5000L), lit(64L), lit(48L)))
+        .when(k === 3L, concat(unhex(lit("FFD8FF")), textB))
+        .when(k === 4L, encode(concat(lit("%PDF-1.4 "),
+          substring(col("text"), 1, 32)), "UTF-8"))
+        .when(k === 5L, concat(unhex(lit("1F8B08")), textB))
+        .when(k === 6L, encode(ops.Warc.recordString(
+          concat(lit("<urn:uuid:"), did.cast("string"), lit(">")),
+          lit("https://x/"), substring(col("text"), 1, 40)), "UTF-8"))
+        // "T " guard byte: fixture text starting with a container magic
+        // would otherwise flip the expected fallback row
+        .otherwise(concat(encode(lit("T "), "UTF-8"), textB))
+      docs.select(did, ops.Mime.sniffMime(payload).as("mime"))
     }),
 
     // (selective predicates keep the difference non-empty at test SFs —
@@ -4146,6 +4224,64 @@ object SparkEntry {
            CAST(length(clean_text) AS BIGINT) AS n_chars_clean, removed_lines
          FROM z
          WHERE rk = 1 AND length(clean_text) >= 80""",
+
+    // INDEPENDENT truth table, not a parse replay: the expected
+    // decision for every synthesized (host, path) pair is stated
+    // directly from RFC 9309 semantics — named-group selection on even
+    // hosts (the '*' group must NOT leak in), '*' fallback on odd
+    // hosts, longest-match with Allow winning, '$' anchors, default
+    // allow. Any engine-side parser/matcher bug diverges.
+    "q162_robots_decisions" ->
+      """WITH u AS (
+           SELECT DISTINCT
+             CAST(doc_id % 5 AS BIGINT) AS hk,
+             CAST((doc_id // 5) % 8 AS BIGINT) AS m,
+             CAST(doc_id // 40 AS BIGINT) AS r
+           FROM documents),
+         p AS (
+           SELECT 'h' || CAST(hk AS VARCHAR) AS host, hk, m,
+             CASE m
+               WHEN 0 THEN '/private/secret/' || r
+               WHEN 1 THEN '/private/pub' || r
+               WHEN 2 THEN '/search?q=' || r
+               WHEN 3 THEN '/search/docs/' || r
+               WHEN 4 THEN '/tmp/'
+               WHEN 5 THEN '/tmp/f' || r
+               WHEN 6 THEN '/data/f' || r || '.zip'
+               ELSE '/page/' || r END AS path
+           FROM u),
+         d AS (SELECT DISTINCT host, hk, m, path FROM p),
+         sel AS (
+           SELECT host, path,
+             CASE WHEN hk % 2 = 0 AND m = 0 THEN '/private/'
+                  WHEN hk % 2 = 0 AND m = 1 THEN '/private/pub*'
+                  WHEN hk % 2 = 1 AND m = 2 THEN '/search'
+                  WHEN hk % 2 = 1 AND m = 3 THEN '/search/docs'
+                  WHEN hk % 2 = 1 AND m = 4 THEN '/tmp/$'
+                  WHEN hk % 2 = 1 AND m = 6 THEN '/*.zip$'
+                  ELSE NULL END AS matched_pattern,
+             NOT ((hk % 2 = 0 AND m = 0)
+               OR (hk % 2 = 1 AND m IN (2, 4, 6))) AS allowed
+           FROM d)
+         SELECT host, path, matched_pattern,
+           CAST(length(matched_pattern) AS BIGINT) AS matched_len,
+           allowed
+         FROM sel""",
+
+    // truth table by construction kind — any signature/offset bug in
+    // the sniffer (or a corrupt synthesized container) diverges
+    "q163_mime_sniff" ->
+      """SELECT doc_id,
+           CASE doc_id % 8
+             WHEN 0 THEN 'image/png'
+             WHEN 1 THEN 'audio/wav'
+             WHEN 2 THEN 'video/mp4'
+             WHEN 3 THEN 'image/jpeg'
+             WHEN 4 THEN 'application/pdf'
+             WHEN 5 THEN 'application/gzip'
+             WHEN 6 THEN 'application/warc'
+             ELSE 'application/octet-stream' END AS mime
+         FROM documents""",
 
     // three unrolled integer-arithmetic iterations — '//' is DuckDB
     // integral division (both sides positive, so trunc == floor ==
