@@ -69,6 +69,35 @@ object Bench {
       if (sys.env.contains("SPARK_GRAFT_BENCH_SEQ"))
         System.err.println(s"[release] quiesce waited=${w}ms buf=$s0->$s1")
     }
+    if (!skip("jit")) jitQuiesce()
+  }
+
+  /** Wait for the background JIT compiler queue to drain: each query
+    * generates fresh whole-stage-codegen classes (exprIds differ per
+    * build, so neither the Janino source cache nor the JVM can reuse
+    * the previous build's compiled code), and with ~10 generated
+    * classes per query the C2 queue backs up across the suite — a
+    * query scheduled behind a long queue runs its first reps partly
+    * interpreted while UNRELATED methods compile (measured: q110
+    * in-suite reps [43.1, 21.7, 5.0] s vs 2.2 s isolated — monotone
+    * draining, the backlog signature — AFTER the code-cache fix).
+    * Total compilation time is monotone; when its delta over 300 ms is
+    * < 50 ms the queue is effectively idle. Bounded at 30 s so a
+    * pathological queue cannot stall the suite; the wait is OFF the
+    * timed path either way.
+    */
+  def jitQuiesce(maxWaitMs: Long = 30000L): Unit = {
+    val mx = java.lang.management.ManagementFactory.getCompilationMXBean
+    if (mx == null || !mx.isCompilationTimeMonitoringSupported) return
+    val deadline = System.currentTimeMillis() + maxWaitMs
+    var last = mx.getTotalCompilationTime
+    var stable = 0
+    while (stable < 3 && System.currentTimeMillis() < deadline) {
+      Thread.sleep(100)
+      val t = mx.getTotalCompilationTime
+      if (t - last < 17) stable += 1 else stable = 0
+      last = t
+    }
   }
 
   // ONE definition of the session configs (round-2 postmortem: Bench
@@ -78,17 +107,30 @@ object Bench {
     graft.core.GraftSession.local(cpus.toInt)
 
   /** JVM/codegen/scan warm-up: q01 covers scan+agg, q19 the dedup
-    * family's explode/persist machinery. Catches NonFatal ONLY (an OOM
-    * must crash the bench, not silently fake a warmed instrument) and
-    * reports failure on stderr + in the return — the emitted JSON
-    * carries `warmed` so a renamed query or missing table can never
-    * silently turn "warmed, comparable" false with no signal (r13
-    * ADVICE).
+    * family's explode/persist machinery, and a 60-row slice of the
+    * vector family (r15): the cosine/HOF path runs INTERPRETED in
+    * Spark (higher-order functions have no codegen), and its
+    * first-ever execution is a pure-CPU C2 warm-up measured at 31 s
+    * inside q110's first rep at sf0.1 — on a tiny slice the identical
+    * shared methods warm in well under a second, off the timed path
+    * (warm instrument, cold data — the warmUp contract). Catches
+    * NonFatal ONLY (an OOM must crash the bench, not silently fake a
+    * warmed instrument) and reports failure on stderr + in the
+    * return — the emitted JSON carries `warmed` so a renamed query or
+    * missing table can never silently turn "warmed, comparable" false
+    * with no signal (r13 ADVICE).
     */
   def warmUp(spark: SparkSession, sfDir: String): Boolean =
     try {
       SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
       SparkEntry.queries("q19_dedup_exact")(spark, sfDir).count()
+      val emb = graft.core.Tables.load(spark, sfDir, "embeddings")
+        .filter(org.apache.spark.sql.functions.col("vec_id") < 60)
+      graft.ops.Similarity.cosinePairsLabelAuto(emb, "label", 3000L).count()
+      graft.ops.Similarity.bruteForceTopK(
+        emb.filter(org.apache.spark.sql.functions.col("vec_id") < 8),
+        emb, 5).count()
+      jitQuiesce()
       true
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] warm-up failed (numbers are UNWARMED): $e")
@@ -260,11 +302,32 @@ object Bench {
     // comma decimal separator would corrupt the machine-parsed JSON
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, _) =>
-      val runs = (0 until reps).map { _ =>
+      var runs = (0 until reps).map { _ =>
         val r = runTimed(spark, name, sfDir)
         // full synchronous release OFF the timed path — see releaseAll
         releaseAll(spark)
         r
+      }
+      // ADAPTIVE RE-MEASUREMENT (r15): in-suite contamination is
+      // strictly one-sided (JIT deopt/recompile storms from per-build
+      // codegen class churn land in 1-2 reps; nothing ever makes a rep
+      // faster than the true cost), so median >> min means the median
+      // itself caught a storm. Two extra reps make the median-of-5
+      // robust to two storm reps where median-of-3 tolerated only one
+      // — measured: q128 in-suite [11.3, 53.3, 4.9] (median 11.3) vs
+      // 5.6 cold-isolated; the 5-rep median lands on the honest band.
+      // Bounded: only fires when median > 1.3x min AND the query is
+      // > 1 s (sub-second queries' jitter is not worth the wall).
+      if (runs.size >= 3) {
+        val ts = runs.map(_._1)
+        val m0 = median(ts)
+        if (m0 > 1.3 * ts.min && m0 > 1.0) {
+          runs = runs ++ (0 until 2).map { _ =>
+            val r = runTimed(spark, name, sfDir)
+            releaseAll(spark)
+            r
+          }
+        }
       }
       // Heap telemetry (r14 verdict #1: in-suite inflation must be
       // adjudicable from the record): used heap AFTER the final

@@ -1855,6 +1855,33 @@ object SparkEntry {
       docs.select(did, ops.Mime.sniffMime(payload).as("mime"))
     }),
 
+    // INTEGER K-MEANS (r15): Lloyd's iterations in Long fixed point —
+    // the q158 PageRank doctrine applied to clustering. The ITERATION
+    // ARITHMETIC itself is oracle-gated (two unrolled update rounds
+    // replayed CTE-for-CTE in DuckDB), where the float trainCentroids
+    // path can only carry recall floors (q96/q97). Assignment is a
+    // broadcast join (corpus never shuffles); updates move only
+    // map-side-combined (cell, dim) integer partials.
+    "q164_kmeans_int" -> ((s, dir) =>
+      ops.Kmeans.assignInt(T(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, iters = 2)),
+
+    // SEMDEDUP PROPER (r15): k-means cells as the blocking structure
+    // for embedding dedup (Abbas et al. 2023) — q110 used LSH-bucket
+    // cells; this composes the oracle-exact integer k-means assignment
+    // with the SAME semanticDedup fold, so the full cluster-then-dedup
+    // pipeline sits under one exact oracle (cells integer-exact, pair
+    // scoring the q90/q110-verified cosine fold).
+    "q165_kmeans_semantic_dedup" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val cells = ops.Kmeans.assignInt(e, "vec_id", "embedding",
+        k = 8, iters = 2).select(col("vec_id"), col("cell"))
+      Similarity.semanticDedup(
+          e.select(col("vec_id"), col("embedding")).join(cells, Seq("vec_id")),
+          "cell", 3000L)
+        .select(col("vec_id"), col("cell"))
+    }),
+
     // (selective predicates keep the difference non-empty at test SFs —
     // with only ~150 users every unfiltered per-type user set is equal)
     "q50_except" -> ((s, dir) => {
@@ -2737,6 +2764,64 @@ object SparkEntry {
         "text", topK = 50)
     }),
   )
+
+  // Shared CTE prefix for the q164/q165 oracles: quantize (float
+  // widened to double, floor(x*1000)+1000 — non-negative so `//` ==
+  // floor == Spark's div) → init = the 8 smallest vec_ids → TWO
+  // unrolled Lloyd's rounds → final assignment `af(vec_id, cell,
+  // dist)`. Every distance/argmin/mean is BIGINT-exact, so the
+  // assignment replay is hash-exact, not recall-gated.
+  private val kmeansCtes: String =
+    """q AS (
+         SELECT vec_id,
+           list_transform(CAST(embedding AS DOUBLE[]),
+             x -> CAST(floor(x * 1000) AS BIGINT) + 1000) AS v
+         FROM embeddings),
+       dims AS (SELECT unnest(range(1, 65)) AS j),
+       c0 AS (
+         SELECT CAST(rn - 1 AS BIGINT) AS cell, v FROM (
+           SELECT v, row_number() OVER (ORDER BY vec_id) AS rn FROM q)
+         WHERE rn <= 8),
+       d1 AS (
+         SELECT q.vec_id, c.cell,
+           CAST(list_sum(list_transform(range(1, 65),
+             j -> (q.v[j] - c.v[j]) * (q.v[j] - c.v[j]))) AS BIGINT) AS dist
+         FROM q CROSS JOIN c0 c),
+       a1 AS (
+         SELECT vec_id, cell FROM (
+           SELECT vec_id, cell,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+           FROM d1) WHERE rn = 1),
+       s1 AS (
+         SELECT a.cell, d.j, CAST(SUM(q.v[d.j]) // COUNT(*) AS BIGINT) AS s
+         FROM a1 a JOIN q USING (vec_id) CROSS JOIN dims d
+         GROUP BY a.cell, d.j),
+       c1 AS (SELECT cell, list(s ORDER BY j) AS v FROM s1 GROUP BY cell),
+       d2 AS (
+         SELECT q.vec_id, c.cell,
+           CAST(list_sum(list_transform(range(1, 65),
+             j -> (q.v[j] - c.v[j]) * (q.v[j] - c.v[j]))) AS BIGINT) AS dist
+         FROM q CROSS JOIN c1 c),
+       a2 AS (
+         SELECT vec_id, cell FROM (
+           SELECT vec_id, cell,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+           FROM d2) WHERE rn = 1),
+       s2 AS (
+         SELECT a.cell, d.j, CAST(SUM(q.v[d.j]) // COUNT(*) AS BIGINT) AS s
+         FROM a2 a JOIN q USING (vec_id) CROSS JOIN dims d
+         GROUP BY a.cell, d.j),
+       c2 AS (SELECT cell, list(s ORDER BY j) AS v FROM s2 GROUP BY cell),
+       df2 AS (
+         SELECT q.vec_id, c.cell,
+           CAST(list_sum(list_transform(range(1, 65),
+             j -> (q.v[j] - c.v[j]) * (q.v[j] - c.v[j]))) AS BIGINT) AS dist
+         FROM q CROSS JOIN c2 c),
+       af AS (
+         SELECT vec_id, cell, dist FROM (
+           SELECT vec_id, cell, dist,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+           FROM df2) WHERE rn = 1)"""
 
   // ------------------------------------------------------------------
   // DuckDB oracles (ANSI SQL on the same parquet tables)
@@ -4282,6 +4367,32 @@ object SparkEntry {
              WHEN 6 THEN 'application/warc'
              ELSE 'application/octet-stream' END AS mime
          FROM documents""",
+
+    // two unrolled integer Lloyd's rounds replayed CTE-for-CTE — the
+    // iteration arithmetic itself is the gate (q158 doctrine)
+    "q164_kmeans_int" ->
+      s"""WITH $kmeansCtes
+         SELECT vec_id, cell, dist FROM af""",
+
+    // SemDeDup composition: the kmeans cells feed the q110 dominated-
+    // set rule (drop iff a lower-id SAME-CELL neighbor at cos_e4 >=
+    // 3000). The engine's exact-duplicate rep collapse is equivalence-
+    // preserving (q110's argument), so the oracle scores all pairs.
+    "q165_kmeans_semantic_dedup" ->
+      s"""WITH $kmeansCtes,
+         e2 AS (
+           SELECT e.vec_id, e.embedding, af.cell
+           FROM embeddings e JOIN af USING (vec_id)),
+         p AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(floor(
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (x, y) -> x + y)
+               / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (x, y) -> x + y))
+                * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (x, y) -> x + y)))
+               * 10000) AS BIGINT) AS cos_e4
+           FROM e2 a JOIN e2 b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+         SELECT vec_id, cell FROM e2
+         WHERE vec_id NOT IN (SELECT id_b FROM p WHERE cos_e4 >= 3000)""",
 
     // three unrolled integer-arithmetic iterations — '//' is DuckDB
     // integral division (both sides positive, so trunc == floor ==

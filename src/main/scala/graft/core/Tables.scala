@@ -73,6 +73,16 @@ object GraftSession {
       // in-suite vs 13.3 s isolated on identical code). Nothing in
       // this repo reads the status APIs; cap them near zero. Same
       // knobs, same reason, on a real cluster driver.
+      // Codegen class cache (r15): the default 100 entries is smaller
+      // than ONE big pipeline's stage count (q145 generates 107
+      // whole-stage classes), so every re-build of an identical plan
+      // Janino-recompiles and re-JITs fresh classes — the class churn
+      // behind the code-cache/deopt storms that inflated in-suite
+      // medians (see build.sbt ReservedCodeCacheSize). At 10k entries
+      // identical generated source reuses the SAME loaded class:
+      // no recompile, no re-JIT, call sites stay monomorphic. Static
+      // conf — must be set at session build.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.retainedJobs", "50")
       .config("spark.ui.retainedStages", "50")
       .config("spark.ui.retainedTasks", "500")

@@ -285,6 +285,13 @@ object ScaleProbe10 {
           "doc_id", "dom", "text",
           minFracE6 = 600000L, minAbs = 2L, minLen = 3)
           .filter(length(col("clean_text")) >= 0))
+      // r15: integer k-means — per-iteration cost is one broadcast-
+      // join assignment pass (linear in N·k·d) plus a (cell, dim)
+      // partial-combined update (exchange is k·d rows/partition,
+      // corpus-independent); expected wall-α ≈ 1.0
+      time("q164_kmeans", mult)(
+        graft.ops.Kmeans.assignInt(e, "vec_id", "embedding",
+          k = 8, iters = 2))
     }
     spark.stop()
   }
