@@ -95,19 +95,37 @@ object Kmeans {
       .select((col("rk") - 1).cast("long").as("cell"), col("qv").as("cv"))
       .localCheckpoint(true)
 
-    def assign(c: DataFrame): DataFrame =
-      q.crossJoin(broadcast(c))
-        .select(id, col("cell"), sqDist(col("qv"), col("cv")).as("dist"))
-        .groupBy(id)
-        .agg(min(struct(col("dist"), col("cell"))).as("best"))
-        .select(id, col("best.cell").as("cell"), col("best.dist").as("dist"))
+    // Assignment as a NARROW projection (r15 probe finding): the first
+    // cut computed the argmin via crossJoin + groupBy(id) and re-joined
+    // the assignment to the vectors for the update — TWO corpus-sized
+    // exchanges per iteration (the ×10 probe showed shuffle records
+    // growing with N). Instead the k centroids collapse into ONE
+    // array<struct<cell,cv>> row (array_sort on the unique cell id
+    // fixes collect_list's nondeterministic order), broadcast to every
+    // partition, and the argmin folds over it per row with a strict
+    // `<` — first-wins keeps the smallest cell on ties, matching
+    // min(struct(dist, cell)). Per iteration NOTHING corpus-sized
+    // shuffles: assignment is map-only, and the update's posexplode
+    // collapses to ≤ k·d (cell, dim) partials per partition.
+    def assign(c: DataFrame): DataFrame = {
+      val cArr = c.agg(
+        array_sort(collect_list(struct(col("cell"), col("cv")))).as("cs"))
+      q.crossJoin(broadcast(cArr))
+        .select(id, col("qv"),
+          aggregate(col("cs"),
+            struct(lit(Long.MaxValue).as("dist"), lit(-1L).as("cell")),
+            (acc, e) => {
+              val d = sqDist(col("qv"), e.getField("cv"))
+              when(d < acc.getField("dist"),
+                struct(d.as("dist"), e.getField("cell").as("cell")))
+                .otherwise(acc)
+            }).as("best"))
+        .select(id, col("qv"),
+          col("best.cell").as("cell"), col("best.dist").as("dist"))
+    }
 
     for (_ <- 0 until iters) {
-      val assigned = assign(cents)
-      // (cell, dim) partials: posexplode materializes N·d rows INSIDE
-      // each map partition, but the hash aggregate combines them to
-      // ≤ k·d rows before the exchange — vectors never shuffle
-      val cN = assigned.join(q, Seq(idName))
+      val cN = assign(cents)
         .select(col("cell"), posexplode(col("qv")).as(Seq("j", "x")))
         .groupBy(col("cell"), col("j"))
         .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
@@ -123,6 +141,6 @@ object Kmeans {
           e => e.getField("s")).as("cv"))
         .localCheckpoint(true)
     }
-    assign(cents)
+    assign(cents).select(id, col("cell"), col("dist"))
   }
 }
