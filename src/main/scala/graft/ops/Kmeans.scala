@@ -100,26 +100,24 @@ object Kmeans {
     // the assignment to the vectors for the update — TWO corpus-sized
     // exchanges per iteration (the ×10 probe showed shuffle records
     // growing with N). Instead the k centroids collapse into ONE
-    // array<struct<cell,cv>> row (array_sort on the unique cell id
-    // fixes collect_list's nondeterministic order), broadcast to every
-    // partition, and the argmin folds over it per row with a strict
-    // `<` — first-wins keeps the smallest cell on ties, matching
-    // min(struct(dist, cell)). Per iteration NOTHING corpus-sized
+    // array<struct<cell,cv>> row, broadcast to every partition, and
+    // the argmin is array_min over struct(dist, cell) — lexicographic,
+    // order-independent (collect_list's nondeterminism is harmless),
+    // ties to the smaller cell. Per iteration NOTHING corpus-sized
     // shuffles: assignment is map-only, and the update's posexplode
     // collapses to ≤ k·d (cell, dim) partials per partition.
     def assign(c: DataFrame): DataFrame = {
-      val cArr = c.agg(
-        array_sort(collect_list(struct(col("cell"), col("cv")))).as("cs"))
+      val cArr = c.agg(collect_list(struct(col("cell"), col("cv"))).as("cs"))
       q.crossJoin(broadcast(cArr))
         .select(id, col("qv"),
-          aggregate(col("cs"),
-            struct(lit(Long.MaxValue).as("dist"), lit(-1L).as("cell")),
-            (acc, e) => {
-              val d = sqDist(col("qv"), e.getField("cv"))
-              when(d < acc.getField("dist"),
-                struct(d.as("dist"), e.getField("cell").as("cell")))
-                .otherwise(acc)
-            }).as("best"))
+          // array_min over struct(dist, cell) IS min(struct(...)):
+          // lexicographic, ties to the smaller cell — and each distance
+          // evaluates exactly ONCE (an aggregate-fold with a CASE
+          // re-inlines the HOF into both the condition and the THEN
+          // branch — the q156 no-CSE lesson, seen in this very plan)
+          array_min(transform(col("cs"), e =>
+            struct(sqDist(col("qv"), e.getField("cv")).as("dist"),
+              e.getField("cell").as("cell")))).as("best"))
         .select(id, col("qv"),
           col("best.cell").as("cell"), col("best.dist").as("dist"))
     }

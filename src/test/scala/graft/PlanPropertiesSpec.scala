@@ -285,4 +285,16 @@ class PlanPropertiesSpec extends SparkSpec {
     val p = plan("q134_top_keywords")
     assert(p.contains("WindowGroupLimit"), p.take(800))
   }
+
+  test("q164 k-means assignment: the corpus never hash-shuffles") {
+    // the r15 probe finding, locked: assignment must be the narrow
+    // fold over the broadcast 1-row centroid array (a scalar-broadcast
+    // BNLJ is the EXPECTED shape here — build side is one row), with
+    // zero hash exchanges; the only exchange anywhere is the k-row
+    // centroid aggregation's SinglePartition hop
+    val p = plan("q164_kmeans_int")
+    assert(exchanges(p) == 0,
+      s"k-means assignment must not shuffle the corpus:\n${p.take(800)}")
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight, Cross"), p.take(800))
+  }
 }
