@@ -1882,6 +1882,26 @@ object SparkEntry {
         .select(col("vec_id"), col("cell"))
     }),
 
+    // VECTOR CURATION PIPELINE (r15): the SemDeDup→prototype chain of
+    // an embedding-curation deployment (cluster → within-cell dedup →
+    // rank survivors by distance to their cell prototype, Sorscher et
+    // al. NeurIPS'22) composed under ONE exact oracle — every stage is
+    // integer-exact (kmeans cells, cosine e4 drop rule, e6 centroid
+    // distances), so the whole pipeline hash-matches, not just gates.
+    // Stage boundary after the cell join: kmeans output is consumed by
+    // both semanticDedup internals (reps + two joins).
+    "q166_vector_curation" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val cells = ops.Kmeans.assignInt(e, "vec_id", "embedding",
+        k = 8, iters = 2).select(col("vec_id"), col("cell"))
+      val withCell = ops.Pipeline.stage("vcur_cells",
+        e.select(col("vec_id"), col("embedding")).join(cells, Seq("vec_id")))
+      val survivors = Similarity.semanticDedup(withCell, "cell", 3000L)
+      Similarity.prototypicality(survivors, "vec_id", "cell", "embedding",
+        keepPerCell = 20)
+        .withColumnsRenamed(Map("rank" -> "cell_rank"))
+    }),
+
     // (selective predicates keep the difference non-empty at test SFs —
     // with only ~150 users every unfiltered per-type user set is equal)
     "q50_except" -> ((s, dir) => {
@@ -4393,6 +4413,49 @@ object SparkEntry {
            FROM e2 a JOIN e2 b ON a.cell = b.cell AND a.vec_id < b.vec_id)
          SELECT vec_id, cell FROM e2
          WHERE vec_id NOT IN (SELECT id_b FROM p WHERE cos_e4 >= 3000)""",
+
+    // the q165 survivor set piped through the q115 prototypicality
+    // replay, with cells (not labels) as the grouping — centroids are
+    // computed over SURVIVORS only, exactly as the engine composes it
+    "q166_vector_curation" ->
+      s"""WITH $kmeansCtes,
+         e2 AS (
+           SELECT e.vec_id, e.embedding, af.cell
+           FROM embeddings e JOIN af USING (vec_id)),
+         p AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(floor(
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (x, y) -> x + y)
+               / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (x, y) -> x + y))
+                * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (x, y) -> x + y)))
+               * 10000) AS BIGINT) AS cos_e4
+           FROM e2 a JOIN e2 b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         srv AS (
+           SELECT vec_id, embedding, cell FROM e2
+           WHERE vec_id NOT IN (SELECT id_b FROM p WHERE cos_e4 >= 3000)),
+         x AS (
+           SELECT cell, unnest(range(0, len(embedding))) AS dim_idx,
+             unnest(list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT))) AS v_e6
+           FROM srv),
+         cc AS (
+           SELECT cell, dim_idx,
+             CAST(floor(CAST(sum(v_e6) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS c_e6
+           FROM x GROUP BY 1, 2),
+         cvv AS (
+           SELECT cell, list(c_e6 ORDER BY dim_idx) AS cvec FROM cc GROUP BY 1),
+         dd AS (
+           SELECT e.vec_id, e.cell,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(list_zip(e.embedding, cvv.cvec),
+                 p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) / 1000000.0)
+                    * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) / 1000000.0))),
+               (a, b) -> a + b) AS dist
+           FROM srv e JOIN cvv USING (cell))
+         SELECT vec_id, cell,
+           CAST(floor(dist * 1000000.0) AS BIGINT) AS dist_e6,
+           CAST(row_number() OVER (PARTITION BY cell ORDER BY dist, vec_id) AS INT) AS cell_rank,
+           (row_number() OVER (PARTITION BY cell ORDER BY dist, vec_id)) <= 20 AS kept
+         FROM dd""",
 
     // three unrolled integer-arithmetic iterations — '//' is DuckDB
     // integral division (both sides positive, so trunc == floor ==
