@@ -153,6 +153,49 @@ object ScaleProbe100 {
           minSize = 30))
       time("q110_semdedup", mult)(
         Similarity.semanticDedup(e, "label", 3000L))
+      // r15 newcomers at density: PageRank (per-round |V| + combined
+      // |E|→|V| shuffles — the iteration family's 100× check), integer
+      // k-means (assignment map-only, update partials partition-
+      // bounded — wall should stay FLAT), and the crawl pipeline
+      // (linear by construction; file count scales with the corpus per
+      // the deployment contract)
+      val didC = col("doc_id")
+      time("q158_pagerank", mult) {
+        val nDf = d.agg(count(lit(1)).as("n"))
+        val edges = d.crossJoin(broadcast(nDf))
+          .select(col("doc_id"), col("n"),
+            explode(sequence(lit(1L), lit(1L) + pmod(col("doc_id"), lit(3L))))
+              .as("k"))
+          .select(col("doc_id").as("src"),
+            pmod(col("doc_id") * 31L + col("k") * 17L, col("n")).as("dst"))
+        graft.ops.Graph.pageRank(edges, "src", "dst", iters = 3)
+      }
+      time("q164_kmeans", mult)(
+        graft.ops.Kmeans.assignInt(e, "vec_id", "embedding", k = 8, iters = 2))
+      val urlC = concat(lit("HTTPS://WWW.crawl"),
+        pmod(didC, lit(5L)).cast("string"),
+        lit(".Example.org/p/"), didC.cast("string"),
+        lit("?utm_source=probe&id="), pmod(didC, lit(7L)).cast("string"),
+        lit("#f"))
+      val htmlC = concat(lit("<html><head><title>T "), didC.cast("string"),
+        lit("</title></head><body><div>nav | home</div><p>"),
+        substring(col("text"), 1, 200),
+        lit("</p><a href=\"/l\">x</a></body></html>"))
+      time("q159_crawl", mult) {
+        val parsed = graft.ops.Warc.parseRecords(
+          graft.ops.Warc.asWarcFiles(d, pmod(didC, lit(8L * mult)), didC,
+            graft.ops.Warc.recordString(
+              concat(lit("<urn:uuid:"), didC.cast("string"), lit(">")),
+              urlC, htmlC)))
+        val ex = parsed.select(
+          regexp_extract(col("record_id"), "<urn:uuid:([0-9]+)>", 1)
+            .cast("long").as("doc_id"),
+          graft.ops.Url.normalizeUrl(col("target_uri")).as("url_norm"),
+          graft.ops.Html.extractText(col("payload_text")).as("body"))
+        ex.groupBy(col("url_norm"))
+          .agg(min(struct(col("doc_id"), col("body"))).as("w"))
+          .filter(length(col("w.body")) >= 50)
+      }
     }
     spark.stop()
   }
