@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+import graft.ops.Scd
+
+/** Streaming SCD2 dimension-history ingest — the micro-batch twin of
+  * the q143 batch operator, closing the loop between the CDC router
+  * (O2/K5: latest-version dim tables) and the SCD2 family (q135/q143:
+  * full version HISTORY). A warehouse wants both: the dim store
+  * answers "what is key k now", the history table answers "what was k
+  * at time t" (q136 `snapshotAt`) — and production builds the history
+  * INCREMENTALLY from the same CDC stream that feeds the dim store,
+  * not by nightly rebuilds over the full changelog.
+  *
+  * Contract (inherited from [[Scd.applyChangelogWithRejects]] and
+  * spec-gated here as the streaming q148-style property):
+  *  - after any number of micro-batches, the standing table is
+  *    byte-equal to ONE batch `Scd.buildHistory` over every ACCEPTED
+  *    row — micro-batch boundaries are invisible in the result;
+  *  - the append-only guard rejects retro-edits (ts ≤ the key's
+  *    current effective_from) into a quarantine side table instead of
+  *    silently splicing corruption; a non-empty quarantine means that
+  *    key needs the rebuild path;
+  *  - within one batch, same-ts rows for a key order by the tie column
+  *    (the q122 doctrine) — ACROSS batches, append-only ts is the
+  *    ordering, exactly-once by Structured Streaming's batchId replay
+  *    (an overwrite re-run with the same batch is idempotent: the
+  *    guard drops the already-applied rows as non-later).
+  *
+  * Scale shape: per batch, only AFFECTED keys do any work
+  * (batch-sized + one-current-row-per-affected-key fold; untouched
+  * keys pass through the anti join). The table rewrite itself is the
+  * dim-store disposition — dimension histories are small relative to
+  * facts; a 100 TB fact history wants the same operator over an
+  * ACID table format's MERGE instead of the overwrite, with identical
+  * fold semantics.
+  */
+object ScdIngest {
+
+  /** foreachBatch sink maintaining `db.table` as the SCD2 history and
+    * `db.table_rejects` as the retro-edit quarantine (append-only).
+    * `onBatch(batchId, nRejected)` reports the quarantine count per
+    * batch — the observability hook (alerting on non-zero is the
+    * production posture).
+    */
+  def scd2Sink(spark: SparkSession, db: String, table: String,
+               keyCol: String, tsCol: String, tieCol: String,
+               attrCols: Seq[String])
+              (onBatch: (Long, Long) => Unit = (_, _) => ())
+      : (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+      val persisted = batch.persist()
+      try {
+        if (!persisted.isEmpty) {
+          val exists = spark.catalog.tableExists(s"$db.$table")
+          // an empty buildHistory carries the exact history schema —
+          // the first batch bootstraps the table through the same fold
+          // every later batch uses (no hand-written DDL to drift)
+          val history =
+            if (exists) spark.table(s"`$db`.`$table`")
+            else Scd.buildHistory(persisted.limit(0),
+              keyCol, tsCol, tieCol, attrCols)
+          val (applied, rejected) = Scd.applyChangelogWithRejects(
+            history, persisted, keyCol, tsCol, tieCol, attrCols)
+          // truncate lineage: the overwrite must not read the files it
+          // replaces (the DimStore.lwwOverwrite doctrine)
+          val out = applied.localCheckpoint(true)
+          val rej = rejected.localCheckpoint(true)
+          val nRej = rej.count()
+          if (nRej > 0)
+            rej.write.mode(SaveMode.Append)
+              .saveAsTable(s"`$db`.`${table}_rejects`")
+          out.write.mode(SaveMode.Overwrite).saveAsTable(s"`$db`.`$table`")
+          onBatch(batchId, nRej)
+        } else onBatch(batchId, 0L)
+      } finally { persisted.unpersist(); () }
+    }
+}

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ops.Scd
+
+/** Streaming SCD2 ingest: the standing history after N micro-batches
+  * must equal ONE batch `buildHistory` over every accepted row (batch
+  * boundaries invisible — the q148-style incremental ≡ full property,
+  * on dimensions), with retro-edits quarantined, not spliced.
+  */
+class ScdIngestSpec extends SparkSpec {
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+  import spark.implicits._
+
+  private val db = "graft_scding_spec"
+
+  override def afterAll(): Unit = {
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    super.afterAll()
+  }
+
+  test("incremental micro-batches equal the batch rebuild; retro-edits quarantine") {
+    val rejects = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val sink = ScdIngest.scd2Sink(spark, db, "dim_hist",
+      "k", "ts", "tie", Seq("city", "tier")) {
+      (bid, nRej) => rejects += ((bid, nRej)); ()
+    }
+    val input = MemoryStream[(Long, Long, Long, String, String)]
+    val q = input.toDF().toDF("k", "ts", "tie", "city", "tier").writeStream
+      .foreachBatch(sink)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("scdck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    // (k, ts, tie, city, tier) — batch 2 includes an unchanged-attr
+    // version for k=1 (must COLLAPSE into the open run, not split it)
+    // and a brand-new key; batch 3 includes a retro-edit for k=2
+    // (ts=15 ≤ its current effective_from 20 — rejected) plus real
+    // updates. Same-ts rows for k=3 in batch 2 order by tie.
+    val b1 = Seq((1L, 10L, 0L, "ham", "a"), (2L, 20L, 0L, "nyc", "a"))
+    val b2 = Seq((1L, 30L, 0L, "ham", "a"), (3L, 30L, 1L, "ber", "b"),
+      (3L, 30L, 2L, "ber", "c"))
+    val b3 = Seq((2L, 15L, 0L, "sfo", "x"), (1L, 40L, 0L, "muc", "b"),
+      (2L, 35L, 0L, "nyc", "b"))
+    try {
+      Seq(b1, b2, b3).foreach { b =>
+        input.addData(b: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    assert(rejects.map(_._2).sum === 1L,
+      s"exactly the retro-edit must quarantine: $rejects")
+    val quarantined = spark.table(s"`$db`.`dim_hist_rejects`")
+      .as[(Long, Long, Long, String, String)].collect().toSeq
+    assert(quarantined === Seq((2L, 15L, 0L, "sfo", "x")))
+
+    // accepted rows = everything except the retro-edit
+    val accepted = (b1 ++ b2 ++ b3).filterNot(_ == (2L, 15L, 0L, "sfo", "x"))
+      .toDF("k", "ts", "tie", "city", "tier")
+    val expected = Scd.buildHistory(accepted, "k", "ts", "tie",
+      Seq("city", "tier"))
+    val standing = spark.table(s"`$db`.`dim_hist`")
+    assert(standing.count() === expected.count())
+    assert(standing.exceptAll(expected).isEmpty &&
+      expected.exceptAll(standing).isEmpty,
+      s"standing:\n${standing.orderBy("k", "effective_from").collect().mkString("\n")}\n" +
+        s"expected:\n${expected.orderBy("k", "effective_from").collect().mkString("\n")}")
+
+    // the q136 point-in-time read over the streamed history
+    val at35 = Scd.snapshotAt(standing, lit(35L))
+      .select($"k", $"city", $"tier").as[(Long, String, String)]
+      .collect().toSet
+    assert(at35 === Set((1L, "ham", "a"), (2L, "nyc", "b"), (3L, "ber", "c")))
+  }
+}
