@@ -1882,6 +1882,44 @@ object SparkEntry {
         .select(col("vec_id"), col("cell"))
     }),
 
+    // POLITENESS FETCH SCHEDULE (r15): the frontier stage between
+    // robots decisions and the fetch fleet — q162's allow/deny
+    // composed with Crawl-delay (the de-facto REP extension) into
+    // per-host fetch slots: rank allowed URLs per host, slot k fires
+    // at (k−1)·delay. Named-group delay (2.5 s, fractional) on even
+    // hosts, '*' delay (10 s) on odd — BOTH delay-selection paths run
+    // under the oracle, and maxPerHost=5 makes the rank cut a
+    // WindowGroupLimit (map-side heap — a 10⁸-page host never sorts).
+    "q167_fetch_schedule" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val did = col("doc_id")
+      val hk = pmod(did, lit(5L))
+      val host = concat(lit("h"), hk.cast("string"))
+      val body = concat(
+        when(pmod(hk, lit(2L)) === 0L,
+          lit("User-agent: graftbot\nCrawl-delay: 2.5\n" +
+            "Disallow: /private/\nAllow: /private/pub*\n\n"))
+          .otherwise(lit("")),
+        lit("User-agent: *\nCrawl-delay: 10\nDisallow: /tmp/$\n" +
+          "Disallow: /search\nAllow: /search/docs\nDisallow: /*.zip$\n"))
+      val m = pmod(expr("doc_id div 5"), lit(8L))
+      val r = expr("doc_id div 40").cast("string")
+      val path = when(m === 0, concat(lit("/private/secret/"), r))
+        .when(m === 1, concat(lit("/private/pub"), r))
+        .when(m === 2, concat(lit("/search?q="), r))
+        .when(m === 3, concat(lit("/search/docs/"), r))
+        .when(m === 4, lit("/tmp/"))
+        .when(m === 5, concat(lit("/tmp/f"), r))
+        .when(m === 6, concat(lit("/data/f"), r, lit(".zip")))
+        .otherwise(concat(lit("/page/"), r))
+      val bodies = docs.select(host.as("host"), body.as("txt")).distinct()
+      ops.Robots.fetchSchedule(
+        docs.select(host.as("host"), path.as("path")), "host", "path",
+        ops.Robots.parseRules(bodies, "host", "txt"),
+        ops.Robots.crawlDelays(bodies, "host", "txt", "graftbot"),
+        "graftbot", defaultDelayMs = 1000L, maxPerHost = Some(5))
+    }),
+
     // VECTOR CURATION PIPELINE (r15): the SemDeDup→prototype chain of
     // an embedding-curation deployment (cluster → within-cell dedup →
     // rank survivors by distance to their cell prototype, Sorscher et
@@ -4413,6 +4451,43 @@ object SparkEntry {
            FROM e2 a JOIN e2 b ON a.cell = b.cell AND a.vec_id < b.vec_id)
          SELECT vec_id, cell FROM e2
          WHERE vec_id NOT IN (SELECT id_b FROM p WHERE cos_e4 >= 3000)""",
+
+    // independent truth table again: allowed set = q162's RFC
+    // semantics, delay = named-group 2500 ms on even hosts / '*'
+    // 10000 ms on odd, slots = (rank−1)·delay over path order
+    "q167_fetch_schedule" ->
+      """WITH u AS (
+           SELECT DISTINCT
+             CAST(doc_id % 5 AS BIGINT) AS hk,
+             CAST((doc_id // 5) % 8 AS BIGINT) AS m,
+             CAST(doc_id // 40 AS BIGINT) AS r
+           FROM documents),
+         p AS (
+           SELECT 'h' || CAST(hk AS VARCHAR) AS host, hk, m,
+             CASE m
+               WHEN 0 THEN '/private/secret/' || r
+               WHEN 1 THEN '/private/pub' || r
+               WHEN 2 THEN '/search?q=' || r
+               WHEN 3 THEN '/search/docs/' || r
+               WHEN 4 THEN '/tmp/'
+               WHEN 5 THEN '/tmp/f' || r
+               WHEN 6 THEN '/data/f' || r || '.zip'
+               ELSE '/page/' || r END AS path
+           FROM u),
+         d AS (SELECT DISTINCT host, hk, m, path FROM p),
+         al AS (
+           SELECT host, hk, path FROM d
+           WHERE NOT ((hk % 2 = 0 AND m = 0)
+             OR (hk % 2 = 1 AND m IN (2, 4, 6)))),
+         rk AS (
+           SELECT host, path,
+             CASE WHEN hk % 2 = 0 THEN 2500 ELSE 10000 END AS delay_ms,
+             row_number() OVER (PARTITION BY host ORDER BY path) AS fetch_rank
+           FROM al)
+         SELECT host, path, CAST(delay_ms AS BIGINT) AS delay_ms,
+           CAST(fetch_rank AS BIGINT) AS fetch_rank,
+           CAST((fetch_rank - 1) * delay_ms AS BIGINT) AS fetch_at_ms
+         FROM rk WHERE fetch_rank <= 5""",
 
     // the q165 survivor set piped through the q115 prototypicality
     // replay, with cells (not labels) as the grouping — centroids are

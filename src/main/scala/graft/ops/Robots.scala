@@ -37,10 +37,16 @@ import org.apache.spark.sql.functions._
   */
 object Robots {
 
-  /** robots.txt blobs → one row per effective rule:
-    * (host, group_id, agents array, allow, pattern, pattern_len).
+  /** Shared parse front half: robots blobs → directive lines with
+    * RFC group ids ((host, pos, dir, value, group_id) plus the per-
+    * group agent sets). A User-agent line NOT preceded by another
+    * User-agent line starts a new group (consecutive UA lines share
+    * the group, per RFC); the window partitions by host — robots
+    * bodies never mix. `dirs` filters which directives survive.
     */
-  def parseRules(df: DataFrame, hostCol: String, textCol: String): DataFrame = {
+  private def groupedDirectives(df: DataFrame, hostCol: String,
+                                textCol: String, dirs: Seq[String])
+      : (DataFrame, DataFrame) = {
     val lines = df.select(col(hostCol).as("host"),
         posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "raw")))
       .select(col("host"), col("pos").cast("long").as("pos"),
@@ -50,10 +56,7 @@ object Robots {
     val parsed = lines.select(col("host"), col("pos"),
         lower(regexp_extract(col("line"), "^([A-Za-z-]+)[ ]*:", 1)).as("dir"),
         trim(regexp_extract(col("line"), "^[A-Za-z-]+[ ]*:(.*)$", 1)).as("value"))
-      .filter(col("dir").isin("user-agent", "allow", "disallow"))
-    // group id: a User-agent line NOT preceded by another User-agent
-    // line starts a new group (consecutive UA lines share the group,
-    // per RFC). Window partitions by host — robots bodies never mix.
+      .filter(col("dir").isin("user-agent" +: dirs: _*))
     val wOrd = Window.partitionBy("host").orderBy("pos")
     val grouped = parsed
       .withColumn("prev_dir", lag(col("dir"), 1).over(wOrd))
@@ -65,6 +68,15 @@ object Robots {
     val agents = grouped.filter(col("dir") === "user-agent")
       .groupBy(col("host"), col("group_id"))
       .agg(collect_set(lower(col("value"))).as("agents"))
+    (grouped, agents)
+  }
+
+  /** robots.txt blobs → one row per effective rule:
+    * (host, group_id, agents array, allow, pattern, pattern_len).
+    */
+  def parseRules(df: DataFrame, hostCol: String, textCol: String): DataFrame = {
+    val (grouped, agents) =
+      groupedDirectives(df, hostCol, textCol, Seq("allow", "disallow"))
     grouped
       .filter(col("dir").isin("allow", "disallow"))
       // rules before any User-agent line carry group_id 0: invalid per
@@ -75,6 +87,75 @@ object Robots {
         (col("dir") === "allow").as("allow"),
         col("value").as("pattern"),
         length(col("value")).cast("long").as("pattern_len"))
+  }
+
+  /** Per-host `Crawl-delay` for a fetch agent, in ms: the max delay
+    * among groups naming the agent exactly; else the max among `*`
+    * groups; hosts with neither are absent (callers coalesce their
+    * fleet default). Crawl-delay is the de-facto REP extension
+    * (unratified by RFC 9309 but honored by major crawlers); values
+    * are seconds, fractional allowed, non-numeric dropped. Selection
+    * is named-else-star over DELAY-carrying groups, independent of
+    * which group supplied the allow/deny rules — a body may well put
+    * its delay in the `*` group and agent-specific rules elsewhere.
+    */
+  def crawlDelays(df: DataFrame, hostCol: String, textCol: String,
+                  agent: String): DataFrame = {
+    val a = agent.toLowerCase(java.util.Locale.ROOT)
+    require(a.nonEmpty && a != "*", s"agent must be a concrete token, got '$agent'")
+    val (grouped, agents) =
+      groupedDirectives(df, hostCol, textCol, Seq("crawl-delay"))
+    val delays = grouped
+      .filter(col("dir") === "crawl-delay" && col("group_id") >= 1L)
+      .join(agents, Seq("host", "group_id"))
+      .select(col("host"),
+        // try_cast: ANSI mode throws on junk like "Crawl-delay: soon";
+        // a malformed delay must drop the row, not kill the scan
+        floor(expr("try_cast(value AS DOUBLE)") * 1000.0)
+          .cast("long").as("delay_ms"),
+        array_contains(col("agents"), a).as("named"),
+        array_contains(col("agents"), "*").as("generic"))
+      .filter(col("delay_ms").isNotNull && col("delay_ms") >= 0L &&
+        (col("named") || col("generic")))
+    val hostMode = delays.groupBy(col("host"))
+      .agg(max(col("named")).as("has_named"))
+    delays.join(hostMode, "host")
+      .filter(when(col("has_named"), col("named")).otherwise(col("generic")))
+      .groupBy(col("host"))
+      .agg(max(col("delay_ms")).as("delay_ms"))
+  }
+
+  /** Politeness-scheduled fetch frontier: [[decisions]]-allowed URLs
+    * ranked per host (deterministic by path) with
+    * `fetch_at_ms = (rank−1) · delay` — the slot plan a frontier
+    * shard executes against one host. `maxPerHost` caps the horizon:
+    * with it, the rank filter plans as `WindowGroupLimit` (a map-side
+    * top-k heap per host), so a 10⁸-page host never fully sorts —
+    * which is also the honest semantics: a crawl horizon of T ms
+    * admits only T/delay URLs of a host no matter how many are known.
+    * Output: (host, path, delay_ms, fetch_rank, fetch_at_ms).
+    */
+  def fetchSchedule(urls: DataFrame, hostCol: String, pathCol: String,
+                    rules: DataFrame, delays: DataFrame, agent: String,
+                    defaultDelayMs: Long,
+                    maxPerHost: Option[Int] = None): DataFrame = {
+    val allowed = decisions(urls, hostCol, pathCol, rules, agent)
+      .filter(col("allowed"))
+      .select(col("host"), col("path"))
+    val w = Window.partitionBy(col("host")).orderBy(col("path"))
+    val ranked = allowed
+      .join(delays, Seq("host"), "left")
+      .withColumn("delay_ms",
+        coalesce(col("delay_ms"), lit(defaultDelayMs)))
+      .withColumn("fetch_rank", row_number().over(w))
+    val capped = maxPerHost match {
+      case Some(k) => ranked.filter(col("fetch_rank") <= k)
+      case None => ranked
+    }
+    capped.select(col("host"), col("path"), col("delay_ms"),
+      col("fetch_rank").cast("long").as("fetch_rank"),
+      ((col("fetch_rank") - 1).cast("long") * col("delay_ms"))
+        .as("fetch_at_ms"))
   }
 
   /** RFC 9309 pattern → SQL LIKE pattern (escape '\'): `%`/`_`/`\`

@@ -89,4 +89,50 @@ class RobotsSpec extends SparkSpec {
     // '_' in the rule must NOT match any-single-char
     assert(d("/acb") === true)
   }
+
+  private def delayOf(body: String, agent: String = "graftbot"): Option[Long] =
+    Robots.crawlDelays(Seq(("h", body)).toDF("host", "txt"),
+        "host", "txt", agent)
+      .collect().headOption.map(_.getLong(1))
+
+  test("crawl-delay: named group wins over '*', fractional seconds, max of duplicates") {
+    assert(delayOf(
+      "User-agent: graftbot\nCrawl-delay: 2.5\nUser-agent: *\nCrawl-delay: 10\n")
+      === Some(2500L))
+    assert(delayOf("User-agent: *\nCrawl-delay: 10\n") === Some(10000L))
+    // two groups naming the agent: conservative max
+    assert(delayOf(
+      "User-agent: graftbot\nCrawl-delay: 1\nUser-agent: graftbot\nCrawl-delay: 3\n")
+      === Some(3000L))
+    // delay selection is independent of rule groups: a '*' delay
+    // applies even when a NAMED group exists but carries no delay
+    assert(delayOf(
+      "User-agent: graftbot\nDisallow: /x\nUser-agent: *\nCrawl-delay: 4\n")
+      === Some(4000L))
+  }
+
+  test("crawl-delay: non-numeric and negative values drop; absent host absent") {
+    assert(delayOf("User-agent: *\nCrawl-delay: soon\n") === None)
+    assert(delayOf("User-agent: *\nCrawl-delay: -5\n") === None)
+    assert(delayOf("User-agent: *\nDisallow: /x\n") === None)
+  }
+
+  test("fetchSchedule: allowed-only, per-host slots, default delay, maxPerHost cap") {
+    val bodies = Seq(
+      ("ha", "User-agent: *\nDisallow: /no\nCrawl-delay: 2\n"),
+      ("hb", "User-agent: *\nDisallow: /no\n")).toDF("host", "txt")
+    val urls = Seq(("ha", "/a1"), ("ha", "/a2"), ("ha", "/no"),
+      ("hb", "/b1"), ("hb", "/b2"), ("hb", "/b3"), ("hb", "/b4"))
+      .toDF("host", "path")
+    val out = Robots.fetchSchedule(urls, "host", "path",
+        Robots.parseRules(bodies, "host", "txt"),
+        Robots.crawlDelays(bodies, "host", "txt", "graftbot"),
+        "graftbot", defaultDelayMs = 500L, maxPerHost = Some(3))
+      .orderBy("host", "fetch_rank")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      ("ha", "/a1", 2000L, 1L, 0L), ("ha", "/a2", 2000L, 2L, 2000L),
+      ("hb", "/b1", 500L, 1L, 0L), ("hb", "/b2", 500L, 2L, 500L),
+      ("hb", "/b3", 500L, 3L, 1000L)))
+  }
 }
