@@ -402,10 +402,24 @@ object Bench {
         System.err.println(s"[bench] isolated prepareArtifacts failed: $e") }
       releaseAll(s2)
       val iso = top10.map { name =>
-        val runs = (0 until reps).map { _ =>
+        var runs = (0 until reps).map { _ =>
           val r = runTimed(s2, name, sfDir)
           releaseAll(s2)
           r
+        }
+        // same adaptive re-measurement as the suite: JIT storms hit
+        // the fresh-context run too (r15: q145 recorded 15.6 isolated
+        // vs its 10.9 honest band on a 3-rep median) — the two-mode
+        // rule needs BOTH modes storm-robust or disagreement is noise
+        if (runs.size >= 3) {
+          val ts = runs.map(_._1)
+          if (median(ts) > 1.3 * ts.min && median(ts) > 1.0) {
+            runs = runs ++ (0 until 2).map { _ =>
+              val r = runTimed(s2, name, sfDir)
+              releaseAll(s2)
+              r
+            }
+          }
         }
         (name, median(runs.map(_._1)))
       }
