@@ -292,6 +292,18 @@ object ScaleProbe10 {
       time("q164_kmeans", mult)(
         graft.ops.Kmeans.assignInt(e, "vec_id", "embedding",
           k = 8, iters = 2))
+      // q165/q166 composition: at FIXED k the cells grow with the
+      // corpus (2 000/8 = 250 → 2 500 per cell at ×10), so the
+      // within-cell pair scoring is the quadratic-risk leg — the
+      // probe runs the production dispatch (graft.sim.maxBlock), the
+      // same guard ScaleProbe100 measures for q110's label cells
+      time("q165_semdedup", mult) {
+        val cells = graft.ops.Kmeans.assignInt(e, "vec_id", "embedding",
+          k = 8, iters = 2).select(col("vec_id"), col("cell"))
+        Similarity.semanticDedup(
+          e.select(col("vec_id"), col("embedding")).join(cells, Seq("vec_id")),
+          "cell", 3000L)
+      }
     }
     spark.stop()
   }
