@@ -1882,6 +1882,34 @@ object SparkEntry {
         .select(col("vec_id"), col("cell"))
     }),
 
+    // K-ANONYMITY SMALL-CELL SUPPRESSION (r15): the release-side gate
+    // for published corpus statistics — rows whose (lang, length-band)
+    // cohort is smaller than k=10 get their quasi columns replaced by
+    // the '*' marker, pooling them into one residual; totals exact,
+    // no cohort under k distinguishable. Corpus never shuffles: one
+    // cell-count exchange, broadcast join back.
+    "q168_k_anonymity" -> ((s, dir) =>
+      ops.Privacy.suppressSmallCells(
+        T(s, dir, "documents").select(col("doc_id"), col("lang"),
+          expr("n_chars div 500").as("band")),
+        Seq("lang", "band"), k = 10L)),
+
+    // FREQUENCY-THRESHOLD RELEASE (r15): the memorization-mitigation
+    // rule — publish an extracted key only when it appears in >= 11
+    // DISTINCT documents; within-doc repetition cannot launder a rare
+    // key past the gate (counting is over distinct (key, doc)). Keys:
+    // the documents' first WORD (heavy natural reuse — the threshold
+    // splits the population both ways) plus a per-doc unique tail row
+    // that must always drop.
+    "q169_frequency_threshold" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val rows = d.select(col("doc_id"),
+          split(col("text"), " ").getItem(0).as("key"))
+        .unionByName(d.select(col("doc_id"),
+          concat(lit("uniq-"), col("doc_id").cast("string")).as("key")))
+      ops.Privacy.frequencyThreshold(rows, "key", "doc_id", minDocs = 11L)
+    }),
+
     // POLITENESS FETCH SCHEDULE (r15): the frontier stage between
     // robots decisions and the fetch fleet — q162's allow/deny
     // composed with Crawl-delay (the de-facto REP extension) into
@@ -4451,6 +4479,34 @@ object SparkEntry {
            FROM e2 a JOIN e2 b ON a.cell = b.cell AND a.vec_id < b.vec_id)
          SELECT vec_id, cell FROM e2
          WHERE vec_id NOT IN (SELECT id_b FROM p WHERE cos_e4 >= 3000)""",
+
+    // replay: window count per cohort, CASE under k -> '*'; quasi
+    // columns released as strings (the marker needs a common type)
+    "q168_k_anonymity" ->
+      """WITH t AS (
+           SELECT doc_id, lang, n_chars // 500 AS band
+           FROM documents),
+         c AS (
+           SELECT doc_id, lang, band,
+             count(*) OVER (PARTITION BY lang, band) AS n
+           FROM t)
+         SELECT doc_id,
+           CASE WHEN n < 10 THEN '*' ELSE lang END AS lang,
+           CASE WHEN n < 10 THEN '*' ELSE CAST(band AS VARCHAR) END AS band
+         FROM c""",
+
+    // replay: distinct (key, doc) document frequency >= 11 keeps the
+    // row; the per-doc unique tail rows must all drop
+    "q169_frequency_threshold" ->
+      """WITH rows_in AS (
+           SELECT doc_id, split_part(text, ' ', 1) AS key FROM documents
+           UNION ALL
+           SELECT doc_id, 'uniq-' || CAST(doc_id AS VARCHAR) AS key
+           FROM documents),
+         ok AS (
+           SELECT key FROM (SELECT DISTINCT key, doc_id FROM rows_in)
+           GROUP BY key HAVING count(*) >= 11)
+         SELECT key, doc_id FROM rows_in WHERE key IN (SELECT key FROM ok)""",
 
     // independent truth table again: allowed set = q162's RFC
     // semantics, delay = named-group 2500 ms on even hosts / '*'

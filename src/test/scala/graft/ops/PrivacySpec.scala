@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Release-gate semantics: small cohorts pool into the marker with
+  * exact totals; the frequency gate counts DISTINCT documents so
+  * within-doc repetition cannot launder a rare key.
+  */
+class PrivacySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cells under k suppress to the marker; totals and other columns exact") {
+    val df = Seq(
+      (1L, "en", 0L, 10.0), (2L, "en", 0L, 20.0), (3L, "en", 0L, 30.0),
+      (4L, "de", 0L, 5.0), (5L, "de", 1L, 7.0))
+      .toDF("id", "lang", "band", "v")
+    val out = Privacy.suppressSmallCells(df, Seq("lang", "band"), k = 2L)
+      .orderBy("id")
+      .as[(Long, String, String, Double)].collect().toSeq
+    // (en, 0): 3 rows >= 2 -> kept; (de, 0) and (de, 1): 1 row each ->
+    // both quasi columns suppressed, id/v untouched
+    assert(out === Seq(
+      (1L, "en", "0", 10.0), (2L, "en", "0", 20.0), (3L, "en", "0", 30.0),
+      (4L, "*", "*", 5.0), (5L, "*", "*", 7.0)))
+    // total row count (and any SUM over v) is exact after suppression
+    assert(out.map(_._4).sum === 72.0)
+  }
+
+  test("k=1 suppresses nothing; the marker cohort pools multiple tiny cells") {
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("id", "q")
+    assert(Privacy.suppressSmallCells(df, Seq("q"), 1L)
+      .filter(col("q") === "*").count() === 0)
+    val pooled = Privacy.suppressSmallCells(df, Seq("q"), 2L)
+    // three singleton cells all pool into one residual cohort
+    assert(pooled.filter(col("q") === "*").count() === 3)
+  }
+
+  test("frequency gate counts DISTINCT docs — repetition does not launder") {
+    val df = Seq(
+      // key "hot" in 3 docs -> kept
+      (1L, "hot"), (2L, "hot"), (3L, "hot"),
+      // key "spam" 5 times in ONE doc -> dropped at minDocs=2
+      (7L, "spam"), (7L, "spam"), (7L, "spam"), (7L, "spam"), (7L, "spam"),
+      // key "warm" in 2 docs -> kept at minDocs=2
+      (1L, "warm"), (2L, "warm"))
+      .toDF("doc", "key")
+    val kept = Privacy.frequencyThreshold(df, "key", "doc", minDocs = 2L)
+      .select("key").distinct().as[String].collect().toSet
+    assert(kept === Set("hot", "warm"))
+    // every original row of a surviving key passes (the semi join
+    // keeps rows, not one-per-key)
+    assert(Privacy.frequencyThreshold(df, "key", "doc", 2L).count() === 5L)
+  }
+}
