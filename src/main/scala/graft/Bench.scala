@@ -312,21 +312,23 @@ object Bench {
       // strictly one-sided (JIT deopt/recompile storms from per-build
       // codegen class churn land in 1-2 reps; nothing ever makes a rep
       // faster than the true cost), so median >> min means the median
-      // itself caught a storm. Two extra reps make the median-of-5
-      // robust to two storm reps where median-of-3 tolerated only one
-      // — measured: q128 in-suite [11.3, 53.3, 4.9] (median 11.3) vs
-      // 5.6 cold-isolated; the 5-rep median lands on the honest band.
-      // Bounded: only fires when median > 1.3x min AND the query is
-      // > 1 s (sub-second queries' jitter is not worth the wall).
+      // itself caught a storm. Escalate by 2 reps at a time (median-of-5
+      // tolerates two storm reps, median-of-7 three) until the median
+      // sits within 1.3x of the min or the rep budget (7) is spent —
+      // measured: q128 in-suite [11.3, 53.3, 4.9] (median 11.3) vs 5.6
+      // cold-isolated landed honest at 5 reps; q166's 40%-storm-rate
+      // HOF pipeline ([16.4, 8.5, 6.3, 5.9, 14.8], median 8.5 vs ~5
+      // honest) needs the 7-rep round. Bounded: only fires when the
+      // query is > 1 s (sub-second jitter is not worth the wall).
       if (runs.size >= 3) {
-        val ts = runs.map(_._1)
-        val m0 = median(ts)
-        if (m0 > 1.3 * ts.min && m0 > 1.0) {
+        var ts = runs.map(_._1)
+        while (runs.size < 7 && median(ts) > 1.3 * ts.min && median(ts) > 1.0) {
           runs = runs ++ (0 until 2).map { _ =>
             val r = runTimed(spark, name, sfDir)
             releaseAll(spark)
             r
           }
+          ts = runs.map(_._1)
         }
       }
       // Heap telemetry (r14 verdict #1: in-suite inflation must be
@@ -412,13 +414,14 @@ object Bench {
         // vs its 10.9 honest band on a 3-rep median) — the two-mode
         // rule needs BOTH modes storm-robust or disagreement is noise
         if (runs.size >= 3) {
-          val ts = runs.map(_._1)
-          if (median(ts) > 1.3 * ts.min && median(ts) > 1.0) {
+          var ts = runs.map(_._1)
+          while (runs.size < 7 && median(ts) > 1.3 * ts.min && median(ts) > 1.0) {
             runs = runs ++ (0 until 2).map { _ =>
               val r = runTimed(s2, name, sfDir)
               releaseAll(s2)
               r
             }
+            ts = runs.map(_._1)
           }
         }
         (name, median(runs.map(_._1)))
