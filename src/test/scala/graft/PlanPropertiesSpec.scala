@@ -286,6 +286,16 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p.take(800))
   }
 
+  test("q168 k-anonymity: the only exchange is the cell-count aggregate") {
+    // the corpus side must be a bare scan into a broadcast join — the
+    // suppression join-back must never shuffle the corpus; the single
+    // hash exchange is the map-side-combined (quasi-cols) cell count
+    val p = plan("q168_k_anonymity")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(exchanges(p) == 1,
+      s"expected exactly the cell-count exchange:\n${p.take(800)}")
+  }
+
   test("q164 k-means assignment: the corpus never hash-shuffles") {
     // the r15 probe finding, locked: assignment must be the narrow
     // fold over the broadcast 1-row centroid array (a scalar-broadcast
