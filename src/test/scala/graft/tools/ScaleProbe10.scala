@@ -304,6 +304,19 @@ object ScaleProbe10 {
           e.select(col("vec_id"), col("embedding")).join(cells, Seq("vec_id")),
           "cell", 3000L)
       }
+      // r15 privacy gates: cell counts / key dfs are the only
+      // exchanges (cell-table-sized, map-side combined) — expected
+      // ~linear wall, corpus never shuffles (plan-locked for q168)
+      time("q168_kanon", mult)(
+        graft.ops.Privacy.suppressSmallCells(
+          d.select(col("doc_id"), col("lang"),
+            expr("n_chars div 100").as("band")),
+          Seq("lang", "band"), k = 10L))
+      time("q169_freqgate", mult)(
+        graft.ops.Privacy.frequencyThreshold(
+          d.select(col("doc_id"),
+            split(col("text"), " ").getItem(0).as("key")),
+          "key", "doc_id", minDocs = 11L))
     }
     spark.stop()
   }
