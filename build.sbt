@@ -27,6 +27,21 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// default forked-JVM heap: the 32g bench posture on the big machine,
+// derived from the ACTUAL host so a fresh checkout starts on ordinary
+// hardware (an unconditional 32g -Xms would refuse to launch tests on
+// any host under 32 GiB). Half the host, floored at 4g, capped at the
+// 32g bench posture; SPARK_DRIVER_MEM overrides either way.
+lazy val defaultHeap: String = {
+  val totalGb =
+    try {
+      val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+      os.getTotalMemorySize / (1024L * 1024L * 1024L)
+    } catch { case _: Throwable => 64L } // unknown host: keep old posture
+  s"${math.max(4L, math.min(32L, totalGb / 2))}g"
+}
+
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
@@ -35,7 +50,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // lifetime listener/cleaner state ran the old gen full and inflated
   // later queries' in-suite times up to 7x vs cold-isolated (r14
   // verdict #1). The machine has 128 GiB; headroom is the cheap fix.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", defaultHeap)}",
   // -Xms == -Xmx: Bench.releaseAll's explicit full GC otherwise lets
   // G1 UNCOMMIT the freed regions (MaxHeapFreeRatio shrink), and the
   // next timed rep re-commits gigabytes of zeroed pages mid-window —
@@ -43,7 +58,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // even after the ContextCleaner storm was fully quiesced (r15).
   // A floor equal to the cap makes committed heap monotone: pages
   // fault in once per JVM, never inside a later timed window.
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", defaultHeap)}",
   // JIT code cache: the decisive fix for the r14 in-suite bench
   // inflation (q145 90.6 s in-suite vs 13.3 s isolated). Every rep of
   // every query generates FRESH whole-stage-codegen classes (exprIds

@@ -34,14 +34,23 @@ object Privacy {
                          suppressed: String = "*"): DataFrame = {
     require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
     require(k >= 1, s"k must be >= 1, got $k")
+    // groupBy puts NULL quasi values in their own cohort, so the join
+    // back must be null-SAFE (<=>) or the NULL cohort never matches its
+    // own count and a sub-k cohort containing a NULL leaks unsuppressed.
     val counts = df.groupBy(quasiCols.map(col): _*)
       .agg(count(lit(1)).as("__cell_n"))
-    val joined = df.join(counts, quasiCols, "left")
+      .select(quasiCols.map(c => col(c).as(s"__q_$c")) :+ col("__cell_n"): _*)
+    val cond = quasiCols
+      .map(c => df(c) <=> counts(s"__q_$c"))
+      .reduce(_ && _)
+    val joined = df.join(counts, cond, "left")
     val out = df.columns.map { c =>
       if (quasiCols.contains(c))
-        when(col("__cell_n") < k, lit(suppressed))
-          .otherwise(col(c).cast("string")).as(c)
-      else col(c)
+        // fail CLOSED: an unmatched row (no count — cannot happen with a
+        // null-safe join, kept as the conservative backstop) suppresses.
+        when(col("__cell_n").isNull || col("__cell_n") < k, lit(suppressed))
+          .otherwise(df(c).cast("string")).as(c)
+      else df(c)
     }
     joined.select(out.toIndexedSeq: _*)
   }
@@ -53,19 +62,30 @@ object Privacy {
     * threshold. Counting is over distinct (key, doc) so within-doc
     * repetition cannot launder a rare key past the gate.
     *
-    * Same shape as [[suppressSmallCells]]: the distinct + count
-    * aggregate exchanges (key, doc) fingerprint-width rows with
-    * map-side combine; the survivors join is a semi join the planner
-    * broadcasts when the surviving key set is small.
+    * Same shape as [[suppressSmallCells]], but the exchanges carry a
+    * 128-bit FINGERPRINT of the key, never the key text: extracted
+    * spans/n-grams (the stated memorization use case) can be KBs, and
+    * shipping them through the distinct pass and the semi join would
+    * make both exchanges corpus-text-sized. Two independent xxhash64
+    * lanes (unsalted + salted) form the fingerprint, so a false
+    * release needs a simultaneous collision in both lanes — expected
+    * colliding pairs ~ n²/2¹²⁹, negligible at any corpus size (the
+    * single-lane 64-bit variant would already be ~0.03 expected pairs
+    * at 10⁹ distinct keys, but its failure direction is toward
+    * RELEASE, so we pay the second 8 bytes for the two-lane posture).
     */
   def frequencyThreshold(df: DataFrame, keyCol: String, docCol: String,
                          minDocs: Long): DataFrame = {
     require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
-    val ok = df.select(col(keyCol), col(docCol)).distinct()
-      .groupBy(col(keyCol))
+    def fp(c: Column): (Column, Column) =
+      (xxhash64(c), xxhash64(lit("graft.fq.salt"), c))
+    val (h1, h2) = fp(col(keyCol))
+    val ok = df.select(h1.as("__kh1"), h2.as("__kh2"),
+        col(docCol).as("__doc")).distinct()
+      .groupBy(col("__kh1"), col("__kh2"))
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDocs)
-      .select(col(keyCol))
-    df.join(ok, Seq(keyCol), "left_semi")
+      .select(col("__kh1"), col("__kh2"))
+    df.join(ok, h1 === ok("__kh1") && h2 === ok("__kh2"), "left_semi")
   }
 }

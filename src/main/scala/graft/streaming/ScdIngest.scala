@@ -39,10 +39,30 @@ import graft.ops.Scd
 object ScdIngest {
 
   /** foreachBatch sink maintaining `db.table` as the SCD2 history and
-    * `db.table_rejects` as the retro-edit quarantine (append-only).
-    * `onBatch(batchId, nRejected)` reports the quarantine count per
-    * batch — the observability hook (alerting on non-zero is the
-    * production posture).
+    * `db.table_rejects` as the retro-edit quarantine (append-only,
+    * with a `__batch_id` provenance column). `onBatch(batchId,
+    * nRejected)` reports the quarantine count per batch — the
+    * observability hook (alerting on non-zero is the production
+    * posture).
+    *
+    * REPLAY SAFETY (Structured Streaming re-runs the most recent
+    * batchId after a failure between this sink and the checkpoint
+    * commit): the history overwrite is naturally idempotent, but a
+    * naive quarantine is not — on a replay against the ALREADY-updated
+    * history, every applied version-boundary row has ts ≤ its key's
+    * new effective_from and would re-classify as a retro-edit. Two
+    * guards make the quarantine replay-safe:
+    *  1. a "rejected" row EXACTLY equal to an already-recorded version
+    *     (key, ts = effective_from, attrs) is a redelivery, not a
+    *     retro-edit — anti-joined away (this also absorbs upstream
+    *     at-least-once duplicate delivery of old rows);
+    *  2. if the rejects table already holds rows for this `batchId`,
+    *     the append is skipped (the failure fell between the reject
+    *     append and the history overwrite, so genuine rejects were
+    *     recorded already).
+    * Rows a replay re-accepts (collapsed, non-boundary rows — their
+    * key's current effective_from predates them) re-apply through the
+    * idempotent fold and change nothing.
     */
   def scd2Sink(spark: SparkSession, db: String, table: String,
                keyCol: String, tsCol: String, tieCol: String,
@@ -50,6 +70,7 @@ object ScdIngest {
               (onBatch: (Long, Long) => Unit = (_, _) => ())
       : (DataFrame, Long) => Unit =
     (batch: DataFrame, batchId: Long) => {
+      import org.apache.spark.sql.functions.{col, lit}
       spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
       val persisted = batch.persist()
       try {
@@ -62,16 +83,31 @@ object ScdIngest {
             if (exists) spark.table(s"`$db`.`$table`")
             else Scd.buildHistory(persisted.limit(0),
               keyCol, tsCol, tieCol, attrCols)
-          val (applied, rejected) = Scd.applyChangelogWithRejects(
+          val (applied, rejected0) = Scd.applyChangelogWithRejects(
             history, persisted, keyCol, tsCol, tieCol, attrCols)
+          // guard 1: drop exact redeliveries of recorded versions —
+          // the anti join is batch-sized vs affected-key versions only
+          val rejected = rejected0.join(
+            history.select((col(keyCol) +:
+              col("effective_from").as(tsCol) +: attrCols.map(col)): _*),
+            Seq(keyCol, tsCol) ++ attrCols, "left_anti")
           // truncate lineage: the overwrite must not read the files it
           // replaces (the DimStore.lwwOverwrite doctrine)
           val out = applied.localCheckpoint(true)
           val rej = rejected.localCheckpoint(true)
           val nRej = rej.count()
-          if (nRej > 0)
-            rej.write.mode(SaveMode.Append)
-              .saveAsTable(s"`$db`.`${table}_rejects`")
+          if (nRej > 0) {
+            // guard 2: this batchId's rejects were already appended on
+            // a prior attempt — appending again would duplicate them
+            val rejTable = s"`$db`.`${table}_rejects`"
+            val alreadyRecorded =
+              spark.catalog.tableExists(s"$db.${table}_rejects") &&
+                !spark.table(rejTable)
+                  .filter(col("__batch_id") === batchId).isEmpty
+            if (!alreadyRecorded)
+              rej.withColumn("__batch_id", lit(batchId))
+                .write.mode(SaveMode.Append).saveAsTable(rejTable)
+          }
           out.write.mode(SaveMode.Overwrite).saveAsTable(s"`$db`.`$table`")
           onBatch(batchId, nRej)
         } else onBatch(batchId, 0L)

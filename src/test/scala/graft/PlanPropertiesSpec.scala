@@ -296,6 +296,21 @@ class PlanPropertiesSpec extends SparkSpec {
       s"expected exactly the cell-count exchange:\n${p.take(800)}")
   }
 
+  test("q169 frequency threshold: key text never enters an exchange") {
+    // the memorization-gate doctrine: keys can be KB-sized extracted
+    // spans, so both the distinct/count pass and the semi join must
+    // exchange only the 2×8-byte xxhash64 fingerprint — the key string
+    // column must not be a field of any hash exchange's output
+    val p = plan("q169_frequency_threshold")
+    val exLines = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exLines.nonEmpty, p.take(600))
+    exLines.foreach { l =>
+      assert(!l.contains("key#"),
+        s"raw key text in a frequency-gate exchange:\n$l")
+    }
+  }
+
   test("q164 k-means assignment: the corpus never hash-shuffles") {
     // the r15 probe finding, locked: assignment must be the narrow
     // fold over the broadcast 1-row centroid array (a scalar-broadcast

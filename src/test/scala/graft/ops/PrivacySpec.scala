@@ -38,6 +38,27 @@ class PrivacySpec extends SparkSpec {
     assert(pooled.filter(col("q") === "*").count() === 3)
   }
 
+  test("NULL quasi values form a cohort and suppress when under k (fail closed)") {
+    val df = Seq(
+      (1L, Some("en"), 10.0), (2L, Some("en"), 20.0),
+      // a single row with NULL lang: a 1-row cohort that MUST suppress
+      // at k=2 — the null-unsafe join shape released it verbatim
+      (3L, None: Option[String], 30.0),
+      // two NULL-lang rows elsewhere would pool: add one more to check
+      // the NULL cohort is counted as ONE cohort (2 rows -> kept at k=2)
+      (4L, None: Option[String], 40.0))
+      .toDF("id", "lang", "v")
+    val out = Privacy.suppressSmallCells(df, Seq("lang"), k = 2L)
+      .orderBy("id").select("lang").as[String].collect().toSeq
+    // the NULL cohort has 2 rows >= k, so it is NOT suppressed; its
+    // released value is NULL-cast-to-string (null), not the marker
+    assert(out === Seq("en", "en", null, null))
+    // and at k=3 the 2-row NULL cohort suppresses like any other cell
+    val out3 = Privacy.suppressSmallCells(df, Seq("lang"), k = 3L)
+      .orderBy("id").select("lang").as[String].collect().toSeq
+    assert(out3 === Seq("*", "*", "*", "*"))
+  }
+
   test("frequency gate counts DISTINCT docs — repetition does not launder") {
     val df = Seq(
       // key "hot" in 3 docs -> kept

@@ -54,8 +54,12 @@ class ScdIngestSpec extends SparkSpec {
     assert(rejects.map(_._2).sum === 1L,
       s"exactly the retro-edit must quarantine: $rejects")
     val quarantined = spark.table(s"`$db`.`dim_hist_rejects`")
+      .select("k", "ts", "tie", "city", "tier")
       .as[(Long, Long, Long, String, String)].collect().toSeq
     assert(quarantined === Seq((2L, 15L, 0L, "sfo", "x")))
+    // provenance: the reject row records which batch produced it
+    assert(spark.table(s"`$db`.`dim_hist_rejects`")
+      .select("__batch_id").as[Long].collect().toSeq === Seq(2L))
 
     // accepted rows = everything except the retro-edit
     val accepted = (b1 ++ b2 ++ b3).filterNot(_ == (2L, 15L, 0L, "sfo", "x"))
@@ -74,5 +78,49 @@ class ScdIngestSpec extends SparkSpec {
       .select($"k", $"city", $"tier").as[(Long, String, String)]
       .collect().toSet
     assert(at35 === Set((1L, "ham", "a"), (2L, "nyc", "b"), (3L, "ber", "c")))
+
+    // REPLAY: Structured Streaming re-runs the last batchId after a
+    // failure between the sink and the checkpoint commit. Re-invoking
+    // the sink with b3 (batchId 2) against the already-updated state
+    // must leave BOTH tables byte-identical: no duplicate quarantine
+    // entry for the genuine retro-edit (guard 2), and no false
+    // retro-edits from already-applied version boundaries (guard 1 —
+    // without it, (1,40,muc,b) and (2,35,nyc,b) now have ts ≤ their
+    // keys' current effective_from and would re-classify as rejects).
+    val histBefore = standing.collect().toSet
+    val rejBefore = spark.table(s"`$db`.`dim_hist_rejects`").collect().toSet
+    sink(b3.toDF("k", "ts", "tie", "city", "tier"), 2L)
+    assert(spark.table(s"`$db`.`dim_hist`").collect().toSet === histBefore,
+      "replay must leave the history unchanged")
+    assert(spark.table(s"`$db`.`dim_hist_rejects`").collect().toSet
+        === rejBefore,
+      "replay must not duplicate or invent quarantine entries")
+  }
+
+  test("replay of a batch whose rejects were never recorded adds no false entries") {
+    // the nastier replay window: failure AFTER the history overwrite,
+    // BEFORE checkpoint commit, on a batch with ZERO genuine rejects —
+    // batchId-presence alone cannot guard (nothing was appended), so
+    // guard 1's exact-version anti join must absorb every re-classified
+    // boundary row by itself
+    val db2 = "graft_scding_replay"
+    spark.sql(s"DROP DATABASE IF EXISTS `$db2` CASCADE")
+    val alerts = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val sink = ScdIngest.scd2Sink(spark, db2, "h",
+      "k", "ts", "tie", Seq("v")) { (b, n) => alerts += ((b, n)); () }
+    val b0 = Seq((1L, 10L, 0L, "a"), (1L, 20L, 0L, "b"), (2L, 10L, 0L, "x"))
+      .toDF("k", "ts", "tie", "v")
+    sink(b0, 0L)
+    assert(alerts === Seq((0L, 0L)), s"clean batch must not alert: $alerts")
+    val histBefore = spark.table(s"`$db2`.`h`").collect().toSet
+    // replay the same batch against the updated history: every version
+    // boundary re-classifies as ts <= effective_from — all must suppress
+    sink(b0, 0L)
+    assert(!spark.catalog.tableExists(s"$db2.h_rejects"),
+      "replay of a clean batch must not create a quarantine table")
+    assert(alerts === Seq((0L, 0L), (0L, 0L)),
+      s"replay must not raise a spurious non-zero alert: $alerts")
+    assert(spark.table(s"`$db2`.`h`").collect().toSet === histBefore)
+    spark.sql(s"DROP DATABASE IF EXISTS `$db2` CASCADE")
   }
 }
