@@ -1509,6 +1509,28 @@ object SparkEntry {
         ops.Warc.asWarcFiles(docs, pmod(did, lit(8L)), did, rec))
     }),
 
+    // GZIP-MEMBER WARC ROUND-TRIP (r16): the container crawl corpora
+    // actually ship — q155's records, but each record is its OWN RFC
+    // 1952 gzip member (real Deflater) and members concatenate per
+    // file; the read side is the sequential member walk (header parse
+    // + raw inflate + CRC32/ISIZE trailer verify — NOT a magic scan:
+    // compressed bytes can contain 1f 8b) feeding the SAME record
+    // parser as q155. The oracle replays the identity arithmetically:
+    // compression must be invisible to every parsed field.
+    "q170_warcgz_roundtrip" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val did = col("doc_id")
+      val payload = concat(substring(col("text"), 1, 100),
+        when(pmod(did, lit(4L)) === 0L, lit(" — 中文 😀")).otherwise(lit("")))
+      val rec = ops.Warc.recordString(
+        concat(lit("<urn:uuid:"), did.cast("string"), lit(">")),
+        concat(lit("https://example.com/"), col("source"), lit("/"),
+          did.cast("string")),
+        payload)
+      ops.Warc.parseGzRecords(
+        ops.Warc.asWarcGzFiles(docs, pmod(did, lit(7L)), did, rec))
+    }),
+
     // PCA GATE (r14): distributed dimensionality reduction under the
     // q149 numeric-gate doctrine (an eigendecomposition is not
     // SQL-replayable). One-pass moment fit (d²-sized partials, corpus
@@ -1990,15 +2012,35 @@ object SparkEntry {
     // measurements are deterministic anyway (seeded hyperplanes).
     // ------------------------------------------------------------------
 
-    // q33's gate — single-table LSH is candidate GENERATION (measured
-    // recall@5: 0.125 @ sf0.01, 0.10 @ sf0.1 on near-uniform synthetic
-    // embeddings, LSH's worst case); the floor documents that honestly
+    // q33's gate (teeth r16): the raw fixture embeddings are near-iid —
+    // LSH's worst case — so the old floor (0.05, measured 0.10-0.125)
+    // could only catch collapse. The r15 verdict ask plants CLUSTERED
+    // structure in-query instead (the q157 synthesis doctrine, oracle-
+    // replayable integer arithmetic): 16 near-orthogonal ±1 centers
+    // (the c·i cross term decorrelates dims across clusters), ±0.05
+    // noise → angular cluster radius ≈ 0.05 rad, so a CORRECT 4-plane
+    // LSH keeps same-cluster neighbors in-bucket (P[plane splits a
+    // pair] ≈ 0.1rad/π per plane) and recall is high — measured
+    // recall@5: 1.00 @ sf0.01 AND sf0.1 (GateProbe). Floor 0.50 fails
+    // on any hyperplane/sign/bucket regression with 2x margin while
+    // the q33 rows-only entry keeps pricing the raw-fixture path.
     "q94_lsh_recall_gate" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") < 8)
-      recallGate(Similarity.lshTopK(q, emb, 5, nPlanes = 4),
-        Similarity.bruteForceTopK(q, emb, 5),
-        Seq("query_id", "neighbor_id"), 500L)
+      val vid = col("vec_id")
+      // staged: interpreted HOF synthesis consumed by both join sides
+      val structured = ops.Pipeline.stage("lsh_gate_synth", emb.select(vid,
+        transform(sequence(lit(0), lit(63)), i => {
+          val c = pmod(vid, lit(16L))
+          val center = (pmod(c * 31L + i.cast("long") * 17L +
+            c * i.cast("long") * 7L, lit(19L)).cast("double") - 9.0) / 9.0
+          val eps = (pmod(vid * 7L + i.cast("long") * 3L, lit(11L))
+            .cast("double") - 5.0) / 5.0 * 0.05
+          (center + eps).cast("float")
+        }).as("embedding")))
+      val q = structured.filter(col("vec_id") < 8)
+      recallGate(Similarity.lshTopK(q, structured, 5, nPlanes = 4),
+        Similarity.bruteForceTopK(q, structured, 5),
+        Seq("query_id", "neighbor_id"), 5000L)
     }),
 
     // q54's gate — the production multi-table path (measured 0.975 @
@@ -2614,6 +2656,44 @@ object SparkEntry {
       mismatches.agg(count(lit(1)).as("mism")).crossJoin(total)
         .select(col("n_vectors"),
           (col("mism") === 0L).as("incremental_equals_rebuild"))
+    }),
+
+    // INCREMENTAL K-MEANS INGEST (r16, the q148 doctrine for cells):
+    // fit once, FREEZE the centroids, ingest mini-batches as
+    // per-(cell,dim) integer sufficient statistics (Σx, n) — division
+    // deferred to read time, so the merge is EXACT (mean-of-means
+    // would round per batch and drift). Gates two equalities over a
+    // base/delta split: (a) merged stats = full-corpus stats row for
+    // row; (b) the centroid table derived from merged stats is
+    // byte-identical to the batch Lloyd's update over the union —
+    // i.e. incremental ≡ rebuild, not approximately but exactly.
+    // State is O(k·d) Longs regardless of corpus size; per batch only
+    // ≤ k·d map-side-combined partials reach the wire.
+    "q171_kmeans_incremental" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val cents = ops.Kmeans.fitCentroids(emb, "vec_id", "embedding",
+        k = 8, iters = 1)
+      val base = emb.filter(pmod(col("vec_id"), lit(10L)) =!= 0L)
+      val delta = emb.filter(pmod(col("vec_id"), lit(10L)) === 0L)
+      val merged = ops.Kmeans.mergeStats(
+        ops.Kmeans.cellStats(base, "vec_id", "embedding", cents),
+        ops.Kmeans.cellStats(delta, "vec_id", "embedding", cents))
+      val full = ops.Kmeans.cellStats(emb, "vec_id", "embedding", cents)
+      val statsMism = merged.alias("m")
+        .join(full.alias("f"),
+          col("m.cell") === col("f.cell") && col("m.j") === col("f.j"), "full")
+        .filter(col("m.cell").isNull || col("f.cell").isNull ||
+          col("m.sx") =!= col("f.sx") || col("m.n") =!= col("f.n"))
+        .agg(count(lit(1)).as("stats_mism"))
+      val centMism = ops.Kmeans.centroidsOf(merged).alias("m")
+        .join(ops.Kmeans.centroidsOf(full).alias("f"),
+          col("m.cell") === col("f.cell"), "full")
+        .filter(col("m.cell").isNull || col("f.cell").isNull ||
+          col("m.cv") =!= col("f.cv"))
+        .agg(count(lit(1)).as("cent_mism"))
+      statsMism.crossJoin(centMism)
+        .select((col("stats_mism") === 0L).as("stats_equal"),
+          (col("cent_mism") === 0L).as("centroids_equal"))
     }),
 
     // PQ DRIFT DETECTOR GATE (r14): makes the incremental-index
@@ -4163,6 +4243,24 @@ object SparkEntry {
            payload AS payload_text
          FROM d""",
 
+    // the gzip container is invisible to the parse: same replay as
+    // q155 modulo the file grouping (one gzip member per record)
+    "q170_warcgz_roundtrip" ->
+      """WITH d AS (
+           SELECT doc_id, source,
+             substring(text, 1, 100) ||
+               CASE WHEN doc_id % 4 = 0 THEN ' — 中文 😀' ELSE '' END AS payload
+           FROM documents)
+         SELECT doc_id % 7 AS file_id,
+           CAST(row_number() OVER (PARTITION BY doc_id % 7 ORDER BY doc_id) - 1
+             AS BIGINT) AS rec_index,
+           'response' AS warc_type,
+           '<urn:uuid:' || doc_id || '>' AS record_id,
+           'https://example.com/' || source || '/' || doc_id AS target_uri,
+           CAST(strlen(payload) AS BIGINT) AS content_length,
+           payload AS payload_text
+         FROM d""",
+
     // replays the FULL composition: synthesis, the WARC leg as the
     // identity it proves, the q153 extract chain, the q154 normalize
     // chain, canonical dedup, and the gate — one SQL statement
@@ -4643,7 +4741,7 @@ object SparkEntry {
     // contract — the floor constant and that it is met. A recall
     // collapse flips meets_floor and hash-fails the round.
     "q94_lsh_recall_gate" ->
-      "SELECT CAST(500 AS BIGINT) AS floor_e4, true AS meets_floor",
+      "SELECT CAST(5000 AS BIGINT) AS floor_e4, true AS meets_floor",
     "q95_lsh_multi_recall_gate" ->
       "SELECT CAST(8500 AS BIGINT) AS floor_e4, true AS meets_floor",
     "q96_ivf_recall_gate" ->
@@ -4664,6 +4762,13 @@ object SparkEntry {
     "q148_pq_index_incremental" ->
       """SELECT count(*) AS n_vectors, true AS incremental_equals_rebuild
          FROM embeddings""",
+
+    // integer-sum associativity makes the stats merge exact and the
+    // derived centroid div deterministic — both equalities are
+    // structural, so the oracle is two constant TRUEs; any per-batch
+    // rounding (mean-of-means) or order-dependence flips one
+    "q171_kmeans_incremental" ->
+      "SELECT true AS stats_equal, true AS centroids_equal",
 
     // both booleans are numeric gates (the q94/q146 floor doctrine):
     // base error measured 0.459-0.506 across SFs, ceiling 0.70; the

@@ -60,8 +60,39 @@ object BpeTrain {
     StructField("merged", StringType, nullable = false),
     StructField("pair_ct", LongType, nullable = false)))
 
+  /** `mergeBatch > 1` (r16) amortizes the per-merge driver round-trip:
+    * each round counts pairs ONCE, collects the top `mergeBatch + 1`
+    * candidates, and accepts the longest prefix that PROVABLY yields
+    * the same merge sequence as the one-at-a-time loop:
+    *
+    *  - pairwise symbol independence: for accepted i < k, the trios
+    *    {a_i, b_i, a_i·b_i} and {a_k, b_k, a_k·b_k} are disjoint —
+    *    applying one accepted merge then cannot change another's
+    *    count (shared operands) or CREATE occurrences of another's
+    *    operand / be created by another's product (name collisions);
+    *  - strict separation: the last accepted candidate's count must
+    *    STRICTLY exceed the first non-accepted candidate's. Every
+    *    pair a merge can create inherits at most its parent pair's
+    *    count, every parent shares a symbol with an accepted merge
+    *    and is therefore non-accepted, and all non-accepted pairs are
+    *    bounded by that first non-accepted count — so no created or
+    *    surviving pair can reach the accepted band, and ties INSIDE
+    *    the accepted prefix keep their lexical order because their
+    *    counts are untouched. (Equality is excluded deliberately: an
+    *    inherited-count tie can lexically outrank the next accepted
+    *    candidate, which is exactly where a naive batch diverges.)
+    *
+    * The accepted merges apply as chained `replace`s in rank order —
+    * the same rewrite sequence the sequential loop performs, so the
+    * dictionary state after the round is byte-identical, and each
+    * recorded pair_ct equals the count the sequential argmax would
+    * have seen (unchanged by the independence condition). With
+    * `mergeBatch = 1` the prefix is always the bare argmax and the
+    * loop IS the original algorithm.
+    */
   def learnMerges(docs: DataFrame, textCol: String, nMerges: Int,
-                  minCount: Long = 2L): DataFrame = {
+                  minCount: Long = 2L, mergeBatch: Int = 1): DataFrame = {
+    require(mergeBatch >= 1, s"mergeBatch must be >= 1, got $mergeBatch")
     val spark = docs.sparkSession
     val words = docs
       .select(explode(split(lower(col(textCol)), "\\s+")).as("word"))
@@ -75,11 +106,11 @@ object BpeTrain {
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[Row]
     var done = false
-    var round = 0
-    while (!done && round < nMerges) {
+    while (!done && merges.size < nMerges) {
       // decode: strip the outer sentinel of the first/last symbol, then
       // split on the double sentinel between symbols
       val toks = split(trim(col("sym"), S), S + S)
+      val want = math.min(mergeBatch, nMerges - merges.size)
       val top = dict
         .select(col("freq"), explode(zip_with(
           slice(toks, lit(1), size(toks) - 1),
@@ -87,20 +118,44 @@ object BpeTrain {
           (x, y) => struct(x.as("x"), y.as("y")))).as("z"))
         .groupBy(col("z.x").as("x"), col("z.y").as("y"))
         .agg(sum(col("freq")).as("ct"))
+        .filter(col("ct") >= minCount)
         .orderBy(col("ct").desc, col("x").asc, col("y").asc)
-        .limit(1).collect()
-      top.headOption.filter(_.getLong(2) >= minCount) match {
-        case None => done = true
-        case Some(r) =>
-          val (a, b, ct) = (r.getString(0), r.getString(1), r.getLong(2))
-          merges += Row(round + 1, a, b, a + b, ct)
-          val (next, nextRdds) = CacheScope.localCheckpointTracked(
-            dict.withColumn("sym",
-              replace(col("sym"), lit(S + a + S + S + b + S), lit(S + a + b + S))))
-          CacheScope.unpersistRdds(dictRdds)
-          dict = next
-          dictRdds = nextRdds
-          round += 1
+        .limit(want + 1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val cand = top.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        // longest independent prefix (the argmax always accepts) ...
+        val accepted = scala.collection.mutable.ArrayBuffer(cand.head)
+        def trio(c: (String, String, Long)) = Set(c._1, c._2, c._1 + c._2)
+        var i = 1
+        var stop = false
+        while (!stop && i < math.min(want, cand.length)) {
+          val c = cand(i)
+          if (accepted.forall(a => trio(a).intersect(trio(c)).isEmpty)) {
+            accepted += c; i += 1
+          } else stop = true
+        }
+        // ... then enforce the strict boundary: ties INSIDE the prefix
+        // are fine (their counts are untouched, lexical order holds),
+        // but the last accepted must strictly beat the first candidate
+        // left out, else created pairs inheriting that count could
+        // lexically outrank it in the sequential order — trim until it
+        // does (the bare argmax needs no boundary: nothing it creates
+        // is processed before the next full recount)
+        while (accepted.size > 1 && accepted.size < cand.length &&
+            accepted.last._3 <= cand(accepted.size)._3)
+          accepted.remove(accepted.size - 1)
+        accepted.foreach { case (a, b, ct) =>
+          merges += Row(merges.size + 1, a, b, a + b, ct)
+        }
+        val rewritten = accepted.foldLeft(col("sym")) { case (sym, (a, b, _)) =>
+          replace(sym, lit(S + a + S + S + b + S), lit(S + a + b + S))
+        }
+        val (next, nextRdds) = CacheScope.localCheckpointTracked(
+          dict.withColumn("sym", rewritten))
+        CacheScope.unpersistRdds(dictRdds)
+        dict = next
+        dictRdds = nextRdds
       }
     }
     CacheScope.unpersistRdds(dictRdds)

@@ -78,6 +78,22 @@ object Kmeans {
   def assignInt(df: DataFrame, idName: String, embName: String,
                 k: Int, iters: Int,
                 scale: Long = 1000L, offset: Long = 1000L): DataFrame = {
+    val (q, cents) = fitInternal(df, idName, embName, k, iters, scale, offset)
+    assignQ(q, col(idName), cents).select(col(idName), col("cell"), col("dist"))
+  }
+
+  /** The fitted centroid table alone — what the ingest path FREEZES
+    * ([[assignAgainst]]/[[cellStats]] consume it). Same loop as
+    * [[assignInt]], same arithmetic, same init.
+    */
+  def fitCentroids(df: DataFrame, idName: String, embName: String,
+                   k: Int, iters: Int,
+                   scale: Long = 1000L, offset: Long = 1000L): DataFrame =
+    fitInternal(df, idName, embName, k, iters, scale, offset)._2
+
+  private def fitInternal(df: DataFrame, idName: String, embName: String,
+                          k: Int, iters: Int,
+                          scale: Long, offset: Long): (DataFrame, DataFrame) = {
     require(k >= 1 && iters >= 0, s"need k >= 1, iters >= 0; got $k, $iters")
     val id = col(idName)
     // quantized corpus: consumed once per assignment pass and once per
@@ -106,21 +122,7 @@ object Kmeans {
     // ties to the smaller cell. Per iteration NOTHING corpus-sized
     // shuffles: assignment is map-only, and the update's posexplode
     // collapses to ≤ k·d (cell, dim) partials per partition.
-    def assign(c: DataFrame): DataFrame = {
-      val cArr = c.agg(collect_list(struct(col("cell"), col("cv"))).as("cs"))
-      q.crossJoin(broadcast(cArr))
-        .select(id, col("qv"),
-          // array_min over struct(dist, cell) IS min(struct(...)):
-          // lexicographic, ties to the smaller cell — and each distance
-          // evaluates exactly ONCE (an aggregate-fold with a CASE
-          // re-inlines the HOF into both the condition and the THEN
-          // branch — the q156 no-CSE lesson, seen in this very plan)
-          array_min(transform(col("cs"), e =>
-            struct(sqDist(col("qv"), e.getField("cv")).as("dist"),
-              e.getField("cell").as("cell")))).as("best"))
-        .select(id, col("qv"),
-          col("best.cell").as("cell"), col("best.dist").as("dist"))
-    }
+    def assign(c: DataFrame): DataFrame = assignQ(q, id, c)
 
     for (_ <- 0 until iters) {
       val cN = assign(cents)
@@ -139,6 +141,86 @@ object Kmeans {
           e => e.getField("s")).as("cv"))
         .localCheckpoint(true)
     }
-    assign(cents).select(id, col("cell"), col("dist"))
+    (q, cents)
   }
+
+  // the one assignment kernel both the Lloyd's loop and the frozen-
+  // centroid ingest path share (drift here would split their semantics)
+  private def assignQ(q: DataFrame, id: Column, c: DataFrame): DataFrame = {
+    val cArr = c.agg(collect_list(struct(col("cell"), col("cv"))).as("cs"))
+    q.crossJoin(broadcast(cArr))
+      .select(id, col("qv"),
+        // array_min over struct(dist, cell) IS min(struct(...)):
+        // lexicographic, ties to the smaller cell — and each distance
+        // evaluates exactly ONCE (an aggregate-fold with a CASE
+        // re-inlines the HOF into both the condition and the THEN
+        // branch — the q156 no-CSE lesson, seen in this very plan)
+        array_min(transform(col("cs"), e =>
+          struct(sqDist(col("qv"), e.getField("cv")).as("dist"),
+            e.getField("cell").as("cell")))).as("best"))
+      .select(id, col("qv"),
+        col("best.cell").as("cell"), col("best.dist").as("dist"))
+  }
+
+  // ————— incremental ingest: exact sufficient statistics (r16) —————
+  //
+  // The ingest-path regime (the q148 PQ doctrine applied to cells):
+  // fit once, FREEZE the centroids, then ingest mini-batches by
+  // maintaining per-(cell, dim) integer sufficient statistics
+  // (Σx, n). The merge is exact because division is deferred to READ
+  // time — a mean-of-means merge would round per batch and drift;
+  // summing Longs is associative and commutative, so stats over any
+  // batch slicing equal stats over the union corpus EXACTLY, and the
+  // centroid table derived from merged stats is byte-identical to the
+  // one a batch Lloyd's UPDATE round would compute over the same
+  // corpus. State is O(k·d) Longs regardless of corpus size.
+
+  /** Assignment of a corpus against a FROZEN centroid table — a pure
+    * per-vector function of the models (no iteration), the ingest-path
+    * twin of [[assignInt]]'s inner pass. Returns (id, cell, dist).
+    */
+  def assignAgainst(df: DataFrame, idName: String, embName: String,
+                    cents: DataFrame,
+                    scale: Long = 1000L, offset: Long = 1000L): DataFrame = {
+    val q = df.select(col(idName),
+      quantize(col(embName), scale, offset).as("qv"))
+    assignQ(q, col(idName), cents).select(col(idName), col("cell"), col("dist"))
+  }
+
+  /** Per-(cell, dim) integer sufficient statistics of `df` under the
+    * frozen `cents`: (cell, j, sx, n). ≤ k·d rows leave each partition
+    * (map-side combine); the corpus never shuffles.
+    */
+  def cellStats(df: DataFrame, idName: String, embName: String,
+                cents: DataFrame,
+                scale: Long = 1000L, offset: Long = 1000L): DataFrame = {
+    val q = df.select(col(idName),
+      quantize(col(embName), scale, offset).as("qv"))
+    assignQ(q, col(idName), cents)
+      .select(col("cell"), posexplode(col("qv")).as(Seq("j", "x")))
+      .groupBy(col("cell"), col("j"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+  }
+
+  /** Exact merge of sufficient-statistics frames: stats(A) ⊎ stats(B)
+    * = stats(A ∪ B), by integer-sum associativity.
+    */
+  def mergeStats(stats: DataFrame*): DataFrame = {
+    require(stats.nonEmpty, "need at least one stats frame")
+    stats.reduce(_ unionByName _)
+      .groupBy(col("cell"), col("j"))
+      .agg(sum(col("sx")).as("sx"), sum(col("n")).as("n"))
+  }
+
+  /** The centroid table implied by sufficient statistics — the exact
+    * Lloyd's-round update (truncating `div` == floor: quantize keeps
+    * every coordinate non-negative). Returns (cell, cv).
+    */
+  def centroidsOf(stats: DataFrame): DataFrame =
+    stats
+      .select(col("cell"), col("j"), expr("sx div n").as("s"))
+      .groupBy(col("cell"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("j"), col("s")))),
+        e => e.getField("s")).as("cv"))
 }

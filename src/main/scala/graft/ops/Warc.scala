@@ -85,10 +85,17 @@ object Warc {
   def parseRecords(files: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(recSchema)
     files.select(col("file_id"), col("payload"))
-      .mapPartitions { rows =>
-        rows.flatMap { r =>
-          val fid = r.getLong(0)
-          val p = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+      .mapPartitions(rows => rows.flatMap { r =>
+        val p = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+        walkRecords(r.getLong(0), p)
+      })(enc)
+  }
+
+  /** The shared record walk behind [[parseRecords]] and
+    * [[parseGzRecords]] — ONE parser, so the plain and gzip paths
+    * cannot drift.
+    */
+  private def walkRecords(fid: Long, p: Array[Byte]): Iterator[Row] = {
           val out = scala.collection.mutable.ArrayBuffer.empty[Row]
           var i = 0
           var idx = 0L
@@ -134,7 +141,172 @@ object Warc {
             }
           }
           out.iterator
+  }
+
+  // ————— gzip members: the real .warc.gz container (r16) —————
+  //
+  // Production WARCs (Common Crawl) are not one gzip stream: each
+  // record is its OWN gzip member and the members are concatenated,
+  // so a fetch index can hand out (offset, length) for random access
+  // while `gunzip` still reads the whole file. The write side emits
+  // exactly that; the read side is a standards-correct SEQUENTIAL
+  // member walk — header parse (incl. the optional FEXTRA/FNAME/
+  // FCOMMENT/FHCRC fields other writers emit), raw-deflate Inflater,
+  // CRC32 + ISIZE trailer verify — NOT a magic-byte scan: compressed
+  // payload bytes can contain 1f 8b, so scanning would mis-split;
+  // only the inflate itself knows where a member ends
+  // (Inflater.getRemaining after finished()). Same never-throws
+  // contract as the record walk: a malformed/truncated/corrupt member
+  // ends THAT file's walk, members already recovered are kept.
+
+  /** One gzip member for `bytes` (RFC 1952; java.util.zip writes
+    * FLG=0, MTIME=0 — deterministic output).
+    */
+  private[ops] def gzipMember(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    try { g.write(bytes); g.finish() } finally g.close()
+    bos.toByteArray
+  }
+
+  /** Walk the concatenated gzip members of one blob. Returns
+    * (byteOffset, compressedLen, inflatedBytes) per member, stopping
+    * at the first malformed member.
+    */
+  private[ops] def inflateMembers(p: Array[Byte])
+      : Seq[(Long, Long, Array[Byte])] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Array[Byte])]
+    var i = 0
+    var ok = true
+    while (ok && i < p.length) {
+      val start = i
+      // fixed header: magic 1f 8b, CM=8 (deflate), FLG, MTIME(4), XFL, OS
+      if (i + 10 > p.length || (p(i) & 0xFF) != 0x1f ||
+          (p(i + 1) & 0xFF) != 0x8b || p(i + 2) != 8) ok = false
+      else {
+        val flg = p(i + 3) & 0xFF
+        var j = i + 10
+        if (ok && (flg & 4) != 0) { // FEXTRA: 2-byte LE length + payload
+          if (j + 2 > p.length) ok = false
+          else j += 2 + ((p(j) & 0xFF) | ((p(j + 1) & 0xFF) << 8))
         }
-      }(enc)
+        if (ok && (flg & 8) != 0) { // FNAME: NUL-terminated
+          while (j < p.length && p(j) != 0) j += 1
+          j += 1
+        }
+        if (ok && (flg & 16) != 0) { // FCOMMENT: NUL-terminated
+          while (j < p.length && p(j) != 0) j += 1
+          j += 1
+        }
+        if (ok && (flg & 2) != 0) j += 2 // FHCRC
+        if (j > p.length) ok = false
+        if (ok) {
+          // inf.end() in finally — the Multimodal Inflater discipline:
+          // a corpus scan over corrupt files must not leak native zlib
+          // buffers (raw mode: the wrapper fields are handled above)
+          val inf = new java.util.zip.Inflater(true)
+          try {
+            inf.setInput(p, j, p.length - j)
+            val bos = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](8192)
+            var truncated = false
+            while (!truncated && !inf.finished()) {
+              val n = inf.inflate(buf)
+              if (n > 0) bos.write(buf, 0, n)
+              else if (inf.needsInput()) truncated = true
+            }
+            if (truncated) ok = false
+            else {
+              val trailerAt = j + (p.length - j - inf.getRemaining)
+              if (trailerAt + 8 > p.length) ok = false
+              else {
+                def le32(at: Int): Long =
+                  (p(at) & 0xFFL) | ((p(at + 1) & 0xFFL) << 8) |
+                    ((p(at + 2) & 0xFFL) << 16) | ((p(at + 3) & 0xFFL) << 24)
+                val bytes = bos.toByteArray
+                val crc = new java.util.zip.CRC32()
+                crc.update(bytes)
+                if (le32(trailerAt) != crc.getValue ||
+                    le32(trailerAt + 4) != (bytes.length & 0xFFFFFFFFL))
+                  ok = false // corrupt member: fail closed, keep prior
+                else {
+                  val end = trailerAt + 8
+                  out += ((start.toLong, (end - start).toLong, bytes))
+                  i = end
+                }
+              }
+            }
+          } catch { case _: java.util.zip.DataFormatException => ok = false
+          } finally inf.end()
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** [[asWarcFiles]] in the production container: records grouped and
+    * member-sorted the same SQL-replayable way, then each record
+    * becomes ONE gzip member and the members concatenate into the
+    * file blob. Compression is member-local CPU after the one
+    * grouping shuffle — the blob never shuffles again.
+    */
+  def asWarcGzFiles(df: DataFrame, fileId: Column, orderCol: Column,
+                    record: Column): DataFrame = {
+    val grouped = df.select(fileId.cast("long").as("file_id"),
+        struct(orderCol.as("o"), record.as("r")).as("s"))
+      .groupBy(col("file_id"))
+      .agg(transform(array_sort(collect_list(col("s"))),
+        x => x.getField("r")).as("members"))
+    val outSchema = StructType(Seq(
+      StructField("file_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    grouped.mapPartitions(rows => rows.map { r =>
+      val bos = new java.io.ByteArrayOutputStream()
+      r.getSeq[String](1).foreach(m => bos.write(gzipMember(m.getBytes(UTF_8))))
+      Row(r.getLong(0), bos.toByteArray)
+    })(enc)
+  }
+
+  private val memberSchema = StructType(Seq(
+    StructField("file_id", LongType, nullable = false),
+    StructField("member_index", LongType, nullable = false),
+    StructField("byte_offset", LongType, nullable = false),
+    StructField("comp_len", LongType, nullable = false),
+    StructField("member_bytes", BinaryType, nullable = false)))
+
+  /** Split `.warc.gz` blobs into decompressed members with their
+    * (byte_offset, comp_len) — the pair a crawl fetch index records
+    * for random access (re-slicing the blob at that range and
+    * inflating yields exactly `member_bytes`; WarcSpec locks it).
+    */
+  def splitGzMembers(files: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(memberSchema)
+    files.select(col("file_id"), col("payload"))
+      .mapPartitions(rows => rows.flatMap { r =>
+        val p = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+        inflateMembers(r.getLong(0), p)
+      })(enc)
+  }
+
+  private def inflateMembers(fid: Long, p: Array[Byte]): Iterator[Row] =
+    inflateMembers(p).iterator.zipWithIndex.map { case ((off, len, b), ix) =>
+      Row(fid, ix.toLong, off, len, b)
+    }
+
+  /** Parse `.warc.gz` blobs: inflate the member walk, concatenate the
+    * recovered bytes in member order, and run the SAME record walk as
+    * [[parseRecords]] — rec_index stays byte order, so downstream
+    * consumers (and the oracle) are identical for both containers.
+    */
+  def parseGzRecords(files: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(recSchema)
+    files.select(col("file_id"), col("payload"))
+      .mapPartitions(rows => rows.flatMap { r =>
+        val p = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+        val bos = new java.io.ByteArrayOutputStream()
+        inflateMembers(p).foreach { case (_, _, b) => bos.write(b) }
+        walkRecords(r.getLong(0), bos.toByteArray)
+      })(enc)
   }
 }

@@ -38,6 +38,93 @@ object ReleaseGate {
   case class GateState(docs: Seq[Long], buffered: Seq[KeyedRow],
                        released: Boolean)
 
+  // ————— streaming k-anonymity suppression (r16) —————
+
+  /** One row bound for the k-anonymity stream: `cell` is the composed
+    * quasi-identifier (the caller concatenates its quasi columns — the
+    * same composition the batch operator groups by), `ts` the event
+    * time the watermark rides on, `id` the passthrough payload.
+    */
+  case class CellRow(cell: String, ts: java.sql.Timestamp, id: Long)
+
+  // bounded by construction: `buffered` can never exceed k−1 rows (the
+  // k-th arrival releases the cohort), and released/closed cohorts
+  // carry two booleans — O(k) state per live cohort, O(1) after close
+  case class CellState(buffered: Seq[CellRow], released: Boolean,
+                       closed: Boolean)
+
+  /** Streaming face of [[graft.ops.Privacy.suppressSmallCells]] under
+    * the retroactive-hold doctrine: a cohort's rows are HELD until the
+    * cohort reaches `k` rows (then all release unsuppressed,
+    * retroactively, and later rows flow), and cohorts still under k
+    * when the WATERMARK passes `closeAt` (the release instant) emit
+    * their rows with the quasi value replaced by `suppressed` — pooled
+    * into the marker cohort exactly as the batch operator does.
+    *
+    * Batch equivalence (spec-gated): for any input whose rows precede
+    * `closeAt`, the set of rows ever emitted equals
+    * `Privacy.suppressSmallCells` over the same input, regardless of
+    * micro-batch boundaries. AFTER close the operator diverges from a
+    * re-run batch on purpose, and conservatively: the suppressed
+    * marker was already PUBLISHED for the cohort, so post-close rows
+    * emit suppressed too (fail closed — releasing them raw against the
+    * published marker would distinguish the cohort after all), and a
+    * late flood can never un-suppress a published release. Rows whose
+    * event time falls BELOW the watermark never reach the operator at
+    * all (Spark's stateful late-data filter drops them) — also a
+    * conservative direction: dropped is never released.
+    */
+  def suppressSmallCellsStream(rows: Dataset[CellRow], k: Int,
+                               closeAt: java.sql.Timestamp,
+                               watermarkDelay: String = "0 seconds",
+                               suppressed: String = "*")(
+      implicit spark: SparkSession): Dataset[CellRow] = {
+    import spark.implicits._
+    require(k >= 1, s"k must be >= 1, got $k")
+    rows.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.cell).flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (cell: String, it: Iterator[CellRow], state: GroupState[CellState]) => {
+          var st = state.getOption.getOrElse(
+            CellState(Vector.empty, released = false, closed = false))
+          val out = Vector.newBuilder[CellRow]
+          def close(): Unit = {
+            st.buffered.foreach(r => out += r.copy(cell = suppressed))
+            st = CellState(Vector.empty, released = false, closed = true)
+          }
+          if (state.hasTimedOut) {
+            // watermark passed the release instant: an under-k cohort
+            // publishes pooled into the marker (released cohorts keep
+            // flowing raw — a stale timeout must not close them)
+            if (!st.released) close()
+            state.update(st)
+          } else {
+            val pastClose = state.getCurrentWatermarkMs() >= closeAt.getTime
+            it.foreach { r =>
+              if (st.released) out += r
+              else {
+                if (pastClose && !st.closed) close()
+                if (st.closed) out += r.copy(cell = suppressed)
+                else {
+                  val buf = st.buffered :+ r
+                  if (buf.size >= k) {
+                    buf.foreach(out += _)
+                    st = CellState(Vector.empty, released = true, closed = false)
+                  } else st = CellState(buf, released = false, closed = false)
+                }
+              }
+            }
+            state.update(st)
+            // the hold needs a close signal only while the cohort is
+            // still undecided (setTimeoutTimestamp must stay above the
+            // watermark — undecided here implies closeAt is)
+            if (!st.released && !st.closed)
+              state.setTimeoutTimestamp(closeAt.getTime)
+          }
+          out.result().iterator
+        })
+  }
+
   /** `minDocs` distinct `doc` values release a `key`; rows of a
     * released key flow, rows of an unreleased key buffer (up to
     * `maxBuffered`, conservatively dropping beyond).

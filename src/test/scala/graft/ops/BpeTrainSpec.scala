@@ -103,4 +103,49 @@ class BpeTrainSpec extends SparkSpec {
     assert(got(2L) == ((4L, 1L)))
     assert(got(3L) == ((0L, 0L)))
   }
+
+  test("batched merges (mergeBatch=8) equal the sequential merge list on real text") {
+    // the fixture documents table: natural-language word/pair Zipf —
+    // exactly the distribution where independent high-count pairs
+    // coexist and batching actually accepts prefixes > 1. The
+    // acceptance rule (trio-disjoint prefix + strict boundary) is
+    // PROVABLY equivalent, so the lists must match element for
+    // element, counts included — any divergence is an acceptance bug.
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select($"text")
+    val seq1 = BpeTrain.learnMerges(docs, "text", nMerges = 40)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    val seq8 = BpeTrain.learnMerges(docs, "text", nMerges = 40, mergeBatch = 8)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(seq8 === seq1)
+  }
+
+  test("batched merges honor the strict boundary on an adversarial tie") {
+    // 'ab'x5, 'cd'x5: (a,b) and (c,d) both ct=5, disjoint — ties
+    // INSIDE the prefix are fine, so mergeBatch=2 takes both in one
+    // round and the list equals sequential's lexical tie order
+    val df = (Seq.fill(5)("ab") ++ Seq.fill(5)("cd")).toDF("text")
+    val s1 = BpeTrain.learnMerges(df, "text", 2)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    val s2 = BpeTrain.learnMerges(df, "text", 2, mergeBatch = 2)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(s1 === s2)
+    assert(s1.map(m => (m._2, m._3)) === Seq(("a", "b"), ("c", "d")))
+  }
+
+  test("batched merges reject dependent candidates: shared-symbol pair waits a round") {
+    // 'ab'x6, 'bc'x4: (a,b) ct 6 then (b,c) shares 'b' — a batch must
+    // NOT take both (after (a,b), 'b' occurrences changed); sequential
+    // recounts and still merges (b,c) ct 4 next ONLY because 'ab' and
+    // 'bc' never co-occur in a word here, so the counts agree — the
+    // point is the batched path must reach the same list via the
+    // one-accept round, not by batching the dependent pair
+    val df = (Seq.fill(6)("ab") ++ Seq.fill(4)("bc")).toDF("text")
+    val s1 = BpeTrain.learnMerges(df, "text", 2)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    val s8 = BpeTrain.learnMerges(df, "text", 2, mergeBatch = 8)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(s8 === s1)
+    assert(s1.map(m => (m._2, m._3)) === Seq(("a", "b"), ("b", "c")))
+  }
 }

@@ -95,4 +95,59 @@ class KmeansSpec extends SparkSpec {
     assert(out.toSeq === Seq((0L, 0L, 10000L), (1L, 0L, 10000L),
       (2L, 1L, 39601L), (3L, 1L, 1L), (4L, 1L, 40000L)))
   }
+
+  // ————— incremental ingest: exact sufficient statistics (r16) —————
+
+  test("cellStats merge over any slicing equals full-corpus stats exactly") {
+    val df = embDf((0L to 9L).map(i =>
+      i -> Seq(i * 0.1, 1.0 - i * 0.07)): _*)
+    val cents = Kmeans.fitCentroids(df, "vec_id", "embedding", k = 3, iters = 1)
+      .localCheckpoint(true) // freeze: every path must see ONE model
+    val full = Kmeans.cellStats(df, "vec_id", "embedding", cents)
+      .orderBy("cell", "j").collect().toSeq
+    // 2-way and 4-way slicings, unbalanced
+    for (nSlices <- Seq(2, 4)) {
+      val parts = (0 until nSlices).map(s =>
+        df.filter(col("vec_id") % nSlices === s))
+      val merged = Kmeans.mergeStats(
+          parts.map(Kmeans.cellStats(_, "vec_id", "embedding", cents)): _*)
+        .orderBy("cell", "j").collect().toSeq
+      assert(merged === full, s"$nSlices-way slicing")
+    }
+  }
+
+  test("centroids from merged stats equal the batch Lloyd's update byte-for-byte") {
+    val df = embDf((0L to 11L).map(i =>
+      i -> Seq(math.sin(i.toDouble), math.cos(i.toDouble))): _*)
+    val cents = Kmeans.fitCentroids(df, "vec_id", "embedding", k = 2, iters = 0)
+      .localCheckpoint(true)
+    val base = df.filter(col("vec_id") < 8)
+    val delta = df.filter(col("vec_id") >= 8)
+    val incr = Kmeans.centroidsOf(Kmeans.mergeStats(
+        Kmeans.cellStats(base, "vec_id", "embedding", cents),
+        Kmeans.cellStats(delta, "vec_id", "embedding", cents)))
+      .orderBy("cell").collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val batch = Kmeans.centroidsOf(
+        Kmeans.cellStats(df, "vec_id", "embedding", cents))
+      .orderBy("cell").collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    assert(incr.toSeq === batch.toSeq)
+    // and the derived table IS the fitCentroids(iters=1) round: same
+    // init (iters=0 centroids), same update arithmetic
+    val oneRound = Kmeans.fitCentroids(df, "vec_id", "embedding", k = 2,
+        iters = 1)
+      .orderBy("cell").collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    assert(incr.toSeq === oneRound.toSeq)
+  }
+
+  test("assignAgainst frozen centroids is a pure per-vector function") {
+    val df = embDf(0L -> Seq(0.0), 1L -> Seq(0.2), 2L -> Seq(1.0))
+    val cents = Kmeans.fitCentroids(df, "vec_id", "embedding", k = 2, iters = 1)
+      .localCheckpoint(true)
+    val whole = Kmeans.assignAgainst(df, "vec_id", "embedding", cents)
+      .orderBy("vec_id").collect().toSeq
+    val pieces = Seq(df.filter(col("vec_id") < 2), df.filter(col("vec_id") >= 2))
+      .map(Kmeans.assignAgainst(_, "vec_id", "embedding", cents))
+      .reduce(_ unionByName _).orderBy("vec_id").collect().toSeq
+    assert(pieces === whole)
+  }
 }

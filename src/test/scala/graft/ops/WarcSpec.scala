@@ -78,4 +78,89 @@ class WarcSpec extends SparkSpec {
       .select("payload_text").as[String].collect()
     assert(recs === Array("A", "B"))
   }
+
+  // ————— gzip members (.warc.gz, r16) —————
+
+  test("gz round-trip: parseGzRecords over asWarcGzFiles equals the plain parse") {
+    val df = Seq((0L, 1L, "alpha"), (0L, 2L, "beta — 中文 😀"), (1L, 1L, "solo"))
+      .toDF("f", "o", "t")
+    def recCol = Warc.recordString(lit("<r>"), lit("u"), col("t"))
+    val plain = Warc.parseRecords(Warc.asWarcFiles(df, col("f"), col("o"), recCol))
+      .orderBy("file_id", "rec_index").collect().toSeq
+    val gz = Warc.parseGzRecords(Warc.asWarcGzFiles(df, col("f"), col("o"), recCol))
+      .orderBy("file_id", "rec_index").collect().toSeq
+    assert(gz === plain, "the container must be invisible to every parsed field")
+  }
+
+  test("gz member walk: offsets and comp_len support random access re-slice") {
+    val df = Seq((0L, 1L, "one"), (0L, 2L, "two"), (0L, 3L, "three"))
+      .toDF("f", "o", "t")
+    val files = Warc.asWarcGzFiles(df, col("f"), col("o"),
+      Warc.recordString(lit("<r>"), lit("u"), col("t")))
+    val blob = files.select("payload").as[Array[Byte]].head()
+    val members = Warc.splitGzMembers(files)
+      .orderBy("member_index")
+      .select("byte_offset", "comp_len", "member_bytes")
+      .as[(Long, Long, Array[Byte])].collect()
+    assert(members.length === 3)
+    // contiguity: members tile the blob exactly
+    assert(members.head._1 === 0L)
+    assert(members.map(m => m._1 + m._2).dropRight(1).sameElements(
+      members.map(_._1).drop(1)))
+    assert(members.last._1 + members.last._2 === blob.length.toLong)
+    // the fetch-index contract: re-slicing the blob at (offset, len)
+    // and inflating that slice alone reproduces the member bytes
+    members.foreach { case (off, len, bytes) =>
+      val slice = java.util.Arrays.copyOfRange(blob, off.toInt, (off + len).toInt)
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(slice))
+      val got = try in.readAllBytes() finally in.close()
+      assert(got.sameElements(bytes))
+    }
+  }
+
+  test("gz corrupt middle member: prior members kept, walk stops, no throw") {
+    val df = Seq((0L, 1L, "first"), (0L, 2L, "second"), (0L, 3L, "third"))
+      .toDF("f", "o", "t")
+    val files = Warc.asWarcGzFiles(df, col("f"), col("o"),
+      Warc.recordString(lit("<r>"), lit("u"), col("t")))
+    val blob = files.select("payload").as[Array[Byte]].head()
+    val offsets = Warc.splitGzMembers(files).orderBy("member_index")
+      .select("byte_offset").as[Long].collect()
+    // flip a byte inside the SECOND member's deflate stream
+    val bad = blob.clone()
+    val mid = offsets(1).toInt + 12
+    bad(mid) = (bad(mid) ^ 0x5A).toByte
+    val recs = Warc.parseGzRecords(fileDf(0L -> bad))
+      .orderBy("rec_index").select("payload_text").as[String].collect()
+    assert(recs === Array("first"),
+      "corruption must fail closed at the bad member, keeping the prefix")
+  }
+
+  test("gz member with FNAME and FEXTRA header fields parses (foreign writers)") {
+    // hand-build a member with FLG = FEXTRA|FNAME around a deflate of
+    // one record — java's writer never emits these, real ones do
+    val body = rec("<x>", "u", "payload")
+    val deflater = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    deflater.setInput(body.getBytes(UTF_8)); deflater.finish()
+    val dOut = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!deflater.finished()) dOut.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val crc = new java.util.zip.CRC32(); crc.update(body.getBytes(UTF_8))
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(Array[Byte](0x1f, 0x8b.toByte, 8, (4 | 8).toByte, 0, 0, 0, 0, 0, 0))
+    bos.write(Array[Byte](3, 0)); bos.write(Array[Byte](1, 2, 3)) // FEXTRA len=3
+    bos.write("name.warc".getBytes(UTF_8)); bos.write(0) // FNAME
+    bos.write(dOut.toByteArray)
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    bos.write(le32(crc.getValue))
+    bos.write(le32(body.getBytes(UTF_8).length.toLong))
+    val recs = Warc.parseGzRecords(fileDf(0L -> bos.toByteArray))
+      .select("payload_text").as[String].collect()
+    assert(recs === Array("payload"))
+  }
 }

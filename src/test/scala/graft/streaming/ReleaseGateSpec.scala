@@ -83,4 +83,100 @@ class ReleaseGateSpec extends SparkSpec {
     assert(out.flatten === Seq(KeyedRow("a", 1), KeyedRow("a", 1),
       KeyedRow("a", 2)))
   }
+
+  // ————— streaming k-anonymity suppression —————
+
+  import ReleaseGate.CellRow
+  private def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+  private val closeAt = ts(100)
+  // the watermark only closes cohorts when a LATER event advances it
+  // past closeAt — the sentinel plays the role of the next release
+  // window's traffic
+  private val sentinel = CellRow("~wm", ts(1000), -1L)
+
+  private def runCells(batches: Seq[Seq[CellRow]], k: Int)
+      : Seq[CellRow] = {
+    val input = MemoryStream[CellRow]
+    val emitted = scala.collection.mutable.ArrayBuffer[CellRow]()
+    val gated = ReleaseGate.suppressSmallCellsStream(input.toDS(), k, closeAt)
+    val q = gated.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[CellRow], _: Long) =>
+        emitted ++= df.collect(); ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("kack").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      // advance the watermark past closeAt, then run one more trigger so
+      // the event-time timeouts fire
+      input.addData(sentinel); q.processAllAvailable()
+      input.addData(sentinel.copy(id = -2L)); q.processAllAvailable()
+    } finally q.stop()
+    // sentinels filter by id: at close they re-emit with cell = "*"
+    emitted.filter(_.id >= 0).toSeq
+  }
+
+  test("k-anonymity stream: emitted set equals the batch operator for any slicing") {
+    val rows = (0 until 40).map { i =>
+      // cohort sizes 1..8-ish: cells c0..c5 with skewed membership
+      CellRow(s"c${i % 6}", ts(10 + i), i.toLong)
+    } ++ Seq(CellRow("lone", ts(50), 99L)) // a 1-row cohort: must suppress
+    val batch = Privacy.suppressSmallCells(
+        rows.toDF("cell", "ts", "id"), Seq("cell"), k = 7L)
+      .select("cell", "id").as[(String, Long)].collect().toSeq.sorted
+    val slicings = Seq(Seq(rows), rows.grouped(6).toSeq, rows.map(Seq(_)))
+    for (slicing <- slicings) {
+      val streamed = runCells(slicing, k = 7)
+        .map(r => (r.cell, r.id)).sorted
+      assert(streamed === batch, s"slicing into ${slicing.size} batches")
+    }
+  }
+
+  test("k-anonymity stream: retroactive release in arrival order, then flow-through") {
+    val out = runCells(Seq(
+      Seq(CellRow("a", ts(10), 1), CellRow("a", ts(11), 2)), // held
+      Seq(CellRow("b", ts(12), 7)),                          // held
+      Seq(CellRow("a", ts(13), 3)),                          // a reaches k=3
+      Seq(CellRow("a", ts(14), 4))),                         // flows
+      k = 3)
+    // a's rows release unsuppressed (retroactively, arrival order);
+    // b's single row suppresses at watermark close, AFTER a's flow
+    assert(out.map(_.id) === Seq(1L, 2L, 3L, 4L, 7L))
+    assert(out.filter(_.id == 7L).head.cell === "*")
+    assert(out.filter(_.id <= 4L).forall(_.cell === "a"))
+  }
+
+  test("k-anonymity stream: late rows of a published-suppressed cohort fail closed") {
+    val input = MemoryStream[CellRow]
+    val emitted = scala.collection.mutable.ArrayBuffer[CellRow]()
+    val gated = ReleaseGate.suppressSmallCellsStream(input.toDS(), 3, closeAt)
+    val q = gated.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[CellRow], _: Long) =>
+        emitted ++= df.collect(); ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("kalate").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    try {
+      input.addData(CellRow("x", ts(10), 1)); q.processAllAvailable()
+      input.addData(sentinel); q.processAllAvailable()
+      input.addData(sentinel.copy(id = -2L)); q.processAllAvailable()
+      // x was published suppressed; a flood of x rows arrives after
+      // the close (at/above the watermark, so the late-data filter
+      // passes them through — rows BELOW the watermark are dropped by
+      // Spark outright, which is also conservative). They must ALL
+      // emit suppressed: the marker is already public, releasing them
+      // raw would single the cohort out after the fact
+      input.addData(CellRow("x", ts(1500), 2), CellRow("x", ts(1500), 3),
+        CellRow("x", ts(1500), 4))
+      q.processAllAvailable()
+    } finally q.stop()
+    val xs = emitted.filter(_.id >= 0)
+    assert(xs.map(_.id).sorted === Seq(1L, 2L, 3L, 4L))
+    assert(xs.forall(_.cell === "*"),
+      s"late rows must stay suppressed: $xs")
+  }
 }
