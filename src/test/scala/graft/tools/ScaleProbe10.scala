@@ -317,6 +317,25 @@ object ScaleProbe10 {
           d.select(col("doc_id"),
             split(col("text"), " ").getItem(0).as("key")),
           "key", "doc_id", minDocs = 11L))
+      // r16: gzip-member WARC — compression/inflate are member-local
+      // CPU inside the same two stages as q155 (grouping shuffle +
+      // partition-local walk); expected ~linear wall tracking q155
+      // with a constant-factor deflate cost, blobs never re-shuffle
+      time("q170_warcgz", mult)(
+        graft.ops.Warc.parseGzRecords(
+          graft.ops.Warc.asWarcGzFiles(d, pmod(didC, lit(8L * mult)),
+            didC, recC)))
+      // r16: incremental k-means ingest — the frozen model is fit ONCE
+      // on the base corpus (off the timed path, the nightly-artifact
+      // contract); the timed stats pass over the ×mult corpus has ONE
+      // exchange of map-side-combined (cell, dim) partials, ≤ k·d rows
+      // per partition — shuffle records should stay ~CONSTANT as the
+      // corpus grows (the q164 ×100 finding, available to a stream)
+      val frozenCents = graft.ops.Kmeans.fitCentroids(
+        baseEmb, "vec_id", "embedding", k = 8, iters = 1)
+        .localCheckpoint(true)
+      time("q171_cellstats", mult)(
+        graft.ops.Kmeans.cellStats(e, "vec_id", "embedding", frozenCents))
     }
     spark.stop()
   }
