@@ -1531,6 +1531,33 @@ object SparkEntry {
         ops.Warc.asWarcGzFiles(docs, pmod(did, lit(7L)), did, rec))
     }),
 
+    // INDEXED RANDOM-ACCESS FETCH (r16): the read path the member
+    // offsets exist FOR — a CDX-style index (file_id, member_index,
+    // byte_offset, comp_len) from the member walk selects every 3rd
+    // member; the fetch slices ONLY those byte ranges (binary
+    // substring, codegen'd) and inflates member-locally. At 100 TB:
+    // "touch k byte ranges", never "parse the petabyte". Oracle = the
+    // full q170 parse filtered to the requested members — the fetch
+    // must be exactly the restriction of the full read.
+    "q172_warcgz_indexed_fetch" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val did = col("doc_id")
+      val payload = concat(substring(col("text"), 1, 100),
+        when(pmod(did, lit(4L)) === 0L, lit(" — 中文 😀")).otherwise(lit("")))
+      val rec = ops.Warc.recordString(
+        concat(lit("<urn:uuid:"), did.cast("string"), lit(">")),
+        concat(lit("https://example.com/"), col("source"), lit("/"),
+          did.cast("string")),
+        payload)
+      val files = ops.Pipeline.stage("warcgz_fetch_files",
+        ops.Warc.asWarcGzFiles(docs, pmod(did, lit(6L)), did, rec))
+      val index = ops.Warc.splitGzMembers(files)
+        .select(col("file_id"), col("member_index"),
+          col("byte_offset"), col("comp_len"))
+        .filter(pmod(col("member_index"), lit(3L)) === 0L)
+      ops.Warc.fetchGzRecords(files, index)
+    }),
+
     // PCA GATE (r14): distributed dimensionality reduction under the
     // q149 numeric-gate doctrine (an eigendecomposition is not
     // SQL-replayable). One-pass moment fit (d²-sized partials, corpus
@@ -1931,6 +1958,21 @@ object SparkEntry {
           concat(lit("uniq-"), col("doc_id").cast("string")).as("key")))
       ops.Privacy.frequencyThreshold(rows, "key", "doc_id", minDocs = 11L)
     }),
+
+    // l-DIVERSITY SUPPRESSION (r16): k-anonymity's attribute-
+    // disclosure sibling — a (lang, length-band) cohort whose
+    // SENSITIVE column (source) holds fewer than l=8 distinct values
+    // pools into the marker even if the cohort is large (everyone in
+    // a low-diversity cohort shares a small sensitive set; releasing
+    // the quasi values discloses it). band=50 chars splits cohorts
+    // both ways at all three SFs (8-36 suppressed / 17-51 kept).
+    // Same shape as q168: one cell-diversity exchange, broadcast
+    // join back, corpus never shuffles.
+    "q173_l_diversity" -> ((s, dir) =>
+      ops.Privacy.suppressLowDiversity(
+        T(s, dir, "documents").select(col("doc_id"), col("lang"),
+          expr("n_chars div 50").as("band"), col("source")),
+        Seq("lang", "band"), "source", l = 8L)),
 
     // POLITENESS FETCH SCHEDULE (r15): the frontier stage between
     // robots decisions and the fetch fleet — q162's allow/deny
@@ -4261,6 +4303,30 @@ object SparkEntry {
            payload AS payload_text
          FROM d""",
 
+    // the fetch is the restriction of the full parse: members are
+    // doc-ordered per file, every 3rd selected; rec_index is WITHIN
+    // the fetched member (one record per member -> 0)
+    "q172_warcgz_indexed_fetch" ->
+      """WITH d AS (
+           SELECT doc_id, source,
+             substring(text, 1, 100) ||
+               CASE WHEN doc_id % 4 = 0 THEN ' — 中文 😀' ELSE '' END AS payload
+           FROM documents),
+         m AS (
+           SELECT doc_id, source, payload,
+             doc_id % 6 AS file_id,
+             CAST(row_number() OVER (PARTITION BY doc_id % 6 ORDER BY doc_id) - 1
+               AS BIGINT) AS member_index
+           FROM d)
+         SELECT member_index, file_id,
+           CAST(0 AS BIGINT) AS rec_index,
+           'response' AS warc_type,
+           '<urn:uuid:' || doc_id || '>' AS record_id,
+           'https://example.com/' || source || '/' || doc_id AS target_uri,
+           CAST(strlen(payload) AS BIGINT) AS content_length,
+           payload AS payload_text
+         FROM m WHERE member_index % 3 = 0""",
+
     // replays the FULL composition: synthesis, the WARC leg as the
     // identity it proves, the q153 extract chain, the q154 normalize
     // chain, canonical dedup, and the gate — one SQL statement
@@ -4592,6 +4658,22 @@ object SparkEntry {
            CASE WHEN n < 10 THEN '*' ELSE lang END AS lang,
            CASE WHEN n < 10 THEN '*' ELSE CAST(band AS VARCHAR) END AS band
          FROM c""",
+
+    // replay: per-cohort COUNT(DISTINCT sensitive) via a grouped
+    // subquery joined back (DuckDB windows don't take DISTINCT);
+    // CASE under l -> '*' on both quasi columns, sensitive released
+    "q173_l_diversity" ->
+      """WITH t AS (
+           SELECT doc_id, lang, n_chars // 50 AS band, source
+           FROM documents),
+         c AS (
+           SELECT lang, band, count(DISTINCT source) AS nd
+           FROM t GROUP BY 1, 2)
+         SELECT t.doc_id,
+           CASE WHEN c.nd < 8 THEN '*' ELSE t.lang END AS lang,
+           CASE WHEN c.nd < 8 THEN '*' ELSE CAST(t.band AS VARCHAR) END AS band,
+           t.source
+         FROM t JOIN c ON t.lang = c.lang AND t.band = c.band""",
 
     // replay: distinct (key, doc) document frequency >= 11 keeps the
     // row; the per-doc unique tail rows must all drop

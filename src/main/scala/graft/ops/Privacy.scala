@@ -55,6 +55,59 @@ object Privacy {
     joined.select(out.toIndexedSeq: _*)
   }
 
+  /** l-DIVERSITY suppression (Machanavajjhala et al., ICDE'06) —
+    * k-anonymity's attribute-disclosure sibling: a cohort can be
+    * k-anonymous and still leak, when (nearly) everyone in it shares
+    * the SENSITIVE value ("all 40-49/10025 patients have cancer").
+    * Cohorts whose sensitive column holds fewer than `l` DISTINCT
+    * non-null values get their quasi columns replaced by the marker —
+    * the same pooling disposition as [[suppressSmallCells]], and the
+    * two gates compose (apply both; each is a projection + broadcast
+    * join back).
+    *
+    * NULL handling, both fail-closed: NULL quasi values form their own
+    * cohort and join back null-safely (the r16 suppressSmallCells
+    * lesson applied from day one); NULL sensitive values do NOT count
+    * toward diversity (an all-NULL cohort has 0 distinct → always
+    * suppressed).
+    *
+    * Scale shape: ONE exchange builds the per-cell distinct count
+    * (two-level aggregate — distinct (quasi, sensitive) first, both
+    * map-side combined, bounded by cells × distinct-sensitive, not the
+    * corpus); the suppression join-back broadcasts. Corpus never
+    * shuffles.
+    */
+  def suppressLowDiversity(df: DataFrame, quasiCols: Seq[String],
+                           sensitiveCol: String, l: Long,
+                           suppressed: String = "*"): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(!quasiCols.contains(sensitiveCol),
+      "the sensitive column cannot be a quasi-identifier")
+    require(l >= 1, s"l must be >= 1, got $l")
+    val counts = df
+      .select(quasiCols.map(col) :+ col(sensitiveCol): _*)
+      .filter(col(sensitiveCol).isNotNull)
+      .distinct()
+      .groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__div_n"))
+      .select(quasiCols.map(c => col(c).as(s"__q_$c")) :+ col("__div_n"): _*)
+    val cond = quasiCols
+      .map(c => df(c) <=> counts(s"__q_$c"))
+      .reduce(_ && _)
+    val joined = df.join(counts, cond, "left")
+    val out = df.columns.map { c =>
+      if (quasiCols.contains(c))
+        // an unmatched row means the cohort had ZERO non-null
+        // sensitive values (the filter dropped it entirely) — 0 < l,
+        // suppress: the isNull branch here is load-bearing, not a
+        // backstop
+        when(col("__div_n").isNull || col("__div_n") < l, lit(suppressed))
+          .otherwise(df(c).cast("string")).as(c)
+      else df(c)
+    }
+    joined.select(out.toIndexedSeq: _*)
+  }
+
   /** Frequency-threshold release gate on CONTENT keys (the
     * memorization-mitigation rule: publish an extracted fact/n-gram/
     * URL only when it occurs in ≥ `minDocs` DISTINCT documents):

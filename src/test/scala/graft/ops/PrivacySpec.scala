@@ -59,6 +59,56 @@ class PrivacySpec extends SparkSpec {
     assert(out3 === Seq("*", "*", "*", "*"))
   }
 
+  test("l-diversity: low-distinct-sensitive cohorts suppress even when large") {
+    // cohort "a": 4 rows but only 2 distinct sensitive values -> at
+    // l=3 it suppresses DESPITE being k-anonymous at k=4; cohort "b":
+    // 3 rows, 3 distinct -> kept
+    val df = Seq(
+      (1L, "a", "x"), (2L, "a", "x"), (3L, "a", "y"), (4L, "a", "y"),
+      (5L, "b", "p"), (6L, "b", "q"), (7L, "b", "r"))
+      .toDF("id", "q", "s")
+    val out = Privacy.suppressLowDiversity(df, Seq("q"), "s", l = 3L)
+      .orderBy("id").select("q").as[String].collect().toSeq
+    assert(out === Seq("*", "*", "*", "*", "b", "b", "b"))
+    // sensitive column itself passes through untouched
+    assert(Privacy.suppressLowDiversity(df, Seq("q"), "s", 3L)
+      .select("s").as[String].collect().sorted ===
+      Seq("p", "q", "r", "x", "x", "y", "y"))
+  }
+
+  test("l-diversity: NULL sensitive never counts; all-NULL cohort fails closed") {
+    val df = Seq(
+      // cohort "a": 2 distinct + a NULL -> 2, suppressed at l=3
+      (1L, "a", Some("x")), (2L, "a", Some("y")), (3L, "a", None: Option[String]),
+      // cohort "n": ONLY nulls -> zero distinct, no count row at all —
+      // the isNull branch must suppress (load-bearing, not backstop)
+      (4L, "n", None: Option[String]), (5L, "n", None: Option[String]),
+      // NULL quasi cohort with 3 distinct -> kept (null-safe join)
+      (6L, null, Some("p")), (7L, null, Some("q")), (8L, null, Some("r")))
+      .toDF("id", "q", "s")
+    val out = Privacy.suppressLowDiversity(df, Seq("q"), "s", l = 3L)
+      .orderBy("id").select("q").as[String].collect().toSeq
+    assert(out === Seq("*", "*", "*", "*", "*", null, null, null))
+  }
+
+  test("k-anonymity and l-diversity compose") {
+    val df = Seq(
+      // big + diverse: survives both
+      (1L, "a", "x"), (2L, "a", "y"), (3L, "a", "z"),
+      // big + uniform: survives k, falls to l
+      (4L, "u", "m"), (5L, "u", "m"), (6L, "u", "m"),
+      // small + diverse: falls to k
+      (7L, "t", "p"))
+      .toDF("id", "q", "s")
+    val both = Privacy.suppressLowDiversity(
+      Privacy.suppressSmallCells(df, Seq("q"), k = 2L),
+      Seq("q"), "s", l = 2L)
+    val out = both.orderBy("id").select("q").as[String].collect().toSeq
+    // "t" pooled into "*" by k-gate; the "*" pool then has 1 distinct
+    // sensitive ("p") -> the l-gate keeps it pooled; "u" falls to l
+    assert(out === Seq("a", "a", "a", "*", "*", "*", "*"))
+  }
+
   test("frequency gate counts DISTINCT docs — repetition does not launder") {
     val df = Seq(
       // key "hot" in 3 docs -> kept

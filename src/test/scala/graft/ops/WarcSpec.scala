@@ -137,6 +137,25 @@ class WarcSpec extends SparkSpec {
       "corruption must fail closed at the bad member, keeping the prefix")
   }
 
+  test("gz indexed fetch: selected members equal the full parse's restriction") {
+    val df = Seq((0L, 1L, "m0"), (0L, 2L, "m1"), (0L, 3L, "m2"), (0L, 4L, "m3"),
+      (1L, 1L, "n0"), (1L, 2L, "n1"))
+      .toDF("f", "o", "t")
+    def recCol = Warc.recordString(lit("<r>"), lit("u"), col("t"))
+    val files = Warc.asWarcGzFiles(df, col("f"), col("o"), recCol)
+      .localCheckpoint(true)
+    val index = Warc.splitGzMembers(files)
+      .filter(col("member_index") % 2 === 0)
+      .select("file_id", "member_index", "byte_offset", "comp_len")
+    val fetched = Warc.fetchGzRecords(files, index)
+      .orderBy("file_id", "member_index")
+      .select("file_id", "member_index", "rec_index", "payload_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // every 2nd member of each file; rec_index is within-member (0)
+    assert(fetched === Seq((0L, 0L, 0L, "m0"), (0L, 2L, 0L, "m2"),
+      (1L, 0L, 0L, "n0")))
+  }
+
   test("gz member with FNAME and FEXTRA header fields parses (foreign writers)") {
     // hand-build a member with FLG = FEXTRA|FNAME around a deflate of
     // one record — java's writer never emits these, real ones do

@@ -331,9 +331,14 @@ object ScaleProbe10 {
       // exchange of map-side-combined (cell, dim) partials, ≤ k·d rows
       // per partition — shuffle records should stay ~CONSTANT as the
       // corpus grows (the q164 ×100 finding, available to a stream)
-      val frozenCents = graft.ops.Kmeans.fitCentroids(
-        baseEmb, "vec_id", "embedding", k = 8, iters = 1)
-        .localCheckpoint(true)
+      // parquet-backed (NOT localCheckpoint): time()'s releaseAll
+      // sweeps checkpoint blocks, and a swept localCheckpoint cannot
+      // recompute — the same reason the bench artifacts are parquet
+      val centsPath = s"/tmp/scale10_cents_x$mult"
+      graft.ops.Kmeans.fitCentroids(
+          baseEmb, "vec_id", "embedding", k = 8, iters = 1)
+        .write.mode("overwrite").parquet(centsPath)
+      val frozenCents = spark.read.parquet(centsPath)
       time("q171_cellstats", mult)(
         graft.ops.Kmeans.cellStats(e, "vec_id", "embedding", frozenCents))
     }
