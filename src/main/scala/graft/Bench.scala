@@ -152,6 +152,35 @@ object Bench {
     ((System.nanoTime() - t0) / 1e9, err)
   }
 
+  // external-contention sampling shared by all three modes (suite /
+  // ONE / SEQ): (host busy ms, steal ms) totals and our process cpu
+  private def sysCpuMs(): Option[(Long, Long)] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      val parts =
+        try src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        finally src.close()
+      // fields: user nice system idle iowait irq softirq steal
+      val busy = parts(0) + parts(1) + parts(2) + parts(5) + parts(6)
+      Some((busy * 10L, parts.lift(7).getOrElse(0L) * 10L))
+    } catch { case _: Throwable => None }
+  private def ownCpuMs(): Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        os.getProcessCpuTime / 1000000L
+      case _ => -1L
+    }
+  /** external cores consumed during a window of `wallMs` given start/end
+    * samples — (Δbusy − Δown + Δsteal) / wall, floored at 0 per term. */
+  private def extCores(s0: Option[(Long, Long)], c0: Long,
+                       s1: Option[(Long, Long)], c1: Long,
+                       wallMs: Double): Double =
+    (for ((b1, st1) <- s1; (b0, st0) <- s0) yield {
+      val own = math.max(0L, c1 - c0)
+      (math.max(0L, (b1 - b0) - own) + math.max(0L, st1 - st0)) /
+        math.max(1.0, wallMs)
+    }).getOrElse(0.0)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -175,14 +204,18 @@ object Bench {
         // the timed windows
         releaseAll(spark)
         val runs = (0 until 3).map { _ =>
+          val (sy0, oc0) = (sysCpuMs(), ownCpuMs())
           val r = runTimed(spark, one, sfDir)
+          val ext = extCores(sy0, oc0, sysCpuMs(), ownCpuMs(), r._1 * 1000.0)
           releaseAll(spark)
-          r
+          (r._1, r._2, ext)
         }
         val med = { val s = runs.map(_._1).sorted; s(1) }
         val repsStr = runs.map(r =>
           String.format(java.util.Locale.ROOT, "%.3f", Double.box(r._1))).mkString("[", ",", "]")
-        println(s"""{"metric":"one","query":"$one","value":$med,"unit":"sec","reps":$repsStr,"err":${runs.exists(_._2)},"warmed":$warmed,"sf":"$sfDir"}""")
+        val extStr = runs.map(r =>
+          String.format(java.util.Locale.ROOT, "%.1f", Double.box(r._3))).mkString("[", ",", "]")
+        println(s"""{"metric":"one","query":"$one","value":$med,"unit":"sec","reps":$repsStr,"ext_cores":$extStr,"err":${runs.exists(_._2)},"warmed":$warmed,"sf":"$sfDir"}""")
         spark.stop()
         return
       case None => ()
@@ -258,9 +291,11 @@ object Bench {
         val runs = (0 until reps0).map { _ =>
           val (g0, j0, c0) = (gcMs(), jitMs(), cpuMs())
           val (t0, s0, r0, tc0, d0) = census.snap()
+          val (sy0, oc0) = (sysCpuMs(), ownCpuMs())
           val r = runTimed(spark, name, sfDir)
+          val ext = extCores(sy0, oc0, sysCpuMs(), ownCpuMs(), r._1 * 1000.0)
           val (t1, s1, r1, tc1, d1) = census.snap()
-          System.err.println(f"[rep] $name t=${r._1}%.2f gc=${gcMs() - g0}ms jit=${jitMs() - j0}ms cpu=${cpuMs() - c0}ms tasks=${t1 - t0} stages=${s1 - s0} taskRun=${r1 - r0}ms taskCpu=${tc1 - tc0}ms deser=${d1 - d0}ms")
+          System.err.println(f"[rep] $name t=${r._1}%.2f gc=${gcMs() - g0}ms jit=${jitMs() - j0}ms cpu=${cpuMs() - c0}ms tasks=${t1 - t0} stages=${s1 - s0} taskRun=${r1 - r0}ms taskCpu=${tc1 - tc0}ms deser=${d1 - d0}ms extCores=$ext%.1f")
           if (noRelease) spark.catalog.clearCache() else releaseAll(spark)
           r
         }
@@ -312,31 +347,11 @@ object Bench {
     // external cores = (Δhost-busy − Δown-process-cpu + Δsteal) / wall.
     // A rep with > ~4 external cores (of 32) was not measured on an
     // idle machine and must not price the query.
-    def sysCpuMs(): Option[(Long, Long)] =
-      try {
-        val src = scala.io.Source.fromFile("/proc/stat")
-        val parts =
-          try src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
-          finally src.close()
-        // fields: user nice system idle iowait irq softirq steal
-        val busy = parts(0) + parts(1) + parts(2) + parts(5) + parts(6)
-        Some((busy * 10L, parts.lift(7).getOrElse(0L) * 10L))
-      } catch { case _: Throwable => None }
-    def ownCpuMs(): Long =
-      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
-        case os: com.sun.management.OperatingSystemMXBean =>
-          os.getProcessCpuTime / 1000000L
-        case _ => -1L
-      }
     case class Rep(t: Double, err: Boolean, ext: Double)
     def runRep(s: SparkSession, name: String): Rep = {
       val s0 = sysCpuMs(); val c0 = ownCpuMs()
       val (t, err) = runTimed(s, name, sfDir)
-      val ext = (for ((b1, st1) <- sysCpuMs(); (b0, st0) <- s0) yield {
-        val own = math.max(0L, ownCpuMs() - c0)
-        val wallMs = math.max(1.0, t * 1000.0)
-        (math.max(0L, (b1 - b0) - own) + math.max(0L, st1 - st0)) / wallMs
-      }).getOrElse(0.0)
+      val ext = extCores(s0, c0, sysCpuMs(), ownCpuMs(), t * 1000.0)
       // full synchronous release OFF the timed path — see releaseAll
       releaseAll(s)
       Rep(t, err, ext)
