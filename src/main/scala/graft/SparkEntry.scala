@@ -2738,6 +2738,40 @@ object SparkEntry {
           (col("cent_mism") === 0L).as("centroids_equal"))
     }),
 
+    // INCREMENTAL CONNECTED COMPONENTS (r16): the dedup family's last
+    // rebuild-only piece made incremental — q57 maintains the PAIR
+    // stream against a standing index; this maintains the LABEL table
+    // against a pair delta, by contracting old components to their
+    // min-id labels and running CC over the CONTRACTED DELTA graph
+    // only (never the standing edge set). Exactness is structural
+    // (contraction preserves connectivity; old labels are component
+    // minima), so the gate is equality with the full rebuild over a
+    // deterministic arithmetic graph (the q158 synthesis shape),
+    // split ~80/20 into standing/delta.
+    "q174_cc_incremental" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val n = docs.agg(count(lit(1)).as("n"))
+      val edges = docs.crossJoin(broadcast(n))
+        .select(col("doc_id"), col("n"),
+          explode(sequence(lit(1L), lit(1L) + pmod(col("doc_id"), lit(2L)))).as("k"))
+        .select(col("doc_id").as("id_a"),
+          pmod(col("doc_id") * 37L + col("k") * 101L, col("n")).as("id_b"))
+        .filter(col("id_a") =!= col("id_b"))
+      val standing = edges.filter(pmod(col("id_a") + col("id_b"), lit(5L)) =!= 0L)
+      val delta = edges.filter(pmod(col("id_a") + col("id_b"), lit(5L)) === 0L)
+      val oldLabels = ops.Dedup.connectedComponents(standing)
+      val incr = ops.Dedup.connectedComponentsIncremental(oldLabels, delta)
+      val rebuilt = ops.Dedup.connectedComponents(edges)
+      val mism = incr.alias("i")
+        .join(rebuilt.alias("r"), col("i.id") === col("r.id"), "full")
+        .filter(col("i.id").isNull || col("r.id").isNull ||
+          col("i.label") =!= col("r.label"))
+        .agg(count(lit(1)).as("mism"))
+      val total = rebuilt.agg(count(lit(1)).as("n_nodes"))
+      mism.crossJoin(total).select(col("n_nodes"),
+        (col("mism") === 0L).as("incremental_equals_rebuild"))
+    }),
+
     // PQ DRIFT DETECTOR GATE (r14): makes the incremental-index
     // regime's retrain trigger EXECUTABLE, not just documented.
     // pqIndexAppend (q148) freezes the models, so the operational
@@ -4851,6 +4885,23 @@ object SparkEntry {
     // rounding (mean-of-means) or order-dependence flips one
     "q171_kmeans_incremental" ->
       "SELECT true AS stats_equal, true AS centroids_equal",
+
+    // node count replayed over the same arithmetic edge synthesis;
+    // the equality boolean is structural (contraction preserves
+    // connectivity, labels are minima) — a wrong remap/expansion or a
+    // non-minimum label convention flips it
+    "q174_cc_incremental" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+         e AS (
+           SELECT doc_id AS id_a,
+             (doc_id * 37 + k * 101) % n AS id_b
+           FROM documents, nn,
+             (SELECT 1 AS k UNION ALL SELECT 2) ks
+           WHERE k <= 1 + doc_id % 2
+             AND doc_id <> (doc_id * 37 + k * 101) % n)
+         SELECT count(DISTINCT id) AS n_nodes,
+           true AS incremental_equals_rebuild
+         FROM (SELECT id_a AS id FROM e UNION SELECT id_b AS id FROM e)""",
 
     // both booleans are numeric gates (the q94/q146 floor doctrine):
     // base error measured 0.459-0.506 across SFs, ceiling 0.70; the

@@ -737,6 +737,64 @@ object Dedup {
     CcRun(labels, labelRdds, i, converged)
   }
 
+  /** INCREMENTAL connected components (r16 — the q57/q148 incremental
+    * regime for the LABEL table): merge a DELTA pair batch into
+    * standing CC labels without re-running CC over the full edge set.
+    * Exactness is structural, not approximate: contracting each old
+    * component to its label preserves the connectivity of
+    * (old ∪ delta) — old components are internally connected by
+    * construction — and because every old label IS its component's
+    * minimum id, the min-label CC over the contracted graph yields
+    * exactly the merged component's global minimum. So the result
+    * equals `connectedComponents(oldPairs ∪ newPairs)` row for row
+    * (q174 gates it; DedupSpec hand-verifies merge/untouched/unseen).
+    *
+    * Scale shape — the whole point: the CC iteration runs over the
+    * CONTRACTED DELTA graph (≤ |newPairs| edges after self-loop drop,
+    * typically far fewer), never the corpus edge set; the standing
+    * label table is touched by ONE remap join against the delta-sized
+    * merged labels (broadcast when the delta is small — the daily
+    * case). A 10¹¹-edge standing graph absorbs a 10⁶-pair day at
+    * delta cost.
+    *
+    * Inputs: `oldLabels` (id, label) — a finished CC labeling (labels
+    * must be component minima, which [[connectedComponents]]
+    * guarantees); `newPairs` (id_a, id_b). Output: (id, label) for
+    * every old node and every new-pair endpoint.
+    */
+  def connectedComponentsIncremental(oldLabels: DataFrame,
+                                     newPairs: DataFrame,
+                                     maxIter: Int = 20): DataFrame = {
+    val pairs = newPairs.select(col("id_a"), col("id_b"))
+    // contract: each endpoint reps as its old component label (itself
+    // when unseen); edges internal to one old component vanish
+    val contracted = pairs
+      .join(oldLabels.select(col("id").as("id_a"), col("label").as("__la")),
+        Seq("id_a"), "left")
+      .join(oldLabels.select(col("id").as("id_b"), col("label").as("__lb")),
+        Seq("id_b"), "left")
+      .select(coalesce(col("__la"), col("id_a")).as("id_a"),
+        coalesce(col("__lb"), col("id_b")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    // delta-sized CC over the contracted graph
+    val merged = connectedComponents(contracted, maxIter)
+    // expand: old nodes remap through their component's rep; untouched
+    // components (rep absent from the delta) keep their label
+    val remapped = oldLabels.select(col("id"), col("label"))
+      .join(merged.select(col("id").as("label"), col("label").as("__m")),
+        Seq("label"), "left")
+      .select(col("id"), coalesce(col("__m"), col("label")).as("label"))
+    // unseen endpoints: their own merged label (themselves when their
+    // only delta edges were self-loops)
+    val unseen = pairs.select(col("id_a").as("id"))
+      .unionByName(pairs.select(col("id_b").as("id")))
+      .distinct()
+      .join(oldLabels.select(col("id")), Seq("id"), "left_anti")
+      .join(merged.select(col("id"), col("label").as("__m")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__m"), col("id")).as("label"))
+    remapped.unionByName(unseen)
+  }
+
   /** Keep one representative (the component's min id) per near-dup
     * cluster: drops every non-representative member of `df`. Documents
     * with no near-dup pair pass through untouched.

@@ -488,4 +488,52 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.containmentPairs(tiny, "doc_id", "text",
       Seq(col("lang")), 9000L, minSize = 0).count() == 1)
   }
+
+  test("incremental CC: merge, bridge-to-unseen, untouched, and unseen-only cases") {
+    // standing components: {1,2}, {5,6}, {10,11} (labels 1, 5, 10)
+    val oldPairs = Seq((1L, 2L), (5L, 6L), (10L, 11L)).toDF("id_a", "id_b")
+    val oldLabels = Dedup.connectedComponents(oldPairs)
+    // delta: (2,5) merges the first two components; (6,20) bridges an
+    // UNSEEN node into the merged one; (21,22) is an unseen-only pair;
+    // component {10,11} is untouched by the delta
+    val delta = Seq((2L, 5L), (6L, 20L), (21L, 22L)).toDF("id_a", "id_b")
+    val incr = Dedup.connectedComponentsIncremental(oldLabels, delta)
+      .as[(Long, Long)].collect().toMap
+    assert(incr === Map(
+      1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L, 20L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      21L -> 21L, 22L -> 21L))
+    // structural equality with the rebuild over the union edge set
+    val rebuilt = Dedup.connectedComponents(
+        oldPairs.unionByName(delta))
+      .as[(Long, Long)].collect().toMap
+    assert(incr === rebuilt)
+  }
+
+  test("incremental CC: a delta whose new min id takes over the merged label") {
+    // standing {4,5} (label 4); delta (3,4): node 3 is unseen AND the
+    // new minimum — the merged component must relabel to 3, proving
+    // the expansion remaps OLD nodes through the contracted result
+    // rather than keeping their old minima
+    val oldLabels = Dedup.connectedComponents(Seq((4L, 5L)).toDF("id_a", "id_b"))
+    val incr = Dedup.connectedComponentsIncremental(oldLabels,
+        Seq((3L, 4L)).toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(incr === Map(3L -> 3L, 4L -> 3L, 5L -> 3L))
+  }
+
+  test("incremental CC equals rebuild on a real pair set split 80/20") {
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 5, 32, 8, 0.5)
+      .select("id_a", "id_b").localCheckpoint(true)
+    val standing = pairs.filter((col("id_a") + col("id_b")) % 5 =!= 0)
+    val delta = pairs.filter((col("id_a") + col("id_b")) % 5 === 0)
+    val incr = Dedup.connectedComponentsIncremental(
+        Dedup.connectedComponents(standing), delta)
+      .as[(Long, Long)].collect().toMap
+    val rebuilt = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(incr === rebuilt)
+    assert(incr.nonEmpty)
+  }
 }
