@@ -499,14 +499,20 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] isolated prepareArtifacts failed: $e") }
       releaseAll(s2)
+      // same instrument as the suite: contention-sampled reps, storm
+      // escalation (r15: q145 recorded 15.6 isolated vs its 10.9
+      // honest band on a 3-rep median), contaminated-rep exclusion,
+      // and INTERLEAVED passes (r16: the first 174-query run measured
+      // the back-to-back isolated phase 10-40% slow across the board —
+      // one contiguous window carries exactly the episode exposure the
+      // interleaved suite sheds; spreading the 10 queries' reps across
+      // passes divides that exposure per query by 10).
+      val isoAcc = scala.collection.mutable.LinkedHashMap[String, Vector[Rep]](
+        top10.map(_ -> Vector.empty[Rep]): _*)
+      for (_ <- 1 to reps; name <- top10)
+        isoAcc(name) = isoAcc(name) :+ runRep(s2, name)
       val iso = top10.map { name =>
-        // same instrument as the suite: contention-sampled reps, storm
-        // escalation (r15: q145 recorded 15.6 isolated vs its 10.9
-        // honest band on a 3-rep median), contaminated-rep exclusion —
-        // the two-mode rule needs BOTH modes robust or disagreement is
-        // noise. Reps here are back-to-back (10 queries cannot
-        // interleave far), so the contamination trigger matters more.
-        var rs = (0 until reps).map(_ => runRep(s2, name)).toVector
+        var rs = isoAcc(name)
         if (reps >= 3) {
           def needMore: Boolean = {
             val ts = cleanTs(rs)
