@@ -125,6 +125,94 @@ object ReleaseGate {
         })
   }
 
+  /** Row bound for the l-diversity stream: `cell` the composed quasi
+    * key, `sens` the sensitive value diversity is counted over.
+    */
+  case class SensRow(cell: String, sens: String, ts: java.sql.Timestamp,
+                     id: Long)
+
+  // distinct sensitive values seen (≤ l−1 — the l-th releases), the
+  // held rows (≤ buffer growth until release; unlike the k-gate this
+  // is not bounded by l: a cohort can hold many rows of few values),
+  // and the two decision booleans
+  case class SensState(seen: Seq[String], buffered: Seq[SensRow],
+                       released: Boolean, closed: Boolean)
+
+  /** Streaming face of [[graft.ops.Privacy.suppressLowDiversity]] —
+    * the l-gate twin of [[suppressSmallCellsStream]]: a cohort's rows
+    * HOLD until its sensitive column has shown `l` DISTINCT non-null
+    * values (then everything releases unsuppressed and later rows
+    * flow), and cohorts still under l diversity when the watermark
+    * passes `closeAt` publish POOLED into the marker. Same
+    * conservative post-close contract as the k-gate (post-close rows
+    * of a published-suppressed cohort emit suppressed; below-watermark
+    * rows drop), same batch equivalence (spec-gated across slicings).
+    * NULL-equivalent sensitive handling: the batch operator ignores
+    * NULL sensitive; callers here encode "no sensitive" by not
+    * sending the row, or pre-filter — `sens` is non-null by type.
+    *
+    * State: ≤ l−1 seen values + the held rows. Unlike the k-gate the
+    * buffer is NOT bounded by the threshold (a uniform cohort can
+    * hold many rows of one value — exactly the cohorts the gate
+    * exists to stop); `maxBuffered` caps it, dropping beyond
+    * conservatively (under-release, never a false release).
+    */
+  def suppressLowDiversityStream(rows: Dataset[SensRow], l: Int,
+                                 closeAt: java.sql.Timestamp,
+                                 watermarkDelay: String = "0 seconds",
+                                 suppressed: String = "*",
+                                 maxBuffered: Int = 100000)(
+      implicit spark: SparkSession): Dataset[SensRow] = {
+    import spark.implicits._
+    require(l >= 1, s"l must be >= 1, got $l")
+    rows.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.cell).flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (cell: String, it: Iterator[SensRow], state: GroupState[SensState]) => {
+          var st = state.getOption.getOrElse(
+            SensState(Vector.empty, Vector.empty, released = false,
+              closed = false))
+          val out = Vector.newBuilder[SensRow]
+          def close(): Unit = {
+            st.buffered.foreach(r => out += r.copy(cell = suppressed))
+            st = SensState(Vector.empty, Vector.empty, released = false,
+              closed = true)
+          }
+          if (state.hasTimedOut) {
+            if (!st.released) close()
+            state.update(st)
+          } else {
+            val pastClose = state.getCurrentWatermarkMs() >= closeAt.getTime
+            it.foreach { r =>
+              if (st.released) out += r
+              else {
+                if (pastClose && !st.closed) close()
+                if (st.closed) out += r.copy(cell = suppressed)
+                else {
+                  val seen =
+                    if (st.seen.contains(r.sens)) st.seen else st.seen :+ r.sens
+                  if (seen.size >= l) {
+                    st.buffered.foreach(out += _)
+                    out += r
+                    st = SensState(Vector.empty, Vector.empty,
+                      released = true, closed = false)
+                  } else {
+                    val buf =
+                      if (st.buffered.size < maxBuffered) st.buffered :+ r
+                      else st.buffered // conservative drop beyond the cap
+                    st = SensState(seen, buf, released = false, closed = false)
+                  }
+                }
+              }
+            }
+            state.update(st)
+            if (!st.released && !st.closed)
+              state.setTimeoutTimestamp(closeAt.getTime)
+          }
+          out.result().iterator
+        })
+  }
+
   /** `minDocs` distinct `doc` values release a `key`; rows of a
     * released key flow, rows of an unreleased key buffer (up to
     * `maxBuffered`, conservatively dropping beyond).

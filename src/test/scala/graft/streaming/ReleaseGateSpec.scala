@@ -148,6 +148,67 @@ class ReleaseGateSpec extends SparkSpec {
     assert(out.filter(_.id <= 4L).forall(_.cell === "a"))
   }
 
+  // ————— streaming l-diversity suppression —————
+
+  import ReleaseGate.SensRow
+
+  private def runSens(batches: Seq[Seq[SensRow]], l: Int): Seq[SensRow] = {
+    val input = MemoryStream[SensRow]
+    val emitted = scala.collection.mutable.ArrayBuffer[SensRow]()
+    val gated = ReleaseGate.suppressLowDiversityStream(input.toDS(), l, closeAt)
+    val q = gated.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[SensRow], _: Long) =>
+        emitted ++= df.collect(); ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ldck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      input.addData(SensRow("~wm", "~", ts(1000), -1L)); q.processAllAvailable()
+      input.addData(SensRow("~wm", "~", ts(1000), -2L)); q.processAllAvailable()
+    } finally q.stop()
+    emitted.filter(_.id >= 0).toSeq
+  }
+
+  test("l-diversity stream: emitted set equals the batch operator for any slicing") {
+    // cohorts with controlled diversity: cell cN has sensitive values
+    // drawn from a pool of size (N+1) — at l=3, c0 (1 value) and c1
+    // (2 values) suppress, c2..c4 release
+    val rows = (0 until 45).map { i =>
+      val c = i % 5
+      SensRow(s"c$c", s"s${i % (c + 1)}", ts(10 + i), i.toLong)
+    }
+    val batch = Privacy.suppressLowDiversity(
+        rows.toDF("cell", "sens", "ts", "id"), Seq("cell"), "sens", l = 3L)
+      .select("cell", "id").as[(String, Long)].collect().toSeq.sorted
+    val slicings = Seq(Seq(rows), rows.grouped(6).toSeq, rows.map(Seq(_)))
+    for (slicing <- slicings) {
+      val streamed = runSens(slicing, l = 3)
+        .map(r => (r.cell, r.id)).sorted
+      assert(streamed === batch, s"slicing into ${slicing.size} batches")
+    }
+  }
+
+  test("l-diversity stream: repeats of one sensitive value never release") {
+    val out = runSens(Seq(
+      // cohort "u": many rows, ONE sensitive value — must hold to
+      // close and publish suppressed (the uniform cohort the gate
+      // exists for; a row-count gate would have released it)
+      Seq(SensRow("u", "m", ts(10), 1), SensRow("u", "m", ts(11), 2)),
+      Seq(SensRow("u", "m", ts(12), 3), SensRow("u", "m", ts(13), 4)),
+      // cohort "d": 2 distinct at l=2 — releases retroactively on the
+      // second VALUE (id 6), in arrival order
+      Seq(SensRow("d", "x", ts(14), 5)),
+      Seq(SensRow("d", "y", ts(15), 6), SensRow("d", "x", ts(16), 7))),
+      l = 2)
+    assert(out.map(_.id) === Seq(5L, 6L, 7L, 1L, 2L, 3L, 4L))
+    assert(out.filter(_.cell == "d").map(_.id) === Seq(5L, 6L, 7L))
+    assert(out.filter(_.cell == "*").map(_.id) === Seq(1L, 2L, 3L, 4L),
+      s"the uniform cohort must publish pooled: $out")
+  }
+
   test("k-anonymity stream: late rows of a published-suppressed cohort fail closed") {
     val input = MemoryStream[CellRow]
     val emitted = scala.collection.mutable.ArrayBuffer[CellRow]()
