@@ -130,15 +130,23 @@ object Privacy {
   def frequencyThreshold(df: DataFrame, keyCol: String, docCol: String,
                          minDocs: Long): DataFrame = {
     require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
+    // NULL keys FAIL CLOSED: xxhash64 skips null inputs (yields the
+    // seed constant), so without this filter every NULL key would pool
+    // into one pseudo-key and RELEASE once NULL rows span minDocs
+    // distinct docs — the failure direction the gate must never take.
+    // The pre-fingerprint text semi-join dropped them implicitly
+    // (null-unsafe equality); the fingerprint form drops them
+    // explicitly, on both the counting side and the release side.
+    val nonNull = df.filter(col(keyCol).isNotNull)
     def fp(c: Column): (Column, Column) =
       (xxhash64(c), xxhash64(lit("graft.fq.salt"), c))
     val (h1, h2) = fp(col(keyCol))
-    val ok = df.select(h1.as("__kh1"), h2.as("__kh2"),
+    val ok = nonNull.select(h1.as("__kh1"), h2.as("__kh2"),
         col(docCol).as("__doc")).distinct()
       .groupBy(col("__kh1"), col("__kh2"))
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDocs)
       .select(col("__kh1"), col("__kh2"))
-    df.join(ok, h1 === ok("__kh1") && h2 === ok("__kh2"), "left_semi")
+    nonNull.join(ok, h1 === ok("__kh1") && h2 === ok("__kh2"), "left_semi")
   }
 }

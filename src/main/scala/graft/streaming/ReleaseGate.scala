@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.util.LongAccumulator
 
 /** Streaming face of the frequency-threshold release rule
   * ([[graft.ops.Privacy.frequencyThreshold]]): a key's rows are HELD
@@ -31,12 +32,45 @@ object ReleaseGate {
 
   case class KeyedRow(key: String, doc: Long)
 
-  // docs as Seq (distinctness maintained by hand — the state encoder
-  // has no codegen support for scala Set; the seq stays < minDocs
-  // long) and NOT private: Janino-generated encoder code cannot touch
-  // a private nested class (the zero-arg-candidate compile error)
-  case class GateState(docs: Seq[Long], buffered: Seq[KeyedRow],
-                       released: Boolean)
+  // The frequency gate's state is keyed by the two-lane xxhash64
+  // FINGERPRINT of the key, never its text (r17 — the batch gate's
+  // Privacy.frequencyThreshold posture applied to the state store):
+  // extracted spans/n-grams can be KBs, and a raw-text group key would
+  // put corpus text on the shuffle wire AND in every state-store row
+  // key. The text appears ONCE in the state value (`keyText`, needed to
+  // reconstruct buffered rows at release) while the key is held, and is
+  // BLANKED at release — a hot key's standing state is 16 bytes of key
+  // + a boolean, zero text. Buffered rows store only their doc ids
+  // (arrival order), not a text copy per row.
+  //
+  // Collision posture (same arithmetic as the batch gate): two distinct
+  // keys merging requires a simultaneous collision in both independent
+  // 64-bit lanes — expected colliding pairs ~ n²/2¹²⁹; a merge's
+  // failure direction is a pooled doc count, i.e. toward a FALSE
+  // RELEASE, which is exactly why the gate pays the second lane.
+  //
+  // Fields NOT private: Janino-generated encoder code cannot touch a
+  // private nested class (the zero-arg-candidate compile error). docs
+  // as Seq — the state encoder has no codegen support for scala Set;
+  // the seq stays < minDocs long.
+  case class GateState(keyText: String, docs: Seq[Long],
+                       bufferedDocs: Seq[Long], released: Boolean,
+                       dropped: Long)
+
+  /** The two-lane key fingerprint, replayed exactly as the batch gate
+    * computes it (`xxhash64(key)`, `xxhash64('graft.fq.salt', key)`) so
+    * the batch and streaming gates agree on which keys merge.
+    */
+  private[streaming] def keyFingerprint(key: String): (Long, Long) = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val u = UTF8String.fromString(key)
+    val salt = UTF8String.fromString("graft.fq.salt")
+    (XxHash64Function.hash(u, StringType, 42L),
+      XxHash64Function.hash(u, StringType,
+        XxHash64Function.hash(salt, StringType, 42L)))
+  }
 
   // ————— streaming k-anonymity suppression (r16) —————
 
@@ -134,9 +168,10 @@ object ReleaseGate {
   // distinct sensitive values seen (≤ l−1 — the l-th releases), the
   // held rows (≤ buffer growth until release; unlike the k-gate this
   // is not bounded by l: a cohort can hold many rows of few values),
-  // and the two decision booleans
+  // the two decision booleans, and the count of rows dropped at the
+  // buffer cap (surfaced — a capped cohort must not diverge silently)
   case class SensState(seen: Seq[String], buffered: Seq[SensRow],
-                       released: Boolean, closed: Boolean)
+                       released: Boolean, closed: Boolean, dropped: Long)
 
   /** Streaming face of [[graft.ops.Privacy.suppressLowDiversity]] —
     * the l-gate twin of [[suppressSmallCellsStream]]: a cohort's rows
@@ -155,28 +190,43 @@ object ReleaseGate {
     * buffer is NOT bounded by the threshold (a uniform cohort can
     * hold many rows of one value — exactly the cohorts the gate
     * exists to stop); `maxBuffered` caps it, dropping beyond
-    * conservatively (under-release, never a false release).
+    * conservatively (under-release, never a false release). The
+    * batch-equivalence claim above is therefore SCOPED to cohorts
+    * whose held rows stay under `maxBuffered`: a capped row can never
+    * be emitted, even suppressed, at close (it was never stored, and a
+    * pre-decision raw emit would be unsafe) — so drops are surfaced
+    * through `droppedCounter` (at-least-once under task retries — an
+    * operational signal, not an exact ledger) and a close-time log
+    * line, never silent.
     */
   def suppressLowDiversityStream(rows: Dataset[SensRow], l: Int,
                                  closeAt: java.sql.Timestamp,
                                  watermarkDelay: String = "0 seconds",
                                  suppressed: String = "*",
-                                 maxBuffered: Int = 100000)(
+                                 maxBuffered: Int = 100000,
+                                 droppedCounter: Option[LongAccumulator] = None)(
       implicit spark: SparkSession): Dataset[SensRow] = {
     import spark.implicits._
     require(l >= 1, s"l must be >= 1, got $l")
+    val dropAcc = droppedCounter.getOrElse(
+      spark.sparkContext.longAccumulator("graft.releaseGate.ldiv.dropped"))
     rows.withWatermark("ts", watermarkDelay)
       .groupByKey(_.cell).flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (cell: String, it: Iterator[SensRow], state: GroupState[SensState]) => {
           var st = state.getOption.getOrElse(
             SensState(Vector.empty, Vector.empty, released = false,
-              closed = false))
+              closed = false, dropped = 0L))
           val out = Vector.newBuilder[SensRow]
           def close(): Unit = {
             st.buffered.foreach(r => out += r.copy(cell = suppressed))
+            if (st.dropped > 0L)
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"suppressLowDiversityStream closed cohort '$cell' having " +
+                  s"dropped ${st.dropped} rows at the $maxBuffered cap — " +
+                  "those rows never emitted (batch divergence, conservative)")
             st = SensState(Vector.empty, Vector.empty, released = false,
-              closed = true)
+              closed = true, dropped = st.dropped)
           }
           if (state.hasTimedOut) {
             if (!st.released) close()
@@ -195,12 +245,17 @@ object ReleaseGate {
                     st.buffered.foreach(out += _)
                     out += r
                     st = SensState(Vector.empty, Vector.empty,
-                      released = true, closed = false)
+                      released = true, closed = false, dropped = st.dropped)
                   } else {
-                    val buf =
-                      if (st.buffered.size < maxBuffered) st.buffered :+ r
-                      else st.buffered // conservative drop beyond the cap
-                    st = SensState(seen, buf, released = false, closed = false)
+                    val (buf, dropped) =
+                      if (st.buffered.size < maxBuffered)
+                        (st.buffered :+ r, st.dropped)
+                      else { // conservative drop beyond the cap — surfaced
+                        dropAcc.add(1L)
+                        (st.buffered, st.dropped + 1L)
+                      }
+                    st = SensState(seen, buf, released = false,
+                      closed = false, dropped = dropped)
                   }
                 }
               }
@@ -215,18 +270,36 @@ object ReleaseGate {
 
   /** `minDocs` distinct `doc` values release a `key`; rows of a
     * released key flow, rows of an unreleased key buffer (up to
-    * `maxBuffered`, conservatively dropping beyond).
+    * `maxBuffered`, conservatively dropping beyond — under-release,
+    * never a false release).
+    *
+    * Grouping and state are keyed by the key's two-lane xxhash64
+    * fingerprint ([[keyFingerprint]] — the batch gate's exchange
+    * posture applied to the state store): the shuffle wire and the
+    * state-store keys carry 16 bytes per key, the text lives ONCE in
+    * the held state value and is blanked at release.
+    *
+    * The batch-equivalence claim (emitted set ≡
+    * [[graft.ops.Privacy.frequencyThreshold]] over the same input,
+    * any slicing) holds for keys whose held rows stay under
+    * `maxBuffered`; beyond it, drops are surfaced through
+    * `droppedCounter` (at-least-once under task retries — an
+    * operational signal, not an exact ledger) and a log line, so a
+    * capped key is never a SILENT divergence.
     */
   def frequencyThresholdStream(rows: Dataset[KeyedRow], minDocs: Int,
-                               maxBuffered: Int = 100000)(
+                               maxBuffered: Int = 100000,
+                               droppedCounter: Option[LongAccumulator] = None)(
       implicit spark: SparkSession): Dataset[KeyedRow] = {
     import spark.implicits._
     require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
-    rows.groupByKey(_.key).flatMapGroupsWithState(
+    val dropAcc = droppedCounter.getOrElse(
+      spark.sparkContext.longAccumulator("graft.releaseGate.fq.dropped"))
+    rows.groupByKey(r => keyFingerprint(r.key)).flatMapGroupsWithState(
       OutputMode.Append, GroupStateTimeout.NoTimeout)(
-      (key: String, it: Iterator[KeyedRow], state: GroupState[GateState]) => {
+      (_: (Long, Long), it: Iterator[KeyedRow], state: GroupState[GateState]) => {
         var st = state.getOption.getOrElse(
-          GateState(Vector.empty, Vector.empty, released = false))
+          GateState("", Vector.empty, Vector.empty, released = false, 0L))
         val out = Vector.newBuilder[KeyedRow]
         it.foreach { r =>
           if (st.released) out += r
@@ -235,15 +308,26 @@ object ReleaseGate {
               if (st.docs.contains(r.doc)) st.docs else st.docs :+ r.doc
             if (docs.size >= minDocs) {
               // retroactive release: buffered rows first (arrival
-              // order), then the row that crossed the threshold
-              st.buffered.foreach(out += _)
+              // order, reconstructed from the single text copy), then
+              // the row that crossed the threshold
+              st.bufferedDocs.foreach(d => out += KeyedRow(r.key, d))
               out += r
-              st = GateState(Vector.empty, Vector.empty, released = true)
+              if (st.dropped > 0L)
+                org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                  s"frequencyThresholdStream released a key that had " +
+                    s"dropped ${st.dropped} rows at the $maxBuffered cap " +
+                    "— those rows under-released (batch divergence)")
+              st = GateState("", Vector.empty, Vector.empty,
+                released = true, st.dropped)
             } else {
-              val buf =
-                if (st.buffered.size < maxBuffered) st.buffered :+ r
-                else st.buffered // conservative drop beyond the cap
-              st = GateState(docs, buf, released = false)
+              val (buf, dropped) =
+                if (st.bufferedDocs.size < maxBuffered)
+                  (st.bufferedDocs :+ r.doc, st.dropped)
+                else { // conservative drop beyond the cap — surfaced
+                  dropAcc.add(1L)
+                  (st.bufferedDocs, st.dropped + 1L)
+                }
+              st = GateState(r.key, docs, buf, released = false, dropped)
             }
           }
         }

@@ -86,11 +86,21 @@ object ScdIngest {
           val (applied, rejected0) = Scd.applyChangelogWithRejects(
             history, persisted, keyCol, tsCol, tieCol, attrCols)
           // guard 1: drop exact redeliveries of recorded versions —
-          // the anti join is batch-sized vs affected-key versions only
-          val rejected = rejected0.join(
-            history.select((col(keyCol) +:
-              col("effective_from").as(tsCol) +: attrCols.map(col)): _*),
-            Seq(keyCol, tsCol) ++ attrCols, "left_anti")
+          // the anti join is batch-sized vs affected-key versions only.
+          // Null-SAFE equality per column (<=>): a redelivered version
+          // row carrying a NULL attribute must still match its recorded
+          // twin, or every replay re-appends it to the quarantine
+          // (duplicate rejects + false non-zero alerts).
+          val recordedCols = (keyCol +: tsCol +: attrCols).zipWithIndex
+          val recorded = history.select(
+            (col(keyCol).as("__r_c0") +:
+              col("effective_from").as("__r_c1") +:
+              attrCols.zipWithIndex.map { case (c, i) =>
+                col(c).as(s"__r_c${i + 2}") }): _*)
+          val antiCond = recordedCols
+            .map { case (c, i) => rejected0(c) <=> recorded(s"__r_c$i") }
+            .reduce(_ && _)
+          val rejected = rejected0.join(recorded, antiCond, "left_anti")
           // truncate lineage: the overwrite must not read the files it
           // replaces (the DimStore.lwwOverwrite doctrine)
           val out = applied.localCheckpoint(true)

@@ -125,4 +125,19 @@ class PrivacySpec extends SparkSpec {
     // keeps rows, not one-per-key)
     assert(Privacy.frequencyThreshold(df, "key", "doc", 2L).count() === 5L)
   }
+
+  test("frequency gate: NULL keys fail closed even across many docs") {
+    // xxhash64 skips null inputs, so an unguarded fingerprint semi-join
+    // would pool all NULL keys into one pseudo-key and release them
+    // once NULL rows span minDocs distinct docs — this pins the
+    // fail-closed posture: NULL keys NEVER release, real keys unaffected
+    val df = Seq(
+      (1L, Some("hot")), (2L, Some("hot")),
+      (3L, None: Option[String]), (4L, None: Option[String]),
+      (5L, None: Option[String]))
+      .toDF("doc", "key")
+    val kept = Privacy.frequencyThreshold(df, "key", "doc", minDocs = 2L)
+    assert(kept.filter(col("key").isNull).count() === 0L)
+    assert(kept.count() === 2L)
+  }
 }

@@ -240,4 +240,84 @@ class ReleaseGateSpec extends SparkSpec {
     assert(xs.forall(_.cell === "*"),
       s"late rows must stay suppressed: $xs")
   }
+
+  test("frequency gate state is fingerprint-keyed: released KB-keys leave no text in state") {
+    // 50 keys of ~20 KB each, all released within their arrival batch
+    // (two distinct docs per key). Raw-text state keying would hold
+    // ≥ 1 MB of key text in the store FOREVER (the key rows outlive
+    // release); the fingerprint posture keeps 16 bytes per key + an
+    // O(1) value. The bound discriminates: fingerprints measure in the
+    // tens of KB, raw text in the MBs.
+    val bigKeys = (0 until 50).map(i => s"k$i-" + ("x" * 20000))
+    val input = MemoryStream[KeyedRow]
+    val emitted = scala.collection.mutable.ArrayBuffer[KeyedRow]()
+    val q = ReleaseGate.frequencyThresholdStream(input.toDS(), minDocs = 2)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[KeyedRow], _: Long) =>
+        emitted ++= df.collect(); ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("rgfp").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    try {
+      input.addData(bigKeys.flatMap(k => Seq(KeyedRow(k, 1), KeyedRow(k, 2))): _*)
+      q.processAllAvailable()
+      // a follow-up row per key must still flow (the released flag is
+      // found under the fingerprint key)
+      input.addData(bigKeys.map(k => KeyedRow(k, 9)): _*)
+      q.processAllAvailable()
+      assert(emitted.size === 150, "2 released retroactively + 1 flowed per key")
+      assert(emitted.map(_.key).distinct.sorted === bigKeys.sorted)
+      val mem = q.recentProgress.flatMap(_.stateOperators)
+        .lastOption.map(_.memoryUsedBytes).getOrElse(Long.MaxValue)
+      assert(mem < 512 * 1024L,
+        s"state must hold fingerprints, not key text: $mem bytes")
+    } finally q.stop()
+  }
+
+  test("buffer-cap drops are surfaced through the counter (frequency + l-gate)") {
+    // frequency gate: 3 same-doc rows at cap 2 — one drop, counted
+    val fqDrops = spark.sparkContext.longAccumulator("t.fq.drop")
+    val fin = MemoryStream[KeyedRow]
+    val fq = ReleaseGate.frequencyThresholdStream(fin.toDS(), minDocs = 2,
+        maxBuffered = 2, droppedCounter = Some(fqDrops))
+      .writeStream.format("memory").queryName("fq_drop_t")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("rgdc").toString)
+      .start()
+    try {
+      fin.addData(KeyedRow("a", 1), KeyedRow("a", 1), KeyedRow("a", 1))
+      fq.processAllAvailable()
+      fin.addData(KeyedRow("a", 2)); fq.processAllAvailable()
+    } finally fq.stop()
+    assert(fqDrops.value === 1L, s"one row dropped at the cap: ${fqDrops.value}")
+    assert(spark.table("fq_drop_t").count() === 3L)
+
+    // l-gate: uniform 4-row cohort at cap 2 — two drops counted; only
+    // the 2 buffered rows publish suppressed at close
+    val lDrops = spark.sparkContext.longAccumulator("t.ld.drop")
+    val lin = MemoryStream[SensRow]
+    val emitted = scala.collection.mutable.ArrayBuffer[SensRow]()
+    val lq = ReleaseGate.suppressLowDiversityStream(lin.toDS(), l = 2,
+        closeAt, maxBuffered = 2, droppedCounter = Some(lDrops))
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[SensRow], _: Long) =>
+        emitted ++= df.collect(); ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("rgdl").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    try {
+      lin.addData((1 to 4).map(i => SensRow("u", "m", ts(10 + i), i.toLong)): _*)
+      lq.processAllAvailable()
+      lin.addData(SensRow("~wm", "~", ts(1000), -1L)); lq.processAllAvailable()
+      lin.addData(SensRow("~wm", "~", ts(1000), -2L)); lq.processAllAvailable()
+    } finally lq.stop()
+    assert(lDrops.value === 2L, s"two rows dropped at the cap: ${lDrops.value}")
+    val us = emitted.filter(_.id >= 0)
+    assert(us.map(_.id).sorted === Seq(1L, 2L) && us.forall(_.cell === "*"),
+      s"only buffered rows publish, suppressed: $us")
+  }
 }

@@ -123,4 +123,28 @@ class ScdIngestSpec extends SparkSpec {
     assert(spark.table(s"`$db2`.`h`").collect().toSet === histBefore)
     spark.sql(s"DROP DATABASE IF EXISTS `$db2` CASCADE")
   }
+
+  test("replay with NULL attributes: guard 1's anti join must be null-safe") {
+    // a recorded version carrying a NULL attribute is redelivered on
+    // replay — null-UNSAFE equality never matches it against its
+    // recorded twin, so every replay would re-append it to the
+    // quarantine (duplicate rejects + false non-zero alerts)
+    val db3 = "graft_scding_nullattr"
+    spark.sql(s"DROP DATABASE IF EXISTS `$db3` CASCADE")
+    val alerts = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val sink = ScdIngest.scd2Sink(spark, db3, "h",
+      "k", "ts", "tie", Seq("v")) { (b, n) => alerts += ((b, n)); () }
+    val b0 = Seq((1L, 10L, 0L, Some("a")), (1L, 20L, 0L, None: Option[String]))
+      .toDF("k", "ts", "tie", "v")
+    sink(b0, 0L)
+    assert(alerts === Seq((0L, 0L)))
+    val histBefore = spark.table(s"`$db3`.`h`").collect().toSet
+    sink(b0, 0L) // replay: the NULL-attr boundary row must anti-join away
+    assert(!spark.catalog.tableExists(s"$db3.h_rejects"),
+      "NULL-attr redelivery must not quarantine on replay")
+    assert(alerts === Seq((0L, 0L), (0L, 0L)),
+      s"replay must not raise a spurious alert for NULL-attr rows: $alerts")
+    assert(spark.table(s"`$db3`.`h`").collect().toSet === histBefore)
+    spark.sql(s"DROP DATABASE IF EXISTS `$db3` CASCADE")
+  }
 }
