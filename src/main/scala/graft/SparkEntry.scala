@@ -2772,6 +2772,59 @@ object SparkEntry {
         (col("mism") === 0L).as("incremental_equals_rebuild"))
     }),
 
+    // STREAMING LABEL MAINTENANCE FOLD (r17): the per-batch regime the
+    // StreamingCc sink runs, gated batch-equivalent — q174's synthesis
+    // split into FOUR deltas and folded through
+    // connectedComponentsIncremental (each step's output labels are
+    // component minima, the next step's precondition), must equal one
+    // full-rebuild CC over all edges. This is the induction the
+    // composed ingest-path dedup pipeline (StreamingDedup pairs →
+    // StreamingCc labels → keepBestByLabelFrame) rests on; the real
+    // stream (MemoryStream slicings, replay no-op, end-to-end vs the
+    // batch twin) is spec-gated in StreamingCcSpec.
+    "q178_cc_label_fold" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val n = docs.agg(count(lit(1)).as("n"))
+      // sources restricted to 1/16 of docs: the q174 graph's modular
+      // chains put CC in the many-round regime, and FIVE CC runs over
+      // it price the gate at bench-hostile seconds (measured 17 s warm
+      // at sf0.01 even at 1/3 density — the cost is rounds × runs, not
+      // data). At 1/16 density a chained id_b is rarely itself a
+      // source, so components are star-like, every run converges in
+      // ~3 rounds, and the fold still merges across all four deltas
+      // (a source's two edges land in different slices)
+      val edges = docs.filter(pmod(col("doc_id"), lit(16L)) === 0L)
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("n"),
+          explode(sequence(lit(1L), lit(1L) + pmod(col("doc_id"), lit(2L)))).as("k"))
+        .select(col("doc_id").as("id_a"),
+          pmod(col("doc_id") * 37L + col("k") * 101L, col("n")).as("id_b"))
+        .filter(col("id_a") =!= col("id_b"))
+      val slices = (0L until 4L).map(i =>
+        edges.filter(pmod(col("id_a") + col("id_b"), lit(4L)) === i))
+      // fold: batch 0 bootstraps with plain CC (≡ incremental over an
+      // empty labeling, minus the dead contraction/unseen stages), then
+      // each delta folds into the standing labels. Each step
+      // materializes its labels (localCheckpoint) the way the sink
+      // materializes them to the label TABLE per batch — without it
+      // the next step's joins recompute the whole prefix
+      val bootstrap = ops.Dedup.connectedComponents(slices.head)
+        .localCheckpoint(true)
+      val folded = slices.tail.foldLeft(bootstrap) { (labels, delta) =>
+        ops.Dedup.connectedComponentsIncremental(labels, delta)
+          .localCheckpoint(true)
+      }
+      val rebuilt = ops.Dedup.connectedComponents(edges)
+      val mism = folded.alias("i")
+        .join(rebuilt.alias("r"), col("i.id") === col("r.id"), "full")
+        .filter(col("i.id").isNull || col("r.id").isNull ||
+          col("i.label") =!= col("r.label"))
+        .agg(count(lit(1)).as("mism"))
+      val total = rebuilt.agg(count(lit(1)).as("n_nodes"))
+      mism.crossJoin(total).select(col("n_nodes"),
+        (col("mism") === 0L).as("fold_equals_rebuild"))
+    }),
+
     // PQ DRIFT DETECTOR GATE (r14): makes the incremental-index
     // regime's retrain trigger EXECUTABLE, not just documented.
     // pqIndexAppend (q148) freezes the models, so the operational
@@ -4901,6 +4954,24 @@ object SparkEntry {
              AND doc_id <> (doc_id * 37 + k * 101) % n)
          SELECT count(DISTINCT id) AS n_nodes,
            true AS incremental_equals_rebuild
+         FROM (SELECT id_a AS id FROM e UNION SELECT id_b AS id FROM e)""",
+
+    // same arithmetic edge synthesis; the fold-equality boolean is
+    // structural (each incremental step outputs component minima — a
+    // broken remap/expansion or a non-minimum label after ANY step
+    // propagates to the final labeling and flips it)
+    "q178_cc_label_fold" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+         e AS (
+           SELECT doc_id AS id_a,
+             (doc_id * 37 + k * 101) % n AS id_b
+           FROM documents, nn,
+             (SELECT 1 AS k UNION ALL SELECT 2) ks
+           WHERE doc_id % 16 = 0
+             AND k <= 1 + doc_id % 2
+             AND doc_id <> (doc_id * 37 + k * 101) % n)
+         SELECT count(DISTINCT id) AS n_nodes,
+           true AS fold_equals_rebuild
          FROM (SELECT id_a AS id FROM e UNION SELECT id_b AS id FROM e)""",
 
     // both booleans are numeric gates (the q94/q146 floor doctrine):

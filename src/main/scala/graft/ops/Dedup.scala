@@ -834,6 +834,18 @@ object Dedup {
     keepBestByLabels(df, idCol, scoreCol, labels)
   }
 
+  /** Scored keep-policy over an externally maintained (id, label)
+    * frame — the keep-best face of the INCREMENTAL label regime: the
+    * streaming sink ([[graft.streaming.StreamingCc]]) maintains the
+    * label table via [[connectedComponentsIncremental]]; this view
+    * applies the production keep-policy to it without re-running CC.
+    * Same core as [[dedupByPairsScored]] / [[DedupReport.keepBest]].
+    */
+  def keepBestByLabelFrame(df: DataFrame, idCol: String, scoreCol: String,
+                           labels: DataFrame): DataFrame =
+    keepBestByLabels(df, idCol, scoreCol,
+      labels.select(col("id").as("__cc_id"), col("label").as("__cc_grp")))
+
   /** Scored keep-policy over a precomputed (__cc_id, __cc_grp) label
     * frame — the core shared by [[dedupByPairsScored]] (labels from a
     * fresh CC run) and [[DedupReport.keepBest]] (labels from the
