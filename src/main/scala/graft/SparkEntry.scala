@@ -2825,6 +2825,51 @@ object SparkEntry {
         (col("mism") === 0L).as("fold_equals_rebuild"))
     }),
 
+    // INCREMENTAL PAGERANK GATE (r17): the graph family's rebuild-only
+    // op made incremental — a SOURCE-ADDITIVE delta (new pages arrive
+    // with their outlinks: src nodes with no standing out-edges, the
+    // crawl-frontier shape) warm-starts the from-below fixpoint
+    // iteration at the standing scores. Exactness is provable
+    // (constant-teleport convention → T_new ≥ T_old pointwise → the
+    // standing least fixed point is a certified lower bound; monotone
+    // integer iteration from any lower bound reaches exactly the lfp)
+    // and GATED here: warm ≡ cold pointwise at the integer fixed
+    // point. q158's synthesis split 7/8 standing + 1/8 delta BY
+    // SOURCE; gate-friendly parameters (e3 scale, d=0.20 → ~5 rounds
+    // per run instead of e12/0.85's ~190; measured 18 s warm at
+    // e4/0.30 — rounds × three runs are the whole cost) exercise the
+    // identical code path: rounds scale with log(scaleUnit)/log(1/d),
+    // the operator's documented precision-for-rounds knob.
+    "q177_pagerank_incremental" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val n = docs.agg(count(lit(1)).as("n"))
+      val edges = docs.crossJoin(broadcast(n))
+        .select(col("doc_id"), col("n"),
+          explode(sequence(lit(1L), lit(1L) + pmod(col("doc_id"), lit(3L)))).as("k"))
+        .select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 31L + col("k") * 17L, col("n")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val standing = edges.filter(pmod(col("src"), lit(8L)) =!= 0L)
+      val delta = edges.filter(pmod(col("src"), lit(8L)) === 0L)
+      val old = ops.Graph.pageRankFixpoint(standing, "src", "dst",
+        dampingE2 = 20L, scaleUnit = 1000L)
+      val warm = ops.Graph.pageRankIncremental(old.scores, standing, delta,
+        "src", "dst", dampingE2 = 20L, scaleUnit = 1000L)
+      val cold = ops.Graph.pageRankFixpoint(edges, "src", "dst",
+        dampingE2 = 20L, scaleUnit = 1000L)
+      val mism = warm.scores.alias("w")
+        .join(cold.scores.alias("c"), col("w.id") === col("c.id"), "full")
+        .filter(col("w.id").isNull || col("c.id").isNull ||
+          col("w.score") =!= col("c.score"))
+        .agg(count(lit(1)).as("mism"))
+      val total = cold.scores.agg(count(lit(1)).as("n_nodes"))
+      mism.crossJoin(total).select(col("n_nodes"),
+        (col("mism") === 0L).as("warm_equals_cold"),
+        lit(old.converged && warm.converged && cold.converged)
+          .as("all_converged"),
+        lit(warm.rounds <= cold.rounds).as("warm_rounds_le_cold"))
+    }),
+
     // PQ DRIFT DETECTOR GATE (r14): makes the incremental-index
     // regime's retrain trigger EXECUTABLE, not just documented.
     // pqIndexAppend (q148) freezes the models, so the operational
@@ -4955,6 +5000,23 @@ object SparkEntry {
          SELECT count(DISTINCT id) AS n_nodes,
            true AS incremental_equals_rebuild
          FROM (SELECT id_a AS id FROM e UNION SELECT id_b AS id FROM e)""",
+
+    // node count replayed over q158's edge synthesis (minus
+    // self-loops); the three booleans are structural — a broken warm
+    // init, clamp, precondition, or convergence check flips them
+    "q177_pagerank_incremental" ->
+      """WITH nd AS (SELECT count(*) AS n FROM documents),
+         e AS (
+           SELECT doc_id AS src,
+             (doc_id * 31 + k * 17) % (SELECT n FROM nd) AS dst
+           FROM (SELECT doc_id,
+                   unnest(generate_series(1, CAST(1 + doc_id % 3 AS BIGINT))) AS k
+                 FROM documents) t
+           WHERE doc_id <> (doc_id * 31 + k * 17) % (SELECT n FROM nd))
+         SELECT count(DISTINCT id) AS n_nodes,
+           true AS warm_equals_cold, true AS all_converged,
+           true AS warm_rounds_le_cold
+         FROM (SELECT src AS id FROM e UNION SELECT dst AS id FROM e)""",
 
     // same arithmetic edge synthesis; the fold-equality boolean is
     // structural (each incremental step outputs component minima — a

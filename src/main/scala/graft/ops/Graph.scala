@@ -79,4 +79,161 @@ object Graph {
     CacheScope.registerRdds(spark, eRdds ++ tracked)
     state.select(col("id"), col("score_e12"))
   }
+
+  /** A finished fixpoint PageRank run: the score frame, rounds
+    * executed, and whether the iteration reached the EXACT integer
+    * fixed point before `maxIters` ran out (false → scores are the
+    * last iterate, not the fixed point — the caller's alert).
+    */
+  final case class PrRun(scores: DataFrame, rounds: Int, converged: Boolean)
+
+  /** PageRank iterated to the EXACT integer LEAST fixed point — the
+    * convention that makes an INCREMENTAL warm start provably exact
+    * ([[pageRankIncremental]]). Three deliberate departures from
+    * [[pageRank]]:
+    *
+    *  - UNNORMALIZED teleport: every node gets a CONSTANT
+    *    `(100−d)·scaleUnit div 100`, independent of the node count
+    *    (total mass grows with n; rankings are unaffected — scores are
+    *    a per-node factor of the normalized ones). This is what makes
+    *    a source-additive delta MONOTONE: new nodes never dilute
+    *    anyone's teleport share, so the old fixed point stays a
+    *    certified lower bound of the new one.
+    *  - FROM-BELOW iteration: init = teleport-only (trivially ≤ the
+    *    fixed point). The update map T is monotone (floor of a
+    *    nondecreasing function), so iterates increase pointwise and —
+    *    being integers bounded by n·tele/(1−d) — reach the least
+    *    fixed point EXACTLY in finitely many rounds. No tolerance, no
+    *    oscillation: floating-point PageRank can never terminate on
+    *    bit equality, this does by construction.
+    *  - Σ-based convergence (the CC loop's monotone-sum doctrine):
+    *    pointwise-nondecreasing scores mean Σ strictly increases until
+    *    the fixpoint, so convergence is one DECIMAL(38,0) aggregate
+    *    per round, not a self-join.
+    *
+    * `scaleUnit` trades precision for rounds: the from-below gap
+    * closes by factor d per round, so rounds ≈ log(scaleUnit)/log(1/d)
+    * (~190 at e12/0.85, ~14 at e4/0.50). Each round is one edge-scan
+    * join — on a 10¹¹-edge graph that IS the cost, and the knob is the
+    * operator's honest price list for bit-exactness.
+    *
+    * Same mechanics as [[pageRank]]: edges checkpointed once and
+    * pre-partitioned by src; per-round state localCheckpoint'd with
+    * the previous round's blocks dropped eagerly (a fixpoint loop can
+    * run tens of rounds — accreting blocks is the CC lesson).
+    */
+  def pageRankFixpoint(edges: DataFrame, srcCol: String, dstCol: String,
+                       maxIters: Int = 300, dampingE2: Long = 85L,
+                       scaleUnit: Long = 1000000000000L): PrRun =
+    fixpointFromBelow(edges, srcCol, dstCol, maxIters, dampingE2, scaleUnit,
+      warmScores = None)
+
+  /** INCREMENTAL PageRank (r17) — the graph family's q174: absorb a
+    * SOURCE-ADDITIVE delta (every delta edge's src is a node with no
+    * out-edges in the standing graph — the crawl-frontier shape: a
+    * page's outlinks enter the graph once, when it is fetched; its
+    * targets may be anything) by warm-starting the from-below
+    * iteration at the standing scores instead of the teleport floor.
+    *
+    * Exactness is PROVABLE, not just gated: under source-additivity
+    * and the constant-teleport convention, T_new ≥ T_old pointwise
+    * (the delta only adds inflow; no existing out-degree changes, no
+    * teleport dilution), so the standing least fixed point is ≤ the
+    * new one — a certified lower-bound init. Monotone iteration from
+    * any lower bound of the lfp converges to exactly the lfp, the
+    * same point the cold rebuild reaches from the teleport floor
+    * (squeeze: T^k(tele) ≤ T^k(old) ≤ lfp). q177 gates the equality
+    * anyway; GraphSpec carries the hand proofs.
+    *
+    * What the warm start buys is ROUNDS: the remaining gap is the
+    * delta's perturbation, not the full score mass, so re-convergence
+    * costs ≈ log(perturbation)/log(1/d) instead of
+    * log(scaleUnit)/log(1/d) — a daily 10⁶-pair delta on a 10¹¹-edge
+    * graph at e12/0.85 re-converges in roughly a third of the cold
+    * rounds (each round = one full edge scan either way; rounds ARE
+    * the wall-clock). The precondition is CHECKED (one semi-join),
+    * failing loud — an overlapping delta means outdegrees changed and
+    * the caller must rebuild cold.
+    */
+  def pageRankIncremental(oldScores: DataFrame, standingEdges: DataFrame,
+                          deltaEdges: DataFrame,
+                          srcCol: String, dstCol: String,
+                          maxIters: Int = 300, dampingE2: Long = 85L,
+                          scaleUnit: Long = 1000000000000L): PrRun = {
+    val overlapping = deltaEdges.select(col(srcCol)).distinct()
+      .join(standingEdges.select(col(srcCol)).distinct(), Seq(srcCol),
+        "left_semi")
+    require(overlapping.isEmpty,
+      "pageRankIncremental requires a source-additive delta: some delta " +
+        "sources already have out-edges in the standing graph — their " +
+        "out-degrees would change, the standing scores are no longer a " +
+        "certified lower bound, rebuild cold with pageRankFixpoint")
+    fixpointFromBelow(standingEdges.unionByName(deltaEdges), srcCol, dstCol,
+      maxIters, dampingE2, scaleUnit, warmScores = Some(oldScores))
+  }
+
+  private def fixpointFromBelow(edges: DataFrame, srcCol: String,
+                                dstCol: String, maxIters: Int,
+                                dampingE2: Long, scaleUnit: Long,
+                                warmScores: Option[DataFrame]): PrRun = {
+    require(maxIters >= 1 && maxIters <= 1000,
+      s"maxIters=$maxIters out of [1,1000]")
+    require(dampingE2 >= 0L && dampingE2 <= 99L,
+      s"dampingE2=$dampingE2 out of [0,99]") // d=1 has no fixed point here
+    require(scaleUnit >= 100L, s"scaleUnit=$scaleUnit too coarse")
+    val spark = edges.sparkSession
+    val tele = (100L - dampingE2) * scaleUnit / 100L
+    val (e, eRdds) = CacheScope.localCheckpointTracked(
+      edges.select(col(srcCol).cast("long").as("src"),
+          col(dstCol).cast("long").as("dst"))
+        .repartition(col("src")))
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // warm rows are clamped to ≥ tele (a certified lower bound must
+    // stay one even if a caller hands scores from a different
+    // scaleUnit — tele is always sound); new nodes start at tele
+    val init0 = warmScores match {
+      case Some(s0) => nodes
+        .join(s0.select(col("id"), col("score").as("__warm")), Seq("id"), "left")
+        .select(col("id"),
+          greatest(coalesce(col("__warm"), lit(tele)), lit(tele)).as("score"))
+      case None => nodes.select(col("id"), lit(tele).as("score"))
+    }
+    var (state, stateRdds) = CacheScope.localCheckpointTracked(init0)
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def scoreSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("score").cast(dec38)), lit(0).cast(dec38)))
+        .head().getDecimal(0)
+    var prevSum = scoreSum(state)
+    var converged = state.isEmpty // an empty graph is already fixed
+    var i = 0
+    while (!converged && i < maxIters) {
+      val rate = state.join(outdeg, state("id") === outdeg("src"))
+        .select(outdeg("src"),
+          expr(s"(score * ${dampingE2}L) div (100L * outdeg)").as("rate"))
+      val inflow = e.join(rate, "src")
+        .groupBy(col("dst")).agg(sum(col("rate")).as("inflow"))
+      val next = state.select(col("id"))
+        .join(inflow, state("id") === inflow("dst"), "left")
+        .select(col("id"),
+          (lit(tele) + coalesce(col("inflow"), lit(0L))).as("score"))
+      val (ck, r) = CacheScope.localCheckpointTracked(next)
+      val nextSum = scoreSum(ck)
+      CacheScope.unpersistRdds(stateRdds)
+      state = ck
+      stateRdds = r
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
+      i += 1
+    }
+    CacheScope.unpersistRdds(eRdds)
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"pageRankFixpoint did not converge in $maxIters rounds; " +
+          "scores are the last iterate, not the fixed point — raise " +
+          "maxIters or coarsen scaleUnit")
+    CacheScope.registerRdds(spark, stateRdds)
+    PrRun(state.select(col("id"), col("score")), i, converged)
+  }
 }

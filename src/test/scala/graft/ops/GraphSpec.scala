@@ -57,4 +57,80 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Graph.pageRank(df, "src", "dst", 1, dampingE2 = 101L))
   }
+
+  // ————— fixpoint + incremental (r17) —————
+
+  // gate-friendly parameters: rounds ≈ log(scaleUnit)/log(1/d) — at
+  // e4/0.50 the from-below iteration converges in ~14 rounds, so the
+  // spec exercises full convergence without paying the e12 price
+  private val SCALE = 10000L
+  private val D = 50L
+
+  // a deterministic ~40-node graph with hub structure (every node
+  // links to i%7 and i%11+20 — multiple in-degrees, chains, a few
+  // danglings), the shape where fixpoint iteration does real work
+  private def arithEdges(n: Long): Seq[(Long, Long)] =
+    (0L until n).flatMap(i => Seq((i, i % 7L), (i, i % 11L + 20L)))
+      .filter { case (a, b) => a != b }
+
+  test("fixpoint: reaches an exact integer fixed point; scores satisfy the update") {
+    // 3-cycle at e4/d50: tele = 5000; lfp solves x = 5000 + x div 2
+    // → x = 9999 (9999 = 5000 + 4999); converges exactly, no tolerance
+    val cyc = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L).toDF("src", "dst")
+    val run = Graph.pageRankFixpoint(cyc, "src", "dst",
+      dampingE2 = D, scaleUnit = SCALE)
+    assert(run.converged, s"must converge: $run")
+    assert(run.scores.as[(Long, Long)].collect().toMap ===
+      Map(1L -> 9999L, 2L -> 9999L, 3L -> 9999L))
+    CacheScope.release(spark)
+  }
+
+  test("fixpoint: exhausting maxIters reports converged=false") {
+    val e = arithEdges(40L).toDF("src", "dst")
+    val run = Graph.pageRankFixpoint(e, "src", "dst", maxIters = 2,
+      dampingE2 = D, scaleUnit = SCALE)
+    assert(!run.converged && run.rounds === 2)
+    CacheScope.release(spark)
+  }
+
+  test("incremental warm start reaches the cold rebuild's exact fixed point in fewer rounds") {
+    val all = arithEdges(40L)
+    // source-additive split: sources 0..31 standing, sources 32..39
+    // PLUS a brand-new node 99 arrive as the delta (all their
+    // out-edges arrive together — the crawl-frontier contract)
+    val standing = all.filter(_._1 < 32L)
+    val delta = all.filter(_._1 >= 32L) :+ (99L -> 0L)
+    val old = Graph.pageRankFixpoint(standing.toDF("src", "dst"), "src", "dst",
+      dampingE2 = D, scaleUnit = SCALE)
+    assert(old.converged, s"standing run must converge: $old")
+    val cold = Graph.pageRankFixpoint((standing ++ delta).toDF("src", "dst"),
+      "src", "dst", dampingE2 = D, scaleUnit = SCALE)
+    val warm = Graph.pageRankIncremental(old.scores,
+      standing.toDF("src", "dst"), delta.toDF("src", "dst"), "src", "dst",
+      dampingE2 = D, scaleUnit = SCALE)
+    assert(cold.converged && warm.converged)
+    val coldMap = cold.scores.as[(Long, Long)].collect().toMap
+    val warmMap = warm.scores.as[(Long, Long)].collect().toMap
+    assert(warmMap === coldMap,
+      "warm start must reach the identical integer least fixed point")
+    assert(warmMap.contains(99L), "delta-only node must appear with a score")
+    assert(warm.rounds <= cold.rounds,
+      s"warm start must not pay more rounds: warm=${warm.rounds} cold=${cold.rounds}")
+    info(s"rounds: cold=${cold.rounds} warm=${warm.rounds}")
+    CacheScope.release(spark)
+  }
+
+  test("incremental rejects a non-source-additive delta loud") {
+    val standing = Seq(1L -> 2L, 2L -> 3L).toDF("src", "dst")
+    val old = Graph.pageRankFixpoint(standing, "src", "dst",
+      dampingE2 = D, scaleUnit = SCALE)
+    // node 1 already has out-edges: adding another changes its
+    // out-degree — the standing scores are no longer a lower bound
+    val bad = Seq(1L -> 3L).toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      Graph.pageRankIncremental(old.scores, standing, bad, "src", "dst",
+        dampingE2 = D, scaleUnit = SCALE)
+    }
+    CacheScope.release(spark)
+  }
 }
