@@ -331,6 +331,13 @@ object Warc {
     * writer emits), plus the member_index the record came from.
     */
   def fetchGzRecords(files: DataFrame, index: DataFrame): DataFrame = {
+    // NO-BLOB-SHUFFLE CONTRACT (plan-locked by PlanPropertiesSpec):
+    // the index is rows of four longs and must be the join's SMALL
+    // side — AQE broadcasts it and the gz payload blobs never enter an
+    // exchange. With an index too large to broadcast, repartition the
+    // INDEX by file_id to the blob side's layout (or bucket both by
+    // file_id); never let the blobs shuffle — at crawl scale they ARE
+    // the corpus bytes.
     val outSchema = StructType(
       StructField("member_index", LongType, nullable = false) +:
         recSchema.fields.toIndexedSeq)

@@ -311,6 +311,21 @@ class PlanPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("q172 indexed gz fetch: blob payloads never enter an exchange") {
+    // the CDX-fetch disposition: the (file_id, member_index, offset,
+    // len) INDEX is the small side and must move to the blobs — the
+    // gz file payloads must never hash-shuffle (at crawl scale they
+    // are the corpus bytes). A lost broadcast here silently turns the
+    // random-access fetch into a corpus-sized shuffle.
+    val p = plan("q172_warcgz_indexed_fetch")
+    p.linesIterator.filter(_.contains("Exchange")).foreach { l =>
+      assert(!l.contains("payload#"),
+        s"gz blob payload in an exchange:\n$l")
+    }
+    assert(p.contains("BroadcastHashJoin"),
+      s"the index side must broadcast:\n${p.take(800)}")
+  }
+
   test("q164 k-means assignment: the corpus never hash-shuffles") {
     // the r15 probe finding, locked: assignment must be the narrow
     // fold over the broadcast 1-row centroid array (a scalar-broadcast

@@ -54,6 +54,31 @@ object GateProbe {
     }
     println(f"q54 lshTopKMulti(4,16): ${recall(Similarity.lshTopKMulti(q, emb, 5, nPlanes = 4, nTables = 16))}%.4f")
     println(f"q36 ivfTopK(8): ${recall(Similarity.ivfTopK(q, emb, 5, nCells = 8))}%.4f")
+
+    // q96 (r17): untrained IVF on the SAME planted 16-cluster
+    // synthesis — sign-sum cells put a tight cluster in one cell, so
+    // recall measures bucketing correctness, not iid bad luck
+    {
+      val vid = col("vec_id")
+      val structured = emb.select(vid,
+        transform(sequence(lit(0), lit(63)), i => {
+          val c = pmod(vid, lit(16L))
+          val center = (pmod(c * 31L + i.cast("long") * 17L +
+            c * i.cast("long") * 7L, lit(19L)).cast("double") - 9.0) / 9.0
+          val eps = (pmod(vid * 7L + i.cast("long") * 3L, lit(11L))
+            .cast("double") - 5.0) / 5.0 * 0.05
+          (center + eps).cast("float")
+        }).as("embedding")).persist()
+      val sq = structured.filter(col("vec_id") < 8)
+      val struthRows = Similarity.bruteForceTopK(sq, structured, 5)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sgot = Similarity.ivfTopK(sq, structured, 5, nCells = 8)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(f"q96 ivfTopK(8) on planted clusters: ${struthRows.intersect(sgot).size.toDouble / struthRows.size}%.4f")
+      structured.unpersist()
+    }
     val cents = Similarity.trainCentroids(emb, nCells = 8, iters = 2)
     println(f"q58 ivfTopKTrained(probe2): ${recall(Similarity.ivfTopKTrained(q, emb, 5, cents, nProbe = 2))}%.4f")
 

@@ -36,6 +36,11 @@ object PrProbe {
     val (d, scale) = (85L, 100000000L)
     val cold = graft.ops.Graph.pageRankFixpoint(edges, "src", "dst",
       maxIters = 1000, dampingE2 = d, scaleUnit = scale)
+    // collect once: CacheScope.release drops the checkpoint blocks
+    // backing the score frames — released frames must not be re-read
+    val coldMap = cold.scores.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    graft.ops.CacheScope.release(spark)
     println(s"PRPROBE sf=$sfDir cold rounds=${cold.rounds} converged=${cold.converged}")
     for (mod <- Seq(8L, 32L, 128L)) {
       val standing = edges.filter(pmod(col("src"), lit(mod)) =!= 0L)
@@ -44,13 +49,11 @@ object PrProbe {
         maxIters = 1000, dampingE2 = d, scaleUnit = scale)
       val warm = graft.ops.Graph.pageRankIncremental(old.scores, standing,
         delta, "src", "dst", maxIters = 1000, dampingE2 = d, scaleUnit = scale)
-      val eq = warm.scores.alias("w")
-        .join(cold.scores.alias("c"), col("w.id") === col("c.id"), "full")
-        .filter(col("w.id").isNull || col("c.id").isNull ||
-          col("w.score") =!= col("c.score")).isEmpty
+      val warmMap = warm.scores.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
       println(s"PRPROBE delta=1/$mod standing_rounds=${old.rounds} " +
         s"warm_rounds=${warm.rounds} cold_rounds=${cold.rounds} " +
-        s"warm_equals_cold=$eq")
+        s"warm_equals_cold=${warmMap == coldMap}")
       graft.ops.CacheScope.release(spark)
     }
     spark.stop()
