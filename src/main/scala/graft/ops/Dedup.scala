@@ -766,31 +766,50 @@ object Dedup {
                                      newPairs: DataFrame,
                                      maxIter: Int = 20): DataFrame = {
     val pairs = newPairs.select(col("id_a"), col("id_b"))
+    // SEMI-JOIN REDUCTION first (r17 — the 100 TB shape): the naive
+    // form left-joined the delta against the FULL standing table
+    // twice and anti-joined it once more; on test data AQE broadcasts
+    // the standing side, but at 10¹¹ standing nodes a LeftOuter join
+    // can only build RIGHT, so each of those joins would SHUFFLE the
+    // standing table — per-batch cost proportional to the corpus, the
+    // exact failure the operator exists to avoid. Instead the delta's
+    // endpoint set (delta-sized, explicitly broadcast — the daily-
+    // delta regime this operator is for; a delta too big to broadcast
+    // wants the full rebuild anyway) semi-joins INTO the standing
+    // table: ONE standing-table scan, zero standing shuffles, and a
+    // ≤|endpoints|-row lookup slice that every downstream join can
+    // broadcast.
+    val endpoints = pairs.select(col("id_a").as("id"))
+      .unionByName(pairs.select(col("id_b").as("id"))).distinct()
+    val lookup = oldLabels.select(col("id"), col("label"))
+      .join(broadcast(endpoints), Seq("id"), "left_semi")
+      .persistTracked()
     // contract: each endpoint reps as its old component label (itself
     // when unseen); edges internal to one old component vanish
     val contracted = pairs
-      .join(oldLabels.select(col("id").as("id_a"), col("label").as("__la")),
-        Seq("id_a"), "left")
-      .join(oldLabels.select(col("id").as("id_b"), col("label").as("__lb")),
-        Seq("id_b"), "left")
+      .join(broadcast(lookup.select(col("id").as("id_a"),
+        col("label").as("__la"))), Seq("id_a"), "left")
+      .join(broadcast(lookup.select(col("id").as("id_b"),
+        col("label").as("__lb"))), Seq("id_b"), "left")
       .select(coalesce(col("__la"), col("id_a")).as("id_a"),
         coalesce(col("__lb"), col("id_b")).as("id_b"))
       .filter(col("id_a") =!= col("id_b"))
     // delta-sized CC over the contracted graph
     val merged = connectedComponents(contracted, maxIter)
     // expand: old nodes remap through their component's rep; untouched
-    // components (rep absent from the delta) keep their label
+    // components (rep absent from the delta) keep their label. The
+    // second and last standing-table touch — a scan with the
+    // delta-sized merged labels broadcast into it.
     val remapped = oldLabels.select(col("id"), col("label"))
-      .join(merged.select(col("id").as("label"), col("label").as("__m")),
-        Seq("label"), "left")
+      .join(broadcast(merged.select(col("id").as("label"),
+        col("label").as("__m"))), Seq("label"), "left")
       .select(col("id"), coalesce(col("__m"), col("label")).as("label"))
     // unseen endpoints: their own merged label (themselves when their
-    // only delta edges were self-loops)
-    val unseen = pairs.select(col("id_a").as("id"))
-      .unionByName(pairs.select(col("id_b").as("id")))
-      .distinct()
-      .join(oldLabels.select(col("id")), Seq("id"), "left_anti")
-      .join(merged.select(col("id"), col("label").as("__m")), Seq("id"), "left")
+    // only delta edges were self-loops) — all frames delta-sized
+    val unseen = endpoints
+      .join(broadcast(lookup.select(col("id"))), Seq("id"), "left_anti")
+      .join(broadcast(merged.select(col("id"), col("label").as("__m"))),
+        Seq("id"), "left")
       .select(col("id"), coalesce(col("__m"), col("id")).as("label"))
     remapped.unionByName(unseen)
   }
