@@ -2306,6 +2306,31 @@ object SparkEntry {
         Seq("dup", "spark", "vector", "stream", "hash", "scan"),
         k1 = 1.2, b = 0.75, topK = 20)),
 
+    // INCREMENTAL BM25 INDEX (r17): the retrieval family joins the
+    // incremental regime — BM25's inputs decompose into ADDITIVE
+    // sufficient statistics (postings rows + (n_docs, n_toks)
+    // counters; a document belongs to exactly one ingest batch), so
+    // an index built as THREE slice appends must answer queries
+    // byte-equal to the one-shot corpus operator. The oracle is
+    // q107's replay VERBATIM — equality is the gate. Streaming face
+    // (per-batch appends, two-table replay guards) is spec-gated in
+    // Bm25IngestSpec; at 100 TB the postings table is laid out by
+    // term so a query prunes to |q| buckets instead of tokenizing
+    // the corpus.
+    "q179_bm25_index" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val slices = (0L until 3L).map(i =>
+        docs.filter(pmod(col("doc_id"), lit(3L)) === i))
+      val postings = slices.map(ops.Retrieval.bm25Postings(_, "doc_id", "text"))
+        .reduce(_ unionByName _)
+      val stats = slices.map(ops.Retrieval.bm25Stats(_, "doc_id", "text"))
+        .reduce(_ unionByName _)
+        .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_toks")).as("n_toks"))
+      ops.Retrieval.bm25TopKFromIndex(postings, stats,
+        Seq("dup", "spark", "vector", "stream", "hash", "scan"),
+        k1 = 1.2, b = 0.75, topK = 20)
+    }),
+
     // Graded n-gram contamination (r10): per-doc fraction of distinct
     // word 5-grams appearing in a benchmark set (doc_id % 10 == 0
     // plays the eval set). Completes the decontamination family:
@@ -3214,6 +3239,44 @@ object SparkEntry {
   // ------------------------------------------------------------------
   // DuckDB oracles (ANSI SQL on the same parquet tables)
   // ------------------------------------------------------------------
+  // q107's full BM25 replay — shared verbatim by q179: the
+  // incremental index path's oracle IS the one-shot corpus answer
+  private val bm25Oracle: String =
+    """WITH d AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS toks
+           FROM documents),
+         base AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM d),
+         stats AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+           FROM base),
+         tf AS (
+           SELECT doc_id, dl, term, count(*) AS tf
+           FROM (SELECT doc_id, dl, unnest(toks) AS term FROM base)
+           WHERE term IN ('dup', 'spark', 'vector', 'stream', 'hash', 'scan')
+           GROUP BY 1, 2, 3),
+         idf AS (
+           SELECT term,
+             CAST(floor(1000000.0 * ln(
+               (CAST((SELECT n_docs FROM stats) AS DOUBLE) - count(*) + 0.5)
+                 / (count(*) + 0.5) + 1.0)) AS BIGINT) AS idf_e6
+           FROM tf GROUP BY term),
+         parts AS (
+           SELECT tf.doc_id,
+             CAST(floor(CAST(idf.idf_e6 AS DOUBLE) *
+               ((tf.tf * (1.2 + 1.0)) /
+                 (tf.tf + 1.2 * (1.0 - 0.75) +
+                   1.2 * 0.75 * tf.dl / (SELECT avgdl FROM stats))) * 1000.0)
+               AS BIGINT) AS part_e9
+           FROM tf JOIN idf USING (term)),
+         s AS (
+           SELECT doc_id, CAST(sum(part_e9) AS BIGINT) AS score_e9,
+             count(*) AS n_terms
+           FROM parts GROUP BY 1)
+         SELECT doc_id, score_e9, n_terms FROM s
+         QUALIFY row_number() OVER (ORDER BY score_e9 DESC, doc_id) <= 20"""
+
   // q117's sequential 4-merge replay — shared verbatim by q175:
   // the batched-merge path's oracle IS the sequential answer
   private val bpeSequentialOracle: String =
@@ -5316,41 +5379,11 @@ object SparkEntry {
     // (integer sums are order-independent), top-20 by (score desc,
     // doc_id) — every other op is a correctly-rounded IEEE double op
     // over identical operands
-    "q107_bm25_topk" ->
-      """WITH d AS (
-           SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS toks
-           FROM documents),
-         base AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM d),
-         stats AS (
-           SELECT CAST(count(*) AS BIGINT) AS n_docs,
-             CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
-           FROM base),
-         tf AS (
-           SELECT doc_id, dl, term, count(*) AS tf
-           FROM (SELECT doc_id, dl, unnest(toks) AS term FROM base)
-           WHERE term IN ('dup', 'spark', 'vector', 'stream', 'hash', 'scan')
-           GROUP BY 1, 2, 3),
-         idf AS (
-           SELECT term,
-             CAST(floor(1000000.0 * ln(
-               (CAST((SELECT n_docs FROM stats) AS DOUBLE) - count(*) + 0.5)
-                 / (count(*) + 0.5) + 1.0)) AS BIGINT) AS idf_e6
-           FROM tf GROUP BY term),
-         parts AS (
-           SELECT tf.doc_id,
-             CAST(floor(CAST(idf.idf_e6 AS DOUBLE) *
-               ((tf.tf * (1.2 + 1.0)) /
-                 (tf.tf + 1.2 * (1.0 - 0.75) +
-                   1.2 * 0.75 * tf.dl / (SELECT avgdl FROM stats))) * 1000.0)
-               AS BIGINT) AS part_e9
-           FROM tf JOIN idf USING (term)),
-         s AS (
-           SELECT doc_id, CAST(sum(part_e9) AS BIGINT) AS score_e9,
-             count(*) AS n_terms
-           FROM parts GROUP BY 1)
-         SELECT doc_id, score_e9, n_terms FROM s
-         QUALIFY row_number() OVER (ORDER BY score_e9 DESC, doc_id) <= 20""",
+    "q107_bm25_topk" -> bm25Oracle,
+
+    // the 3-slice incremental index build must answer byte-equal —
+    // the additive-sufficient-statistics decomposition made visible
+    "q179_bm25_index" -> bm25Oracle,
 
     // replays the word-5-gram overlap on the gram STRINGS (the Spark
     // side joins xxhash64 fingerprints — identical modulo ~2^-64

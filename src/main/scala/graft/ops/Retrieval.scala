@@ -99,6 +99,82 @@ object Retrieval {
     scored.orderBy(col("score_e9").desc, col("doc_id")).limit(topK)
   }
 
+  // ————— incremental BM25 index (r17) —————
+  //
+  // bm25TopK tokenizes the CORPUS per query — right for one-shot
+  // triage, wrong for a standing retrieval surface. The index form
+  // decomposes BM25's inputs into ADDITIVE sufficient statistics
+  // (documents are immutable and belong to exactly one ingest batch):
+  //   postings (term, doc_id, tf, dl) — append-only per batch;
+  //   stats    (n_docs, n_toks)       — additive counters.
+  // so the index after any number of batch appends equals one build
+  // over the union corpus ROW FOR ROW, and bm25TopKFromIndex over it
+  // is byte-equal to bm25TopK over the union (same integer/IEEE
+  // arithmetic on the same operands — q179 gates it under q107's
+  // oracle verbatim). At 100 TB the postings table is stored
+  // PARTITIONED/BUCKETED BY TERM, so a query scans |q| buckets instead
+  // of tokenizing the corpus; the build cost is paid once per batch,
+  // not once per query. Streaming face: graft.streaming.Bm25Ingest.
+
+  /** The postings rows for one document batch: (term, doc_id, tf, dl).
+    * Same tokenization as [[bm25TopK]] (that equality is the
+    * contract). dl rides every posting row of its doc — denormalized
+    * so scoring never joins a doc-length table.
+    */
+  def bm25Postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        TextFunctions.tokenize(lower(col(textCol))).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** The additive corpus counters for one document batch — built from
+    * the DOCS, not the postings: a zero-token document has no postings
+    * row but still counts toward n_docs (and so toward avgdl and idf).
+    */
+  def bm25Stats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+        TextFunctions.tokenize(lower(col(textCol))).as("toks"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(size(col("toks")).cast("long")), lit(0L)).as("n_toks"))
+
+  /** BM25 top-k over a standing postings index — byte-equal to
+    * [[bm25TopK]] over the corpus the index was built from (identical
+    * idf quantization, e9 integer partials, tie order). `stats` is the
+    * summed counter frame (one row: n_docs, n_toks). Scale shape: the
+    * term IN filter prunes the postings scan (partition pruning when
+    * the table is laid out by term); df comes from the pruned rows;
+    * everything downstream is query-hit-sized.
+    */
+  def bm25TopKFromIndex(postings: DataFrame, stats: DataFrame,
+                        queryTerms: Seq[String], k1: Double = 1.2,
+                        b: Double = 0.75, topK: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val st = stats.select(col("n_docs"), col("n_toks")).head()
+    val nDocs = st.getLong(0)
+    require(nDocs > 0, "empty corpus")
+    val avgdl = st.getLong(1).toDouble / nDocs.toDouble
+    val tf = CacheScope.persist(
+      postings.select(col("doc_id"), col("dl"), col("term"), col("tf"))
+        .filter(col("term").isin(queryTerms: _*)))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .withColumn("idf_e6",
+        floor(lit(1000000.0) * log(
+          (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+          .cast("long"))
+    val scored = tf.join(broadcast(dfreq.select("term", "idf_e6")), "term")
+      .withColumn("part_e9",
+        floor(col("idf_e6").cast("double") *
+          ((col("tf") * (lit(k1) + lit(1.0))) /
+            (col("tf") + lit(k1) * (lit(1.0) - lit(b)) +
+              lit(k1) * lit(b) * col("dl") / lit(avgdl))) * lit(1000.0))
+          .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("part_e9")).as("score_e9"), count(lit(1)).as("n_terms"))
+    scored.orderBy(col("score_e9").desc, col("doc_id")).limit(topK)
+  }
+
   /** TF-IDF cosine document-pair similarity — the vector-space-model
     * sibling of the n-gram Jaccard family (set overlap) and BM25
     * (query-relevance): weighted-term cosine between DOCUMENTS.

@@ -145,4 +145,35 @@ class RetrievalSpec extends SparkSpec {
     assert(order.take(2).toSet == Set("bird", "dog"), order.toString)
     assert(got.map(_._4).toSeq == got.map(_._4).sortBy(-_).toSeq, order.toString)
   }
+
+  // ————— incremental BM25 index (r17) —————
+
+  test("index path equals the direct operator; slice appends equal one build") {
+    val docs = Seq((1L, "cat dog"), (2L, "cat cat cat"), (3L, "bird"),
+      (4L, "dog dog bird fish fox"), (5L, ""), // zero-token doc: stats-only
+      (6L, "fox fish cat"))
+    val all = docs.toDF("doc_id", "text")
+    val terms = Seq("cat", "bird", "fox")
+    val direct = Retrieval.bm25TopK(all, "doc_id", "text", terms, topK = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    // one build
+    val p1 = Retrieval.bm25Postings(all, "doc_id", "text")
+    val s1 = Retrieval.bm25Stats(all, "doc_id", "text")
+    val viaIndex = Retrieval.bm25TopKFromIndex(p1, s1, terms, topK = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(viaIndex === direct, "index path must be byte-equal to bm25TopK")
+    // three slice appends (union of postings, summed stats)
+    val slices = docs.grouped(2).map(_.toDF("doc_id", "text")).toSeq
+    val pU = slices.map(Retrieval.bm25Postings(_, "doc_id", "text"))
+      .reduce(_ unionByName _)
+    val sU = slices.map(Retrieval.bm25Stats(_, "doc_id", "text"))
+      .reduce(_ unionByName _)
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_toks")).as("n_toks"))
+    val viaSlices = Retrieval.bm25TopKFromIndex(pU, sU, terms, topK = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(viaSlices === direct, "sliced appends must equal one build")
+    // the zero-token doc counted toward n_docs (it changes avgdl/idf)
+    assert(s1.select("n_docs").as[Long].head() === 6L)
+    CacheScope.release(spark)
+  }
 }
