@@ -2317,6 +2317,26 @@ object SparkEntry {
     // Bm25IngestSpec; at 100 TB the postings table is laid out by
     // term so a query prunes to |q| buckets instead of tokenizing
     // the corpus.
+    // EXACT PHRASE MATCH (r17): the positional side of the retrieval
+    // index — adjacent-token phrase queries over (term, doc_id, pos)
+    // postings, one 2-gram and one 3-gram (both attested at ALL SFs:
+    // "part filter" 46/46/~340 occurrences, "big order scan" 5/3/10).
+    // Postings filter to the phrase's terms BEFORE any exchange; the
+    // n-way join is co-partitioned on (doc_id, pos − slot) so every
+    // word of one occurrence meets at its anchor. Oracle replays the
+    // adjacency count as a DuckDB list lambda over token positions.
+    "q180_phrase_match" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      ops.Retrieval.phraseMatch(docs, "doc_id", "text",
+          Seq("part", "filter"))
+        .select(lit("part filter").as("phrase"), col("doc_id"), col("n_hits"))
+        .unionByName(
+          ops.Retrieval.phraseMatch(docs, "doc_id", "text",
+              Seq("big", "order", "scan"))
+            .select(lit("big order scan").as("phrase"), col("doc_id"),
+              col("n_hits")))
+    }),
+
     "q179_bm25_index" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
       val slices = (0L until 3L).map(i =>
@@ -5384,6 +5404,30 @@ object SparkEntry {
     // the 3-slice incremental index build must answer byte-equal —
     // the additive-sufficient-statistics decomposition made visible
     "q179_bm25_index" -> bm25Oracle,
+
+    // adjacency counts replayed as list lambdas over 1-based token
+    // positions; overlapping occurrences each count (one per anchor)
+    "q180_phrase_match" ->
+      """WITH d AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+               x -> length(x) > 0) AS toks
+           FROM documents),
+         m2 AS (
+           SELECT 'part filter' AS phrase, doc_id,
+             CAST(len(list_filter(range(1, len(toks)),
+               i -> toks[i] = 'part' AND toks[i+1] = 'filter'))
+               AS BIGINT) AS n_hits
+           FROM d),
+         m3 AS (
+           SELECT 'big order scan' AS phrase, doc_id,
+             CAST(len(list_filter(range(1, len(toks) - 1),
+               i -> toks[i] = 'big' AND toks[i+1] = 'order'
+                 AND toks[i+2] = 'scan')) AS BIGINT) AS n_hits
+           FROM d)
+         SELECT phrase, doc_id, n_hits
+         FROM (SELECT * FROM m2 UNION ALL SELECT * FROM m3)
+         WHERE n_hits >= 1""",
 
     // replays the word-5-gram overlap on the gram STRINGS (the Spark
     // side joins xxhash64 fingerprints — identical modulo ~2^-64

@@ -175,6 +175,47 @@ object Retrieval {
     scored.orderBy(col("score_e9").desc, col("doc_id")).limit(topK)
   }
 
+  /** Positional postings (term, doc_id, pos) — the phrase-query side
+    * of the index family. Same tokenization as [[bm25TopK]]; pos is
+    * the 0-based token index.
+    */
+  def positionalPostings(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(TextFunctions.tokenize(lower(col(textCol)))).as(Seq("pos", "term")))
+      .select(col("term"), col("doc_id"), col("pos").cast("long").as("pos"))
+
+  /** EXACT PHRASE MATCH over positional postings: documents containing
+    * the n-word phrase as adjacent tokens, with the occurrence count
+    * (overlapping occurrences each count — one per anchor position).
+    *
+    * Shape — the inverted-index phrase plan, not a per-row scan:
+    * postings are filtered to the phrase's DISTINCT terms before any
+    * exchange (the [[bm25TopK]] IN-filter doctrine — only hit rows
+    * shuffle), then each word joins on (doc_id, pos − slot): every
+    * word of one occurrence lands on the same anchor key, so the
+    * n-way join is n−1 co-partitioned hash joins over hit rows (one
+    * partitioning reused — the join key never changes). Repeated
+    * words in the phrase work: the slot offset makes each position
+    * satisfy exactly the slots whose anchor aligns. At 100 TB the
+    * postings table is the stored artifact ([[positionalPostings]]
+    * appended per ingest batch, term-partitioned), and the query
+    * touches |distinct words| buckets.
+    */
+  def phraseMatch(docs: DataFrame, idCol: String, textCol: String,
+                  phrase: Seq[String]): DataFrame = {
+    require(phrase.size >= 2, "a phrase needs at least two words")
+    val posts = CacheScope.persist(
+      positionalPostings(docs, idCol, textCol)
+        .filter(col("term").isin(phrase.distinct: _*)))
+    val anchors = phrase.zipWithIndex.map { case (w, i) =>
+      posts.filter(col("term") === w)
+        .select(col("doc_id"), (col("pos") - lit(i.toLong)).as("anchor"))
+    }.reduce(_.join(_, Seq("doc_id", "anchor")))
+    anchors.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** TF-IDF cosine document-pair similarity — the vector-space-model
     * sibling of the n-gram Jaccard family (set overlap) and BM25
     * (query-relevance): weighted-term cosine between DOCUMENTS.

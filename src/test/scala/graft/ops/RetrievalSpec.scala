@@ -176,4 +176,27 @@ class RetrievalSpec extends SparkSpec {
     assert(s1.select("n_docs").as[Long].head() === 6L)
     CacheScope.release(spark)
   }
+
+  test("phraseMatch: adjacency, overlap, repeated words, boundaries") {
+    val docs = Seq(
+      (1L, "the quick fox and the quick fox again"), // 2 hits of "quick fox"
+      (2L, "quick and fox"),                         // words present, not adjacent
+      (3L, "a a a a"),                               // overlapping "a a": 3 anchors
+      (4L, "quick fox"),                             // exact-boundary hit
+      (5L, "fox quick"),                             // reversed: no hit
+      (6L, "")).toDF("doc_id", "text")
+    val qf = Retrieval.phraseMatch(docs, "doc_id", "text", Seq("quick", "fox"))
+      .as[(Long, Long)].collect().toMap
+    assert(qf === Map(1L -> 2L, 4L -> 1L), qf.toString)
+    val aa = Retrieval.phraseMatch(docs, "doc_id", "text", Seq("a", "a"))
+      .as[(Long, Long)].collect().toMap
+    assert(aa === Map(3L -> 3L), "overlapping repeated-word anchors: " + aa)
+    val tri = Retrieval.phraseMatch(docs, "doc_id", "text",
+        Seq("the", "quick", "fox"))
+      .as[(Long, Long)].collect().toMap
+    assert(tri === Map(1L -> 2L), tri.toString)
+    intercept[IllegalArgumentException](
+      Retrieval.phraseMatch(docs, "doc_id", "text", Seq("solo")))
+    CacheScope.release(spark)
+  }
 }
