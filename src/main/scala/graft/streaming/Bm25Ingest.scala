@@ -133,6 +133,9 @@ object Bm25Ingest {
     Retrieval.bm25TopKFromIndex(
       spark.table(s"`$db`.`$postingsTable`").drop("__batch_id"),
       spark.table(s"`$db`.`$statsTable`")
-        .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_toks")).as("n_toks")),
+        // coalesce: a never-ingested index sums to NULL — surface the
+        // clean "empty corpus" require, not a NULL-row cast error
+        .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+          coalesce(sum(col("n_toks")), lit(0L)).as("n_toks")),
       queryTerms, k1, b, topKn)
 }

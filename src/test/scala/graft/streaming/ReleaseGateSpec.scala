@@ -241,6 +241,23 @@ class ReleaseGateSpec extends SparkSpec {
       s"late rows must stay suppressed: $xs")
   }
 
+  test("keyFingerprint replays the batch gate's xxhash64 lanes exactly") {
+    // the scaladoc claims exact arithmetic parity with
+    // Privacy.frequencyThreshold's exchanges — pin it: both lanes must
+    // equal the SQL expressions for representative keys (ASCII, CJK,
+    // emoji/surrogates, empty)
+    for (key <- Seq("abc", "the quick brown fox", "中文键", "e😀j", "")) {
+      val (h1, h2) = ReleaseGate.keyFingerprint(key)
+      val row = Seq(key).toDF("k")
+        .select(org.apache.spark.sql.functions.xxhash64($"k"),
+          org.apache.spark.sql.functions.xxhash64(
+            org.apache.spark.sql.functions.lit("graft.fq.salt"), $"k"))
+        .head()
+      assert((h1, h2) === ((row.getLong(0), row.getLong(1))),
+        s"fingerprint lanes diverge from SQL xxhash64 for '$key'")
+    }
+  }
+
   test("frequency gate state is fingerprint-keyed: released KB-keys leave no text in state") {
     // 50 keys of ~20 KB each, all released within their arrival batch
     // (two distinct docs per key). Raw-text state keying would hold
