@@ -536,4 +536,39 @@ class DedupSpec extends SparkSpec {
     assert(incr === rebuilt)
     assert(incr.nonEmpty)
   }
+
+  test("incremental CC shuffle stays delta-sized as the standing table grows x10") {
+    // the r17 semi-join-reduction contract, LOCKED as a runtime
+    // assertion (CcDeltaProbe carries the sf0.1 record): with a fixed
+    // delta, a x10 standing label table must grow the per-merge
+    // shuffle by ~nothing — the standing table is scanned (semi
+    // reduction + remap) but never shuffled; every exchange carries
+    // delta-sized rows. Without the reduction, the contraction joins
+    // shuffle the standing table and this count grows ~x10.
+    val shuf = new java.util.concurrent.atomic.AtomicLong
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        shuf.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+        ()
+      }
+    }
+    val delta = (0L until 40L).map(i => (i * 7L, i * 7L + 3L))
+      .toDF("id_a", "id_b").localCheckpoint(true)
+    def standing(n: Long) = spark.range(n)
+      .select(col("id"), (col("id") - pmod(col("id"), lit(10L))).as("label"))
+      .localCheckpoint(true)
+    def measure(labels: org.apache.spark.sql.DataFrame): Long = {
+      spark.sparkContext.addSparkListener(l)
+      shuf.set(0L)
+      Dedup.connectedComponentsIncremental(labels, delta).count()
+      spark.sparkContext.removeSparkListener(l)
+      CacheScope.release(spark)
+      shuf.get()
+    }
+    val small = measure(standing(2000L))
+    val big = measure(standing(20000L))
+    assert(big < small * 3 / 2,
+      s"x10 standing must not grow the shuffle: $small -> $big records")
+  }
 }
