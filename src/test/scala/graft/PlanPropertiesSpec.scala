@@ -326,6 +326,19 @@ class PlanPropertiesSpec extends SparkSpec {
       s"the index side must broadcast:\n${p.take(800)}")
   }
 
+  test("q179/q180 retrieval index: corpus text never enters an exchange") {
+    // the postings doctrine: the term IN filter (q180: the phrase's
+    // words; q179: the BM25 query terms) runs BEFORE any exchange, so
+    // shuffles carry hit rows — never document text. A lost filter
+    // pushes the full corpus through the n-way phrase join.
+    for (q <- Seq("q179_bm25_index", "q180_phrase_match")) {
+      val p = plan(q)
+      p.linesIterator.filter(_.contains("Exchange")).foreach { l =>
+        assert(!l.contains("text#"), s"$q: corpus text in an exchange:\n$l")
+      }
+    }
+  }
+
   test("q164 k-means assignment: the corpus never hash-shuffles") {
     // the r15 probe finding, locked: assignment must be the narrow
     // fold over the broadcast 1-row centroid array (a scalar-broadcast
