@@ -13,20 +13,23 @@ import org.apache.spark.util.LongAccumulator
   * (spec-gated): the set of rows ever emitted equals the batch
   * operator over the same input, regardless of micro-batch boundaries.
   *
-  * State per key, two regimes:
-  *  - below threshold: the distinct doc-id set (≤ minDocs−1 longs)
-  *    plus the buffered rows. The doc set is tiny by construction;
-  *    the BUFFER is the unbounded part — at 100 TB a hot key's
-  *    buffer is bounded by the threshold being crossed quickly
-  *    (exactly the keys with many rows), and a pathological
-  *    near-threshold key holds at most its own rows, the same rows a
-  *    batch job would also have to hold. Callers with adversarial
-  *    inputs cap it with `maxBuffered` — rows beyond the cap DROP
-  *    (under-release, never a false release: the gate's failure mode
-  *    must be conservative).
-  *  - at/above threshold: the buffer is gone; state collapses to the
-  *    released flag (the doc set is no longer needed — membership can
-  *    only grow). Hot keys therefore carry O(1) state forever.
+  * State per key (keyed by the two-lane xxhash64 FINGERPRINT of the
+  * key, r17 — see [[GateState]]), two regimes:
+  *  - below threshold: ONE copy of the key text, the distinct doc-id
+  *    set (≤ minDocs−1 longs), and the buffered rows' doc ids. The
+  *    doc set is tiny by construction; the BUFFER is the unbounded
+  *    part — at 100 TB a hot key's buffer is bounded by the threshold
+  *    being crossed quickly (exactly the keys with many rows), and a
+  *    pathological near-threshold key holds at most its own rows, the
+  *    same rows a batch job would also have to hold. Callers with
+  *    adversarial inputs cap it with `maxBuffered` — rows beyond the
+  *    cap DROP (under-release, never a false release: the gate's
+  *    failure mode must be conservative), surfaced through the drop
+  *    counter, never silent.
+  *  - at/above threshold: buffer and text are gone; state collapses
+  *    to the released flag (the doc set is no longer needed —
+  *    membership can only grow). Hot keys therefore carry O(1)
+  *    TEXT-FREE state forever: 16 bytes of fingerprint key + a flag.
   */
 object ReleaseGate {
 
