@@ -2337,6 +2337,26 @@ object SparkEntry {
               col("n_hits")))
     }),
 
+    // MULTI-PATTERN SUBSTRING SCAN (r17): Aho–Corasick over a
+    // query-constant pattern dictionary — the substring face of the
+    // decontamination family (benchmark answer strings, canaries,
+    // banned phrases land mid-paragraph where key and n-gram gates
+    // can't see them). One codegen'd O(|text|) pass per document
+    // regardless of pattern count; the automaton rides the expression
+    // (driver-compiled, broadcast-sized), zero joins, zero exchanges.
+    // The set exercises every automaton behavior on attested corpus
+    // strings: self-overlap ("batch batch" in "batch batch batch"
+    // counts twice), suffix-nesting ("ta" fires inside both "data"
+    // and "table"), cross-word substrings ("an or" inside
+    // "scan order…", "dow win" inside "window window"), and an
+    // absent pattern (contributes no rows). Oracle replays each
+    // pattern as a per-position DuckDB list lambda.
+    "q181_multi_pattern_scan" -> ((s, dir) =>
+      ops.Decontaminate.multiPatternHits(T(s, dir, "documents"),
+        "doc_id", "text",
+        Seq("batch batch", "data", "ta", "an or", "dow win",
+          "missing-from-corpus"))),
+
     "q179_bm25_index" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
       val slices = (0L until 3L).map(i =>
@@ -2415,6 +2435,67 @@ object SparkEntry {
       ops.LmScore.bigramScore(
         d.filter(col("doc_id") % 10 =!= 0),
         d.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+    }),
+
+    // ADDITIVE LM-MODEL BUILD (r17): the q179 decomposition applied to
+    // the LM family — an n-gram model is count tables, and counts over
+    // disjoint slices SUM to counts over the union, so a model
+    // assembled from THREE slice-count appends must score byte-equal
+    // to one-shot training (the oracle is q113's replay VERBATIM —
+    // equality is the gate). This is the read path of a standing
+    // reference model maintained by per-batch count appends
+    // (streaming face spec-gated in LmIngestSpec); at 100 TB the
+    // count tables are vocab-sized artifacts, never corpus-sized.
+    "q183_lm_additive" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val ref = d.filter(col("doc_id") % 10 === 0)
+      val slices = (0L until 3L).map(i =>
+        ref.filter(pmod(col("doc_id"), lit(3L)) === i))
+      val model = ops.LmScore.modelFromCounts(
+        slices.map(ops.LmScore.unigramCounts(_, "doc_id", "text"))
+          .reduce(_ unionByName _),
+        slices.map(ops.LmScore.bigramCounts(_, "doc_id", "text"))
+          .reduce(_ unionByName _))
+      ops.LmScore.scoreWithModel(
+        d.filter(col("doc_id") % 10 =!= 0), model, "doc_id", "text")
+    }),
+
+    // DSIR importance scoring (r17, Xie et al. NeurIPS 2023): weight
+    // every raw-pool document by its token-level log-likelihood ratio
+    // between the TARGET distribution (doc_id % 10 == 0 plays the
+    // clean split, as in q113) and the RAW pool itself — the published
+    // data-selection recipe ("resample raw so it looks like target"),
+    // completing the quality family: q21/q69 = well-formedness,
+    // q113 = absolute reference likelihood, this = the target-vs-pool
+    // CONTRAST. Add-one smoothing over the union vocabulary; each ln
+    // e6-floored per token (q113's doctrine), integer sums per doc.
+    // Selection composes downstream (perplexityBuckets / capPerStratum
+    // by dsir_e6) — the score is the new primitive.
+    "q182_dsir_importance" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val rawPool = d.filter(col("doc_id") % 10 =!= 0)
+      ops.LmScore.importanceScore(rawPool,
+        d.filter(col("doc_id") % 10 === 0), rawPool, "doc_id", "text")
+    }),
+
+    // DSIR SELECTION (r17): the composed recipe — q182's importance
+    // scores ranked per language, top quarter kept (the
+    // perplexityBuckets integer-ceil cut arithmetic with a single
+    // 250000-e6 cut). One new-op query composed from two
+    // independently-oracled pieces under ONE exact replay (the
+    // q166/q176 composition pattern): score join ranks join cut, all
+    // integer once the per-token lns are floored.
+    "q184_dsir_selection" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val rawPool = d.filter(col("doc_id") % 10 =!= 0)
+      val scored = ops.LmScore.importanceScore(rawPool,
+          d.filter(col("doc_id") % 10 === 0), rawPool, "doc_id", "text")
+        .join(rawPool.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      ops.LmScore.perplexityBuckets(scored, Seq("lang"), "doc_id",
+          "dsir_e6", cutsE6 = Seq(250000L), labels = Seq("keep", "drop"))
+        .filter(col("bucket") === "keep")
+        .select(col("doc_id"), col("lang"),
+          col("rank_in_group"), col("n_in_group"))
     }),
 
     // Paragraph-level dedup (r10): the corpus text has no paragraph
@@ -3260,6 +3341,46 @@ object SparkEntry {
   // ------------------------------------------------------------------
   // DuckDB oracles (ANSI SQL on the same parquet tables)
   // ------------------------------------------------------------------
+  // q113's full Stupid-Backoff replay — shared verbatim by q183: the
+  // additive count-merge path's oracle IS the one-shot training answer
+  private val lmQualityOracle: String =
+    """WITH d AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS toks
+           FROM documents),
+         r AS (SELECT toks FROM d WHERE doc_id % 10 = 0),
+         t AS (SELECT doc_id, toks FROM d WHERE doc_id % 10 <> 0),
+         uni AS (
+           SELECT w, CAST(count(*) AS BIGINT) AS cu
+           FROM (SELECT unnest(toks) AS w FROM r) GROUP BY 1),
+         stats AS (SELECT CAST(sum(cu) + count(*) AS DOUBLE) AS nv FROM uni),
+         bi AS (
+           SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+           FROM (SELECT toks[i] AS w1, toks[i+1] AS w2
+                 FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM r))
+           GROUP BY 1, 2),
+         biu AS (
+           SELECT bi.w1, bi.w2, bi.cb, uni.cu AS cu1
+           FROM bi JOIN uni ON bi.w1 = uni.w),
+         p AS (
+           SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+           FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t)),
+         j AS (
+           SELECT p.doc_id, biu.cb, biu.cu1, u2.cu AS cu2
+           FROM p LEFT JOIN biu ON p.w1 = biu.w1 AND p.w2 = biu.w2
+                  LEFT JOIN uni u2 ON p.w2 = u2.w),
+         s AS (
+           SELECT doc_id,
+             CAST(floor(1000000.0 * CASE
+               WHEN cb IS NOT NULL THEN ln(CAST(cb AS DOUBLE) / CAST(cu1 AS DOUBLE))
+               ELSE ln(0.4 * (CAST(COALESCE(cu2, 0) + 1 AS DOUBLE) / (SELECT nv FROM stats)))
+             END) AS BIGINT) AS lnp_e6,
+             CASE WHEN cb IS NULL THEN 1 ELSE 0 END AS bo
+           FROM j)
+         SELECT doc_id, CAST(sum(lnp_e6) AS BIGINT) AS ll_e6,
+           CAST(count(*) AS BIGINT) AS n_pos, CAST(sum(bo) AS BIGINT) AS n_backoff
+         FROM s GROUP BY 1"""
+
   // q107's full BM25 replay — shared verbatim by q179: the
   // incremental index path's oracle IS the one-shot corpus answer
   private val bm25Oracle: String =
@@ -5406,6 +5527,23 @@ object SparkEntry {
     // the additive-sufficient-statistics decomposition made visible
     "q179_bm25_index" -> bm25Oracle,
 
+    // per-pattern occurrence counts replayed as a per-position list
+    // lambda (overlapping occurrences each count — one per start
+    // position); char-unit vs code-point indexing can't disagree on a
+    // literal's occurrence COUNT, so the replay is exact
+    "q181_multi_pattern_scan" ->
+      """WITH pats AS (
+           SELECT unnest(['batch batch', 'data', 'ta', 'an or',
+                          'dow win', 'missing-from-corpus']) AS pattern),
+         h AS (
+           SELECT d.doc_id, p.pattern,
+             CAST(len(list_filter(
+               range(1, length(d.text) - length(p.pattern) + 2),
+               i -> substr(d.text, i, length(p.pattern)) = p.pattern))
+               AS BIGINT) AS n_hits
+           FROM documents d, pats p)
+         SELECT doc_id, pattern, n_hits FROM h WHERE n_hits >= 1""",
+
     // adjacency counts replayed as list lambdas over 1-based token
     // positions; overlapping occurrences each count (one per anchor)
     "q180_phrase_match" ->
@@ -5535,43 +5673,78 @@ object SparkEntry {
     // xxhash64 keys — the established hashed-token contract): identical
     // operands, identical association order, the single ln e6-floored
     // per position before the order-independent integer sum
-    "q113_lm_quality" ->
+    "q113_lm_quality" -> lmQualityOracle,
+
+    // the 3-slice additive count-merge must score byte-equal — the
+    // n-gram model's sufficient statistics are counts, and counts add
+    "q183_lm_additive" -> lmQualityOracle,
+
+    // replays the DSIR log-ratio string-keyed (Spark joins xxhash64
+    // fingerprints — the hashed-token contract). Both lns run over
+    // identical correctly-rounded operands ((c+1)/(N+V), all integers
+    // exact in double) and e6-floor separately, the q113 margin
+    // doctrine. n_unseen is literal 0: the raw side of the ratio IS
+    // the scored pool, so every scored token has a raw count.
+    "q182_dsir_importance" ->
       """WITH d AS (
            SELECT doc_id,
              list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS toks
            FROM documents),
-         r AS (SELECT toks FROM d WHERE doc_id % 10 = 0),
-         t AS (SELECT doc_id, toks FROM d WHERE doc_id % 10 <> 0),
-         uni AS (
-           SELECT w, CAST(count(*) AS BIGINT) AS cu
-           FROM (SELECT unnest(toks) AS w FROM r) GROUP BY 1),
-         stats AS (SELECT CAST(sum(cu) + count(*) AS DOUBLE) AS nv FROM uni),
-         bi AS (
-           SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
-           FROM (SELECT toks[i] AS w1, toks[i+1] AS w2
-                 FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM r))
-           GROUP BY 1, 2),
-         biu AS (
-           SELECT bi.w1, bi.w2, bi.cb, uni.cu AS cu1
-           FROM bi JOIN uni ON bi.w1 = uni.w),
-         p AS (
-           SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
-           FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t)),
-         j AS (
-           SELECT p.doc_id, biu.cb, biu.cu1, u2.cu AS cu2
-           FROM p LEFT JOIN biu ON p.w1 = biu.w1 AND p.w2 = biu.w2
-                  LEFT JOIN uni u2 ON p.w2 = u2.w),
-         s AS (
+         t AS (SELECT unnest(toks) AS w FROM d WHERE doc_id % 10 = 0),
+         r AS (SELECT unnest(toks) AS w FROM d WHERE doc_id % 10 <> 0),
+         ct AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1),
+         cr AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY 1),
+         k AS (SELECT
+             (SELECT count(*) FROM (SELECT w FROM ct UNION SELECT w FROM cr)) AS v,
+             (SELECT sum(c) FROM ct) AS nt,
+             (SELECT sum(c) FROM cr) AS nr),
+         lam AS (
+           SELECT coalesce(ct.w, cr.w) AS w,
+             CAST(floor(1000000.0 * ln((coalesce(ct.c, 0) + 1.0) / (nt + v))) AS BIGINT)
+             - CAST(floor(1000000.0 * ln((coalesce(cr.c, 0) + 1.0) / (nr + v))) AS BIGINT) AS lam_e6
+           FROM ct FULL JOIN cr ON ct.w = cr.w CROSS JOIN k),
+         pos AS (SELECT doc_id, unnest(toks) AS w FROM d WHERE doc_id % 10 <> 0)
+         SELECT doc_id, CAST(sum(lam_e6) AS BIGINT) AS dsir_e6,
+           CAST(count(*) AS BIGINT) AS n_pos, CAST(0 AS BIGINT) AS n_unseen
+         FROM pos JOIN lam USING (w) GROUP BY 1""",
+
+    // q182's score replay, then the perplexityBuckets window verbatim:
+    // rank per language by (dsir_e6 DESC, doc_id), keep rank ≤
+    // ⌈0.25·n⌉ via the same integer-ceil arithmetic
+    "q184_dsir_selection" ->
+      """WITH d AS (
            SELECT doc_id,
-             CAST(floor(1000000.0 * CASE
-               WHEN cb IS NOT NULL THEN ln(CAST(cb AS DOUBLE) / CAST(cu1 AS DOUBLE))
-               ELSE ln(0.4 * (CAST(COALESCE(cu2, 0) + 1 AS DOUBLE) / (SELECT nv FROM stats)))
-             END) AS BIGINT) AS lnp_e6,
-             CASE WHEN cb IS NULL THEN 1 ELSE 0 END AS bo
-           FROM j)
-         SELECT doc_id, CAST(sum(lnp_e6) AS BIGINT) AS ll_e6,
-           CAST(count(*) AS BIGINT) AS n_pos, CAST(sum(bo) AS BIGINT) AS n_backoff
-         FROM s GROUP BY 1""",
+             list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS toks
+           FROM documents),
+         t AS (SELECT unnest(toks) AS w FROM d WHERE doc_id % 10 = 0),
+         r AS (SELECT unnest(toks) AS w FROM d WHERE doc_id % 10 <> 0),
+         ct AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1),
+         cr AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY 1),
+         k AS (SELECT
+             (SELECT count(*) FROM (SELECT w FROM ct UNION SELECT w FROM cr)) AS v,
+             (SELECT sum(c) FROM ct) AS nt,
+             (SELECT sum(c) FROM cr) AS nr),
+         lam AS (
+           SELECT coalesce(ct.w, cr.w) AS w,
+             CAST(floor(1000000.0 * ln((coalesce(ct.c, 0) + 1.0) / (nt + v))) AS BIGINT)
+             - CAST(floor(1000000.0 * ln((coalesce(cr.c, 0) + 1.0) / (nr + v))) AS BIGINT) AS lam_e6
+           FROM ct FULL JOIN cr ON ct.w = cr.w CROSS JOIN k),
+         pos AS (SELECT doc_id, unnest(toks) AS w FROM d WHERE doc_id % 10 <> 0),
+         scored AS (
+           SELECT doc_id, CAST(sum(lam_e6) AS BIGINT) AS dsir_e6
+           FROM pos JOIN lam USING (w) GROUP BY 1),
+         sl AS (
+           SELECT s.doc_id, d2.lang, s.dsir_e6
+           FROM scored s JOIN documents d2 USING (doc_id)),
+         rk AS (
+           SELECT doc_id, lang,
+             CAST(row_number() OVER (PARTITION BY lang
+               ORDER BY dsir_e6 DESC, doc_id ASC) AS BIGINT) AS rank_in_group,
+             CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_in_group
+           FROM sl)
+         SELECT doc_id, lang, rank_in_group, n_in_group
+         FROM rk
+         WHERE rank_in_group <= (250000 * n_in_group + 999999) // 1000000""",
 
     // replays the keep-first rule on paragraph STRINGS (Spark keys on
     // xxhash64 — the hashed-token contract): first occurrence by

@@ -189,4 +189,45 @@ object Decontaminate {
       .withColumn("frac_e4",
         floor(col("hits").cast("double") / col("n_grams") * lit(10000.0)).cast("long"))
   }
+
+  /** SUBSTRING-level multi-pattern scan (r17) — the Aho–Corasick face
+    * of the family: which of N literal strings occur ANYWHERE inside
+    * each document, with occurrence counts (overlapping occurrences
+    * each count). The exact gates match whole keys, the n-gram gate
+    * measures token-mass overlap; this is what catches a benchmark
+    * answer string pasted mid-paragraph, a canary, or a banned phrase
+    * regardless of tokenization.
+    *
+    * Returns (doc_id, pattern, n_hits) with n_hits ≥ 1 rows only.
+    *
+    * Shape at 100 TB: the pattern set compiles ONCE into a driver-side
+    * automaton riding the expression ([[org.apache.spark.sql.graft.MultiPatternHits]]
+    * — kilobytes per thousand short patterns); each row pays ONE
+    * O(|text|) codegen'd pass regardless of N (N × `contains` would
+    * pay N passes); the expression's output is HIT-SIZED (index,
+    * count) pairs, so the explode and everything downstream never
+    * scale with the dictionary — a clean corpus row carries an empty
+    * array. Zero shuffles, zero joins — a pure map the scan pipeline
+    * fuses with its read.
+    */
+  def multiPatternHits(corpus: DataFrame, idCol: String, textCol: String,
+                       patterns: Seq[String]): DataFrame = {
+    val names = array(patterns.map(lit): _*)
+    corpus.select(col(idCol).as("doc_id"),
+        org.apache.spark.sql.graft.PatternExpressions
+          .multiPatternHits(col(textCol), patterns).as("hits"))
+      .select(col("doc_id"), explode(col("hits")).as("h"))
+      .select(col("doc_id"),
+        element_at(names, col("h.i") + 1).as("pattern"),
+        col("h.n").as("n_hits"))
+  }
+
+  /** The gating face of [[multiPatternHits]]: drop every document in
+    * which ANY pattern occurs (first-hit early exit per row, no count
+    * array, no explode — the clean-corpus fast path).
+    */
+  def multiPatternFilter(corpus: DataFrame, textCol: String,
+                         patterns: Seq[String]): DataFrame =
+    corpus.filter(!org.apache.spark.sql.graft.PatternExpressions
+      .multiPatternAny(col(textCol), patterns))
 }

@@ -76,10 +76,40 @@ object LmScore {
     * lifecycle: CacheScope.release).
     */
   def trainBigramModel(ref: DataFrame, idCol: String,
-                       textCol: String): BigramModel = {
+                       textCol: String): BigramModel =
+    modelFromCounts(unigramCounts(ref, idCol, textCol),
+      bigramCounts(ref, idCol, textCol))
+
+  /** The model's ADDITIVE sufficient statistics, slice form (r17 —
+    * the Bm25Ingest decomposition applied to the LM family): an n-gram
+    * model is nothing but count tables, and counts over disjoint
+    * document slices SUM to the counts over the union. So a standing
+    * reference model is maintainable by appending per-batch
+    * [[unigramCounts]]/[[bigramCounts]] rows and re-summing in
+    * [[modelFromCounts]] — byte-equal to retraining on the union
+    * corpus (q183 gates it; streaming face: graft.streaming.LmIngest).
+    */
+  def unigramCounts(ref: DataFrame, idCol: String, textCol: String): DataFrame =
+    toks(ref, idCol, textCol).select(explode(col("toks")).as("w"))
+      .groupBy(xxhash64(col("w")).as("h")).agg(count(lit(1)).as("cu"))
+
+  /** Bigram slice counts (h12, h1, cb) — h1 rides along so the merge
+    * can fold the unigram denominator in without re-reading text.
+    */
+  def bigramCounts(ref: DataFrame, idCol: String, textCol: String): DataFrame =
+    bigrams(ref, idCol, textCol)
+      .groupBy(xxhash64(col("gram")).as("h12"), xxhash64(col("w1")).as("h1"))
+      .agg(count(lit(1)).as("cb"))
+
+  /** Assemble a [[BigramModel]] from (possibly multi-slice) count
+    * frames: sum per key, then fold the unigram denominator into the
+    * bigram table. With single-slice inputs this IS the original
+    * one-shot training (same values, the q113 oracle's gate); with
+    * appended slices it is the incremental-maintenance read path.
+    */
+  def modelFromCounts(uniParts: DataFrame, biParts: DataFrame): BigramModel = {
     val uni = CacheScope.persist(
-      toks(ref, idCol, textCol).select(explode(col("toks")).as("w"))
-        .groupBy(xxhash64(col("w")).as("h")).agg(count(lit(1)).as("cu")))
+      uniParts.groupBy(col("h")).agg(sum(col("cu")).as("cu")))
     val stats = uni.agg(sum(col("cu")), count(lit(1))).head()
     // sum over an EMPTY frame is NULL — check before getLong, or the
     // intended diagnostic below becomes an opaque NPE
@@ -90,11 +120,10 @@ object LmScore {
     // persisted like uni: bi's lineage is the full reference tokenize +
     // aggregate — unpersisted, every recurring scoreWithModel call (the
     // streaming lmGate's per-batch join) would re-train the model
-    val bi = CacheScope.persist(bigrams(ref, idCol, textCol)
-      .groupBy(xxhash64(col("gram")).as("h12"), xxhash64(col("w1")).as("h1"))
-      .agg(count(lit(1)).as("cb"))
-      .join(uni.withColumnRenamed("h", "h1").withColumnRenamed("cu", "cu1"), "h1")
-      .select(col("h12"), col("cb"), col("cu1")))
+    val bi = CacheScope.persist(
+      biParts.groupBy(col("h12"), col("h1")).agg(sum(col("cb")).as("cb"))
+        .join(uni.withColumnRenamed("h", "h1").withColumnRenamed("cu", "cu1"), "h1")
+        .select(col("h12"), col("cb"), col("cu1")))
     BigramModel(uni, bi, nTokens, vocab)
   }
 
@@ -191,4 +220,100 @@ object LmScore {
       col("rank_in_group") :+ col("n_in_group") :+
       bucket.as("bucket"): _*)
   }
+
+  // ————— DSIR importance scoring (r17) —————
+
+  /** A trained importance model (DSIR — Xie et al., NeurIPS 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * `lam` = (h, lam_e6) per-token log-ratio weights between the
+    * TARGET distribution (what you want more of — the Wikipedia/books
+    * side of the published recipe) and the RAW distribution (the
+    * uncurated pool being selected from), both add-one smoothed over
+    * the UNION vocabulary; `lamUnseenE6` is the weight of a token
+    * absent from both sides (new-document scoring). Vocab-sized,
+    * parquet-stable — the standing-artifact shape (train once against
+    * a fixed target, score every incoming raw batch).
+    */
+  final case class ImportanceModel(lam: DataFrame, lamUnseenE6: Long)
+
+  /** Train the per-token log-ratio table:
+    *   lam_e6(w) = ⌊10⁶·ln((c_t(w)+1)/(N_t+V))⌋ − ⌊10⁶·ln((c_r(w)+1)/(N_r+V))⌋
+    * with V = |vocab(target) ∪ vocab(raw)| (one smoothing universe, so
+    * both sides are proper distributions over the same support). Each
+    * ln is e6-floored SEPARATELY — the per-operand flooring that lets
+    * the oracle replay both libm calls on identical operands (the
+    * q113 contract), and makes per-position and per-distinct-token
+    * accumulation provably equal (the weight is a per-token constant).
+    *
+    * Shape at 100 TB: two token-count aggregations (map-side
+    * combinable, hash-keyed — text never shuffles), one vocab-sized
+    * full outer join, three scalar constants. The model is the join
+    * artifact; nothing corpus-sized survives.
+    */
+  def trainImportanceModel(target: DataFrame, raw: DataFrame,
+                           idCol: String, textCol: String): ImportanceModel = {
+    def counts(df: DataFrame) =
+      toks(df, idCol, textCol).select(explode(col("toks")).as("w"))
+        .groupBy(xxhash64(col("w")).as("h")).agg(count(lit(1)).as("c"))
+    val ct = CacheScope.persist(counts(target))
+    val cr = CacheScope.persist(counts(raw))
+    val tStats = ct.agg(coalesce(sum(col("c")), lit(0L)), count(lit(1))).head()
+    val rStats = cr.agg(coalesce(sum(col("c")), lit(0L)), count(lit(1))).head()
+    val nt = tStats.getLong(0)
+    val nr = rStats.getLong(0)
+    require(nt > 0, "empty target corpus")
+    require(nr > 0, "empty raw corpus")
+    val vocab = ct.select(col("h")).unionByName(cr.select(col("h")))
+      .distinct().count()
+    def lnFloorE6(cCol: Column, denom: Double): Column =
+      floor(lit(1000000.0) *
+        log((cCol + lit(1L)).cast("double") / lit(denom))).cast("long")
+    val dt = (nt + vocab).toDouble
+    val dr = (nr + vocab).toDouble
+    val lam = ct.withColumnRenamed("c", "ct")
+      .join(cr.withColumnRenamed("c", "cr"), Seq("h"), "full_outer")
+      .select(col("h"),
+        (lnFloorE6(coalesce(col("ct"), lit(0L)), dt) -
+          lnFloorE6(coalesce(col("cr"), lit(0L)), dr)).as("lam_e6"))
+    val unseen = (math.floor(1000000.0 * math.log(1.0 / dt)) -
+      math.floor(1000000.0 * math.log(1.0 / dr))).toLong
+    ImportanceModel(CacheScope.persist(lam), unseen)
+  }
+
+  /** Score `docs` against a standing [[ImportanceModel]]: per document
+    * the summed per-position weight
+    *   dsir_e6 = Σ_positions lam_e6(w)
+    * plus the position count (the consumer's length normalizer, if it
+    * wants one — raw DSIR resamples by the unnormalized weight) and
+    * how many positions fell to the unseen constant. Zero-token
+    * documents have no positions and are absent — same absence
+    * contract as [[scoreWithModel]].
+    *
+    * Downstream, selection composes with the existing machinery
+    * instead of duplicating it: rank/top-fraction per group =
+    * [[perplexityBuckets]]; fixed-size or budgeted draws =
+    * `Sampling.capPerStratum`/`tokenBudgetSample` ordered by the
+    * score. One exchange (the per-doc sum), one vocab-sized join that
+    * AQE broadcasts at production vocab sizes.
+    */
+  def importanceWithModel(docs: DataFrame, model: ImportanceModel,
+                          idCol: String, textCol: String): DataFrame =
+    toks(docs, idCol, textCol)
+      .select(col("doc_id"), explode(col("toks")).as("w"))
+      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+      .join(model.lam, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(coalesce(col("lam_e6"), lit(model.lamUnseenE6))).as("dsir_e6"),
+        count(lit(1)).as("n_pos"),
+        sum(when(col("lam_e6").isNull, 1L).otherwise(0L)).as("n_unseen"))
+
+  /** One-shot form: train on (target, raw), score `docs`. The
+    * published selection recipe scores the raw pool itself —
+    * `importanceScore(rawPool, target, rawPool, …)` — then resamples
+    * by the weight.
+    */
+  def importanceScore(docs: DataFrame, target: DataFrame, raw: DataFrame,
+                      idCol: String, textCol: String): DataFrame =
+    importanceWithModel(docs, trainImportanceModel(target, raw, idCol, textCol),
+      idCol, textCol)
 }

@@ -1,0 +1,129 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.LmScore
+
+/** Streaming reference-LM maintenance — the LM family's face of the
+  * incremental regime (Bm25Ingest → postings, StreamingCc → labels,
+  * this → n-gram counts): each micro-batch of reference documents
+  * tokenizes ONCE and appends its unigram and bigram COUNT rows; a
+  * model assembled from the standing tables
+  * ([[graft.ops.LmScore.modelFromCounts]] — counts are additive
+  * sufficient statistics) then scores byte-equal to one trained on
+  * every document ever ingested (spec-gated across slicings by
+  * `LmIngestSpec`; the batch face is q183).
+  *
+  * REPLAY SAFETY: the Bm25Ingest two-table protocol verbatim — both
+  * tables carry `__batch_id`, re-checked in reverse commit order
+  * (uni is the commit marker and lands LAST; a failure between the
+  * bigram append and the unigram append replays as "bigrams present →
+  * skip bigrams, append unigrams only").
+  *
+  * Scale shape: per batch one tokenize of the BATCH, two
+  * map-side-combined count aggregations, two vocab-delta-sized
+  * appends. The standing tables stay hash-keyed (8-byte xxhash64 —
+  * token text never shuffles and never lands in the artifact), and
+  * the read path's per-key sum is model-sized work, paid by the
+  * scorer once per model refresh, never per document.
+  */
+object LmIngest {
+
+  def ensureTables(spark: SparkSession, db: String, uniTable: String,
+                   biTable: String): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+    spark.sql(s"CREATE TABLE IF NOT EXISTS `$db`.`$uniTable` " +
+      "(`h` BIGINT, `cu` BIGINT, `__batch_id` BIGINT) USING PARQUET")
+    spark.sql(s"CREATE TABLE IF NOT EXISTS `$db`.`$biTable` " +
+      "(`h12` BIGINT, `h1` BIGINT, `cb` BIGINT, `__batch_id` BIGINT) " +
+      "USING PARQUET")
+  }
+
+  /** foreachBatch sink over a reference-document stream (columns
+    * `idCol`, `textCol`). `onBatch(batchId, nUni, nBi)` is the
+    * observability hook.
+    */
+  def lmCountSink(spark: SparkSession, db: String, uniTable: String,
+                  biTable: String, idCol: String, textCol: String)
+                 (onBatch: (Long, Long, Long) => Unit = (_, _, _) => ())
+      : (DataFrame, Long) => Unit = {
+    ensureTables(spark, db, uniTable, biTable)
+    val uTable = s"`$db`.`$uniTable`"
+    val bTable = s"`$db`.`$biTable`"
+    // visibility barrier — the Bm25Ingest/StreamingDedup doctrine:
+    // single-writer expected counts, refresh+retry after each batch's
+    // appends, loud failure if freshness can't be established
+    var expectedUni = spark.table(uTable).count()
+    var expectedBi = spark.table(bTable).count()
+    def awaitVisible(): Unit = {
+      var attempts = 0
+      def counts() = (spark.table(uTable).count(), spark.table(bTable).count())
+      var c = counts()
+      while ((c._1 != expectedUni || c._2 != expectedBi) && attempts < 5) {
+        spark.catalog.refreshTable(s"$db.$uniTable")
+        spark.catalog.refreshTable(s"$db.$biTable")
+        attempts += 1
+        c = counts()
+      }
+      if (c._1 != expectedUni || c._2 != expectedBi)
+        throw new IllegalStateException(
+          s"lm count tables failed to become visible after $attempts " +
+            s"refreshes: uni ${c._1}/$expectedUni, bi ${c._2}/$expectedBi")
+    }
+    (batch: DataFrame, batchId: Long) => {
+      if (batch.isEmpty) onBatch(batchId, 0L, 0L)
+      else {
+        val uniApplied = !spark.table(uTable)
+          .filter(col("__batch_id") === batchId).isEmpty
+        if (uniApplied) onBatch(batchId, 0L, 0L) // full replay: no-op
+        else {
+          val b = batch.select(col(idCol).cast("long").as(idCol),
+            col(textCol).cast("string").as(textCol)).persist()
+          try {
+            val biApplied = !spark.table(bTable)
+              .filter(col("__batch_id") === batchId).isEmpty
+            var nBi = 0L
+            if (!biApplied) {
+              val bi = LmScore.bigramCounts(b, idCol, textCol)
+                .withColumn("__batch_id", lit(batchId))
+                .localCheckpoint(true)
+              nBi = bi.count()
+              bi.write.mode(SaveMode.Append).insertInto(bTable)
+              expectedBi += nBi
+            }
+            // the commit marker lands LAST: a batch's unigram rows
+            // certify its bigram rows are complete
+            val uni = LmScore.unigramCounts(b, idCol, textCol)
+              .withColumn("__batch_id", lit(batchId))
+              .localCheckpoint(true)
+            val nUni = uni.count()
+            uni.write.mode(SaveMode.Append).insertInto(uTable)
+            expectedUni += nUni
+            awaitVisible()
+            onBatch(batchId, nUni, nBi)
+          } finally {
+            b.unpersist()
+            org.apache.spark.sql.graft.CatalogCache
+              .uncacheReferencing(spark, uTable)
+            org.apache.spark.sql.graft.CatalogCache
+              .uncacheReferencing(spark, bTable)
+            ()
+          }
+        }
+      }
+    }
+  }
+
+  /** The standing model, assembled from every batch ever ingested —
+    * hand it to [[graft.ops.LmScore.scoreWithModel]] (absolute
+    * reference likelihood) or use the tables as the target side of an
+    * importance model. Model-sized work; call once per refresh, not
+    * per document.
+    */
+  def model(spark: SparkSession, db: String, uniTable: String,
+            biTable: String): LmScore.BigramModel =
+    LmScore.modelFromCounts(
+      spark.table(s"`$db`.`$uniTable`").drop("__batch_id"),
+      spark.table(s"`$db`.`$biTable`").drop("__batch_id"))
+}

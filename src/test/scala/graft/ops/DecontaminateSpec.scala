@@ -102,4 +102,51 @@ class DecontaminateSpec extends SparkSpec {
       .filter(l => l.contains("text#") || l.contains("g#"))
     assert(bad.isEmpty, bad.mkString("\n"))
   }
+
+  test("multiPatternHits counts every occurrence, overlapping and nested") {
+    val docs = Seq(
+      (1L, "batch batch batch data scan"), // "batch batch" ×2 overlapping
+      (2L, "no hits here"),
+      (3L, "scan order data data")         // "an or" crosses the word gap
+    ).toDF("doc_id", "text")
+    val pats = Seq("batch batch", "data", "an or", "absent")
+    val got = Decontaminate.multiPatternHits(docs, "doc_id", "text", pats)
+      .select("doc_id", "pattern", "n_hits").as[(Long, String, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == Map(
+      (1L, "batch batch") -> 2L, (1L, "data") -> 1L,
+      (3L, "data") -> 2L, (3L, "an or") -> 1L))
+  }
+
+  test("multiPatternHits agrees with a per-pattern naive scan on corpus text") {
+    def naive(t: String, p: String): Long =
+      (0 to t.length - p.length).count(i => t.regionMatches(i, p, 0, p.length)).toLong
+    val docs = corpus
+    val pats = Seq("doc body", "body number 1", "number", "umber 4", "zz")
+    val got = Decontaminate.multiPatternHits(docs, "id", "text", pats)
+      .select("doc_id", "pattern", "n_hits").as[(Long, String, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    val want = (for {
+      (id, t) <- docs.as[(Long, String)].collect()
+      p <- pats
+      n = naive(t, p) if n > 0L
+    } yield (id, p) -> n).toMap
+    assert(got == want)
+  }
+
+  test("multiPatternFilter drops exactly the documents with any hit") {
+    val kept = Decontaminate.multiPatternFilter(corpus, "text",
+        Seq("number 7", "number 13"))
+      .select("id").as[Long].collect().toSet
+    val want = corpus.as[(Long, String)].collect()
+      .filter(r => !r._2.contains("number 7") && !r._2.contains("number 13"))
+      .map(_._1).toSet
+    assert(kept == want)
+  }
+
+  test("multiPatternHits plan is a pure map: no exchange at all") {
+    val df = Decontaminate.multiPatternHits(corpus, "id", "text", Seq("number"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
 }

@@ -144,4 +144,72 @@ class LmScoreSpec extends SparkSpec {
     assert(got(12L) == "head" && got(10L) == "middle" &&
       got(11L) == "middle", got.toString)
   }
+
+  test("importanceScore hand-checked: per-token log-ratio, floored per ln") {
+    // target: cat cat dog (Nt=3); raw: cat dog dog dog (Nr=4);
+    // V = |{cat,dog}| = 2 → dt=5, dr=6
+    val target = Seq((100L, "cat cat dog")).toDF("doc_id", "text")
+    val raw = Seq((200L, "cat dog dog dog")).toDF("doc_id", "text")
+    def lam(ct: Long, cr: Long): Long =
+      math.floor(1e6 * math.log((ct + 1.0) / 5.0)).toLong -
+        math.floor(1e6 * math.log((cr + 1.0) / 6.0)).toLong
+    val docs = Seq(
+      (1L, "cat cat"),      // 2·lam(cat): target-favored, positive
+      (2L, "dog"),          // lam(dog): raw-favored, negative
+      (3L, "zebra")         // unseen on both sides
+    ).toDF("doc_id", "text")
+    val model = LmScore.trainImportanceModel(target, raw, "doc_id", "text")
+    val got = LmScore.importanceWithModel(docs, model, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (k, s, n, u) => k -> ((s, n, u)) }.toMap
+    val lamCat = lam(2L, 1L)
+    val lamDog = lam(1L, 3L)
+    assert(lamCat > 0L && lamDog < 0L, s"cat=$lamCat dog=$lamDog")
+    assert(got == Map(
+      1L -> ((2L * lamCat, 2L, 0L)),
+      2L -> ((lamDog, 1L, 0L)),
+      3L -> ((model.lamUnseenE6, 1L, 1L))), got.toString)
+    assert(model.lamUnseenE6 == lam(0L, 0L))
+  }
+
+  test("importance model round-trips through parquet; one-shot equals standing-model path") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val target = d.filter(col("doc_id") % 10 === 0)
+    val rawPool = d.filter(col("doc_id") % 10 =!= 0)
+    val oneShot = LmScore.importanceScore(rawPool, target, rawPool, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val m = LmScore.trainImportanceModel(target, rawPool, "doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("lam").toString
+    m.lam.write.mode("overwrite").parquet(dir)
+    val m2 = LmScore.ImportanceModel(spark.read.parquet(dir), m.lamUnseenE6)
+    val viaArtifact = LmScore.importanceWithModel(rawPool, m2, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(oneShot == viaArtifact)
+    assert(oneShot.nonEmpty)
+    // no raw-pool token shuffles carry text: the scoring exchanges are
+    // (doc_id, 8-byte hash) / model-sized rows only
+    val p = LmScore.importanceWithModel(rawPool, m2, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    val bad = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .filter(l => l.contains("text#") || l.contains("w#"))
+    assert(bad.isEmpty, bad.mkString("\n"))
+    CacheScope.release(spark)
+  }
+
+  test("modelFromCounts over slices equals one-shot training (additive sufficient stats)") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val ref = d.filter(col("doc_id") % 10 === 0)
+    val docs = d.filter(col("doc_id") % 10 =!= 0).limit(50)
+    def scores(m: LmScore.BigramModel) =
+      LmScore.scoreWithModel(docs, m, "doc_id", "text")
+        .orderBy("doc_id").collect().toSeq
+    val oneShot = scores(LmScore.trainBigramModel(ref, "doc_id", "text"))
+    val slices = (0L until 4L).map(i => ref.filter(pmod(col("doc_id"), lit(4L)) === i))
+    val merged = LmScore.modelFromCounts(
+      slices.map(LmScore.unigramCounts(_, "doc_id", "text")).reduce(_ unionByName _),
+      slices.map(LmScore.bigramCounts(_, "doc_id", "text")).reduce(_ unionByName _))
+    assert(scores(merged) == oneShot)
+    assert(oneShot.nonEmpty)
+    CacheScope.release(spark)
+  }
 }
