@@ -2357,6 +2357,19 @@ object SparkEntry {
         Seq("batch batch", "data", "ta", "an or", "dow win",
           "missing-from-corpus"))),
 
+    // MULTI-PATTERN SCRUB (r17): the redaction face of q181's
+    // automaton — remove every character covered by any pattern
+    // occurrence (mask-union: overlapping "batch batch" runs and
+    // "ta"-inside-"data" nesting compose order-free, no
+    // leftmost-longest tie rule to replay). Same dictionary as q181 so
+    // the two faces cross-check; oracle rebuilds each text from the
+    // uncovered positions via the same per-position lambda.
+    "q185_multi_pattern_scrub" -> ((s, dir) =>
+      ops.Decontaminate.multiPatternScrub(T(s, dir, "documents"),
+        "doc_id", "text",
+        Seq("batch batch", "data", "ta", "an or", "dow win",
+          "missing-from-corpus"))),
+
     "q179_bm25_index" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
       val slices = (0L until 3L).map(i =>
@@ -3043,6 +3056,62 @@ object SparkEntry {
         lit(old.converged && warm.converged && cold.converged)
           .as("all_converged"),
         lit(warm.rounds <= cold.rounds).as("warm_rounds_le_cold"))
+    }),
+
+    // PERSONALIZED PAGERANK GATE (r17): seed-restricted teleport over
+    // the q177 edge synthesis, seeds = doc_id % 10 == 0. Three
+    // structural gates, each provable and each breakable by a real
+    // bug: (a) seeds=ALL collapses to the uniform fixpoint (a wrong
+    // per-node tele join flips it); (b) PPR ≤ uniform POINTWISE (tele
+    // monotonicity of the least fixed point — an inflated seed mass or
+    // a stale-round merge flips it); (c) every seed scores ≥ its
+    // teleport and every node ≥ 0 with non-seed zero-inflow nodes at
+    // EXACTLY 0 (the integer form's clean unreachable verdict).
+    // Constant-boolean oracle + replayed node count, the q177 pattern.
+    "q186_ppr_seeds" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val n = docs.agg(count(lit(1)).as("n"))
+      val edges = docs.crossJoin(broadcast(n))
+        .select(col("doc_id"), col("n"),
+          explode(sequence(lit(1L), lit(1L) + pmod(col("doc_id"), lit(3L)))).as("k"))
+        .select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 31L + col("k") * 17L, col("n")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val allNodes = edges.select(col("src").as("id"))
+        .unionByName(edges.select(col("dst").as("id"))).distinct()
+      val seeds = docs.filter(pmod(col("doc_id"), lit(10L)) === 0L)
+        .select(col("doc_id").as("id"))
+      val uni = ops.Graph.pageRankFixpoint(edges, "src", "dst",
+        dampingE2 = 15L, scaleUnit = 1000L)
+      val pprAll = ops.Graph.personalizedPageRankFixpoint(edges, "src", "dst",
+        allNodes, "id", dampingE2 = 15L, scaleUnit = 1000L)
+      val ppr = ops.Graph.personalizedPageRankFixpoint(edges, "src", "dst",
+        seeds, "id", dampingE2 = 15L, scaleUnit = 1000L)
+      val tele = 850L // (100 − 15) · 1000 div 100
+      val allEq = pprAll.scores.alias("a")
+        .join(uni.scores.alias("u"), col("a.id") === col("u.id"), "full")
+        .filter(col("a.id").isNull || col("u.id").isNull ||
+          col("a.score") =!= col("u.score"))
+        .agg(count(lit(1)).as("n_all_mismatch"))
+      val joined = ppr.scores.alias("p")
+        .join(uni.scores.alias("u2"), col("p.id") === col("u2.id"), "inner")
+        .join(seeds.select(col("id").as("__sid"), lit(1L).as("__seed")),
+          col("p.id") === col("__sid"), "left")
+      val props = joined.agg(
+        count(lit(1)).as("n_nodes"),
+        sum(when(col("p.score") > col("u2.score"), 1L).otherwise(0L))
+          .as("n_above_uniform"),
+        sum(when(col("p.score") < 0L, 1L).otherwise(0L)).as("n_negative"),
+        sum(when(col("__seed").isNotNull && col("p.score") < tele, 1L)
+          .otherwise(0L)).as("n_seed_below_tele"))
+      props.crossJoin(allEq).select(
+        col("n_nodes"),
+        (col("n_all_mismatch") === 0L).as("all_seeds_equals_uniform"),
+        (col("n_above_uniform") === 0L).as("ppr_le_uniform"),
+        (col("n_negative") === 0L && col("n_seed_below_tele") === 0L)
+          .as("floors_hold"),
+        lit(uni.converged && pprAll.converged && ppr.converged)
+          .as("all_converged"))
     }),
 
     // PQ DRIFT DETECTOR GATE (r14): makes the incremental-index
@@ -5330,6 +5399,24 @@ object SparkEntry {
            true AS warm_rounds_le_cold
          FROM (SELECT src AS id FROM e UNION SELECT dst AS id FROM e)""",
 
+    // q177's node-count replay; the three booleans are structural
+    // (seeds=all equality, pointwise tele monotonicity, integer
+    // floors) — computed in Spark, provable on paper, flipped by any
+    // per-node-teleport join or merge bug
+    "q186_ppr_seeds" ->
+      """WITH nd AS (SELECT count(*) AS n FROM documents),
+         e AS (
+           SELECT doc_id AS src,
+             (doc_id * 31 + k * 17) % (SELECT n FROM nd) AS dst
+           FROM (SELECT doc_id,
+                   unnest(generate_series(1, CAST(1 + doc_id % 3 AS BIGINT))) AS k
+                 FROM documents) t
+           WHERE doc_id <> (doc_id * 31 + k * 17) % (SELECT n FROM nd))
+         SELECT count(DISTINCT id) AS n_nodes,
+           true AS all_seeds_equals_uniform, true AS ppr_le_uniform,
+           true AS floors_hold, true AS all_converged
+         FROM (SELECT src AS id FROM e UNION SELECT dst AS id FROM e)""",
+
     // same arithmetic edge synthesis; the fold-equality boolean is
     // structural (each incremental step outputs component minima — a
     // broken remap/expansion or a non-minimum label after ANY step
@@ -5543,6 +5630,31 @@ object SparkEntry {
                AS BIGINT) AS n_hits
            FROM documents d, pats p)
          SELECT doc_id, pattern, n_hits FROM h WHERE n_hits >= 1""",
+
+    // mask-union replay: per (doc, pattern) the occurrence-start list,
+    // flattened to covered positions, text rebuilt from the uncovered
+    // ones (array_to_string so a fully-covered doc yields '' not NULL)
+    "q185_multi_pattern_scrub" ->
+      """WITH pats AS (
+           SELECT unnest(['batch batch', 'data', 'ta', 'an or',
+                          'dow win', 'missing-from-corpus']) AS pattern),
+         spans AS (
+           SELECT d.doc_id,
+             flatten(list_transform(
+               list_filter(range(1, length(d.text) - length(p.pattern) + 2),
+                 i -> substr(d.text, i, length(p.pattern)) = p.pattern),
+               s -> range(s, s + length(p.pattern)))) AS cov
+           FROM documents d, pats p),
+         cov AS (
+           SELECT doc_id, list_distinct(flatten(list(cov))) AS covered
+           FROM spans GROUP BY doc_id)
+         SELECT d.doc_id,
+           array_to_string(list_transform(
+             list_filter(range(1, length(d.text) + 1),
+               i -> NOT list_contains(coalesce(c.covered, []), i)),
+             i -> substr(d.text, i, 1)), '') AS scrub_text,
+           CAST(coalesce(len(c.covered), 0) AS BIGINT) AS n_removed
+         FROM documents d LEFT JOIN cov c USING (doc_id)""",
 
     // adjacency counts replayed as list lambdas over 1-based token
     // positions; overlapping occurrences each count (one per anchor)

@@ -45,6 +45,7 @@ final class AhoCorasick private (
     // state, already merged through the fail chain — trades
     // O(Σ outputs) build memory for zero chain walking per position
     private val out: Array[Array[Int]],
+    private val patternLengths: Array[Int],
     val nPatterns: Int) extends Serializable {
 
   private def step(state: Int, c: Char): Int = {
@@ -72,6 +73,40 @@ final class AhoCorasick private (
       i += 1
     }
     counts
+  }
+
+  /** Remove every character covered by ANY pattern occurrence — the
+    * mask-union scrub semantics (deterministic and order-free: the
+    * union of occurrence intervals doesn't depend on match order, so
+    * overlapping and nested occurrences compose without a
+    * leftmost-longest tie rule). Same single pass, plus one
+    * length-of-text boolean mask; the common clean-document case
+    * allocates nothing and returns the input string.
+    */
+  def scrub(text: String): String = {
+    val n = text.length
+    var covered: Array[Boolean] = null
+    var state = 0
+    var i = 0
+    while (i < n) {
+      state = step(state, text.charAt(i))
+      val hits = out(state)
+      var j = 0
+      while (j < hits.length) {
+        if (covered == null) covered = new Array[Boolean](n)
+        var p = i - patternLengths(hits(j)) + 1
+        while (p <= i) { covered(p) = true; p += 1 }
+        j += 1
+      }
+      i += 1
+    }
+    if (covered == null) text
+    else {
+      val sb = new java.lang.StringBuilder(n)
+      i = 0
+      while (i < n) { if (!covered(i)) sb.append(text.charAt(i)); i += 1 }
+      sb.toString
+    }
   }
 
   /** True iff ANY pattern occurs — same pass, early exit on the first
@@ -150,6 +185,7 @@ object AhoCorasick {
       charTargets(s) = entries.map(_._2)
       s += 1
     }
-    new AhoCorasick(charKeys, charTargets, fail, out, patterns.size)
+    new AhoCorasick(charKeys, charTargets, fail, out,
+      patterns.map(_.length).toArray, patterns.size)
   }
 }

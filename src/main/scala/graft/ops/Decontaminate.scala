@@ -230,4 +230,22 @@ object Decontaminate {
                          patterns: Seq[String]): DataFrame =
     corpus.filter(!org.apache.spark.sql.graft.PatternExpressions
       .multiPatternAny(col(textCol), patterns))
+
+  /** The redaction face: keep every document, remove every character
+    * covered by any pattern occurrence (mask-union — overlapping and
+    * nested occurrences compose order-free, no leftmost-longest tie
+    * rule to disagree about). The multi-literal sibling of
+    * [[graft.functions.TextFunctions.redactPii]]'s regex classes:
+    * banned phrases, canary strings, dictionary-known PII. Returns
+    * (doc_id, scrub_text, n_removed); same pure-map zero-exchange
+    * shape as the other faces, with the clean-document fast path
+    * returning the input string unallocated.
+    */
+  def multiPatternScrub(corpus: DataFrame, idCol: String, textCol: String,
+                        patterns: Seq[String]): DataFrame = {
+    val scrubbed = org.apache.spark.sql.graft.PatternExpressions
+      .multiPatternScrub(col(textCol), patterns)
+    corpus.select(col(idCol).as("doc_id"), scrubbed.as("scrub_text"),
+      (length(col(textCol)) - length(scrubbed)).cast("long").as("n_removed"))
+  }
 }

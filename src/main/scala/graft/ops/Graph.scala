@@ -172,10 +172,38 @@ object Graph {
       maxIters, dampingE2, scaleUnit, warmScores = Some(oldScores))
   }
 
+  /** PERSONALIZED PageRank (r17) to the exact integer least fixed
+    * point: teleport mass goes ONLY to `seeds` (one id column named by
+    * `seedCol`) — the seed-proximity score behind quality propagation
+    * from a trusted host list (the curated-seeds recipe: score every
+    * crawled page by its link proximity to known-good sites) and
+    * topic-focused frontier prioritization. With seeds = all nodes
+    * this IS [[pageRankFixpoint]] (q186 gates the equality).
+    *
+    * Same from-below monotone iteration, same exactness argument —
+    * per-node teleport tele(v) = tele·[v ∈ seeds] changes nothing in
+    * the proof (T stays monotone, init = tele(·) is still ≤ the lfp).
+    * Nodes unreachable from the seed set sit at EXACTLY 0 forever —
+    * the integer form's clean "not connected to quality" verdict
+    * (floating-point PPR leaves them at denormal dust). Seed ids
+    * absent from the graph contribute nothing (inner-join semantics
+    * on the node set); an empty effective seed set converges to
+    * all-zeros in one round.
+    */
+  def personalizedPageRankFixpoint(edges: DataFrame, srcCol: String,
+                                   dstCol: String, seeds: DataFrame,
+                                   seedCol: String, maxIters: Int = 300,
+                                   dampingE2: Long = 85L,
+                                   scaleUnit: Long = 1000000000000L): PrRun =
+    fixpointFromBelow(edges, srcCol, dstCol, maxIters, dampingE2, scaleUnit,
+      warmScores = None,
+      seedIds = Some(seeds.select(col(seedCol).cast("long").as("id"))))
+
   private def fixpointFromBelow(edges: DataFrame, srcCol: String,
                                 dstCol: String, maxIters: Int,
                                 dampingE2: Long, scaleUnit: Long,
-                                warmScores: Option[DataFrame]): PrRun = {
+                                warmScores: Option[DataFrame],
+                                seedIds: Option[DataFrame] = None): PrRun = {
     require(maxIters >= 1 && maxIters <= 1000,
       s"maxIters=$maxIters out of [1,1000]")
     require(dampingE2 >= 0L && dampingE2 <= 99L,
@@ -190,15 +218,29 @@ object Graph {
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id"))).distinct()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    // warm rows are clamped to ≥ tele (a certified lower bound must
-    // stay one even if a caller hands scores from a different
-    // scaleUnit — tele is always sound); new nodes start at tele
+    // per-node teleport: the constant tele (uniform PageRank) or
+    // tele·[id ∈ seeds] (personalized). Checkpointed once — `base`
+    // rides every round's join, node-sized
+    val teleNodes = seedIds match {
+      case Some(sd) => nodes
+        .join(sd.distinct().withColumn("__seed", lit(1L)), Seq("id"), "left")
+        .select(col("id"),
+          when(col("__seed").isNotNull, lit(tele)).otherwise(lit(0L))
+            .as("tele"))
+      case None => nodes.select(col("id"), lit(tele).as("tele"))
+    }
+    val (base, baseRdds) = CacheScope.localCheckpointTracked(teleNodes)
+    // warm rows are clamped to ≥ tele(id) (a certified lower bound
+    // must stay one even if a caller hands scores from a different
+    // scaleUnit — the teleport floor is always sound); new nodes start
+    // at their teleport
     val init0 = warmScores match {
-      case Some(s0) => nodes
+      case Some(s0) => base
         .join(s0.select(col("id"), col("score").as("__warm")), Seq("id"), "left")
         .select(col("id"),
-          greatest(coalesce(col("__warm"), lit(tele)), lit(tele)).as("score"))
-      case None => nodes.select(col("id"), lit(tele).as("score"))
+          greatest(coalesce(col("__warm"), col("tele")), col("tele"))
+            .as("score"))
+      case None => base.select(col("id"), col("tele").as("score"))
     }
     var (state, stateRdds) = CacheScope.localCheckpointTracked(init0)
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
@@ -214,10 +256,10 @@ object Graph {
           expr(s"(score * ${dampingE2}L) div (100L * outdeg)").as("rate"))
       val inflow = e.join(rate, "src")
         .groupBy(col("dst")).agg(sum(col("rate")).as("inflow"))
-      val next = state.select(col("id"))
-        .join(inflow, state("id") === inflow("dst"), "left")
+      val next = base
+        .join(inflow, base("id") === inflow("dst"), "left")
         .select(col("id"),
-          (lit(tele) + coalesce(col("inflow"), lit(0L))).as("score"))
+          (col("tele") + coalesce(col("inflow"), lit(0L))).as("score"))
       val (ck, r) = CacheScope.localCheckpointTracked(next)
       val nextSum = scoreSum(ck)
       CacheScope.unpersistRdds(stateRdds)
@@ -228,6 +270,7 @@ object Graph {
       i += 1
     }
     CacheScope.unpersistRdds(eRdds)
+    CacheScope.unpersistRdds(baseRdds)
     if (!converged)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"pageRankFixpoint did not converge in $maxIters rounds; " +

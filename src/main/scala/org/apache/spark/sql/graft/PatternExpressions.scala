@@ -19,12 +19,15 @@ import graft.functions.AhoCorasick
   * O(|text|) pass — N patterns never multiply the scan cost and never
   * touch a join or a shuffle.
   *
-  * Two faces, one automaton: [[MultiPatternHits]] returns the
+  * Three faces, one automaton: [[MultiPatternHits]] returns the
   * HIT-SIZED (pattern index, occurrence count) array (the reporting
-  * face — which benchmark strings leaked, how often); [[MultiPatternAny]]
-  * returns the boolean with first-hit early exit (the gating face —
-  * drop the document, don't itemize). Both stay inside whole-stage
-  * codegen.
+  * face — which benchmark strings leaked, how often);
+  * [[MultiPatternAny]] returns the boolean with first-hit early exit
+  * (the gating face — drop the document, don't itemize);
+  * [[MultiPatternScrub]] removes every character covered by any
+  * occurrence (the redaction face — keep the document, cut the banned
+  * spans, mask-union semantics so overlaps compose order-free). All
+  * stay inside whole-stage codegen.
   */
 case class MultiPatternHits(child: Expression, patterns: Seq[String])
     extends UnaryExpression with ImplicitCastInputTypes {
@@ -51,6 +54,29 @@ case class MultiPatternHits(child: Expression, patterns: Seq[String])
       classOf[AhoCorasick].getName)
     defineCodeGen(ctx, ev, c =>
       s"org.apache.spark.sql.graft.PatternExpressions.hits($acRef, $c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class MultiPatternScrub(child: Expression, patterns: Seq[String])
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  @transient private lazy val ac = AhoCorasick.build(patterns)
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    PatternExpressions.scrub(ac, input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val acRef = ctx.addReferenceObj("ahoCorasick", ac,
+      classOf[AhoCorasick].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.PatternExpressions.scrub($acRef, $c)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -108,6 +134,23 @@ object PatternExpressions {
   def multiPatternHits(text: Column, patterns: Seq[String]): Column =
     ExpressionUtils.column(
       MultiPatternHits(ExpressionUtils.expression(text), patterns))
+
+  /** Static target for the generated code: the clean fast path
+    * returns the INPUT UTF8String (zero allocation — the NfcNormalize
+    * pattern).
+    */
+  def scrub(ac: AhoCorasick, text: UTF8String): UTF8String = {
+    val s = text.toString
+    val out = ac.scrub(s)
+    if (out eq s) text else UTF8String.fromString(out)
+  }
+
+  /** Column wrapper: text → text with every character covered by any
+    * pattern occurrence removed (mask-union scrub).
+    */
+  def multiPatternScrub(text: Column, patterns: Seq[String]): Column =
+    ExpressionUtils.column(
+      MultiPatternScrub(ExpressionUtils.expression(text), patterns))
 
   /** Column wrapper: text → true iff any pattern occurs. */
   def multiPatternAny(text: Column, patterns: Seq[String]): Column =

@@ -57,6 +57,40 @@ class AhoCorasickSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](AhoCorasick.build(Seq("ok", "")))
   }
 
+  test("scrub removes the mask union: overlaps, nesting, and the clean fast path") {
+    val ac = AhoCorasick.build(Seq("aa", "data", "ta"))
+    // overlapping "aa" occurrences cover the whole run
+    assert(ac.scrub("xaaay") == "xy")
+    // "ta" nests inside "data": union is just the "data" span
+    assert(ac.scrub("my data set") == "my  set")
+    // "ta" also fires alone
+    assert(ac.scrub("delta") == "del")
+    // clean text returns the SAME instance (zero-allocation fast path)
+    val clean = "nothing to see"
+    assert(ac.scrub(clean) eq clean)
+    assert(ac.scrub("") eq "")
+  }
+
+  test("scrub equals the naive mask replay on random inputs") {
+    val rnd = new scala.util.Random(43)
+    val alphabet = "abd "
+    def randStr(n: Int) =
+      (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    (0 until 30).foreach { _ =>
+      val pats = (0 until (1 + rnd.nextInt(5)))
+        .map(_ => randStr(1 + rnd.nextInt(3))).distinct
+      val text = randStr(120)
+      val covered = new Array[Boolean](text.length)
+      for (p <- pats; i <- 0 to text.length - p.length
+           if text.regionMatches(i, p, 0, p.length); j <- i until i + p.length)
+        covered(j) = true
+      val want = text.zipWithIndex.collect {
+        case (c, i) if !covered(i) => c
+      }.mkString
+      assert(AhoCorasick.build(pats).scrub(text) == want, s"patterns=$pats")
+    }
+  }
+
   test("randomized equivalence with the naive per-position scan") {
     val rnd = new scala.util.Random(41)
     val alphabet = "abc "

@@ -144,6 +144,20 @@ class DecontaminateSpec extends SparkSpec {
     assert(kept == want)
   }
 
+  test("multiPatternScrub removes covered spans and counts removed chars") {
+    val docs = Seq(
+      (1L, "keep batch batch batch keep"), // the whole 17-char run is covered
+      (2L, "untouched text"),
+      (3L, "data data")
+    ).toDF("doc_id", "text")
+    val got = Decontaminate.multiPatternScrub(docs, "doc_id", "text",
+        Seq("batch batch", "data"))
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == (("keep  keep", 17L)))
+    assert(got(2L) == (("untouched text", 0L)))
+    assert(got(3L) == ((" ", 8L)))
+  }
+
   test("multiPatternHits plan is a pure map: no exchange at all") {
     val df = Decontaminate.multiPatternHits(corpus, "id", "text", Seq("number"))
     val p = df.queryExecution.executedPlan.toString

@@ -120,6 +120,52 @@ class GraphSpec extends SparkSpec {
     CacheScope.release(spark)
   }
 
+  test("personalized: seeds = all nodes IS the uniform fixpoint") {
+    val e = arithEdges(40L).toDF("src", "dst")
+    val allNodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+    val uni = Graph.pageRankFixpoint(e, "src", "dst",
+      dampingE2 = D, scaleUnit = SCALE)
+    val ppr = Graph.personalizedPageRankFixpoint(e, "src", "dst",
+      allNodes, "id", dampingE2 = D, scaleUnit = SCALE)
+    assert(uni.converged && ppr.converged)
+    assert(ppr.scores.as[(Long, Long)].collect().toMap ===
+      uni.scores.as[(Long, Long)].collect().toMap)
+    CacheScope.release(spark)
+  }
+
+  test("personalized: hand-checked chain — unreachable nodes score exactly 0") {
+    // 1 → 2 → 3, plus 4 → 3; seed {1}. tele = 50·10⁴ div 100 = 5000.
+    // s(1)=5000 (no inflow); s(2)=(5000·50) div (100·1)=2500;
+    // s(3)=(2500·50) div 100 = 1250 from 2, plus 0 from 4; s(4)=0 —
+    // not seeded, no in-edges: EXACT zero, not dust
+    val e = Seq(1L -> 2L, 2L -> 3L, 4L -> 3L).toDF("src", "dst")
+    val got = Graph.personalizedPageRankFixpoint(e, "src", "dst",
+      Seq(1L).toDF("id"), "id", dampingE2 = D, scaleUnit = SCALE)
+    assert(got.converged)
+    assert(got.scores.as[(Long, Long)].collect().toMap ===
+      Map(1L -> 5000L, 2L -> 2500L, 3L -> 1250L, 4L -> 0L))
+    CacheScope.release(spark)
+  }
+
+  test("personalized: seeds absent from the graph yield all-zeros; cycles converge") {
+    val e = Seq(1L -> 2L, 2L -> 1L).toDF("src", "dst")
+    val ghost = Graph.personalizedPageRankFixpoint(e, "src", "dst",
+      Seq(77L).toDF("id"), "id", dampingE2 = D, scaleUnit = SCALE)
+    assert(ghost.converged)
+    assert(ghost.scores.as[(Long, Long)].collect().toMap ===
+      Map(1L -> 0L, 2L -> 0L))
+    // a seeded 2-cycle reaches an exact fixed point (mass circulates
+    // through the seed's tele floor): verify the update equation holds
+    val cyc = Graph.personalizedPageRankFixpoint(e, "src", "dst",
+      Seq(1L).toDF("id"), "id", dampingE2 = D, scaleUnit = SCALE)
+    assert(cyc.converged)
+    val m = cyc.scores.as[(Long, Long)].collect().toMap
+    assert(m(1L) === 5000L + m(2L) * D / 100L)
+    assert(m(2L) === m(1L) * D / 100L)
+    CacheScope.release(spark)
+  }
+
   test("incremental rejects a non-source-additive delta loud") {
     val standing = Seq(1L -> 2L, 2L -> 3L).toDF("src", "dst")
     val old = Graph.pageRankFixpoint(standing, "src", "dst",
