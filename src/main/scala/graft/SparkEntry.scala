@@ -2337,6 +2337,28 @@ object SparkEntry {
               col("n_hits")))
     }),
 
+    // INCREMENTAL POSITIONAL INDEX (r17): q179's decomposition for the
+    // phrase side — positional postings are position FACTS, trivially
+    // additive across disjoint batches, so a 3-slice index build must
+    // answer q180's phrase queries byte-equal (the oracle is q180's
+    // replay VERBATIM). Streaming face (single-table append, the
+    // batch's own rows as the replay marker) spec-gated in
+    // PhraseIngestSpec.
+    "q187_phrase_index" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val postings = (0L until 3L).map(i =>
+          ops.Retrieval.positionalPostings(
+            docs.filter(pmod(col("doc_id"), lit(3L)) === i), "doc_id", "text"))
+        .reduce(_ unionByName _)
+      ops.Retrieval.phraseMatchFromIndex(postings, Seq("part", "filter"))
+        .select(lit("part filter").as("phrase"), col("doc_id"), col("n_hits"))
+        .unionByName(
+          ops.Retrieval.phraseMatchFromIndex(postings,
+              Seq("big", "order", "scan"))
+            .select(lit("big order scan").as("phrase"), col("doc_id"),
+              col("n_hits")))
+    }),
+
     // MULTI-PATTERN SUBSTRING SCAN (r17): Aho–Corasick over a
     // query-constant pattern dictionary — the substring face of the
     // decontamination family (benchmark answer strings, canaries,
@@ -3410,6 +3432,30 @@ object SparkEntry {
   // ------------------------------------------------------------------
   // DuckDB oracles (ANSI SQL on the same parquet tables)
   // ------------------------------------------------------------------
+  // q180's full phrase replay — shared verbatim by q187: the
+  // incremental positional-index path's oracle IS the one-shot answer
+  private val phraseOracle: String =
+    """WITH d AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+               x -> length(x) > 0) AS toks
+           FROM documents),
+         m2 AS (
+           SELECT 'part filter' AS phrase, doc_id,
+             CAST(len(list_filter(range(1, len(toks)),
+               i -> toks[i] = 'part' AND toks[i+1] = 'filter'))
+               AS BIGINT) AS n_hits
+           FROM d),
+         m3 AS (
+           SELECT 'big order scan' AS phrase, doc_id,
+             CAST(len(list_filter(range(1, len(toks) - 1),
+               i -> toks[i] = 'big' AND toks[i+1] = 'order'
+                 AND toks[i+2] = 'scan')) AS BIGINT) AS n_hits
+           FROM d)
+         SELECT phrase, doc_id, n_hits
+         FROM (SELECT * FROM m2 UNION ALL SELECT * FROM m3)
+         WHERE n_hits >= 1"""
+
   // q113's full Stupid-Backoff replay — shared verbatim by q183: the
   // additive count-merge path's oracle IS the one-shot training answer
   private val lmQualityOracle: String =
@@ -5658,27 +5704,11 @@ object SparkEntry {
 
     // adjacency counts replayed as list lambdas over 1-based token
     // positions; overlapping occurrences each count (one per anchor)
-    "q180_phrase_match" ->
-      """WITH d AS (
-           SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '\s+'),
-               x -> length(x) > 0) AS toks
-           FROM documents),
-         m2 AS (
-           SELECT 'part filter' AS phrase, doc_id,
-             CAST(len(list_filter(range(1, len(toks)),
-               i -> toks[i] = 'part' AND toks[i+1] = 'filter'))
-               AS BIGINT) AS n_hits
-           FROM d),
-         m3 AS (
-           SELECT 'big order scan' AS phrase, doc_id,
-             CAST(len(list_filter(range(1, len(toks) - 1),
-               i -> toks[i] = 'big' AND toks[i+1] = 'order'
-                 AND toks[i+2] = 'scan')) AS BIGINT) AS n_hits
-           FROM d)
-         SELECT phrase, doc_id, n_hits
-         FROM (SELECT * FROM m2 UNION ALL SELECT * FROM m3)
-         WHERE n_hits >= 1""",
+    "q180_phrase_match" -> phraseOracle,
+
+    // the 3-slice positional index must answer byte-equal — postings
+    // rows are position facts and position facts add
+    "q187_phrase_index" -> phraseOracle,
 
     // replays the word-5-gram overlap on the gram STRINGS (the Spark
     // side joins xxhash64 fingerprints — identical modulo ~2^-64

@@ -203,10 +203,22 @@ object Retrieval {
     * touches |distinct words| buckets.
     */
   def phraseMatch(docs: DataFrame, idCol: String, textCol: String,
-                  phrase: Seq[String]): DataFrame = {
+                  phrase: Seq[String]): DataFrame =
+    phraseMatchFromIndex(positionalPostings(docs, idCol, textCol), phrase)
+
+  /** [[phraseMatch]] over a STANDING positional-postings table
+    * (columns term, doc_id, pos — [[positionalPostings]]' shape,
+    * appended per ingest batch by `graft.streaming.PhraseIngest`):
+    * postings rows are position facts, trivially additive across
+    * disjoint document batches, so the standing index answers
+    * byte-equal to the one-shot operator over the union corpus (q187
+    * gates it under q180's oracle verbatim).
+    */
+  def phraseMatchFromIndex(postings: DataFrame,
+                           phrase: Seq[String]): DataFrame = {
     require(phrase.size >= 2, "a phrase needs at least two words")
     val posts = CacheScope.persist(
-      positionalPostings(docs, idCol, textCol)
+      postings.select(col("term"), col("doc_id"), col("pos"))
         .filter(col("term").isin(phrase.distinct: _*)))
     val anchors = phrase.zipWithIndex.map { case (w, i) =>
       posts.filter(col("term") === w)

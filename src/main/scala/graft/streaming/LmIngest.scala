@@ -81,27 +81,35 @@ object LmIngest {
           val b = batch.select(col(idCol).cast("long").as(idCol),
             col(textCol).cast("string").as(textCol)).persist()
           try {
-            val biApplied = !spark.table(bTable)
-              .filter(col("__batch_id") === batchId).isEmpty
-            var nBi = 0L
-            if (!biApplied) {
-              val bi = LmScore.bigramCounts(b, idCol, textCol)
-                .withColumn("__batch_id", lit(batchId))
-                .localCheckpoint(true)
-              nBi = bi.count()
-              bi.write.mode(SaveMode.Append).insertInto(bTable)
-              expectedBi += nBi
-            }
-            // the commit marker lands LAST: a batch's unigram rows
-            // certify its bigram rows are complete
             val uni = LmScore.unigramCounts(b, idCol, textCol)
               .withColumn("__batch_id", lit(batchId))
               .localCheckpoint(true)
             val nUni = uni.count()
-            uni.write.mode(SaveMode.Append).insertInto(uTable)
-            expectedUni += nUni
-            awaitVisible()
-            onBatch(batchId, nUni, nBi)
+            // a batch whose documents tokenize to ZERO tokens has no
+            // counts AND no marker rows — skip it whole (the model is
+            // already correct), or the absent marker would make every
+            // replay re-run it. Harmless (it appends nothing) but the
+            // protocol's "marker certifies the batch" claim must hold.
+            if (nUni == 0L) onBatch(batchId, 0L, 0L)
+            else {
+              val biApplied = !spark.table(bTable)
+                .filter(col("__batch_id") === batchId).isEmpty
+              var nBi = 0L
+              if (!biApplied) {
+                val bi = LmScore.bigramCounts(b, idCol, textCol)
+                  .withColumn("__batch_id", lit(batchId))
+                  .localCheckpoint(true)
+                nBi = bi.count()
+                bi.write.mode(SaveMode.Append).insertInto(bTable)
+                expectedBi += nBi
+              }
+              // the commit marker lands LAST: a batch's unigram rows
+              // certify its bigram rows are complete
+              uni.write.mode(SaveMode.Append).insertInto(uTable)
+              expectedUni += nUni
+              awaitVisible()
+              onBatch(batchId, nUni, nBi)
+            }
           } finally {
             b.unpersist()
             org.apache.spark.sql.graft.CatalogCache

@@ -56,6 +56,19 @@ class LmIngestSpec extends SparkSpec {
     }
   }
 
+  test("a non-empty batch of zero-token documents is a whole-batch no-op") {
+    val sink = LmIngest.lmCountSink(spark, db, "zu", "zb", "doc_id", "text")()
+    sink(Seq((1L, "the cat")).toDF("doc_id", "text"), 0L)
+    val uBefore = spark.table(s"`$db`.`zu`").collect().toSet
+    // all texts tokenize to nothing: no counts AND no marker rows —
+    // the sink must skip the batch whole (and keep skipping on replay)
+    sink(Seq((2L, ""), (3L, "   ")).toDF("doc_id", "text"), 1L)
+    sink(Seq((2L, ""), (3L, "   ")).toDF("doc_id", "text"), 1L)
+    assert(spark.table(s"`$db`.`zu`").collect().toSet === uBefore)
+    assert(spark.table(s"`$db`.`zb`").filter(col("__batch_id") === 1L).isEmpty)
+    graft.ops.CacheScope.release(spark)
+  }
+
   test("replay safety: both failure windows leave the tables byte-identical") {
     val sink = LmIngest.lmCountSink(spark, db, "ru", "rb", "doc_id", "text")()
     sink(ref.take(3).toDF("doc_id", "text"), 0L)
