@@ -2513,6 +2513,27 @@ object SparkEntry {
         d.filter(col("doc_id") % 10 === 0), rawPool, "doc_id", "text")
     }),
 
+    // ADDITIVE DSIR MODEL (r17): the importance model's raw side is
+    // unigram counts, and the raw pool GROWS per ingest batch — so a
+    // model assembled from THREE raw-pool count slices must score
+    // byte-equal to one-shot training (oracle = q182's replay
+    // VERBATIM). The LmIngest unigram table serves the raw side
+    // directly; the target stays a fixed curation asset.
+    "q188_dsir_additive" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val rawPool = d.filter(col("doc_id") % 10 =!= 0)
+      val rawCounts = (0L until 3L).map(i =>
+          ops.LmScore.unigramCounts(
+            rawPool.filter(pmod(col("doc_id"), lit(3L)) === i),
+            "doc_id", "text"))
+        .reduce(_ unionByName _)
+      val model = ops.LmScore.importanceModelFromCounts(
+        ops.LmScore.unigramCounts(
+          d.filter(col("doc_id") % 10 === 0), "doc_id", "text"),
+        rawCounts)
+      ops.LmScore.importanceWithModel(rawPool, model, "doc_id", "text")
+    }),
+
     // DSIR SELECTION (r17): the composed recipe — q182's importance
     // scores ranked per language, top quarter kept (the
     // perplexityBuckets integer-ceil cut arithmetic with a single
@@ -3455,6 +3476,31 @@ object SparkEntry {
          SELECT phrase, doc_id, n_hits
          FROM (SELECT * FROM m2 UNION ALL SELECT * FROM m3)
          WHERE n_hits >= 1"""
+
+  // q182's full DSIR replay — shared verbatim by q188: the additive
+  // raw-count-merge path's oracle IS the one-shot training answer
+  private val dsirOracle: String =
+    """WITH d AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS toks
+           FROM documents),
+         t AS (SELECT unnest(toks) AS w FROM d WHERE doc_id % 10 = 0),
+         r AS (SELECT unnest(toks) AS w FROM d WHERE doc_id % 10 <> 0),
+         ct AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1),
+         cr AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY 1),
+         k AS (SELECT
+             (SELECT count(*) FROM (SELECT w FROM ct UNION SELECT w FROM cr)) AS v,
+             (SELECT sum(c) FROM ct) AS nt,
+             (SELECT sum(c) FROM cr) AS nr),
+         lam AS (
+           SELECT coalesce(ct.w, cr.w) AS w,
+             CAST(floor(1000000.0 * ln((coalesce(ct.c, 0) + 1.0) / (nt + v))) AS BIGINT)
+             - CAST(floor(1000000.0 * ln((coalesce(cr.c, 0) + 1.0) / (nr + v))) AS BIGINT) AS lam_e6
+           FROM ct FULL JOIN cr ON ct.w = cr.w CROSS JOIN k),
+         pos AS (SELECT doc_id, unnest(toks) AS w FROM d WHERE doc_id % 10 <> 0)
+         SELECT doc_id, CAST(sum(lam_e6) AS BIGINT) AS dsir_e6,
+           CAST(count(*) AS BIGINT) AS n_pos, CAST(0 AS BIGINT) AS n_unseen
+         FROM pos JOIN lam USING (w) GROUP BY 1"""
 
   // q113's full Stupid-Backoff replay — shared verbatim by q183: the
   // additive count-merge path's oracle IS the one-shot training answer
@@ -5827,28 +5873,11 @@ object SparkEntry {
     // exact in double) and e6-floor separately, the q113 margin
     // doctrine. n_unseen is literal 0: the raw side of the ratio IS
     // the scored pool, so every scored token has a raw count.
-    "q182_dsir_importance" ->
-      """WITH d AS (
-           SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS toks
-           FROM documents),
-         t AS (SELECT unnest(toks) AS w FROM d WHERE doc_id % 10 = 0),
-         r AS (SELECT unnest(toks) AS w FROM d WHERE doc_id % 10 <> 0),
-         ct AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1),
-         cr AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY 1),
-         k AS (SELECT
-             (SELECT count(*) FROM (SELECT w FROM ct UNION SELECT w FROM cr)) AS v,
-             (SELECT sum(c) FROM ct) AS nt,
-             (SELECT sum(c) FROM cr) AS nr),
-         lam AS (
-           SELECT coalesce(ct.w, cr.w) AS w,
-             CAST(floor(1000000.0 * ln((coalesce(ct.c, 0) + 1.0) / (nt + v))) AS BIGINT)
-             - CAST(floor(1000000.0 * ln((coalesce(cr.c, 0) + 1.0) / (nr + v))) AS BIGINT) AS lam_e6
-           FROM ct FULL JOIN cr ON ct.w = cr.w CROSS JOIN k),
-         pos AS (SELECT doc_id, unnest(toks) AS w FROM d WHERE doc_id % 10 <> 0)
-         SELECT doc_id, CAST(sum(lam_e6) AS BIGINT) AS dsir_e6,
-           CAST(count(*) AS BIGINT) AS n_pos, CAST(0 AS BIGINT) AS n_unseen
-         FROM pos JOIN lam USING (w) GROUP BY 1""",
+    "q182_dsir_importance" -> dsirOracle,
+
+    // the 3-slice raw-pool count merge must score byte-equal — the
+    // importance model's raw side is additive counts (q182's replay)
+    "q188_dsir_additive" -> dsirOracle,
 
     // q182's score replay, then the perplexityBuckets window verbatim:
     // rank per language by (dsir_e6 DESC, doc_id), keep rank ≤

@@ -251,12 +251,27 @@ object LmScore {
     * artifact; nothing corpus-sized survives.
     */
   def trainImportanceModel(target: DataFrame, raw: DataFrame,
-                           idCol: String, textCol: String): ImportanceModel = {
-    def counts(df: DataFrame) =
-      toks(df, idCol, textCol).select(explode(col("toks")).as("w"))
-        .groupBy(xxhash64(col("w")).as("h")).agg(count(lit(1)).as("c"))
-    val ct = CacheScope.persist(counts(target))
-    val cr = CacheScope.persist(counts(raw))
+                           idCol: String, textCol: String): ImportanceModel =
+    importanceModelFromCounts(unigramCounts(target, idCol, textCol),
+      unigramCounts(raw, idCol, textCol))
+
+  /** Assemble an [[ImportanceModel]] from (possibly multi-slice)
+    * unigram-count frames ([[unigramCounts]]' (h, cu) shape) — the
+    * additive face of DSIR: the TARGET is a fixed curation asset, but
+    * the RAW pool GROWS with every ingest batch, and its counts sum,
+    * so the standing model is maintainable by appending per-batch
+    * count rows (the LmIngest unigram table serves directly) and
+    * re-deriving the λ table at refresh — byte-equal to retraining on
+    * the union pool (q188 gates it under q182's oracle verbatim).
+    * Model-sized work at refresh; the pool's text is never
+    * re-tokenized.
+    */
+  def importanceModelFromCounts(targetCounts: DataFrame,
+                                rawCounts: DataFrame): ImportanceModel = {
+    def summed(parts: DataFrame) =
+      parts.groupBy(col("h")).agg(sum(col("cu")).as("c"))
+    val ct = CacheScope.persist(summed(targetCounts))
+    val cr = CacheScope.persist(summed(rawCounts))
     val tStats = ct.agg(coalesce(sum(col("c")), lit(0L)), count(lit(1))).head()
     val rStats = cr.agg(coalesce(sum(col("c")), lit(0L)), count(lit(1))).head()
     val nt = tStats.getLong(0)
