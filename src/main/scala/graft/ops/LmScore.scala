@@ -62,8 +62,10 @@ object LmScore {
       TextFunctions.tokenize(lower(col(textCol))).as("toks"))
 
   private def bigrams(df: DataFrame, idCol: String, textCol: String) =
-    toks(df, idCol, textCol)
-      .select(col("doc_id"), explode(TextFunctions.wordNgrams(col("toks"), 2)).as("gram"))
+    bigramsFromToks(toks(df, idCol, textCol))
+
+  private def bigramsFromToks(t: DataFrame) =
+    t.select(col("doc_id"), explode(TextFunctions.wordNgrams(col("toks"), 2)).as("gram"))
       .select(col("doc_id"),
         substring_index(col("gram"), " ", 1).as("w1"),
         substring_index(col("gram"), " ", -1).as("w2"),
@@ -90,14 +92,29 @@ object LmScore {
     * corpus (q183 gates it; streaming face: graft.streaming.LmIngest).
     */
   def unigramCounts(ref: DataFrame, idCol: String, textCol: String): DataFrame =
-    toks(ref, idCol, textCol).select(explode(col("toks")).as("w"))
-      .groupBy(xxhash64(col("w")).as("h")).agg(count(lit(1)).as("cu"))
+    unigramCountsFromToks(toks(ref, idCol, textCol))
 
   /** Bigram slice counts (h12, h1, cb) — h1 rides along so the merge
     * can fold the unigram denominator in without re-reading text.
     */
   def bigramCounts(ref: DataFrame, idCol: String, textCol: String): DataFrame =
-    bigrams(ref, idCol, textCol)
+    bigramCountsFromToks(toks(ref, idCol, textCol))
+
+  /** The tokenized frame (doc_id, toks) both count builders consume —
+    * exposed package-private so a sink that needs BOTH counts from
+    * one batch (LmIngest) can tokenize once, persist the token frame,
+    * and share it.
+    */
+  private[graft] def tokFrame(df: DataFrame, idCol: String,
+                              textCol: String): DataFrame =
+    toks(df, idCol, textCol)
+
+  private[graft] def unigramCountsFromToks(t: DataFrame): DataFrame =
+    t.select(explode(col("toks")).as("w"))
+      .groupBy(xxhash64(col("w")).as("h")).agg(count(lit(1)).as("cu"))
+
+  private[graft] def bigramCountsFromToks(t: DataFrame): DataFrame =
+    bigramsFromToks(t)
       .groupBy(xxhash64(col("gram")).as("h12"), xxhash64(col("w1")).as("h1"))
       .agg(count(lit(1)).as("cb"))
 

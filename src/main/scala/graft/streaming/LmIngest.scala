@@ -78,10 +78,15 @@ object LmIngest {
           .filter(col("__batch_id") === batchId).isEmpty
         if (uniApplied) onBatch(batchId, 0L, 0L) // full replay: no-op
         else {
-          val b = batch.select(col(idCol).cast("long").as(idCol),
-            col(textCol).cast("string").as(textCol)).persist()
+          // persist the TOKENIZED frame, not the raw rows: both count
+          // builders consume it, so the batch tokenizes exactly once
+          // (the header's cost claim, made true rather than asserted)
+          val b = LmScore.tokFrame(
+            batch.select(col(idCol).cast("long").as(idCol),
+              col(textCol).cast("string").as(textCol)),
+            idCol, textCol).persist()
           try {
-            val uni = LmScore.unigramCounts(b, idCol, textCol)
+            val uni = LmScore.unigramCountsFromToks(b)
               .withColumn("__batch_id", lit(batchId))
               .localCheckpoint(true)
             val nUni = uni.count()
@@ -96,7 +101,7 @@ object LmIngest {
                 .filter(col("__batch_id") === batchId).isEmpty
               var nBi = 0L
               if (!biApplied) {
-                val bi = LmScore.bigramCounts(b, idCol, textCol)
+                val bi = LmScore.bigramCountsFromToks(b)
                   .withColumn("__batch_id", lit(batchId))
                   .localCheckpoint(true)
                 nBi = bi.count()
