@@ -2513,6 +2513,29 @@ object SparkEntry {
         d.filter(col("doc_id") % 10 === 0), rawPool, "doc_id", "text")
     }),
 
+    // CURATION PIPELINE (r17): the session's new ops composed in
+    // production order under ONE replay — multi-pattern
+    // decontamination (drop any document containing a banned phrase,
+    // the q181 automaton's gate face) → DSIR importance scoring
+    // against the clean target split → per-language top-quarter keep
+    // (q184's cut). The composition is the point: the banned-phrase
+    // filter changes the pool, so every count, λ, rank, and cut
+    // boundary downstream must move EXACTLY as the oracle's filtered
+    // replay moves them.
+    "q189_curation_pipeline" -> ((s, dir) => {
+      val clean = ops.Decontaminate.multiPatternFilter(
+        T(s, dir, "documents"), "text", Seq("batch batch", "dow win"))
+      val rawPool = clean.filter(col("doc_id") % 10 =!= 0)
+      val scored = ops.LmScore.importanceScore(rawPool,
+          clean.filter(col("doc_id") % 10 === 0), rawPool, "doc_id", "text")
+        .join(rawPool.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      ops.LmScore.perplexityBuckets(scored, Seq("lang"), "doc_id",
+          "dsir_e6", cutsE6 = Seq(250000L), labels = Seq("keep", "drop"))
+        .filter(col("bucket") === "keep")
+        .select(col("doc_id"), col("lang"),
+          col("rank_in_group"), col("n_in_group"))
+    }),
+
     // ADDITIVE DSIR MODEL (r17): the importance model's raw side is
     // unigram counts, and the raw pool GROWS per ingest batch — so a
     // model assembled from THREE raw-pool count slices must score
@@ -5878,6 +5901,48 @@ object SparkEntry {
     // the 3-slice raw-pool count merge must score byte-equal — the
     // importance model's raw side is additive counts (q182's replay)
     "q188_dsir_additive" -> dsirOracle,
+
+    // the q184 chain over a banned-phrase-filtered pool: the filter
+    // changes every count, λ, rank, and cut boundary downstream, and
+    // the replay must move with them
+    "q189_curation_pipeline" ->
+      """WITH d0 AS (
+           SELECT * FROM documents
+           WHERE text NOT LIKE '%batch batch%'
+             AND text NOT LIKE '%dow win%'),
+         d AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS toks
+           FROM d0),
+         t AS (SELECT unnest(toks) AS w FROM d WHERE doc_id % 10 = 0),
+         r AS (SELECT unnest(toks) AS w FROM d WHERE doc_id % 10 <> 0),
+         ct AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1),
+         cr AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY 1),
+         k AS (SELECT
+             (SELECT count(*) FROM (SELECT w FROM ct UNION SELECT w FROM cr)) AS v,
+             (SELECT sum(c) FROM ct) AS nt,
+             (SELECT sum(c) FROM cr) AS nr),
+         lam AS (
+           SELECT coalesce(ct.w, cr.w) AS w,
+             CAST(floor(1000000.0 * ln((coalesce(ct.c, 0) + 1.0) / (nt + v))) AS BIGINT)
+             - CAST(floor(1000000.0 * ln((coalesce(cr.c, 0) + 1.0) / (nr + v))) AS BIGINT) AS lam_e6
+           FROM ct FULL JOIN cr ON ct.w = cr.w CROSS JOIN k),
+         pos AS (SELECT doc_id, unnest(toks) AS w FROM d WHERE doc_id % 10 <> 0),
+         scored AS (
+           SELECT doc_id, CAST(sum(lam_e6) AS BIGINT) AS dsir_e6
+           FROM pos JOIN lam USING (w) GROUP BY 1),
+         sl AS (
+           SELECT s.doc_id, d2.lang, s.dsir_e6
+           FROM scored s JOIN d0 d2 USING (doc_id)),
+         rk AS (
+           SELECT doc_id, lang,
+             CAST(row_number() OVER (PARTITION BY lang
+               ORDER BY dsir_e6 DESC, doc_id ASC) AS BIGINT) AS rank_in_group,
+             CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_in_group
+           FROM sl)
+         SELECT doc_id, lang, rank_in_group, n_in_group
+         FROM rk
+         WHERE rank_in_group <= (250000 * n_in_group + 999999) // 1000000""",
 
     // q182's score replay, then the perplexityBuckets window verbatim:
     // rank per language by (dsir_e6 DESC, doc_id), keep rank ≤
