@@ -66,22 +66,9 @@ object Bm25Ingest {
     // batch's appends, loud failure if freshness can't be established.
     var expectedPostings = spark.table(pTable).count()
     var expectedStats = spark.table(sTable).count()
-    def awaitVisible(): Unit = {
-      var attempts = 0
-      def counts() = (spark.table(pTable).count(), spark.table(sTable).count())
-      var c = counts()
-      while ((c._1 != expectedPostings || c._2 != expectedStats) && attempts < 5) {
-        spark.catalog.refreshTable(s"$db.$postingsTable")
-        spark.catalog.refreshTable(s"$db.$statsTable")
-        attempts += 1
-        c = counts()
-      }
-      if (c._1 != expectedPostings || c._2 != expectedStats)
-        throw new IllegalStateException(
-          s"bm25 index tables failed to become visible after $attempts " +
-            s"refreshes: postings ${c._1}/$expectedPostings, " +
-            s"stats ${c._2}/$expectedStats")
-    }
+    def awaitVisible(): Unit = TableSync.awaitVisible(spark,
+      Seq(((db, postingsTable), expectedPostings),
+        ((db, statsTable), expectedStats)))
     (batch: DataFrame, batchId: Long) => {
       if (batch.isEmpty) onBatch(batchId, 0L)
       else {

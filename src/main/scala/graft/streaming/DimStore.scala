@@ -109,7 +109,17 @@ object DimStore {
       // truncate lineage: the overwrite below must not read the files
       // it replaces
       .localCheckpoint(true)
+    val nMerged = merged.count()
     merged.write.mode(SaveMode.Overwrite).insertInto(s"`$db`.`$table`")
+    // visibility barrier + cache hygiene (r17 review): this is a
+    // read-modify-OVERWRITE loop — the next batch reads this table to
+    // build its merge, and a stale snapshot wouldn't just weaken the
+    // result, the overwrite would permanently DELETE the missed rows.
+    // The header's "visible to the next batch by construction" claim
+    // is exactly what the measured r12 staleness breaks; make it true.
+    val spark = merged.sparkSession
+    TableSync.uncache(spark, db, table)
+    TableSync.awaitVisible(spark, Seq(((db, table), nMerged)))
   }
 
   /** Read a dim table for enrichment (broadcast at the join site). */

@@ -33,7 +33,12 @@ object IngestPipeline {
     * micro-batch pays only the map-side probe plus the exact verify on
     * bloom positives (never a batch-wide shuffle, never a re-scan of
     * the contamination list). Matching runs on REDACTED text — the
-    * same form the corpus stores and consumers read.
+    * same form the corpus stores and consumers read — and the
+    * contamination KEYS pass through the SAME redaction before the
+    * sketch is built (r17 review: hashing them raw meant any benchmark
+    * doc containing an email/IP/phone could never match its redacted
+    * corpus twin, and the eval leak sailed through the one gate built
+    * to stop it).
     *
     * `lmGate`: optional (reference frame, minimum mean ⌊10⁶·ln P⌋ per
     * position) — a bigram Stupid-Backoff model ([[graft.ops.LmScore]])
@@ -56,7 +61,9 @@ object IngestPipeline {
                          lmGate: Option[(DataFrame, Long)] = None)
                         (onBatch: (DataFrame, Long, Long) => Unit): (DataFrame, Long) => Unit = {
     val contamFilter = contam.map { case (c, keyCol) =>
-      Decontaminate.prepare(c, col(keyCol))
+      // keys redacted with the corpus's own redaction: exact-match
+      // decontamination must compare like with like
+      Decontaminate.prepare(c, TextFunctions.redactPii(col(keyCol)))
     }
     val lmModel = lmGate.map { case (ref, minMeanE6) =>
       (LmScore.trainBigramModel(ref, idCol, textCol), minMeanE6)

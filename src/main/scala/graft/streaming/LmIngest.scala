@@ -56,21 +56,8 @@ object LmIngest {
     // appends, loud failure if freshness can't be established
     var expectedUni = spark.table(uTable).count()
     var expectedBi = spark.table(bTable).count()
-    def awaitVisible(): Unit = {
-      var attempts = 0
-      def counts() = (spark.table(uTable).count(), spark.table(bTable).count())
-      var c = counts()
-      while ((c._1 != expectedUni || c._2 != expectedBi) && attempts < 5) {
-        spark.catalog.refreshTable(s"$db.$uniTable")
-        spark.catalog.refreshTable(s"$db.$biTable")
-        attempts += 1
-        c = counts()
-      }
-      if (c._1 != expectedUni || c._2 != expectedBi)
-        throw new IllegalStateException(
-          s"lm count tables failed to become visible after $attempts " +
-            s"refreshes: uni ${c._1}/$expectedUni, bi ${c._2}/$expectedBi")
-    }
+    def awaitVisible(): Unit = TableSync.awaitVisible(spark,
+      Seq(((db, uniTable), expectedUni), ((db, biTable), expectedBi)))
     (batch: DataFrame, batchId: Long) => {
       if (batch.isEmpty) onBatch(batchId, 0L, 0L)
       else {

@@ -50,19 +50,8 @@ object PhraseIngest {
     val pTable = s"`$db`.`$table`"
     // visibility barrier — the Bm25Ingest/StreamingDedup doctrine
     var expected = spark.table(pTable).count()
-    def awaitVisible(): Unit = {
-      var attempts = 0
-      var c = spark.table(pTable).count()
-      while (c != expected && attempts < 5) {
-        spark.catalog.refreshTable(s"$db.$table")
-        attempts += 1
-        c = spark.table(pTable).count()
-      }
-      if (c != expected)
-        throw new IllegalStateException(
-          s"positional index failed to become visible after $attempts " +
-            s"refreshes: $c/$expected")
-    }
+    def awaitVisible(): Unit =
+      TableSync.awaitVisible(spark, Seq(((db, table), expected)))
     (batch: DataFrame, batchId: Long) => {
       if (batch.isEmpty) onBatch(batchId, 0L)
       else {

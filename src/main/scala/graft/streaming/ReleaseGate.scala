@@ -15,8 +15,8 @@ import org.apache.spark.util.LongAccumulator
   *
   * State per key (keyed by the two-lane xxhash64 FINGERPRINT of the
   * key, r17 — see [[GateState]]), two regimes:
-  *  - below threshold: ONE copy of the key text, the distinct doc-id
-  *    set (≤ minDocs−1 longs), and the buffered rows' doc ids. The
+  *  - below threshold: the distinct doc-id set (≤ minDocs−1 longs)
+  *    and the buffered rows' doc ids — no text at all. The
   *    doc set is tiny by construction; the BUFFER is the unbounded
   *    part — at 100 TB a hot key's buffer is bounded by the threshold
   *    being crossed quickly (exactly the keys with many rows), and a
@@ -40,11 +40,14 @@ object ReleaseGate {
   // Privacy.frequencyThreshold posture applied to the state store):
   // extracted spans/n-grams can be KBs, and a raw-text group key would
   // put corpus text on the shuffle wire AND in every state-store row
-  // key. The text appears ONCE in the state value (`keyText`, needed to
-  // reconstruct buffered rows at release) while the key is held, and is
-  // BLANKED at release — a hot key's standing state is 16 bytes of key
-  // + a boolean, zero text. Buffered rows store only their doc ids
-  // (arrival order), not a text copy per row.
+  // key. The state value carries NO text at all — buffered rows store
+  // only their doc ids (arrival order), and the retroactive release
+  // reconstructs them from the LIVE row's key (a release can only be
+  // row-driven under NoTimeout, so a live row is always in hand; an
+  // earlier draft kept a keyText copy in state "for reconstruction"
+  // that nothing read — r17 review dropped it). A hot key's standing
+  // state is 16 bytes of key + a boolean; a held key's is its doc-id
+  // vectors.
   //
   // Collision posture (same arithmetic as the batch gate): two distinct
   // keys merging requires a simultaneous collision in both independent
@@ -56,9 +59,8 @@ object ReleaseGate {
   // private nested class (the zero-arg-candidate compile error). docs
   // as Seq — the state encoder has no codegen support for scala Set;
   // the seq stays < minDocs long.
-  case class GateState(keyText: String, docs: Seq[Long],
-                       bufferedDocs: Seq[Long], released: Boolean,
-                       dropped: Long)
+  case class GateState(docs: Seq[Long], bufferedDocs: Seq[Long],
+                       released: Boolean, dropped: Long)
 
   /** The two-lane key fingerprint, replayed exactly as the batch gate
     * computes it (`xxhash64(key)`, `xxhash64('graft.fq.salt', key)`) so
@@ -185,9 +187,12 @@ object ReleaseGate {
     * conservative post-close contract as the k-gate (post-close rows
     * of a published-suppressed cohort emit suppressed; below-watermark
     * rows drop), same batch equivalence (spec-gated across slicings).
-    * NULL-equivalent sensitive handling: the batch operator ignores
-    * NULL sensitive; callers here encode "no sensitive" by not
-    * sending the row, or pre-filter — `sens` is non-null by type.
+    * NULL sensitive handling matches the batch operator: a null
+    * `sens` (reachable — Datasets built from DataFrames deliver null
+    * Strings regardless of the case-class type) never counts toward
+    * diversity, but its row still belongs to the cohort and emits
+    * with the cohort's verdict. A cohort of nulls plus one real value
+    * holds at l=2 — fail closed, never a false release.
     *
     * State: ≤ l−1 seen values + the held rows. Unlike the k-gate the
     * buffer is NOT bounded by the threshold (a uniform cohort can
@@ -242,8 +247,16 @@ object ReleaseGate {
                 if (pastClose && !st.closed) close()
                 if (st.closed) out += r.copy(cell = suppressed)
                 else {
+                  // NULL sensitive never counts toward diversity (the
+                  // batch operator filters isNotNull before its
+                  // distinct — r17 review: counting null made a
+                  // 1-real-value cohort release at l=2, a FALSE
+                  // release). The row itself still buffers: it
+                  // belongs to the cohort and emits with the cohort's
+                  // verdict, it just proves nothing.
                   val seen =
-                    if (st.seen.contains(r.sens)) st.seen else st.seen :+ r.sens
+                    if (r.sens == null || st.seen.contains(r.sens)) st.seen
+                    else st.seen :+ r.sens
                   if (seen.size >= l) {
                     st.buffered.foreach(out += _)
                     out += r
@@ -302,7 +315,7 @@ object ReleaseGate {
       OutputMode.Append, GroupStateTimeout.NoTimeout)(
       (_: (Long, Long), it: Iterator[KeyedRow], state: GroupState[GateState]) => {
         var st = state.getOption.getOrElse(
-          GateState("", Vector.empty, Vector.empty, released = false, 0L))
+          GateState(Vector.empty, Vector.empty, released = false, 0L))
         val out = Vector.newBuilder[KeyedRow]
         it.foreach { r =>
           if (st.released) out += r
@@ -320,7 +333,7 @@ object ReleaseGate {
                   s"frequencyThresholdStream released a key that had " +
                     s"dropped ${st.dropped} rows at the $maxBuffered cap " +
                     "— those rows under-released (batch divergence)")
-              st = GateState("", Vector.empty, Vector.empty,
+              st = GateState(Vector.empty, Vector.empty,
                 released = true, st.dropped)
             } else {
               val (buf, dropped) =
@@ -330,7 +343,7 @@ object ReleaseGate {
                   dropAcc.add(1L)
                   (st.bufferedDocs, st.dropped + 1L)
                 }
-              st = GateState(r.key, docs, buf, released = false, dropped)
+              st = GateState(docs, buf, released = false, dropped)
             }
           }
         }

@@ -52,17 +52,21 @@ object ScdIngest {
     * history, every applied version-boundary row has ts ≤ its key's
     * new effective_from and would re-classify as a retro-edit. Two
     * guards make the quarantine replay-safe:
-    *  1. a "rejected" row EXACTLY equal to an already-recorded version
-    *     (key, ts = effective_from, attrs) is a redelivery, not a
-    *     retro-edit — anti-joined away (this also absorbs upstream
-    *     at-least-once duplicate delivery of old rows);
+    *  1. a "rejected" row CONSISTENT with the recorded history — its
+    *     ts covered by a version's [from, to) window for its key and
+    *     its attrs null-safe-equal that version's — is a redelivery,
+    *     not a retro-edit: anti-joined away. Covering-interval rather
+    *     than exact (key, ts = effective_from, attrs) equality (r17
+    *     review): a row the original apply COLLAPSED mid-batch is not
+    *     any version's boundary, and the exact form re-quarantined it
+    *     on every replay. This also absorbs upstream at-least-once
+    *     duplicate delivery of old rows;
     *  2. if the rejects table already holds rows for this `batchId`,
     *     the append is skipped (the failure fell between the reject
     *     append and the history overwrite, so genuine rejects were
     *     recorded already).
-    * Rows a replay re-accepts (collapsed, non-boundary rows — their
-    * key's current effective_from predates them) re-apply through the
-    * idempotent fold and change nothing.
+    * Rows a replay re-accepts re-apply through the idempotent fold
+    * and change nothing.
     */
   def scd2Sink(spark: SparkSession, db: String, table: String,
                keyCol: String, tsCol: String, tieCol: String,
@@ -85,22 +89,34 @@ object ScdIngest {
               keyCol, tsCol, tieCol, attrCols)
           val (applied, rejected0) = Scd.applyChangelogWithRejects(
             history, persisted, keyCol, tsCol, tieCol, attrCols)
-          // guard 1: drop exact redeliveries of recorded versions —
-          // the anti join is batch-sized vs affected-key versions only.
-          // Null-SAFE equality per column (<=>): a redelivered version
-          // row carrying a NULL attribute must still match its recorded
-          // twin, or every replay re-appends it to the quarantine
-          // (duplicate rejects + false non-zero alerts).
-          val recordedCols = (keyCol +: tsCol +: attrCols).zipWithIndex
+          // guard 1: absorb redeliveries — a "reject" CONSISTENT with
+          // the recorded history is a replay, not a retro-edit: its ts
+          // falls inside a recorded version's [from, to) validity
+          // window for its key AND its attrs null-safe-equal (<=>)
+          // that version's. Covering-interval, not ts == from (r17
+          // review): a row the original apply COLLAPSED mid-batch
+          // ((k,t1,A),(k,t2,A) → one version at t1) is not any
+          // version's boundary, and the exact-match form re-appended
+          // it to the quarantine on every replay — duplicate rejects
+          // and false alerts. Absorption is sound by the collapse rule
+          // itself: a covered same-attr row applied to the history is
+          // a no-op, so dropping it loses nothing. The anti join is
+          // batch-sized vs history versions, equi on key with a
+          // range+attr residual.
           val recorded = history.select(
-            (col(keyCol).as("__r_c0") +:
-              col("effective_from").as("__r_c1") +:
+            col(keyCol).as("__r_key") +:
+              col("effective_from").as("__r_from") +:
+              col("effective_to").as("__r_to") +:
               attrCols.zipWithIndex.map { case (c, i) =>
-                col(c).as(s"__r_c${i + 2}") }): _*)
-          val antiCond = recordedCols
-            .map { case (c, i) => rejected0(c) <=> recorded(s"__r_c$i") }
-            .reduce(_ && _)
-          val rejected = rejected0.join(recorded, antiCond, "left_anti")
+                col(c).as(s"__r_a$i") }: _*)
+          val coverCond = (rejected0(keyCol) <=> recorded("__r_key")) &&
+            rejected0(tsCol) >= recorded("__r_from") &&
+            (recorded("__r_to").isNull ||
+              rejected0(tsCol) < recorded("__r_to")) &&
+            attrCols.zipWithIndex
+              .map { case (c, i) => rejected0(c) <=> recorded(s"__r_a$i") }
+              .reduce(_ && _)
+          val rejected = rejected0.join(recorded, coverCond, "left_anti")
           // truncate lineage: the overwrite must not read the files it
           // replaces (the DimStore.lwwOverwrite doctrine)
           val out = applied.localCheckpoint(true)
@@ -118,7 +134,14 @@ object ScdIngest {
               rej.withColumn("__batch_id", lit(batchId))
                 .write.mode(SaveMode.Append).saveAsTable(rejTable)
           }
+          val nOut = out.count()
           out.write.mode(SaveMode.Overwrite).saveAsTable(s"`$db`.`$table`")
+          // visibility barrier + cache hygiene (r17 review): the next
+          // batch READS this table to build its merge and then
+          // OVERWRITES it — a stale snapshot here doesn't weaken the
+          // result, it permanently deletes the missed versions
+          TableSync.uncache(spark, db, table)
+          TableSync.awaitVisible(spark, Seq(((db, table), nOut)))
           onBatch(batchId, nRej)
         } else onBatch(batchId, 0L)
       } finally { persisted.unpersist(); () }

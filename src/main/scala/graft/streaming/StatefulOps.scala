@@ -22,7 +22,11 @@ case class BounceRecord(mid: String, pageId: String, ts: Timestamp)
 case class SessionEvent(key: String, ts: Timestamp)
 case class SessionSummary(key: String, sessionStart: Timestamp,
     sessionEnd: Timestamp, nEvents: Long)
-private[streaming] case class SessionWindowState(startMs: Long, endMs: Long, n: Long)
+// start/end in integer MICROSECONDS (the batch mirror's unix_micros
+// doctrine — Sessionize.scala:32: ms truncation makes an 1800.0005 s
+// gap read as exactly 1800 and silently disagree with the exact form;
+// r17 review caught this operator still comparing truncated ms)
+private[streaming] case class SessionWindowState(startUs: Long, endUs: Long, n: Long)
 
 /** The reference's three keyed-state streaming operators, rebuilt on
   * `mapGroupsWithState` / `flatMapGroupsWithState` (SURVEY §2.4):
@@ -39,6 +43,18 @@ private[streaming] case class SessionWindowState(startMs: Long, endMs: Long, n: 
   * unchanged: state is partitioned with the keys and never collected.
   */
 object StatefulOps {
+
+  /** Integer microseconds from a Timestamp — getTime alone truncates
+    * sub-ms; getNanos carries the full sub-second.
+    */
+  @inline private[streaming] def tsToUs(ts: Timestamp): Long =
+    (ts.getTime / 1000L) * 1000000L + ts.getNanos / 1000L
+
+  @inline private[streaming] def usToTs(us: Long): Timestamp = {
+    val t = new Timestamp(us / 1000000L * 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
 
   private def day(ts: Timestamp): String =
     java.time.Instant.ofEpochMilli(ts.getTime)
@@ -224,7 +240,7 @@ object StatefulOps {
       OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
       (key: String, it: Iterator[SessionEvent], state: GroupState[SessionWindowState]) => {
         def summary(s: SessionWindowState) = SessionSummary(
-          key, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n)
+          key, StatefulOps.usToTs(s.startUs), StatefulOps.usToTs(s.endUs), s.n)
         if (state.hasTimedOut) {
           val s = state.get
           state.remove()
@@ -236,18 +252,20 @@ object StatefulOps {
           // textbook merge, correct for backward-late events too
           val intervals =
             (state.getOption.toSeq ++
-              it.toSeq.map(e => SessionWindowState(e.ts.getTime, e.ts.getTime, 1)))
-              .sortBy(s => (s.startMs, s.endMs))
+              it.toSeq.map { e =>
+                val us = StatefulOps.tsToUs(e.ts)
+                SessionWindowState(us, us, 1)
+              }).sortBy(s => (s.startUs, s.endUs))
           var cur: Option[SessionWindowState] = None
           for (s <- intervals) {
             cur match {
-              case Some(c) if s.startMs > c.endMs + gapSeconds * 1000 =>
+              case Some(c) if s.startUs > c.endUs + gapSeconds * 1000000L =>
                 out += summary(c)
                 cur = Some(s)
               case Some(c) =>
                 cur = Some(SessionWindowState(
-                  math.min(c.startMs, s.startMs),
-                  math.max(c.endMs, s.endMs), c.n + s.n))
+                  math.min(c.startUs, s.startUs),
+                  math.max(c.endUs, s.endUs), c.n + s.n))
               case None =>
                 cur = Some(s)
             }
@@ -256,8 +274,10 @@ object StatefulOps {
             state.update(s)
             // a timeout at-or-before the watermark throws; clamp to
             // watermark+1 (fires next trigger — the bounceDetect rule)
+            // timeout wants ms; ceil the us->ms conversion so the
+            // timer never fires BEFORE end + gap
             state.setTimeoutTimestamp(math.max(
-              s.endMs + gapSeconds * 1000,
+              (s.endUs + gapSeconds * 1000000L + 999L) / 1000L,
               state.getCurrentWatermarkMs() + 1))
           }
           out.iterator

@@ -71,21 +71,8 @@ object StreamingCc {
     // refresh/retry on a stale snapshot, failing loud, never silently
     // folding against an old labeling
     var expectedLabels = spark.table(target).count()
-    def awaitVisible(): Unit = {
-      var attempts = 0
-      var c = spark.table(target).count()
-      while (c != expectedLabels && attempts < 5) {
-        System.err.println(s"[StreamingCc] stale label snapshot after " +
-          s"overwrite ($c/$expectedLabels) — refreshing")
-        spark.catalog.refreshTable(s"$db.$labelTable")
-        attempts += 1
-        c = spark.table(target).count()
-      }
-      if (c != expectedLabels)
-        throw new IllegalStateException(
-          s"label table failed to become visible after $attempts refreshes: " +
-            s"$c/$expectedLabels")
-    }
+    def awaitVisible(): Unit = TableSync.awaitVisible(spark,
+      Seq(((db, labelTable), expectedLabels)))
     (pairs: DataFrame, batchId: Long) => {
       // no-data / no-pair micro-batches exit on one cheap isEmpty job —
       // the standing table is already the correct labeling

@@ -93,24 +93,9 @@ object StreamingDedup {
     // the price of a dedup index that is never silently behind.
     var expectedCorpus = spark.table(s"`$db`.`$corpusTable`").count()
     var expectedIndex = spark.table(s"`$db`.`$indexTable`").count()
-    def awaitVisible(): Unit = {
-      var attempts = 0
-      def counts() = (spark.table(s"`$db`.`$corpusTable`").count(),
-        spark.table(s"`$db`.`$indexTable`").count())
-      var c = counts()
-      while ((c._1 != expectedCorpus || c._2 != expectedIndex) && attempts < 5) {
-        System.err.println(s"[StreamingDedup] stale table snapshot after append " +
-          s"(corpus ${c._1}/$expectedCorpus, index ${c._2}/$expectedIndex) — refreshing")
-        spark.catalog.refreshTable(s"`$db`.`$corpusTable`")
-        spark.catalog.refreshTable(s"`$db`.`$indexTable`")
-        attempts += 1
-        c = counts()
-      }
-      if (c._1 != expectedCorpus || c._2 != expectedIndex)
-        throw new IllegalStateException(
-          s"dedup tables failed to become visible after $attempts refreshes: " +
-            s"corpus ${c._1}/$expectedCorpus, index ${c._2}/$expectedIndex")
-    }
+    def awaitVisible(): Unit = TableSync.awaitVisible(spark,
+      Seq(((db, corpusTable), expectedCorpus),
+        ((db, indexTable), expectedIndex)))
     (batch: DataFrame, batchId: Long) => {
       // NO-DATA micro-batches (watermark/timeout bookkeeping triggers —
       // and any quiet period on a real source) must not pay the full

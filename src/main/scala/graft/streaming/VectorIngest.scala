@@ -73,21 +73,8 @@ object VectorIngest {
     val cents = graft.ops.CacheScope.persist(centroids)
     val books = graft.ops.CacheScope.persist(codebooks)
     var expectedRows = spark.table(s"`$db`.`$indexTable`").count()
-    def awaitVisible(): Unit = {
-      var attempts = 0
-      def count() = spark.table(s"`$db`.`$indexTable`").count()
-      var c = count()
-      while (c != expectedRows && attempts < 5) {
-        System.err.println(s"[VectorIngest] stale index snapshot after append " +
-          s"($c/$expectedRows) — refreshing")
-        spark.catalog.refreshTable(s"`$db`.`$indexTable`")
-        attempts += 1
-        c = count()
-      }
-      if (c != expectedRows)
-        throw new IllegalStateException(
-          s"index table failed to become visible after $attempts refreshes: $c/$expectedRows")
-    }
+    def awaitVisible(): Unit = TableSync.awaitVisible(spark,
+      Seq(((db, indexTable), expectedRows)))
     (batch: DataFrame, batchId: Long) => {
       if (batch.isEmpty) onBatch(0L, 0L, false, batchId)
       else {
@@ -115,13 +102,18 @@ object VectorIngest {
               System.err.println(s"[VectorIngest] batch $batchId drift: " +
                 s"delta err ${err / 1e6} vs base ${baseErrE6 / 1e6} — " +
                 "schedule a codebook retrain + index rebuild")
-            onBatch(nNew, err, driftFired, batchId)
             val nFiles = math.max(1L, math.min(Int.MaxValue.toLong,
               (nNew + rowsPerFile - 1) / rowsPerFile)).toInt
             delta.coalesce(nFiles)
               .write.mode("append").insertInto(s"`$db`.`$indexTable`")
             expectedRows += nNew
             awaitVisible()
+            // observability AFTER the append is visible (the sibling
+            // sinks' ordering — r17 review: firing before the append
+            // reported rows that a crash-then-replay would re-report,
+            // double-counting nNew and briefly claiming an index state
+            // that wasn't on disk)
+            onBatch(nNew, err, driftFired, batchId)
           }
         } finally {
           spark.sparkContext.getPersistentRDDs

@@ -95,6 +95,12 @@ class IngestPipelineSpec extends SparkSpec {
       "benchmark item from eval.owner@example.com what is the answer to item 7")
     val contamList = Seq(
       goodDoc("benchmark item from <EMAIL> what is the answer to item 7"),
+      // RAW-form entry (r17 review): a benchmark list that still
+      // carries its own PII must match too — the sink redacts the
+      // KEYS with the same redaction it applies to the corpus, so
+      // raw-form and redacted-form lists both work (and redaction is
+      // idempotent on the already-redacted entry above)
+      goodDoc("second eval item mailto probe@bench.org answer is blue"),
       "some other benchmark item never seen in the stream")
       .toDF("bad_text")
     val dropped = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -115,12 +121,16 @@ class IngestPipelineSpec extends SparkSpec {
       input.addData(
         (1L, incoming),                      // matches after redaction
         (2L, goodDoc("a perfectly ordinary clean document body")),
-        (3L, "tiny"))                        // gate reject
+        (3L, "tiny"),                        // gate reject
+        // carries a DIFFERENT raw email than the raw-form list entry —
+        // both redact to the same <EMAIL> placeholder, so the match
+        // fires exactly because keys and corpus pass the same redaction
+        (4L, goodDoc("second eval item mailto someone.else@other.net answer is blue")))
       q.processAllAvailable()
     } finally q.stop()
 
-    assert(dropped.get() == 2L,
-      s"gate reject + contamination match: ${dropped.get()}")
+    assert(dropped.get() == 3L,
+      s"gate reject + two contamination matches: ${dropped.get()}")
     val corpus = spark.table(s"`$db`.`ing2_corpus`")
     assert(corpus.select("id").as[Long].collect().toSet == Set(2L))
   }

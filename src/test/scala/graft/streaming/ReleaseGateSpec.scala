@@ -209,6 +209,31 @@ class ReleaseGateSpec extends SparkSpec {
       s"the uniform cohort must publish pooled: $out")
   }
 
+  test("l-diversity stream: NULL sensitive never counts toward diversity (no false release)") {
+    // cohort "n": two null-sens rows plus ONE real value at l=2 — a
+    // null that counted as distinct would release the cohort RAW (the
+    // r17 review catch, and the one failure direction the gate
+    // promises never to take); the batch operator filters isNotNull,
+    // so the cohort must hold to close and publish suppressed
+    val out = runSens(Seq(
+      Seq(SensRow("n", null, ts(10), 1), SensRow("n", "flu", ts(11), 2)),
+      Seq(SensRow("n", null, ts(12), 3)),
+      // cohort "d" releases normally alongside (2 real values)
+      Seq(SensRow("d", "x", ts(13), 4), SensRow("d", "y", ts(14), 5))),
+      l = 2)
+    assert(out.filter(_.cell == "*").map(_.id).sorted === Seq(1L, 2L, 3L),
+      s"the null-padded cohort must publish pooled, never raw: $out")
+    assert(out.filter(_.cell == "d").map(_.id).sorted === Seq(4L, 5L))
+    // batch agreement on the same rows
+    val batch = Privacy.suppressLowDiversity(
+        Seq(("n", null, ts(10), 1L), ("n", "flu", ts(11), 2L),
+          ("n", null, ts(12), 3L), ("d", "x", ts(13), 4L),
+          ("d", "y", ts(14), 5L)).toDF("cell", "sens", "ts", "id"),
+        Seq("cell"), "sens", l = 2L)
+      .select("cell", "id").as[(String, Long)].collect().toSeq
+    assert(batch.filter(_._1 == "*").map(_._2).sorted === Seq(1L, 2L, 3L))
+  }
+
   test("k-anonymity stream: late rows of a published-suppressed cohort fail closed") {
     val input = MemoryStream[CellRow]
     val emitted = scala.collection.mutable.ArrayBuffer[CellRow]()

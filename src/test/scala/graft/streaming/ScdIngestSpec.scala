@@ -124,6 +124,38 @@ class ScdIngestSpec extends SparkSpec {
     spark.sql(s"DROP DATABASE IF EXISTS `$db2` CASCADE")
   }
 
+  test("replay absorbs mid-batch COLLAPSED rows (covering-interval guard)") {
+    // (k,t1,A),(k,t2,A),(k,t3,B): the first apply collapses t2 (same
+    // attrs as the open run), so t2 is not any version's boundary. A
+    // replay re-classifies it as ts <= the new effective_from, and the
+    // old exact-(ts = effective_from) guard re-appended it to the
+    // quarantine on EVERY replay — the r17 review catch. The
+    // covering-interval guard absorbs it: t2 sits inside [t1, t3) with
+    // matching attrs, a no-op by the collapse rule itself.
+    val db4 = "graft_scding_collapse"
+    spark.sql(s"DROP DATABASE IF EXISTS `$db4` CASCADE")
+    val alerts = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val sink = ScdIngest.scd2Sink(spark, db4, "h",
+      "k", "ts", "tie", Seq("v")) { (b, n) => alerts += ((b, n)); () }
+    val b0 = Seq((1L, 10L, 0L, "A"), (1L, 20L, 0L, "A"), (1L, 30L, 0L, "B"))
+      .toDF("k", "ts", "tie", "v")
+    sink(b0, 0L)
+    assert(alerts === Seq((0L, 0L)), s"clean batch must not alert: $alerts")
+    val histBefore = spark.table(s"`$db4`.`h`").collect().toSet
+    sink(b0, 0L) // the window-A replay, collapsed row included
+    assert(!spark.catalog.tableExists(s"$db4.h_rejects"),
+      "the collapsed row is a redelivery, not a retro-edit — no quarantine")
+    assert(alerts === Seq((0L, 0L), (0L, 0L)),
+      s"replay must not raise a spurious alert for the collapsed row: $alerts")
+    assert(spark.table(s"`$db4`.`h`").collect().toSet === histBefore)
+    // a GENUINE retro-edit inside a covered window but with DIFFERENT
+    // attrs still quarantines — absorption is attr-conditional
+    sink(Seq((1L, 15L, 0L, "Z")).toDF("k", "ts", "tie", "v"), 1L)
+    assert(alerts.last === ((1L, 1L)),
+      s"a covered-ts row with different attrs is a real retro-edit: $alerts")
+    spark.sql(s"DROP DATABASE IF EXISTS `$db4` CASCADE")
+  }
+
   test("replay with NULL attributes: guard 1's anti join must be null-safe") {
     // a recorded version carrying a NULL attribute is redelivered on
     // replay — null-UNSAFE equality never matches it against its

@@ -223,6 +223,43 @@ class StatefulOpsSpec extends SparkSpec {
       s"no singleton k2 session — the late event belongs to it: $rows")
   }
 
+  test("streaming sessionize: sub-millisecond gaps obey the batch mirror's microsecond rule") {
+    // events at 100.000000 s and 160.000500 s: the gap is 60.0005 s >
+    // 60 — the batch mirror (unix_micros, Sessionize.scala:32) SPLITS;
+    // millisecond truncation reads exactly 60 000 ms and would merge
+    // (the r17 review catch: this operator compared truncated ms)
+    def tsUs(sec: Long, us: Long): Timestamp = {
+      val t = new Timestamp(sec * 1000)
+      t.setNanos((us * 1000).toInt)
+      t
+    }
+    val input = MemoryStream[SessionEvent]
+    val events = input.toDS().withWatermark("ts", "1 hour")
+    val out = StatefulOps.sessionize(events, gapSeconds = 60)
+    val q = out.writeStream.format("memory").queryName("sessus")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    input.addData(SessionEvent("u1", tsUs(100, 0)),
+      SessionEvent("u1", tsUs(160, 500)))
+    q.processAllAvailable()
+    input.addData(SessionEvent("u9", ts(100000)))
+    q.processAllAvailable()
+    input.addData(SessionEvent("u9", ts(400000)))
+    runToCompletion(q)
+    val rows = spark.table("sessus").as[SessionSummary].collect()
+      .filter(_.key == "u1")
+    assert(rows.length == 2,
+      s"60.0005 s gap must split at gapSeconds=60: ${rows.toSeq}")
+    // the emitted timestamps carry the sub-ms part back out intact
+    assert(rows.exists(_.sessionStart.getNanos == 500000),
+      s"microsecond part must survive the round trip: ${rows.toSeq}")
+    // and the batch mirror agrees on the same two points
+    val nBatch = graft.ops.Sessionize.assignSessions(
+        Seq(("u1", tsUs(100, 0), 1L), ("u1", tsUs(160, 500), 2L))
+          .toDF("k", "ts", "tie"), "k", "ts", "tie", gapSeconds = 60)
+      .agg(org.apache.spark.sql.functions.max("session_seq")).head().getLong(0)
+    assert(nBatch == 2L)
+  }
+
   test("streaming sessionize: a backward-late event beyond the gap is its OWN session") {
     val input = MemoryStream[SessionEvent]
     val events = input.toDS().withWatermark("ts", "1 hour")
