@@ -31,7 +31,7 @@ import scala.collection.mutable
   * occurrence counted even when occurrences overlap ("batch batch"
   * occurs twice in "batch batch batch") and even when one pattern is
   * a substring of another ("ta" fires inside every "data" — the
-  * fail-chain output merge below is what makes suffix patterns fire).
+  * suffix output link below is what makes suffix patterns fire).
   *
   * The frozen form is flat primitive arrays (per-state sorted char
   * keys + targets, binary-searched): no boxing, no hash probes on the
@@ -41,10 +41,19 @@ final class AhoCorasick private (
     private val charKeys: Array[Array[Char]],
     private val charTargets: Array[Array[Int]],
     private val fail: Array[Int],
-    // per-state pattern indices that match when the scan is AT this
-    // state, already merged through the fail chain — trades
-    // O(Σ outputs) build memory for zero chain walking per position
+    // pattern indices that end EXACTLY at this state (own outputs
+    // only). Suffix matches are reached through `outLink` at match
+    // time instead of being merged eagerly: the r17 eager merge was
+    // O(states × matching patterns) driver/plan memory on
+    // shared-suffix dictionaries (e.g. 10⁴ patterns all ending in the
+    // same domain suffix each replicate that suffix's indices into
+    // every descendant state). The link walk is amortized free — each
+    // hop yields at least one occurrence, so matching stays
+    // O(|text| + matches).
     private val out: Array[Array[Int]],
+    // nearest proper-suffix state with a non-empty own-output set
+    // (-1 when none): the standard Aho–Corasick output link
+    private val outLink: Array[Int],
     private val patternLengths: Array[Int],
     val nPatterns: Int) extends Serializable {
 
@@ -67,9 +76,14 @@ final class AhoCorasick private (
     val n = text.length
     while (i < n) {
       state = step(state, text.charAt(i))
-      val hits = out(state)
-      var j = 0
-      while (j < hits.length) { counts(hits(j)) += 1L; j += 1 }
+      // own outputs, then every suffix output through the link chain
+      var o = state
+      while (o != -1) {
+        val hits = out(o)
+        var j = 0
+        while (j < hits.length) { counts(hits(j)) += 1L; j += 1 }
+        o = outLink(o)
+      }
       i += 1
     }
     counts
@@ -90,13 +104,17 @@ final class AhoCorasick private (
     var i = 0
     while (i < n) {
       state = step(state, text.charAt(i))
-      val hits = out(state)
-      var j = 0
-      while (j < hits.length) {
-        if (covered == null) covered = new Array[Boolean](n)
-        var p = i - patternLengths(hits(j)) + 1
-        while (p <= i) { covered(p) = true; p += 1 }
-        j += 1
+      var o = state
+      while (o != -1) {
+        val hits = out(o)
+        var j = 0
+        while (j < hits.length) {
+          if (covered == null) covered = new Array[Boolean](n)
+          var p = i - patternLengths(hits(j)) + 1
+          while (p <= i) { covered(p) = true; p += 1 }
+          j += 1
+        }
+        o = outLink(o)
       }
       i += 1
     }
@@ -119,7 +137,10 @@ final class AhoCorasick private (
     val n = text.length
     while (i < n) {
       state = step(state, text.charAt(i))
-      if (out(state).length > 0) return true
+      // any own output here, or any output reachable through the
+      // suffix chain — one O(1) check (outLink is only non-(-1) when
+      // a suffix output exists)
+      if (out(state).length > 0 || outLink(state) != -1) return true
       i += 1
     }
     false
@@ -153,13 +174,16 @@ object AhoCorasick {
     val n = next.length
     val fail = new Array[Int](n)
     val out = new Array[Array[Int]](n)
+    val outLink = new Array[Int](n)
     // the root matches nothing: every pattern is non-empty, so no
     // pattern ends at depth 0
     out(0) = Array.emptyIntArray
+    outLink(0) = -1
     val queue = mutable.Queue.empty[Int]
     next(0).valuesIterator.foreach { t =>
       fail(t) = 0
       out(t) = ends(t).reverse.toArray
+      outLink(t) = -1 // the root never has outputs
       queue += t
     }
     while (queue.nonEmpty) {
@@ -172,7 +196,14 @@ object AhoCorasick {
         var f = fail(s)
         while (f != 0 && !next(f).contains(c)) f = fail(f)
         fail(t) = next(f).getOrElse(c, 0)
-        out(t) = (ends(t).reverse ++ out(fail(t))).toArray
+        out(t) = ends(t).reverse.toArray
+        // output link = nearest proper-suffix state with own outputs:
+        // fail(t) itself if it ends a pattern, else inherit ITS link.
+        // O(states + Σ ends) total memory — the r17 eager fail-chain
+        // merge replicated shared-suffix outputs into every descendant
+        // (ADVICE: quadratic for pathological dictionaries).
+        outLink(t) = if (out(fail(t)).length > 0) fail(t)
+                     else outLink(fail(t))
         queue += t
       }
     }
@@ -185,7 +216,7 @@ object AhoCorasick {
       charTargets(s) = entries.map(_._2)
       s += 1
     }
-    new AhoCorasick(charKeys, charTargets, fail, out,
+    new AhoCorasick(charKeys, charTargets, fail, out, outLink,
       patterns.map(_.length).toArray, patterns.size)
   }
 }

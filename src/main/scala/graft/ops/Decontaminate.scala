@@ -242,10 +242,16 @@ object Decontaminate {
     * returning the input string unallocated.
     */
   def multiPatternScrub(corpus: DataFrame, idCol: String, textCol: String,
-                        patterns: Seq[String]): DataFrame = {
-    val scrubbed = org.apache.spark.sql.graft.PatternExpressions
-      .multiPatternScrub(col(textCol), patterns)
-    corpus.select(col(idCol).as("doc_id"), scrubbed.as("scrub_text"),
-      (length(col(textCol)) - length(scrubbed)).cast("long").as("n_removed"))
-  }
+                        patterns: Seq[String]): DataFrame =
+    // project the scrub ONCE, derive n_removed from the projected
+    // column in a second select (ADVICE r17: referencing the scrub
+    // expression twice left the single-pass cost claim at the mercy
+    // of subexpression elimination; CollapseProject keeps the split
+    // because scrub_text is consumed twice above it)
+    corpus.select(col(idCol).as("doc_id"),
+        length(col(textCol)).cast("long").as("__n_orig"),
+        org.apache.spark.sql.graft.PatternExpressions
+          .multiPatternScrub(col(textCol), patterns).as("scrub_text"))
+      .select(col("doc_id"), col("scrub_text"),
+        (col("__n_orig") - length(col("scrub_text"))).as("n_removed"))
 }

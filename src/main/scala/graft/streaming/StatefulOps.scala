@@ -48,11 +48,15 @@ object StatefulOps {
     * sub-ms; getNanos carries the full sub-second.
     */
   @inline private[streaming] def tsToUs(ts: Timestamp): Long =
-    (ts.getTime / 1000L) * 1000000L + ts.getNanos / 1000L
+    // floorDiv, not /: getNanos is always non-negative, so for
+    // pre-1970 timestamps truncation-toward-zero would pair the wrong
+    // second with the sub-second part (up to ~1 s off) and diverge
+    // from the batch mirror's unix_micros
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
 
   @inline private[streaming] def usToTs(us: Long): Timestamp = {
-    val t = new Timestamp(us / 1000000L * 1000L)
-    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
     t
   }
 

@@ -42,13 +42,30 @@ private[streaming] object TableSync {
         spark.catalog.refreshTable(s"`$db`.`$t`")
       }
       attempts += 1
+      // linear backoff between refreshes (ADVICE r17): a zero-delay
+      // retry loop burns all attempts inside the same staleness
+      // window; 50ms × attempt gives the filesystem listing ~750ms
+      // total to converge before the loud failure
+      Thread.sleep(50L * attempts)
       c = counts()
     }
     val bad = c.filter(x => x._2 != x._3)
-    if (bad.nonEmpty)
+    if (bad.nonEmpty) {
+      // distinguish the two failure modes in the message (ADVICE r17):
+      // got < want is a genuinely stale snapshot; got > want means an
+      // out-of-band writer appended rows this writer never counted —
+      // a single-writer-contract violation no amount of refreshing
+      // fixes. Both fail loud: proceeding against either state would
+      // let the next read-modify-OVERWRITE loop silently delete rows.
+      val msg = bad.map { case (n, got, want) =>
+        val kind = if (got > want) "out-of-band writer? (got > expected)"
+                   else "stale snapshot"
+        s"$n $got/$want [$kind]"
+      }.mkString(", ")
       throw new IllegalStateException(
-        "table(s) failed to become visible after " + attempts + " refreshes: " +
-          bad.map { case (n, got, want) => s"$n $got/$want" }.mkString(", "))
+        "table(s) failed to become visible after " + attempts +
+          " refreshes: " + msg)
+    }
   }
 
   /** Zombie-entry hygiene (the StreamingDedup r12 lesson): drop any
