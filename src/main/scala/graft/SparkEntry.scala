@@ -3413,7 +3413,89 @@ object SparkEntry {
         d.filter(pmod(col("doc_id"), lit(2L)) === 1L),
         "text", topK = 50)
     }),
+
+    // TRAINED QUALITY CLASSIFIER (r18): integer fixed-point logistic
+    // regression over bag-of-token features — the scoring family's
+    // discriminative leg (q113 generative LM, q182 importance ratio,
+    // this: the CCNet/GPT-3 "trained quality filter"). The planted
+    // fixture (the q96 treatment): labels derive from doc_id, marker
+    // tokens ride 80% of documents, the real corpus tokens are the
+    // noise the gradient must overcome. TWO full gradient rounds are
+    // replayed by the oracle as unrolled CTEs — the TRAINING
+    // ARITHMETIC is under the hash gate (every weight, margin, clamp,
+    // and floor-div), not just the scoring pass. Held-out doc scores.
+    "q190_quality_lr_scores" -> ((s, dir) => {
+      val aug = lrAugment(T(s, dir, "documents"))
+      val model = ops.QualityClassifier.trainLogistic(
+        aug.filter(pmod(col("doc_id"), lit(2L)) === 0L),
+        "doc_id", "text", "y", rounds = 2, gMul = 16L)
+      ops.QualityClassifier.scoreLogistic(
+        aug.filter(pmod(col("doc_id"), lit(2L)) === 1L), model,
+        "doc_id", "text")
+    }),
+
+    // q190's accuracy gate — fully deterministic, so unlike the
+    // probabilistic recall gates (q94-q98) the oracle REPLAYS the
+    // accuracy count rather than pinning a constant: measured 0.904 @
+    // sf0.01, 0.901 @ sf0.1, 0.896 @ sf0.001 (GateProbe row); floor
+    // 0.70 = chance + 0.20 with the measured value at chance + 0.40 —
+    // the 2x-margin convention. gMul=4 diverges on this fixture (the
+    // calibration run's negative control).
+    "q191_quality_lr_gate" -> ((s, dir) => {
+      val aug = lrAugment(T(s, dir, "documents"))
+      val model = ops.QualityClassifier.trainLogistic(
+        aug.filter(pmod(col("doc_id"), lit(2L)) === 0L),
+        "doc_id", "text", "y", rounds = 2, gMul = 16L)
+      val test = aug.filter(pmod(col("doc_id"), lit(2L)) === 1L)
+      ops.QualityClassifier.scoreLogistic(test, model, "doc_id", "text")
+        .join(test.select(col("doc_id"), col("y")), Seq("doc_id"))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("pred") === (col("y") === 1L), 1L).otherwise(0L))
+            .as("n_correct"))
+        .select(col("n_test"), col("n_correct"),
+          lit(7000L).as("floor_e4"),
+          (col("n_correct") * 10000L >= col("n_test") * 7000L)
+            .as("meets_floor"))
+    }),
+
+    // COMPOSED CLASSIFIER CURATION (r18): the q189 chain with the
+    // trained classifier as the scorer — banned-phrase gate (q181's
+    // automaton) → train on the FILTERED pool's even half → score the
+    // held-out half → per-language top-half keep (q184's integer-ceil
+    // cut) under ONE oracle. The filter changes the training pool, so
+    // every gradient, weight, margin, rank, and cut boundary
+    // downstream must move exactly as the filtered replay moves them.
+    "q192_curation_classifier" -> ((s, dir) => {
+      val clean = ops.Decontaminate.multiPatternFilter(
+        T(s, dir, "documents"), "text", Seq("batch batch", "dow win"))
+      val aug = lrAugment(clean)
+      val model = ops.QualityClassifier.trainLogistic(
+        aug.filter(pmod(col("doc_id"), lit(2L)) === 0L),
+        "doc_id", "text", "y", rounds = 2, gMul = 16L)
+      val scored = ops.QualityClassifier.scoreLogistic(
+          aug.filter(pmod(col("doc_id"), lit(2L)) === 1L), model,
+          "doc_id", "text")
+        .join(clean.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      ops.LmScore.perplexityBuckets(scored, Seq("lang"), "doc_id",
+          "z_e6", cutsE6 = Seq(500000L), labels = Seq("keep", "drop"))
+        .filter(col("bucket") === "keep")
+        .select(col("doc_id"), col("lang"),
+          col("rank_in_group"), col("n_in_group"))
+    }),
   )
+
+  /** The q190-q192 planted-label fixture: doc_id-derived labels
+    * (y = 1 iff doc_id % 4 ≤ 1 — balanced on both corpus halves),
+    * class-marker tokens appended to 80% of documents
+    * (doc_id % 5 ≠ 4), the untouched corpus text as noise features.
+    */
+  private def lrAugment(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(5L)) === 4L, lit(""))
+          .when(pmod(col("doc_id"), lit(4L)) <= 1L, lit(" qmk qmk qmk"))
+          .otherwise(lit(" jmk jmk jmk"))).as("text"),
+      (pmod(col("doc_id"), lit(4L)) <= 1L).cast("long").as("y"))
 
   // Shared CTE prefix for the q164/q165 oracles: quantize (float
   // widened to double, floor(x*1000)+1000 — non-negative so `//` ==
@@ -3499,6 +3581,62 @@ object SparkEntry {
          SELECT phrase, doc_id, n_hits
          FROM (SELECT * FROM m2 UNION ALL SELECT * FROM m3)
          WHERE n_hits >= 1"""
+
+  // Floor division in DuckDB SQL, exactly as the Spark side computes
+  // it (QualityClassifier.fdiv): subtract the non-negative mod, then
+  // divide — exactly divisible, so `//`'s truncation semantics can't
+  // differ from Spark's
+  private def fdivSql(a: String, b: String): String =
+    s"(($a) - ((($a) % ($b) + ($b)) % ($b))) // ($b)"
+
+  /** The q190-q192 training replay: two unrolled gradient rounds of
+    * the e6 fixed-point logistic regression (hard-sigmoid link, floor
+    * division) over `docSrc` (a table name or filtered subquery),
+    * ending with `zt(doc_id, z)` = held-out margins. String-keyed
+    * where Spark is hash-keyed (the q113 contract); every other op is
+    * integer arithmetic both engines replay bit-for-bit.
+    */
+  private def lrOracleCtes(docSrc: String): String = {
+    val sig = "greatest(0, least(1000000, (" + fdivSql("z", "4") + ") + 500000))"
+    s"""aug AS (
+           SELECT doc_id, lang,
+             lower(text) || CASE WHEN doc_id % 5 = 4 THEN ''
+               WHEN doc_id % 4 <= 1 THEN ' qmk qmk qmk'
+               ELSE ' jmk jmk jmk' END AS text,
+             CAST(CASE WHEN doc_id % 4 <= 1 THEN 1 ELSE 0 END AS BIGINT) AS y
+           FROM $docSrc),
+         cnt AS (
+           SELECT doc_id, y, w, CAST(count(*) AS BIGINT) AS c
+           FROM (SELECT doc_id, y,
+                   unnest(list_filter(string_split_regex(text, '\\s+'),
+                     x -> length(x) > 0)) AS w
+                 FROM aug)
+           GROUP BY 1, 2, 3),
+         tr AS (SELECT * FROM cnt WHERE doc_id % 2 = 0),
+         gden AS (SELECT 16 * CAST(count(DISTINCT doc_id) AS BIGINT) AS g FROM tr),
+         e1 AS (SELECT DISTINCT doc_id, 500000 - 1000000 * y AS e FROM tr),
+         gw1 AS (SELECT w, CAST(sum(e * c) AS BIGINT) AS gr
+                 FROM tr JOIN e1 USING (doc_id) GROUP BY 1),
+         w1 AS (SELECT w, -(${fdivSql("gr", "g")}) AS wt FROM gw1 CROSS JOIN gden),
+         b1 AS (SELECT -(${fdivSql("(SELECT CAST(sum(e) AS BIGINT) FROM e1)", "g")}) AS b FROM gden),
+         z2 AS (SELECT t.doc_id, any_value(t.y) AS y,
+                  (SELECT b FROM b1) + CAST(sum(t.c * w1.wt) AS BIGINT) AS z
+                FROM tr t JOIN w1 USING (w) GROUP BY t.doc_id),
+         e2 AS (SELECT doc_id, $sig - 1000000 * y AS e FROM z2),
+         gw2 AS (SELECT w, CAST(sum(e * c) AS BIGINT) AS gr
+                 FROM tr JOIN e2 USING (doc_id) GROUP BY 1),
+         w2 AS (SELECT w1.w, w1.wt - (${fdivSql("coalesce(gw2.gr, 0)", "g")}) AS wt
+                FROM w1 LEFT JOIN gw2 USING (w) CROSS JOIN gden),
+         b2 AS (SELECT (SELECT b FROM b1)
+                  - (${fdivSql("(SELECT CAST(sum(e) AS BIGINT) FROM e2)", "g")}) AS b FROM gden),
+         te AS (SELECT * FROM cnt WHERE doc_id % 2 = 1),
+         zt AS (SELECT t.doc_id, any_value(t.y) AS y,
+                  (SELECT b FROM b2) + CAST(sum(t.c * coalesce(w2.wt, 0)) AS BIGINT) AS z
+                FROM te t LEFT JOIN w2 USING (w) GROUP BY t.doc_id)"""
+  }
+
+  private val lrSigSql: String =
+    "greatest(0, least(1000000, (" + fdivSql("z", "4") + ") + 500000))"
 
   // q182's full DSIR replay — shared verbatim by q188: the additive
   // raw-count-merge path's oracle IS the one-shot training answer
@@ -6939,6 +7077,51 @@ object SparkEntry {
                 floor(500000000.0 * (pb * ln(pb / ((pa + pb) / 2.0)))) AS BIGINT) AS js_e9
          FROM w
          ORDER BY js_e9 DESC NULLS LAST, term ASC LIMIT 50""",
+
+    // two unrolled gradient rounds replayed string-keyed — the
+    // TRAINING arithmetic (every weight, margin, hard-sigmoid clamp,
+    // floor division) is under the hash gate, then the held-out
+    // margins/scores
+    "q190_quality_lr_scores" ->
+      s"""WITH ${lrOracleCtes("documents")}
+         SELECT doc_id, CAST(z AS BIGINT) AS z_e6,
+           CAST($lrSigSql AS BIGINT) AS p_e6,
+           $lrSigSql >= 500000 AS pred
+         FROM zt""",
+
+    // deterministic training ⇒ the accuracy REPLAYS (not a pinned
+    // constant like the probabilistic q94-q98 gates); the floor
+    // boolean rides along
+    "q191_quality_lr_gate" ->
+      s"""WITH ${lrOracleCtes("documents")},
+         pr AS (SELECT doc_id, y, $lrSigSql >= 500000 AS pred FROM zt)
+         SELECT CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN pred = (y = 1) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           CAST(7000 AS BIGINT) AS floor_e4,
+           sum(CASE WHEN pred = (y = 1) THEN 1 ELSE 0 END) * 10000
+             >= count(*) * 7000 AS meets_floor
+         FROM pr""",
+
+    // the q190 chain over a banned-phrase-filtered pool, then the
+    // perplexityBuckets top-half cut: the filter changes the training
+    // pool, so every gradient and rank downstream must move with it
+    "q192_curation_classifier" ->
+      s"""WITH ${lrOracleCtes(
+          """(SELECT * FROM documents
+           WHERE text NOT LIKE '%batch batch%'
+             AND text NOT LIKE '%dow win%')""")},
+         sl AS (SELECT zt.doc_id, aug.lang, zt.z
+                FROM zt JOIN aug USING (doc_id)),
+         rk AS (
+           SELECT doc_id, lang,
+             CAST(row_number() OVER (PARTITION BY lang
+               ORDER BY z DESC, doc_id ASC) AS BIGINT) AS rank_in_group,
+             CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_in_group
+           FROM sl)
+         SELECT doc_id, lang, rank_in_group, n_in_group
+         FROM rk
+         WHERE rank_in_group <= (500000 * n_in_group + 999999) // 1000000""",
 
     // q33_ann_lsh / q35_cosine_neardup / q36_ann_ivf /
     // q54_ann_lsh_multi: probabilistic and hash-family-specific — the
