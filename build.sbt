@@ -70,4 +70,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // bistable 9.5-80 s. At 1g the reps are stable (9.2-10.8 s after
   // JIT warm-up). Applies to tests too (same suite-length effect).
   "-XX:ReservedCodeCacheSize=1g",
-)
+) ++
+  // forensic JVM flags for instrument diagnosis runs only (e.g.
+  // -Xlog:deoptimization — the r18 storm hunt); empty by default
+  sys.env.get("SPARK_GRAFT_EXTRA_JVMOPTS").toSeq
+    .flatMap(_.split(" ").filter(_.nonEmpty))

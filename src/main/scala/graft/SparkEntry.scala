@@ -170,6 +170,36 @@ object SparkEntry {
       (col("hits") * 10000L >= col("total") * floorE4).as("meets_floor"))
   }
 
+  /** GATE-FAMILY queries (r18, the bench-denominator split): entries
+    * whose in-query cost is dominated by ADJUDICATION machinery they
+    * run BY CONSTRUCTION — an exact baseline recomputed next to the
+    * approximate operator (the recall/error gates), an incremental
+    * path re-run against its own full rebuild plus the equality join
+    * (the ≡-gates), or a duplicate training run that exists only to
+    * grade accuracy. Their medians price verification, not shipped
+    * operators, and by r17 they were 25% of the bench total — so the
+    * bench now reports operator-family and gate-family subtotals
+    * separately (VERDICT r17 ask #2).
+    *
+    * Deliberately NOT tagged: q164 (the k-means training IS the
+    * shipped operator — its exactness lives in the oracle replay, not
+    * in an in-query second path), q176 (pure operator composition),
+    * q130/q69 (threshold faces of shipped scorers), and the additive
+    * family q175/q183/q187/q188 (one path in-query; the equality is
+    * the ORACLE's job). The test is "does the QUERY recompute its own
+    * baseline", not "is the query's purpose assurance".
+    */
+  val gateQueries: Set[String] = Set(
+    "q94_lsh_recall_gate", "q95_lsh_multi_recall_gate",
+    "q96_ivf_recall_gate", "q97_ivf_trained_recall_gate",
+    "q98_cosine_neardup_recall_gate", "q99_uv_approx_error_gate",
+    "q105_temperature_mix_alpha_gate", "q128_recall_gates_sf01",
+    "q146_ivfpq_recall_gate", "q148_pq_index_incremental",
+    "q149_pq_drift_gate", "q156_pca_gate", "q157_pca_ann_gate",
+    "q171_kmeans_incremental", "q174_cc_incremental",
+    "q177_pagerank_incremental", "q178_cc_label_fold",
+    "q186_ppr_seeds", "q191_quality_lr_gate", "q193_pq_streamed_serve")
+
   // ------------------------------------------------------------------
   // Query inventory
   // ------------------------------------------------------------------
@@ -2153,21 +2183,40 @@ object SparkEntry {
         Seq("query_id", "neighbor_id"), 8500L)
     }),
 
-    // q35's gate — pair recall vs the exact within-label baseline
-    // (q90's quadratic). Measured 0.144 @ sf0.01, 0.159 @ sf0.1: at the
-    // loose 0.30 floor on near-uniform vectors bucketed LSH is recall-
-    // poor by information theory (hyperplane agreement p ≈ 0.60 at
-    // cos 0.3 → p^8 per table) — the floor documents that; production
-    // near-dup floors (0.85+) sit in the regime where the same plan
-    // shape has high recall (see cosinePairsLabelAuto's derivation)
+    // q35's gate, PLANTED-STRUCTURE edition (r18 — the q94/q96
+    // treatment, verdict #3): the old gate measured pair recall on
+    // near-uniform vectors at cos ≥ 0.30 — the info-theoretically-poor
+    // regime (hyperplane agreement p ≈ 0.60 → p^8 per table; measured
+    // 0.144/0.159, floor 0.10 could only catch total collapse, and its
+    // two-mode ratio was the repo's one 1.3x breach). Production
+    // near-dup thresholds (0.85+) sit in the HIGH-recall regime, so
+    // the gate now measures THAT: the q96 16-cluster synthesis
+    // (tight eps=0.05 clusters) with the cluster id as the label,
+    // engineered pairs at cos ≥ 0.85, exact within-label baseline.
+    // Measured 1.00 @ sf0.001/0.01/0.1 (GateProbe r18); floor 0.50
+    // fails on any plane/table/bucket regression with 2x margin. The
+    // uniform-regime number stays recorded in SCALE.md; q35 keeps
+    // pricing the raw-fixture path rows-only.
     "q98_cosine_neardup_recall_gate" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
+      val vid = col("vec_id")
+      val structured = ops.Pipeline.stage("neardup_gate_synth", emb.select(
+        vid,
+        transform(sequence(lit(0), lit(63)), i => {
+          val c = pmod(vid, lit(16L))
+          val center = (pmod(c * 31L + i.cast("long") * 17L +
+            c * i.cast("long") * 7L, lit(19L)).cast("double") - 9.0) / 9.0
+          val eps = (pmod(vid * 7L + i.cast("long") * 3L, lit(11L))
+            .cast("double") - 5.0) / 5.0 * 0.05
+          (center + eps).cast("float")
+        }).as("embedding"),
+        pmod(vid, lit(16L)).cast("int").as("label")))
       recallGate(
-        Similarity.cosineNearDupPairsMulti(emb, minSimE4 = 3000L,
+        Similarity.cosineNearDupPairsMulti(structured, minSimE4 = 8500L,
           nPlanes = 8, nTables = 8),
-        Similarity.cosinePairsLabelExact(emb, "label", 3000L)
+        Similarity.cosinePairsLabelExact(structured, "label", 8500L)
           .select(col("id_a"), col("id_b")),
-        Seq("id_a", "id_b"), 1000L)
+        Seq("id_a", "id_b"), 5000L)
     }),
 
     // q48's gate — per-day HLL relative error vs the exact distinct
@@ -3481,6 +3530,112 @@ object SparkEntry {
         .filter(col("bucket") === "keep")
         .select(col("doc_id"), col("lang"),
           col("rank_in_group"), col("n_in_group"))
+    }),
+
+    // STREAMED-INDEX READ PATH (r18, verdict #6): build the PQ index
+    // via FOUR successive appends (the exact arithmetic VectorIngest
+    // runs per micro-batch — pqIndex on the first slice, pqIndexAppend
+    // for each later delta against the frozen models), then SERVE
+    // ivfPqTopK from the sliced-built index and from the one-shot
+    // artifact. Encoding is a pure per-vector function of the models
+    // and the serve ranking is (sim DESC, neighbor_id ASC)-
+    // deterministic, so full (query, rank, neighbor) equality is
+    // structural — any corpus-dependence smuggled into encode or any
+    // order-dependence in serve flips the boolean and fails the hash.
+    "q193_pq_streamed_serve" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val (cents, cb, oneshot) = pqModelArtifact(s, dir)
+      val slices = (0L until 4L).map(i =>
+        emb.filter(pmod(col("vec_id"), lit(4L)) === i))
+      val built = ops.Pipeline.stage("pq_served_sliced",
+        slices.tail.foldLeft(
+          Similarity.pqIndex(slices.head, cents, cb, nSub = 8))(
+          (ix, sl) => Similarity.pqIndexAppend(ix, sl, cents, cb, nSub = 8)))
+      val q = emb.filter(col("vec_id") < 8)
+      def serve(idx: DataFrame) = Similarity.ivfPqTopK(q, idx, emb, 5,
+        cents, cb, nProbe = 2, refine = 8)
+      val mism = serve(built).alias("a")
+        .join(serve(oneshot).alias("b"),
+          col("a.query_id") === col("b.query_id") &&
+            col("a.rank") === col("b.rank"), "full")
+        .filter(col("a.query_id").isNull || col("b.query_id").isNull ||
+          col("a.neighbor_id") =!= col("b.neighbor_id"))
+        .agg(count(lit(1)).as("mism"))
+      built.agg(count(lit(1)).as("n_index_rows")).crossJoin(mism)
+        .select(col("n_index_rows"),
+          (col("mism") === 0L).as("served_equals_oneshot"))
+    }),
+
+    // MULTIMODAL CURATION PIPELINE (r18, verdict #5) — the q189
+    // composition on the media side, in production order under ONE
+    // oracle: a mixed-payload media table (real PNG bytes for half the
+    // corpus via q144's planted pixel formula, real RIFF/PCM WAVs for
+    // a quarter via q147's sample formula, text payloads for the rest)
+    // → MIME sniff ROUTES each payload to its decoder (text routed
+    // away entirely) → per-modality container decode → perceptual
+    // fingerprint → Hamming pairs → ONE connected-components run over
+    // the union pair set → keep-best per cluster by n_chars. The
+    // composition is the test: a sniff misroute, codec drift, or
+    // fingerprint change moves the kept set exactly as the oracle's
+    // arithmetic replay moves it. Payload bytes never shuffle (the
+    // media doctrine — only (id, 8-byte fingerprint) enters any
+    // exchange); pairing is chunk-blocked, complete by pigeonhole.
+    "q194_multimodal_curation" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val did = col("doc_id")
+      val base = did - pmod(did, lit(3L))
+      // q144's pixel synthesis verbatim, over the image subset
+      val ipos = pmod(did * lit(13L), lit(72L))
+      val pixels = flatten(transform(sequence(lit(0), lit(7)), y =>
+        transform(sequence(lit(0), lit(8)), x => {
+          val xl = x.cast("long"); val yl = y.cast("long")
+          val i = yl * lit(9L) + xl
+          val h = (base + lit(1L)) * lit(2654435761L) +
+            xl * lit(97L) + yl * lit(1031L)
+          val g = h.bitwiseXOR(shiftright(h, 7))
+          val p = pmod(g * lit(31L) + shiftright(g, 11), lit(241L))
+          when(pmod(did, lit(3L)) =!= lit(0L) && i === ipos,
+            pmod(p + lit(128L), lit(241L))).otherwise(p).cast("int")
+        })))
+      val pngs = ops.Multimodal.asGrayPngMediaTable(
+        docs.filter(pmod(did, lit(4L)).isin(0L, 2L)), "doc_id", 9, 8, pixels)
+      // q147's sample synthesis verbatim, over the audio subset
+      val apos = pmod(did * lit(13L), lit(520L))
+      val samples = transform(sequence(lit(0), lit(519)), i => {
+        val il = i.cast("long")
+        val h = (base + lit(1L)) * lit(2654435761L) + il * lit(7349L)
+        val g = h.bitwiseXOR(shiftright(h, 7))
+        val raw = pmod(g * lit(31L) + shiftright(g, 11), lit(30000L))
+        val rawP = when(pmod(did, lit(3L)) =!= lit(0L) && il === apos,
+          pmod(raw + lit(9000L), lit(30000L))).otherwise(raw)
+        (rawP - lit(15000L)).cast("int")
+      })
+      val wavs = ops.Multimodal.asPcmWavMediaTable(
+        docs.filter(pmod(did, lit(4L)) === 1L), "doc_id", 16000, samples)
+      // text payloads ride the SAME table (the "T " guard byte keeps a
+      // text prefix from colliding with a container magic — q163)
+      val texts = docs.filter(pmod(did, lit(4L)) === 3L)
+        .select(did.cast("long").as("media_id"), lit("text").as("media_type"),
+          encode(concat(lit("T "), substring(col("text"), 1, 64)), "UTF-8")
+            .as("payload"),
+          lit(null).cast("int").as("meta_width"),
+          lit(null).cast("int").as("meta_height"),
+          lit(null).cast("long").as("meta_duration_ms"))
+      val media = pngs.unionByName(wavs).unionByName(texts)
+      // SNIFF-ROUTE on payload bytes alone (never the kind column —
+      // production media arrives untagged)
+      val mimed = media.withColumn("mime",
+        ops.Mime.sniffMime(col("payload")))
+      val pairs = ops.Multimodal.imageNearDupPairs(
+          mimed.filter(col("mime") === "image/png"), maxHamming = 4)
+        .unionByName(ops.Multimodal.audioNearDupPairs(
+          mimed.filter(col("mime") === "audio/wav"), maxHamming = 4))
+      val labels = ops.Dedup.connectedComponents(
+        pairs.select(col("id_a"), col("id_b")))
+      val scored = docs.filter(pmod(did, lit(4L)) =!= 3L)
+        .select(did, col("n_chars").as("score"))
+      ops.Dedup.keepBestByLabelFrame(scored, "doc_id", "score", labels)
+        .select(col("doc_id"), col("score"))
     }),
   )
 
@@ -5597,7 +5752,7 @@ object SparkEntry {
     "q97_ivf_trained_recall_gate" ->
       "SELECT CAST(8500 AS BIGINT) AS floor_e4, true AS meets_floor",
     "q98_cosine_neardup_recall_gate" ->
-      "SELECT CAST(1000 AS BIGINT) AS floor_e4, true AS meets_floor",
+      "SELECT CAST(5000 AS BIGINT) AS floor_e4, true AS meets_floor",
     "q146_ivfpq_recall_gate" ->
       "SELECT CAST(6500 AS BIGINT) AS floor_e4, true AS meets_floor",
     "q157_pca_ann_gate" ->
@@ -7122,6 +7277,108 @@ object SparkEntry {
          SELECT doc_id, lang, rank_in_group, n_in_group
          FROM rk
          WHERE rank_in_group <= (500000 * n_in_group + 999999) // 1000000""",
+
+    // the q144 + q147 arithmetic replays over their sniff-routed
+    // subsets (the %4 routing IS what the mime dispatch computes:
+    // PNG magic for %4∈{0,2}, RIFF/WAVE for %4=1, the "T " text guard
+    // for %4=3 — pinned per-doc by q163), the union pair set closes
+    // transitively (recursive CTE), and keep-best replays the
+    // (n_chars DESC, doc_id ASC) window with unpaired media passing
+    // through
+    "q194_multimodal_curation" ->
+      """WITH RECURSIVE
+         img AS (SELECT doc_id, n_chars FROM documents WHERE doc_id % 4 IN (0, 2)),
+         aud AS (SELECT doc_id, n_chars FROM documents WHERE doc_id % 4 = 1),
+         hx AS (
+           SELECT d.doc_id, xs.x AS x, ys.y AS y,
+             ((d.doc_id - d.doc_id % 3) + 1) * 2654435761
+               + xs.x * 97 + ys.y * 1031 AS h
+           FROM img d
+           CROSS JOIN (SELECT unnest(range(0, 9)) AS x) xs
+           CROSS JOIN (SELECT unnest(range(0, 8)) AS y) ys),
+         px AS (
+           SELECT doc_id, x, y,
+             CASE WHEN doc_id % 3 <> 0
+                    AND y * 9 + x = (doc_id * 13) % 72
+               THEN ((g * 31 + (g >> 11)) % 241 + 128) % 241
+               ELSE (g * 31 + (g >> 11)) % 241
+             END AS p
+           FROM (SELECT doc_id, x, y, xor(h, h >> 7) AS g FROM hx)),
+         dh AS (
+           SELECT l.doc_id,
+             CAST(COALESCE(SUM(
+               CASE WHEN l.p < r.p AND l.y * 8 + l.x = 63
+                 THEN CAST(-9223372036854775808 AS HUGEINT)
+               WHEN l.p < r.p
+                 THEN CAST(CAST(1 AS BIGINT) << (l.y * 8 + l.x) AS HUGEINT)
+               ELSE CAST(0 AS HUGEINT) END), 0) AS BIGINT) AS dhash
+           FROM px l JOIN px r
+             ON r.doc_id = l.doc_id AND r.y = l.y AND r.x = l.x + 1
+           WHERE l.x < 8
+           GROUP BY l.doc_id),
+         ip AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.dhash, b.dhash)) <= 4),
+         sa AS (
+           SELECT d.doc_id, ix.i AS i,
+             ((d.doc_id - d.doc_id % 3) + 1) * 2654435761
+               + ix.i * 7349 AS h
+           FROM aud d
+           CROSS JOIN (SELECT unnest(range(0, 520)) AS i) ix),
+         sp AS (
+           SELECT doc_id, i,
+             CASE WHEN doc_id % 3 <> 0 AND i = (doc_id * 13) % 520
+               THEN ((g * 31 + (g >> 11)) % 30000 + 9000) % 30000 - 15000
+               ELSE (g * 31 + (g >> 11)) % 30000 - 15000
+             END AS smp
+           FROM (SELECT doc_id, i, xor(h, h >> 7) AS g FROM sa)),
+         en AS (
+           SELECT doc_id, i // 8 AS frame, SUM(abs(smp)) AS en
+           FROM sp GROUP BY doc_id, i // 8),
+         fp AS (
+           SELECT l.doc_id,
+             CAST(COALESCE(SUM(
+               CASE WHEN l.en < r.en AND l.frame = 63
+                 THEN CAST(-9223372036854775808 AS HUGEINT)
+               WHEN l.en < r.en
+                 THEN CAST(CAST(1 AS BIGINT) << l.frame AS HUGEINT)
+               ELSE CAST(0 AS HUGEINT) END), 0) AS BIGINT) AS afp
+           FROM en l JOIN en r
+             ON r.doc_id = l.doc_id AND r.frame = l.frame + 1
+           WHERE l.frame < 64
+           GROUP BY l.doc_id),
+         ap AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.afp, b.afp)) <= 4),
+         pr AS (SELECT * FROM ip UNION ALL SELECT * FROM ap),
+         e AS (SELECT id_a AS src, id_b AS dst FROM pr
+               UNION SELECT id_b, id_a FROM pr),
+         reach(id, r) AS (
+           SELECT src, src FROM e
+           UNION
+           SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+         labels AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+         pool AS (SELECT doc_id, n_chars FROM img
+                  UNION ALL SELECT doc_id, n_chars FROM aud),
+         best AS (
+           SELECT p2.doc_id, p2.n_chars FROM pool p2
+           JOIN labels l ON p2.doc_id = l.id
+           QUALIFY row_number() OVER (PARTITION BY l.rep
+             ORDER BY p2.n_chars DESC, p2.doc_id ASC) = 1),
+         unpaired AS (
+           SELECT doc_id, n_chars FROM pool
+           WHERE doc_id NOT IN (SELECT id FROM labels))
+         SELECT doc_id, CAST(n_chars AS BIGINT) AS score
+         FROM (SELECT * FROM best UNION ALL SELECT * FROM unpaired)""",
+
+    // sliced-built-index serve ≡ one-shot serve is structural (pure
+    // per-vector encoding + deterministic serve ranking); the index
+    // row count replays as the corpus count
+    "q193_pq_streamed_serve" ->
+      """SELECT count(*) AS n_index_rows, true AS served_equals_oneshot
+         FROM embeddings""",
 
     // q33_ann_lsh / q35_cosine_neardup / q36_ann_ivf /
     // q54_ann_lsh_multi: probabilistic and hash-family-specific — the

@@ -765,6 +765,59 @@ object Dedup {
   def connectedComponentsIncremental(oldLabels: DataFrame,
                                      newPairs: DataFrame,
                                      maxIter: Int = 20): DataFrame = {
+    val (lookup, merged, endpoints) =
+      ccDeltaParts(oldLabels, newPairs, maxIter)
+    // expand: old nodes remap through their component's rep; untouched
+    // components (rep absent from the delta) keep their label. The
+    // second and last standing-table touch — a scan with the
+    // delta-sized merged labels broadcast into it.
+    val remapped = oldLabels.select(col("id"), col("label"))
+      .join(broadcast(merged.select(col("id").as("label"),
+        col("label").as("__m"))), Seq("label"), "left")
+      .select(col("id"), coalesce(col("__m"), col("label")).as("label"))
+    remapped.unionByName(
+      ccUnseenRows(lookup, merged, endpoints).select(col("id"), col("label")))
+  }
+
+  /** The UPSERT DELTA of [[connectedComponentsIncremental]] — only the
+    * rows the fold CHANGES or ADDS, with `is_new` marking rows absent
+    * from the standing table. The keyed-merge write path
+    * ([[graft.streaming.StreamingCc.incrementalCcMergeSink]]) consumes
+    * this instead of rewriting the whole table: at 10¹¹ standing
+    * labels the full output is corpus-sized while this frame is
+    * delta-COMPONENT-sized (standing rows whose component absorbed a
+    * delta edge, plus genuinely new ids). Invariant (spec-gated):
+    *   incremental(old, pairs) ≡ old ⟂ changed.id  ∪  changed
+    * (anti join on id, then union) — i.e. applying this frame as a
+    * keyed MERGE reproduces the full fold exactly. On a replayed or
+    * fully-absorbed batch the frame is EMPTY (every edge contracts to
+    * a self-loop and every remap is the identity) — the merge write's
+    * replay-safety is inherited from the same structural argument.
+    */
+  def connectedComponentsIncrementalChanged(oldLabels: DataFrame,
+                                            newPairs: DataFrame,
+                                            maxIter: Int = 20): DataFrame = {
+    val (lookup, merged, endpoints) =
+      ccDeltaParts(oldLabels, newPairs, maxIter)
+    // standing rows whose label actually moves: remap entries that are
+    // not the identity, inner-joined INTO the standing table (one
+    // pruned scan, broadcast probe — the remapped-join shape minus the
+    // untouched majority)
+    val changedStanding = oldLabels.select(col("id"), col("label"))
+      .join(broadcast(merged.filter(col("id") =!= col("label"))
+        .select(col("id").as("label"), col("label").as("__m"))),
+        Seq("label"))
+      .select(col("id"), col("__m").as("label"), lit(false).as("is_new"))
+    changedStanding.unionByName(ccUnseenRows(lookup, merged, endpoints))
+  }
+
+  /** Shared delta machinery of the incremental-CC faces: the standing
+    * lookup slice, the delta-contracted component merge, and the
+    * delta's endpoint set — every frame delta-sized, the standing
+    * table touched by exactly one semi-joined scan.
+    */
+  private def ccDeltaParts(oldLabels: DataFrame, newPairs: DataFrame,
+                           maxIter: Int): (DataFrame, DataFrame, DataFrame) = {
     val pairs = newPairs.select(col("id_a"), col("id_b"))
     // SEMI-JOIN REDUCTION first (r17 — the 100 TB shape): the naive
     // form left-joined the delta against the FULL standing table
@@ -796,23 +849,21 @@ object Dedup {
       .filter(col("id_a") =!= col("id_b"))
     // delta-sized CC over the contracted graph
     val merged = connectedComponents(contracted, maxIter)
-    // expand: old nodes remap through their component's rep; untouched
-    // components (rep absent from the delta) keep their label. The
-    // second and last standing-table touch — a scan with the
-    // delta-sized merged labels broadcast into it.
-    val remapped = oldLabels.select(col("id"), col("label"))
-      .join(broadcast(merged.select(col("id").as("label"),
-        col("label").as("__m"))), Seq("label"), "left")
-      .select(col("id"), coalesce(col("__m"), col("label")).as("label"))
-    // unseen endpoints: their own merged label (themselves when their
-    // only delta edges were self-loops) — all frames delta-sized
-    val unseen = endpoints
+    (lookup, merged, endpoints)
+  }
+
+  /** Unseen delta endpoints as label rows: their own merged label
+    * (themselves when their only delta edges were self-loops) — all
+    * frames delta-sized. `is_new` rides along for the upsert face.
+    */
+  private def ccUnseenRows(lookup: DataFrame, merged: DataFrame,
+                           endpoints: DataFrame): DataFrame =
+    endpoints
       .join(broadcast(lookup.select(col("id"))), Seq("id"), "left_anti")
       .join(broadcast(merged.select(col("id"), col("label").as("__m"))),
         Seq("id"), "left")
-      .select(col("id"), coalesce(col("__m"), col("id")).as("label"))
-    remapped.unionByName(unseen)
-  }
+      .select(col("id"), coalesce(col("__m"), col("id")).as("label"),
+        lit(true).as("is_new"))
 
   /** Keep one representative (the component's min id) per near-dup
     * cluster: drops every non-representative member of `df`. Documents

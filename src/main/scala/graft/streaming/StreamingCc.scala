@@ -112,6 +112,134 @@ object StreamingCc {
     }
   }
 
+  def ensureBucketedTable(spark: SparkSession, db: String,
+                          labelTable: String): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+    spark.sql(s"CREATE TABLE IF NOT EXISTS `$db`.`$labelTable` " +
+      "(`id` BIGINT, `label` BIGINT) USING PARQUET " +
+      "PARTITIONED BY (`bucket` INT)")
+  }
+
+  /** KEYED-MERGE label maintenance (r18, verdict #7) — the same fold
+    * as [[incrementalCcSink]] with a write cost proportional to the
+    * CHANGED labels instead of the whole table. The remap join already
+    * computes exactly the upsert delta
+    * ([[graft.ops.Dedup.connectedComponentsIncrementalChanged]]:
+    * standing rows whose component absorbed a delta edge + genuinely
+    * new ids — delta-COMPONENT-sized); this sink applies it as a
+    * partition-pruned MERGE over a bucket-partitioned parquet table:
+    *
+    *  - the table is `PARTITIONED BY (bucket)` with
+    *    bucket = pmod(xxhash64(id), nBuckets) — id-deterministic, so
+    *    an upsert touches exactly the buckets its changed ids hash to;
+    *  - per batch, only the TOUCHED buckets are read back
+    *    (partition-pruned scan), merged with the changed rows (anti
+    *    join on id = the upsert), and rewritten under DYNAMIC
+    *    partition overwrite — untouched buckets' files are never read
+    *    or written (spec-gated by file-listing equality);
+    *  - replay-safe BY INHERITANCE: a replayed batch's changed frame
+    *    is EMPTY (every edge contracts to a self-loop, every remap is
+    *    the identity), so the merge write is a whole-batch no-op.
+    *
+    * This is the sandbox's parquet rendition of an ACID table MERGE
+    * keyed on id (Delta/Iceberg `MERGE INTO ... WHEN MATCHED UPDATE
+    * WHEN NOT MATCHED INSERT` — the documented 100 TB seam): there the
+    * cost is row-group-level, here it is bucket-granular — size
+    * nBuckets so a bucket is one comfortable file (corpus/nBuckets
+    * rows), and a daily delta touching k components rewrites ~k
+    * buckets, not the corpus.
+    *
+    * `onBatch(batchId, nPairs, nChanged, nTouchedBuckets)`.
+    */
+  def incrementalCcMergeSink(spark: SparkSession, db: String,
+                             labelTable: String, nBuckets: Int = 64,
+                             maxIter: Int = 20)
+                            (onBatch: (Long, Long, Long, Long) => Unit =
+                               (_, _, _, _) => ())
+      : (DataFrame, Long) => Unit = {
+    require(nBuckets >= 1, "nBuckets must be positive")
+    ensureBucketedTable(spark, db, labelTable)
+    val target = s"`$db`.`$labelTable`"
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      pmod(xxhash64(c), lit(nBuckets.toLong)).cast("int")
+    var expectedLabels = spark.table(target).count()
+    def awaitVisible(): Unit = TableSync.awaitVisible(spark,
+      Seq(((db, labelTable), expectedLabels)))
+    (pairs: DataFrame, batchId: Long) => {
+      if (pairs.isEmpty) onBatch(batchId, 0L, 0L, 0L)
+      else {
+        val delta = pairs.select(col("id_a").cast("long").as("id_a"),
+          col("id_b").cast("long").as("id_b")).persist()
+        val preexisting = spark.sparkContext.getPersistentRDDs.keySet
+        val scopeMark = graft.ops.CacheScope.mark(spark)
+        try {
+          val nPairs = delta.count()
+          val oldLabels = spark.table(target).select(col("id"), col("label"))
+          // truncate lineage: the partition overwrite below must not
+          // read the files it replaces (the lwwOverwrite doctrine)
+          val changed = Dedup
+            .connectedComponentsIncrementalChanged(oldLabels, delta, maxIter)
+            .withColumn("bucket", bucketOf(col("id")))
+            .localCheckpoint(true)
+          val nChanged = changed.count()
+          if (nChanged == 0L) onBatch(batchId, nPairs, 0L, 0L)
+          else {
+            // bucket list: ≤ nBuckets ints — a model-sized collect
+            val buckets = changed.select(col("bucket")).distinct()
+              .collect().map(_.getInt(0)).sorted
+            val nNew = changed.filter(col("is_new")).count()
+            // merged content of the touched buckets only: the pruned
+            // read carries the partition filter (bucket IN ...), the
+            // anti join is the upsert's DELETE face, the union its
+            // INSERT face. Checkpointed: it reads the files the
+            // overwrite replaces.
+            val touched = spark.table(target)
+              .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*))
+              .join(changed.select(col("id")), Seq("id"), "left_anti")
+              .select(col("id"), col("label"), col("bucket"))
+              .unionByName(changed.select(col("id"), col("label"),
+                col("bucket")))
+              .localCheckpoint(true)
+            // DYNAMIC partition overwrite: only the partitions present
+            // in the frame (= the touched buckets) are replaced. Set
+            // via session conf, NOT the writer option — insertInto on
+            // a catalog parquet table ignored the option here and ran
+            // STATIC overwrite, truncating every untouched bucket
+            // (caught by the spec's file-listing assertion; one label
+            // row vanished per batch)
+            val pomKey = "spark.sql.sources.partitionOverwriteMode"
+            val prevPom = spark.conf.getOption(pomKey)
+            spark.conf.set(pomKey, "dynamic")
+            try touched.write.mode("overwrite").insertInto(target)
+            finally prevPom match {
+              case Some(v) => spark.conf.set(pomKey, v)
+              case None => spark.conf.unset(pomKey)
+            }
+            expectedLabels += nNew
+            awaitVisible()
+            onBatch(batchId, nPairs, nChanged, buckets.length.toLong)
+          }
+        } finally {
+          spark.sparkContext.getPersistentRDDs
+            .filter { case (rddId, _) => !preexisting.contains(rddId) }
+            .values.foreach(_.unpersist(blocking = false))
+          graft.ops.CacheScope.releaseSince(spark, scopeMark)
+          delta.unpersist()
+          org.apache.spark.sql.graft.CatalogCache
+            .uncacheReferencing(spark, target)
+          ()
+        }
+      }
+    }
+  }
+
+  /** The maintained labeling of a BUCKETED table, as the (id, label)
+    * frame every derived view consumes.
+    */
+  def bucketedLabels(spark: SparkSession, db: String,
+                     labelTable: String): DataFrame =
+    spark.table(s"`$db`.`$labelTable`").select(col("id"), col("label"))
+
   /** The maintained labeling, as the (id, label) frame every derived
     * view consumes ([[graft.ops.Dedup.keepBestByLabelFrame]], drop
     * lists, histograms).

@@ -339,6 +339,34 @@ class PlanPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("q190 classifier training: tokens hash map-side, text never enters an exchange") {
+    // the scoring-family invariant applied to gradient descent: the
+    // token-count frame aggregates on (doc_id, y, xxhash64(w)) with
+    // map-side partials, so every training exchange carries
+    // (id, 8-byte hash, count) — never document text or token strings
+    val p = plan("q190_quality_lr_scores")
+    val bad = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .filter(l => l.contains("text#") || l.contains(", w#") ||
+        l.contains("(w#"))
+      .toSeq
+    assert(bad.isEmpty, s"classifier shuffles raw text/tokens:\n${bad.mkString("\n")}")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
+  test("q193 streamed-index serve: payload vectors only re-rank; index rows route the join") {
+    // both serves must join the INDEX (vec_id, cell, codes) — the
+    // full-precision embeddings may appear only in the point-lookup
+    // re-rank join and the query-side LUT build, never in a
+    // hash-partitioned exchange of the corpus
+    val p = plan("q193_pq_streamed_serve")
+    val vecShuffles = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .filter(_.contains("embedding#"))
+      .toSeq
+    assert(vecShuffles.isEmpty, vecShuffles.mkString("\n"))
+  }
+
   test("q164 k-means assignment: the corpus never hash-shuffles") {
     // the r15 probe finding, locked: assignment must be the narrow
     // fold over the broadcast 1-row centroid array (a scalar-broadcast

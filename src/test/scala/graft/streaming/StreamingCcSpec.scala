@@ -84,6 +84,108 @@ class StreamingCcSpec extends SparkSpec {
       === before, "redelivered pairs must be no-ops")
   }
 
+  test("merge sink: changed-frame upsert equals the full fold, any slicing") {
+    // the keyed-merge face must maintain the identical labeling
+    val expected = Dedup.connectedComponents(
+        allPairs.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toSet
+    val slicings = Seq(
+      Seq(allPairs),
+      allPairs.grouped(3).toSeq,
+      allPairs.map(Seq(_)))
+    for ((slicing, i) <- slicings.zipWithIndex) {
+      val table = s"scc_merge_$i"
+      val sink = StreamingCc.incrementalCcMergeSink(spark, db, table,
+        nBuckets = 8)()
+      slicing.zipWithIndex.foreach { case (s, bid) =>
+        sink(s.toDF("id_a", "id_b"), bid.toLong)
+      }
+      val got = StreamingCc.bucketedLabels(spark, db, table)
+        .as[(Long, Long)].collect().toSet
+      assert(got === expected, s"slicing into ${slicing.size} batches")
+    }
+  }
+
+  test("merge sink: replay is a no-op and untouched buckets' files are never rewritten") {
+    val table = "scc_merge_prune"
+    val nBuckets = 8
+    var lastTouched = -1L
+    val sink = StreamingCc.incrementalCcMergeSink(spark, db, table,
+      nBuckets = nBuckets) { (_, _, _, nb) => lastTouched = nb; () }
+    sink(allPairs.take(6).toDF("id_a", "id_b"), 0L)
+
+    def bucketFiles(): Map[String, Set[String]] = {
+      val loc = new java.io.File(new java.net.URI(
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(table, Some(db)))
+          .location.toString))
+      Option(loc.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("bucket="))
+        .map(d => d.getName -> Option(d.listFiles()).getOrElse(Array.empty)
+          .map(f => s"${f.getName}:${f.length()}").toSet)
+        .toMap
+    }
+    val before = bucketFiles()
+
+    // REPLAY: every edge contracts to a self-loop, the changed frame
+    // is empty, and the merge write must be a whole-batch no-op — not
+    // one file of one bucket rewritten
+    sink(allPairs.take(6).toDF("id_a", "id_b"), 0L)
+    assert(lastTouched === 0L, "replayed batch must touch zero buckets")
+    assert(bucketFiles() === before,
+      "replay must not rewrite any bucket file")
+
+    // a small delta: only the buckets its changed ids hash to may
+    // change; every other bucket's files must be byte-identical
+    val delta = Seq((4L, 10L))
+    val preLabels = StreamingCc.bucketedLabels(spark, db, table)
+      .as[(Long, Long)].collect().toSeq
+    sink(delta.toDF("id_a", "id_b"), 1L)
+    val changedIds = Dedup.connectedComponentsIncrementalChanged(
+        preLabels.toDF("id", "label"), delta.toDF("id_a", "id_b"))
+      .select("id").as[Long].collect()
+    val after = bucketFiles()
+    val touchedNames = spark.table(s"`$db`.`$table`")
+      .filter(col("id").isin(changedIds.map(Long.box): _*))
+      .select("bucket").distinct().as[Int].collect()
+      .map(b => s"bucket=$b").toSet
+    // the untouched majority is byte-identical
+    for ((bname, files) <- before if !touchedNames.contains(bname))
+      assert(after(bname) === files, s"$bname was rewritten without a change")
+    assert(lastTouched > 0L && lastTouched <= touchedNames.size.toLong,
+      s"touched-bucket count $lastTouched vs ${touchedNames.size}")
+    // and the labeling is still the full fold's
+    val expected = Dedup.connectedComponents(
+        (allPairs.take(6) ++ delta).toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toSet
+    assert(StreamingCc.bucketedLabels(spark, db, table)
+      .as[(Long, Long)].collect().toSet === expected)
+  }
+
+  test("connectedComponentsIncrementalChanged: old - changed + changed = full fold") {
+    // the upsert-delta invariant the merge write relies on, checked as
+    // a plain frame identity on a merge-across-batches step
+    val old = Dedup.connectedComponents(
+      allPairs.take(6).toDF("id_a", "id_b"))
+    val delta = allPairs.drop(6).toDF("id_a", "id_b")
+    val full = Dedup.connectedComponentsIncremental(old, delta)
+      .as[(Long, Long)].collect().toSet
+    val changed = Dedup.connectedComponentsIncrementalChanged(old, delta)
+    val applied = old.join(changed.select("id"), Seq("id"), "left_anti")
+      .unionByName(changed.select(col("id"), col("label")))
+      .as[(Long, Long)].collect().toSet
+    assert(applied === full, "keyed merge of the changed frame must equal the full fold")
+    // is_new marks exactly the rows absent from the standing table
+    val newIds = changed.filter(col("is_new")).select("id").as[Long].collect().toSet
+    val oldIds = old.select("id").as[Long].collect().toSet
+    assert(newIds.forall(!oldIds.contains(_)))
+    assert(changed.filter(!col("is_new")).select("id").as[Long].collect()
+      .forall(oldIds.contains))
+    // changed is delta-component-sized: nothing from the untouched
+    // component (20,21) appears
+    assert(!changed.select("id").as[Long].collect().exists(Set(20L, 21L)))
+  }
+
   test("composed pipeline: StreamingDedup pairs -> label table -> keepBest equals batch") {
     // the full ingest-path regime: documents stream in, the dedup sink
     // emits each batch's pair delta (cross-batch via the signature

@@ -22,6 +22,12 @@ class CoverageDocSpec extends AnyFunSuite {
       "COVERAGE.md oracle count drifted from SparkEntry.oracleSql")
   }
 
+  test("every gate-family tag names a real query (the bench subtotal split)") {
+    val qs = graft.SparkEntry.queries.keySet
+    val ghosts = graft.SparkEntry.gateQueries -- qs
+    assert(ghosts.isEmpty, s"gateQueries tags without a query: $ghosts")
+  }
+
   test("every oracleSql key has a queries entry, and rows-only queries are the documented six") {
     val qs = graft.SparkEntry.queries.keySet
     val os = graft.SparkEntry.oracleSql.keySet

@@ -92,6 +92,31 @@ object GateProbe {
     val pr = exactPairs.intersect(lshPairs).size.toDouble / math.max(exactPairs.size, 1)
     println(f"q35 pair recall vs within-label exact: $pr%.4f (truth ${exactPairs.size})")
 
+    // q98 r18 planted edition: pair recall on the 16-cluster synthesis
+    // at production similarity (cos >= 0.85) — the high-recall regime
+    {
+      val vid = col("vec_id")
+      val structured = emb.select(vid,
+        transform(sequence(lit(0), lit(63)), i => {
+          val c = pmod(vid, lit(16L))
+          val center = (pmod(c * 31L + i.cast("long") * 17L +
+            c * i.cast("long") * 7L, lit(19L)).cast("double") - 9.0) / 9.0
+          val eps = (pmod(vid * 7L + i.cast("long") * 3L, lit(11L))
+            .cast("double") - 5.0) / 5.0 * 0.05
+          (center + eps).cast("float")
+        }).as("embedding"),
+        pmod(vid, lit(16L)).cast("int").as("label")).persist()
+      val truthP = Similarity.cosinePairsLabelExact(structured, "label", 8500L)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val gotP = Similarity.cosineNearDupPairsMulti(structured,
+          minSimE4 = 8500L, nPlanes = 8, nTables = 8)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(f"q98 planted pair recall @8500: ${truthP.intersect(gotP).size.toDouble / math.max(truthP.size, 1)}%.4f (truth ${truthP.size})")
+      structured.unpersist()
+    }
+
     // q90's over-bound dispatch: label-blocked LSH with threshold-
     // adaptive planes vs the same exact truth
     spark.conf.set("graft.sim.maxBlock", "2")
