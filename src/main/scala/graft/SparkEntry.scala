@@ -3566,6 +3566,35 @@ object SparkEntry {
           (col("mism") === 0L).as("served_equals_oneshot"))
     }),
 
+    // BUCKETED (hashing-trick) CLASSIFIER (r18): q190's training with
+    // feature id = pmod(xxhash64(w), 4096) — the 100 TB vocabulary
+    // dial made driver-visible (model bounded at nBuckets rows however
+    // large the corpus vocabulary grows). Bucket ids are xxhash64-
+    // derived, so the oracle can't replay the weights string-keyed
+    // (the q33-family limitation); the gate is therefore the measured
+    // accuracy floor under a constant oracle, like q94-q98: measured
+    // 0.896/0.904/0.901 at sf0.001/0.01/0.1 — IDENTICAL to the
+    // unbucketed q191 at this vocab (LrProbe; zero collisions at
+    // 4096), floor 0.70 = chance + 0.20 at measured chance + 0.40.
+    // The collision trade is recorded honestly: nBuckets=64 degrades
+    // to 0.52-0.79 (LrProbe row), the standard hashing-trick cost.
+    "q195_quality_lr_bucketed_gate" -> ((s, dir) => {
+      val aug = lrAugment(T(s, dir, "documents"))
+      val model = ops.QualityClassifier.trainLogistic(
+        aug.filter(pmod(col("doc_id"), lit(2L)) === 0L),
+        "doc_id", "text", "y", rounds = 2, gMul = 16L, nBuckets = 4096L)
+      val test = aug.filter(pmod(col("doc_id"), lit(2L)) === 1L)
+      ops.QualityClassifier.scoreLogistic(test, model, "doc_id", "text",
+          nBuckets = 4096L)
+        .join(test.select(col("doc_id"), col("y")), Seq("doc_id"))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("pred") === (col("y") === 1L), 1L).otherwise(0L))
+            .as("n_correct"))
+        .select(col("n_test"), lit(7000L).as("floor_e4"),
+          (col("n_correct") * 10000L >= col("n_test") * 7000L)
+            .as("meets_floor"))
+    }),
+
     // MULTIMODAL CURATION PIPELINE (r18, verdict #5) — the q189
     // composition on the media side, in production order under ONE
     // oracle: a mixed-payload media table (real PNG bytes for half the
@@ -7372,6 +7401,14 @@ object SparkEntry {
            WHERE doc_id NOT IN (SELECT id FROM labels))
          SELECT doc_id, CAST(n_chars AS BIGINT) AS score
          FROM (SELECT * FROM best UNION ALL SELECT * FROM unpaired)""",
+
+    // bucket ids are xxhash64-derived (not SQL-replayable), so the
+    // gate is the q94-style measured floor: n_test replays, the
+    // accuracy boolean is computed in Spark against the floor constant
+    "q195_quality_lr_bucketed_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_test,
+           CAST(7000 AS BIGINT) AS floor_e4, true AS meets_floor
+         FROM documents WHERE doc_id % 2 = 1""",
 
     // sliced-built-index serve ≡ one-shot serve is structural (pure
     // per-vector encoding + deterministic serve ranking); the index

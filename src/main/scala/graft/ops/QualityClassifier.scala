@@ -71,15 +71,22 @@ object QualityClassifier {
   private def clampP(zE6: Column): Column =
     greatest(lit(0L), least(lit(1000000L), fdiv(zE6, lit(4L)) + lit(500000L)))
 
-  /** (doc_id, y?, h, c) token-count features. */
+  /** (doc_id, y?, h, c) token-count features. `nBuckets > 0` applies
+    * the hashing trick (Weinberger et al. 2009): feature id =
+    * pmod(xxhash64(w), nBuckets) — the 100 TB vocabulary dial, bounding
+    * the model table at nBuckets rows with zero change to the training
+    * arithmetic (collisions merge features, the standard trade).
+    */
   private def features(df: DataFrame, idCol: String, textCol: String,
-                       labelCol: Option[String]): DataFrame = {
+                       labelCol: Option[String], nBuckets: Long): DataFrame = {
+    val hcol = if (nBuckets > 0L) pmod(xxhash64(col("w")), lit(nBuckets))
+               else xxhash64(col("w"))
     val base = df.select(
       col(idCol).as("doc_id") +:
         labelCol.map(l => col(l).cast("long").as("y")).toSeq :+
         explode(TextFunctions.tokenize(lower(col(textCol)))).as("w"): _*)
     base.groupBy((col("doc_id") +: labelCol.map(_ => col("y")).toSeq) :+
-        xxhash64(col("w")).as("h"): _*)
+        hcol.as("h"): _*)
       .agg(count(lit(1)).as("c"))
   }
 
@@ -89,11 +96,11 @@ object QualityClassifier {
     */
   def trainLogistic(train: DataFrame, idCol: String, textCol: String,
                     labelCol: String, rounds: Int = 2,
-                    gMul: Long = 16L): LogisticModel = {
+                    gMul: Long = 16L, nBuckets: Long = 0L): LogisticModel = {
     require(rounds >= 1, "need at least one round")
     require(gMul >= 1L, "gMul must be positive")
     val cnts = CacheScope.persist(
-      features(train, idCol, textCol, Some(labelCol)))
+      features(train, idCol, textCol, Some(labelCol), nBuckets))
     val n = cnts.select(col("doc_id")).distinct().count()
     require(n > 0, "empty (or untokenizable) training set")
     val g = lit(gMul * n)
@@ -144,8 +151,8 @@ object QualityClassifier {
     * family).
     */
   def scoreLogistic(docs: DataFrame, model: LogisticModel, idCol: String,
-                    textCol: String): DataFrame =
-    features(docs, idCol, textCol, None)
+                    textCol: String, nBuckets: Long = 0L): DataFrame =
+    features(docs, idCol, textCol, None, nBuckets)
       .join(model.w, Seq("h"), "left")
       .groupBy(col("doc_id"))
       .agg((lit(model.biasE6) +

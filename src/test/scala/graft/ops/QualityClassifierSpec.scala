@@ -124,6 +124,32 @@ class QualityClassifierSpec extends SparkSpec {
       s"held-out accuracy $correct/${test.size} under 0.70 floor")
   }
 
+  test("hashing trick: collision-free bucketing reproduces the unbucketed scores; the model is bounded") {
+    val all = fixture(120)
+    val train = all.map(d => (d._1, d._2, d._3)).filter(_._1 % 2 == 0)
+    val test = all.filter(_._1 % 2 == 1).map(d => (d._1, d._2)).toDF("doc_id", "text")
+    val trainDf = train.toDF("doc_id", "text", "y")
+    def scores(nb: Long) = {
+      val m = QualityClassifier.trainLogistic(trainDf, "doc_id", "text",
+        "y", rounds = 2, gMul = 16L, nBuckets = nb)
+      (m, QualityClassifier.scoreLogistic(test, m, "doc_id", "text",
+        nBuckets = nb).collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap)
+    }
+    // 2^30 buckets over the fixture's 10-token vocabulary: no
+    // collisions (deterministic for this fixed fixture), so bucketing
+    // must change NOTHING — the dial's arithmetic-transparency claim
+    val (_, unb) = scores(0L)
+    val (_, big) = scores(1L << 30)
+    assert(big === unb, "collision-free bucketing must reproduce the scores")
+    // a tiny bucket space degrades but stays bounded: the model table
+    // can never exceed nBuckets rows, whatever the vocabulary
+    val (m4, _) = scores(4L)
+    assert(m4.w.count() <= 4L)
+    val hs = m4.w.select("h").as[Long].collect()
+    assert(hs.forall(h => h >= 0L && h < 4L), hs.mkString(","))
+  }
+
   test("zero-token docs are absent; empty training set fails loud") {
     val m = QualityClassifier.trainLogistic(
       Seq((1L, "a b", 1L), (2L, "   ", 0L), (3L, "b c", 0L))

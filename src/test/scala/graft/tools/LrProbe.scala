@@ -25,18 +25,20 @@ object LrProbe {
             .when(pmod(col("doc_id"), lit(4L)) <= 1L, lit(" qmk qmk qmk"))
             .otherwise(lit(" jmk jmk jmk"))).as("text"),
         (pmod(col("doc_id"), lit(4L)) <= 1L).cast("long").as("y"))
-    for (sf <- Seq("0.001", "0.01", "0.1"); g <- Seq(16L, 4L)) {
+    for (sf <- Seq("0.001", "0.01", "0.1"); (g, nb) <- Seq((16L, 0L),
+        (4L, 0L), (16L, 4096L), (16L, 64L))) {
       val d = aug(graft.core.Tables.load(spark,
         s"/root/testdata/sf$sf", "documents"))
       val m = QualityClassifier.trainLogistic(
         d.filter(pmod(col("doc_id"), lit(2L)) === 0L),
-        "doc_id", "text", "y", rounds = 2, gMul = g)
+        "doc_id", "text", "y", rounds = 2, gMul = g, nBuckets = nb)
       val test = d.filter(pmod(col("doc_id"), lit(2L)) === 1L)
-      val r = QualityClassifier.scoreLogistic(test, m, "doc_id", "text")
+      val r = QualityClassifier.scoreLogistic(test, m, "doc_id", "text",
+          nBuckets = nb)
         .join(test.select(col("doc_id"), col("y")), Seq("doc_id"))
         .agg(count(lit(1)), sum(when(col("pred") === (col("y") === 1L), 1L)
           .otherwise(0L))).head()
-      println(f"sf$sf gMul=$g: acc=${r.getLong(1).toDouble / r.getLong(0)}%.4f (${r.getLong(1)}/${r.getLong(0)})")
+      println(f"sf$sf gMul=$g nBuckets=$nb: acc=${r.getLong(1).toDouble / r.getLong(0)}%.4f (${r.getLong(1)}/${r.getLong(0)})")
       graft.ops.CacheScope.release(spark)
     }
     spark.stop()
