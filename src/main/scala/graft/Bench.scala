@@ -221,6 +221,26 @@ object Bench {
         os.getProcessCpuTime / 1000000L
       case _ => -1L
     }
+  /** Mean reported core frequency (MHz) from /proc/cpuinfo, 0.0 when
+    * unreadable. The storm rule's RIVAL-mechanism guard (r19 ADVICE):
+    * CPU-frequency throttling is the one alternative cause that shares
+    * the interpreter-pin signature exactly (per-task CPU time counts
+    * on-CPU wall, so half the clock = double the CPU ms with flat
+    * tasks/GC/ext_cores). Sampling the clock at both rep edges lets
+    * the exclusion rule require the rep ran at nominal frequency —
+    * throttled reps stay IN the median. (Cold page cache and cgroup
+    * CPU pressure, the advisor's other rivals, inflate WALL but not
+    * executor CPU — runnable-not-running and iowait are not CPU time —
+    * so the taskCpu-based trigger never fires on them in the first
+    * place.)
+    */
+  private def cpuMhzNow(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/cpuinfo")
+      val mhz = try src.getLines().filter(_.startsWith("cpu MHz"))
+        .map(_.split(":")(1).trim.toDouble).toArray finally src.close()
+      if (mhz.isEmpty) 0.0 else mhz.sum / mhz.length
+    } catch { case _: Throwable => 0.0 }
   /** external cores consumed during a window of `wallMs` given start/end
     * samples — (Δbusy − Δown + Δsteal) / wall, floored at 0 per term. */
   private def extCores(s0: Option[(Long, Long)], c0: Long,
@@ -379,6 +399,58 @@ object Bench {
       spark.stop()
       return
     }
+    // STORM PRODUCTION-EXPOSURE PROBE (r18 verdict #4): the bench
+    // storms because every rep BUILDS a fresh plan — fresh exprIds,
+    // fresh generated classes — and a stochastic pin leaves those
+    // classes interpreted end-to-end. A production job (streaming
+    // micro-batches, a multi-stage batch pipeline) re-executes the
+    // SAME generated classes per batch. This mode measures that shape
+    // directly: build the plan ONCE per trial, execute its toRdd
+    // several times with full data release (but NO re-plan) between
+    // executions — data-cold, class-warm — and record per-execution
+    // wall/taskCpu/jit. If a first execution storms, the later
+    // executions of the SAME classes show whether the pin persists or
+    // the methods promote; across trials the exec2+/exec1 CPU ratio
+    // quantifies what one storm costs a job that reuses its plan.
+    sys.env.get("SPARK_GRAFT_BENCH_STORMPROBE").foreach { probeArg =>
+      val parts = probeArg.split(":")
+      val name = parts(0)
+      val builds = if (parts.length > 1) parts(1).toInt else 8
+      val execs = if (parts.length > 2) parts(2).toInt else 3
+      warmUp(spark, sfDir)
+      try SparkEntry.prepareArtifacts(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] prepareArtifacts failed: $e") }
+      releaseAll(spark)
+      val census = new TaskCensus
+      spark.sparkContext.addSparkListener(census)
+      val trials = (1 to builds).map { b =>
+        val rdd = SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.toRdd
+        (1 to execs).map { e =>
+          org.apache.spark.graft.ShuffleDrain.flushListeners(spark.sparkContext)
+          val (tk0, _, _, tc0, _, _) = census.snap()
+          val j0 = jitMsNow()
+          val t0 = System.nanoTime()
+          val err = try { rdd.count(); false }
+            catch { case _: Throwable => true }
+          val t = (System.nanoTime() - t0) / 1e9
+          org.apache.spark.graft.ShuffleDrain.flushListeners(spark.sparkContext)
+          val (tk1, _, _, tc1, _, _) = census.snap()
+          System.err.println(f"[stormprobe] $name build=$b exec=$e t=$t%.2f taskCpu=${tc1 - tc0}ms tasks=${tk1 - tk0} jit=${jitMsNow() - j0}ms err=$err")
+          // drop every cached/persisted frame between executions but
+          // keep the plan and its loaded generated classes — the
+          // micro-batch contract (new data, same code)
+          releaseAll(spark)
+          (t, tc1 - tc0, err)
+        }
+      }
+      def arr(f: ((Double, Long, Boolean)) => String) = trials.map(tr =>
+        tr.map(f).mkString("[", ",", "]")).mkString("[", ",", "]")
+      println(s"""{"metric":"stormprobe","query":"$name","builds":$builds,"execs":$execs,"t":${arr(x => String.format(java.util.Locale.ROOT, "%.3f", Double.box(x._1)))},"task_cpu_ms":${arr(_._2.toString)},"err":${trials.exists(_.exists(_._3))},"sf":"$sfDir"}""")
+      spark.stop()
+      return
+    }
     // Warm the JVM/codegen/scan paths once so the first timed query
     // doesn't absorb session startup (see warmUp).
     val warmed = warmUp(spark, sfDir)
@@ -426,7 +498,8 @@ object Bench {
     case class Rep(t: Double, err: Boolean, ext: Double,
                    gcMs: Long = 0L, jitMs: Long = 0L, tasks: Long = 0L,
                    taskRunMs: Long = 0L, taskMaxMs: Long = 0L,
-                   spillMb: Long = 0L, taskCpuMs: Long = 0L)
+                   spillMb: Long = 0L, taskCpuMs: Long = 0L,
+                   mhz: Double = 0.0)
     // one census per SparkContext (the isolated cross-check runs in a
     // fresh context with its own listener — see below)
     val censuses = new java.util.concurrent.ConcurrentHashMap[SparkSession, TaskCensus]()
@@ -438,16 +511,25 @@ object Bench {
       })
     def runRep(s: SparkSession, name: String): Rep = {
       val census = censusFor(s)
+      // flush the async listener bus at BOTH snapshot edges (r19
+      // ADVICE): onTaskEnd events still queued — including stragglers
+      // from the previous rep's releaseAll — would otherwise smear
+      // task/CPU deltas across rep boundaries and misattribute storm
+      // classification
+      org.apache.spark.graft.ShuffleDrain.flushListeners(s.sparkContext)
       val s0 = sysCpuMs(); val c0 = ownCpuMs()
       val (g0, j0) = (gcMsNow(), jitMsNow())
       val (t0, _, r0, tc0, _, sp0) = census.snap()
       census.resetMax()
+      val mhz0 = cpuMhzNow()
       val (t, err) = runTimed(s, name, sfDir)
+      val mhz1 = cpuMhzNow()
       val ext = extCores(s0, c0, sysCpuMs(), ownCpuMs(), t * 1000.0)
+      org.apache.spark.graft.ShuffleDrain.flushListeners(s.sparkContext)
       val (t1, _, r1, tc1, _, sp1) = census.snap()
       val rep = Rep(t, err, ext, gcMsNow() - g0, jitMsNow() - j0,
         t1 - t0, r1 - r0, census.maxTaskMs.get, (sp1 - sp0) / 1000000L,
-        tc1 - tc0)
+        tc1 - tc0, (mhz0 + mhz1) / 2.0)
       // full synchronous release OFF the timed path — see releaseAll
       releaseAll(s)
       rep
@@ -489,12 +571,31 @@ object Bench {
     // every captured storm trips it at 9x+; negative control: healthy
     // rep-to-rep per-task CPU (incl. the 1.5-2.7x first-rep JIT
     // warm-up band) stays under the 3x threshold (SCALE.md r18).
+    // r19 hardening (ADVICE): the advisor asked for a corroborating
+    // JIT-side signal before excluding. jit_ms CANNOT corroborate —
+    // the r18 record shows it flat across storm and clean reps (q128's
+    // storm reps carried jit 3863/3753 ms vs a clean band of
+    // 3740-3761 ms: the pin stops GENERATED classes from being queued
+    // while everything else keeps compiling, so the aggregate counter
+    // never moves). What CAN be excluded by measurement is the one
+    // rival mechanism sharing the full signature — CPU-frequency
+    // throttling (CPU ms counts on-CPU wall; half clock = double CPU
+    // with flat tasks/GC/ext) — via the per-rep /proc/cpuinfo clock
+    // sample: a rep measured at < 80% of the base rep's frequency is
+    // NEVER storm-excluded. The other advisor rivals (cold page cache,
+    // cgroup CPU pressure) inflate wall, not executor CPU, so the
+    // taskCpu trigger is already blind to them. Every exclusion also
+    // prints a loud per-rep receipt line (see STORM-EXCLUDED below),
+    // and the unfiltered medians ride the record next to the filtered
+    // ones ("queries_raw" / "total_raw") so the two figures are always
+    // comparable from the artifact alone.
     def isInternalStorm(r: Rep, base: Rep): Boolean =
       r.tasks > 0 && base.tasks > 0 &&
         r.t > 1.0 && base.taskCpuMs > 200L &&
         math.abs(r.tasks - base.tasks) * 4 <= base.tasks &&
         r.gcMs * 5 < (r.t * 1000.0).toLong &&
         r.ext <= contamTh &&
+        (r.mhz <= 0.0 || base.mhz <= 0.0 || r.mhz >= 0.8 * base.mhz) &&
         r.taskCpuMs * base.tasks >= 3L * base.taskCpuMs * r.tasks
     def stormIdx(rs: Seq[Rep]): Set[Int] = {
       val withTasks = rs.filter(r => r.tasks > 0 && !r.err)
@@ -553,10 +654,28 @@ object Bench {
     // release+GC is retained session state — adjudicable from stderr.
     val rtEnd = Runtime.getRuntime
     System.err.println(f"[bench] suite done heapUsedGB=${(rtEnd.totalMemory - rtEnd.freeMemory) / 1e9}%.2f")
+    // loud per-exclusion receipts (r19 ADVICE): every storm-excluded
+    // rep is announced with the numbers that justified it, so a
+    // wrongly-dropped rep is visible in the round's stderr, not only
+    // reconstructible from the reps file
+    names.foreach { name =>
+      val rs = acc(name)
+      val storms = stormIdx(rs)
+      val clean = rs.zipWithIndex.count { case (r, i) =>
+        r.ext <= contamTh && !storms(i) }
+      if (clean >= 3) storms.foreach { i =>
+        val r = rs(i)
+        System.err.println(f"[bench] STORM-EXCLUDED $name rep=$i t=${r.t}%.2f taskCpu=${r.taskCpuMs}ms tasks=${r.tasks} gc=${r.gcMs}ms ext=${r.ext}%.1f mhz=${r.mhz}%.0f (cleanBand=${rs.zipWithIndex.collect { case (x, j) if !storms(j) && x.ext <= contamTh => x.t }.map(t => f"$t%.2f").mkString(",")})")
+      }
+    }
     val results = names.map { name =>
       val rs = acc(name)
       (name, median(cleanTs(rs)), rs.map(_.t), rs.exists(_.err))
     }
+    // the UNFILTERED twin of every median (all reps, storms and
+    // contamination included) — the storm-excluded figure is reported
+    // ALONGSIDE, never instead (r19 ADVICE)
+    val rawMedians = names.map(k => k -> median(acc(k).map(_.t))).toMap
     val detail = results.map { case (k, _, runs, _) =>
       "\"" + k + "\":[" + runs.map(fmt).mkString(",") + "]"
     }.mkString("{", ",", "}")
@@ -592,7 +711,7 @@ object Bench {
       "\"" + k + "\":[" + acc(k).map(r => f(r).toString).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val internalDetail =
-      s""""gc_ms":${longDetail(_.gcMs)},"jit_ms":${longDetail(_.jitMs)},"tasks":${longDetail(_.tasks)},"task_run_ms":${longDetail(_.taskRunMs)},"task_cpu_ms":${longDetail(_.taskCpuMs)},"task_max_ms":${longDetail(_.taskMaxMs)},"spill_mb":${longDetail(_.spillMb)}"""
+      s""""gc_ms":${longDetail(_.gcMs)},"jit_ms":${longDetail(_.jitMs)},"tasks":${longDetail(_.tasks)},"task_run_ms":${longDetail(_.taskRunMs)},"task_cpu_ms":${longDetail(_.taskCpuMs)},"task_max_ms":${longDetail(_.taskMaxMs)},"spill_mb":${longDetail(_.spillMb)},"cpu_mhz":${longDetail(_.mhz.toLong)}"""
     val repLine = s"""{"metric":"rep_detail","reps":$reps,"interleaved":true,"contam_threshold_cores":$contamTh,"queries":$detail,"ext_cores":$extDetail,$internalDetail,"sf":"$sfDir"}"""
     val repsFile = sys.env.getOrElse("SPARK_GRAFT_REPS_FILE", "bench_reps.json")
     try {
@@ -635,7 +754,13 @@ object Bench {
       storms.nonEmpty && rs.zipWithIndex.count { case (r, i) =>
         r.ext <= contamTh && !storms(i) } >= 3
     }.map(k => "\"" + k.takeWhile(_ != '_') + "\"").mkString("[", ",", "]")
-    val medLine = s"""{"metric":"medians","queries":$mediansAll,"adaptive":$adaptiveQs,"contaminated":$contamQs,"jit_storms":$stormQs,"sf":"$sfDir"}"""
+    // the unfiltered medians map rides the medians line so filtered vs
+    // raw is a one-line diff in the record (r19 ADVICE)
+    val mediansRaw = names.map { k =>
+      "\"" + k.takeWhile(_ != '_') + "\":" +
+        String.format(java.util.Locale.ROOT, "%.2f", Double.box(rawMedians(k)))
+    }.mkString("{", ",", "}")
+    val medLine = s"""{"metric":"medians","queries":$mediansAll,"queries_raw":$mediansRaw,"adaptive":$adaptiveQs,"contaminated":$contamQs,"jit_storms":$stormQs,"sf":"$sfDir"}"""
     println(repLine)
     println(medLine)
     try {
@@ -717,6 +842,17 @@ object Bench {
       "\"" + k.takeWhile(_ != '_') + "\":" +
         String.format(java.util.Locale.ROOT, "%.2f", Double.box(m))
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"operators":${fmt(opTotal)},"gates":${fmt(gateTotal)},"n_gates":$nGates,"queries":$medians,"iso":$isoShort,"n_adaptive":${names.count(acc(_).size > reps)},"errors":$errs,"warmed":$warmed,"reps_file":"$repsFile","method":"median of $reps interleaved cold passes, contention-filtered; artifacts prebuilt; releaseAll off timed path; operators/gates split per SparkEntry.gateQueries; queries=top-20 slowest medians, iso=top-10 isolated twins, full detail in reps_file","sf":"$sfDir"}""")
+    // the storm census rides the PARSED line (r18 verdict #3): which
+    // queries had interpreter-storm reps excluded, how many reps total,
+    // and the unfiltered total alongside the filtered one — the round
+    // record is self-contained on both counts
+    val nStormReps = names.map { k =>
+      val rs = acc(k); val storms = stormIdx(rs)
+      val clean = rs.zipWithIndex.count { case (r, i) =>
+        r.ext <= contamTh && !storms(i) }
+      if (clean >= 3) storms.size else 0
+    }.sum
+    val totalRaw = results.collect { case (k, _, _, false) => rawMedians(k) }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_raw":${fmt(totalRaw)},"n_queries":${results.size},"operators":${fmt(opTotal)},"gates":${fmt(gateTotal)},"n_gates":$nGates,"jit_storms":$stormQs,"n_storm_reps":$nStormReps,"queries":$medians,"iso":$isoShort,"n_adaptive":${names.count(acc(_).size > reps)},"errors":$errs,"warmed":$warmed,"reps_file":"$repsFile","method":"median of $reps interleaved cold passes, contention-filtered; artifacts prebuilt; releaseAll off timed path; operators/gates split per SparkEntry.gateQueries; queries=top-20 slowest medians, iso=top-10 isolated twins, full detail in reps_file","sf":"$sfDir"}""")
   }
 }

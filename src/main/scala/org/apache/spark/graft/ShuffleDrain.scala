@@ -34,6 +34,20 @@ import org.apache.spark.{MapOutputTrackerMaster, SparkContext}
   */
 object ShuffleDrain {
 
+  /** Drain the async listener bus (r19 ADVICE): SparkListener events
+    * are delivered on a background queue, so a TaskCensus snapshot
+    * taken "after" a job can miss onTaskEnd events still in flight —
+    * and stragglers from the PREVIOUS rep's release can land after the
+    * next rep's baseline snapshot, smearing task/CPU deltas across rep
+    * boundaries. Those deltas feed the bench's storm classifier, so
+    * both snapshot edges flush here first. `waitUntilEmpty` is
+    * `private[spark]` (Spark's own tests use it the same way); bounded
+    * and non-fatal — a timeout leaves at most the old smear.
+    */
+  def flushListeners(sc: SparkContext, timeoutMs: Long = 3000L): Boolean =
+    try { sc.listenerBus.waitUntilEmpty(timeoutMs); true }
+    catch { case _: Throwable => false }
+
   /** Blocking-clean every registered shuffle; returns how many. */
   def drain(sc: SparkContext): Int = {
     val tracker = sc.env.mapOutputTracker.asInstanceOf[MapOutputTrackerMaster]
