@@ -160,6 +160,15 @@ object StreamingCc {
     require(nBuckets >= 1, "nBuckets must be positive")
     ensureBucketedTable(spark, db, labelTable)
     val target = s"`$db`.`$labelTable`"
+    // the dynamic-overwrite conf lives on a CLONED session (r19
+    // ADVICE): `newSession()` shares the SparkContext and catalog but
+    // owns its SQLConf, so flipping partitionOverwriteMode here can
+    // never leak dynamic-overwrite semantics into a concurrent write
+    // on the caller's session (the flip-and-restore it replaces
+    // protected only sequential callers). Set once, for the sink's
+    // lifetime.
+    val writeSession = spark.newSession()
+    writeSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     def bucketOf(c: org.apache.spark.sql.Column) =
       pmod(xxhash64(c), lit(nBuckets.toLong)).cast("int")
     var expectedLabels = spark.table(target).count()
@@ -206,15 +215,26 @@ object StreamingCc {
             // a catalog parquet table ignored the option here and ran
             // STATIC overwrite, truncating every untouched bucket
             // (caught by the spec's file-listing assertion; one label
-            // row vanished per batch)
-            val pomKey = "spark.sql.sources.partitionOverwriteMode"
-            val prevPom = spark.conf.getOption(pomKey)
-            spark.conf.set(pomKey, "dynamic")
-            try touched.write.mode("overwrite").insertInto(target)
-            finally prevPom match {
-              case Some(v) => spark.conf.set(pomKey, v)
-              case None => spark.conf.unset(pomKey)
-            }
+            // row vanished per batch). The conf lives on writeSession
+            // (see above) so the flip is invisible to the caller's
+            // session; the checkpointed frame re-binds to it zero-copy.
+            //
+            // NOT ATOMIC across buckets: parquet dynamic overwrite
+            // replaces the touched partitions one directory at a time,
+            // so a crash mid-write can leave a partially merged table.
+            // Recovery is the streaming engine's replay of the failed
+            // batchId: the re-presented pair delta re-derives the SAME
+            // changed frame against any prefix of the partial write
+            // (already-merged buckets contract to no-ops, unmerged ones
+            // merge now) — the replay-safety induction above covers
+            // partial application, not just duplicate application. The
+            // production form is an ACID MERGE (the documented
+            // Delta/Iceberg seam) where the multi-bucket swap commits
+            // atomically. Single-writer per label table remains the
+            // contract (the awaitVisible barrier assumes it).
+            org.apache.spark.sql.graft.CatalogCache
+              .rebind(touched, writeSession)
+              .write.mode("overwrite").insertInto(target)
             expectedLabels += nNew
             awaitVisible()
             onBatch(batchId, nPairs, nChanged, buckets.length.toLong)

@@ -40,4 +40,19 @@ object CatalogCache {
     spark.sharedState.cacheManager
       .uncacheQuery(spark, plan, cascade = true, blocking = false)
   }
+
+  /** Re-bind a DataFrame's PHYSICAL rows to another session sharing
+    * the same SparkContext, without a Row round-trip: the InternalRow
+    * RDD of `df`'s executed plan becomes a leaf frame of `to`. Used by
+    * sinks that must run a write under session-ISOLATED SQL conf (e.g.
+    * dynamic partitionOverwriteMode on a `newSession()` clone, so the
+    * flip can never leak into concurrent writers on the caller's
+    * session — r19 ADVICE). Callers pass an already-checkpointed/
+    * stable frame: the RDD is re-evaluated by the write exactly once.
+    * `internalCreateDataFrame` is `private[sql]` — same shim precedent
+    * as [[uncacheReferencing]].
+    */
+  def rebind(df: org.apache.spark.sql.DataFrame,
+             to: SparkSession): org.apache.spark.sql.DataFrame =
+    to.internalCreateDataFrame(df.queryExecution.toRdd, df.schema)
 }
