@@ -76,7 +76,20 @@ object QualityClassifier {
     * pmod(xxhash64(w), nBuckets) — the 100 TB vocabulary dial, bounding
     * the model table at nBuckets rows with zero change to the training
     * arithmetic (collisions merge features, the standard trade).
+    *
+    * PUBLIC as the classifier's ADDITIVE sufficient statistic (r19):
+    * the frame is per-doc rows, so disjoint document batches compose
+    * by plain union — [[graft.streaming.LrIngest]] maintains it as a
+    * standing table per micro-batch, and
+    * [[trainLogisticFromCounts]] over the standing table is
+    * byte-equal to [[trainLogistic]] over every document ever
+    * ingested (spec-gated). A retrain after corpus growth or drift
+    * therefore re-tokenizes NOTHING — it reads counts.
     */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String,
+                  labelCol: Option[String], nBuckets: Long = 0L): DataFrame =
+    features(df, idCol, textCol, labelCol, nBuckets)
+
   private def features(df: DataFrame, idCol: String, textCol: String,
                        labelCol: Option[String], nBuckets: Long): DataFrame = {
     val hcol = if (nBuckets > 0L) pmod(xxhash64(col("w")), lit(nBuckets))
@@ -96,11 +109,23 @@ object QualityClassifier {
     */
   def trainLogistic(train: DataFrame, idCol: String, textCol: String,
                     labelCol: String, rounds: Int = 2,
-                    gMul: Long = 16L, nBuckets: Long = 0L): LogisticModel = {
+                    gMul: Long = 16L, nBuckets: Long = 0L): LogisticModel =
+    trainLogisticFromCounts(
+      features(train, idCol, textCol, Some(labelCol), nBuckets),
+      rounds, gMul)
+
+  /** Train from an already-materialized (doc_id, y, h, c) count frame
+    * — the standing-table face ([[tokenCounts]] additivity): a retrain
+    * from maintained counts is byte-equal to a from-scratch train and
+    * skips the corpus tokenize entirely. Same arithmetic, same cost
+    * shape minus the one corpus pass.
+    */
+  def trainLogisticFromCounts(counts: DataFrame, rounds: Int = 2,
+                              gMul: Long = 16L): LogisticModel = {
     require(rounds >= 1, "need at least one round")
     require(gMul >= 1L, "gMul must be positive")
     val cnts = CacheScope.persist(
-      features(train, idCol, textCol, Some(labelCol), nBuckets))
+      counts.select(col("doc_id"), col("y"), col("h"), col("c")))
     val n = cnts.select(col("doc_id")).distinct().count()
     require(n > 0, "empty (or untokenizable) training set")
     val g = lit(gMul * n)
@@ -159,4 +184,24 @@ object QualityClassifier {
         sum(col("c") * coalesce(col("w_e6"), lit(0L)))).as("z_e6"))
       .select(col("doc_id"), col("z_e6"), clampP(col("z_e6")).as("p_e6"),
         (clampP(col("z_e6")) >= lit(500000L)).as("pred"))
+
+  /** Score-distribution DRIFT statistic over a [[scoreLogistic]] output
+    * (the q149 treatment for the standing [[LogisticModel]]): mean
+    * decision confidence in e6 — fdiv(Σ|p_e6 − ½·10⁶|, n), exact
+    * integer arithmetic. A model whose discriminative features have
+    * left the incoming corpus (vocabulary drift — the production
+    * failure a standing text classifier actually suffers) scores
+    * everything near the bias, so confidence COLLAPSES, label-free:
+    * the detector needs no ground truth on the new data, just the
+    * score distribution. One row: (n_scored, conf_e6). The retrain
+    * trigger compares this against the model's accepted baseline —
+    * the gate convention is `new·2 < base` (halved confidence),
+    * mirroring the PQ drift gate's ratio shape.
+    */
+  def scoreConfidenceE6(scored: DataFrame): DataFrame =
+    scored.agg(count(lit(1)).as("n_scored"),
+        coalesce(sum(abs(col("p_e6") - lit(500000L))), lit(0L)).as("s"))
+      .select(col("n_scored"),
+        when(col("n_scored") === 0L, lit(0L))
+          .otherwise(fdiv(col("s"), col("n_scored"))).as("conf_e6"))
 }

@@ -1,0 +1,113 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.QualityClassifier
+
+/** Streaming classifier-feature maintenance — the quality classifier's
+  * face of the incremental regime (LmIngest → n-gram counts, Bm25Ingest
+  * → postings, this → labeled token counts): each micro-batch of
+  * LABELED training documents tokenizes ONCE and appends its
+  * (doc_id, y, h, c) token-count rows;
+  * [[graft.ops.QualityClassifier.trainLogisticFromCounts]] over the
+  * standing table is then byte-equal to
+  * [[graft.ops.QualityClassifier.trainLogistic]] over every document
+  * ever ingested (spec-gated across slicings by `LrIngestSpec`). A
+  * retrain — scheduled, or triggered by the score-distribution drift
+  * gate ([[graft.ops.QualityClassifier.scoreConfidenceE6]], q196) —
+  * therefore re-tokenizes NOTHING: the corpus pass was paid at ingest,
+  * once per document.
+  *
+  * REPLAY SAFETY: counts are PER-DOC rows keyed by `__batch_id` —
+  * additive sufficient statistics with the document as the unit, so the
+  * single-table protocol suffices (no two-table commit marker): a
+  * replayed batchId is detected by its own rows' presence and skipped
+  * whole; a batch whose documents all tokenize to zero tokens appends
+  * nothing and replays as append-nothing.
+  *
+  * Scale shape: per batch one tokenize of the BATCH, one
+  * map-side-combined count aggregation, one batch-vocab-sized append.
+  * `nBuckets` applies the hashing trick at ingest (the 100 TB
+  * vocabulary dial) — the standing table is then bounded at
+  * docs × nBuckets rows worst-case and the assembled model at nBuckets
+  * rows; token text never lands in the artifact either way (8-byte
+  * hashes — the family invariant).
+  */
+object LrIngest {
+
+  def ensureTable(spark: SparkSession, db: String, countTable: String): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+    spark.sql(s"CREATE TABLE IF NOT EXISTS `$db`.`$countTable` " +
+      "(`doc_id` BIGINT, `y` BIGINT, `h` BIGINT, `c` BIGINT, " +
+      "`__batch_id` BIGINT) USING PARQUET")
+  }
+
+  /** foreachBatch sink over a labeled-document stream (columns
+    * `idCol`, `textCol`, `labelCol` with 0/1 labels).
+    * `onBatch(batchId, nRows)` is the observability hook.
+    */
+  def lrCountSink(spark: SparkSession, db: String, countTable: String,
+                  idCol: String, textCol: String, labelCol: String,
+                  nBuckets: Long = 0L)
+                 (onBatch: (Long, Long) => Unit = (_, _) => ())
+      : (DataFrame, Long) => Unit = {
+    ensureTable(spark, db, countTable)
+    val target = s"`$db`.`$countTable`"
+    // visibility barrier — the Bm25Ingest/StreamingDedup doctrine:
+    // single-writer expected counts, refresh+retry after each batch's
+    // append, loud failure if freshness can't be established
+    var expected = spark.table(target).count()
+    def awaitVisible(): Unit = TableSync.awaitVisible(spark,
+      Seq(((db, countTable), expected)))
+    (batch: DataFrame, batchId: Long) => {
+      if (batch.isEmpty) onBatch(batchId, 0L)
+      else {
+        val applied = !spark.table(target)
+          .filter(col("__batch_id") === batchId).isEmpty
+        if (applied) onBatch(batchId, 0L) // full replay: no-op
+        else {
+          try {
+            val rows = QualityClassifier.tokenCounts(
+                batch.select(col(idCol).cast("long").as(idCol),
+                  col(textCol).cast("string").as(textCol),
+                  col(labelCol).cast("long").as(labelCol)),
+                idCol, textCol, Some(labelCol), nBuckets)
+              .withColumn("__batch_id", lit(batchId))
+              .localCheckpoint(true)
+            val n = rows.count()
+            if (n == 0L) onBatch(batchId, 0L) // untokenizable batch
+            else {
+              rows.write.mode(SaveMode.Append).insertInto(target)
+              expected += n
+              awaitVisible()
+              onBatch(batchId, n)
+            }
+          } finally {
+            org.apache.spark.sql.graft.CatalogCache
+              .uncacheReferencing(spark, target)
+            ()
+          }
+        }
+      }
+    }
+  }
+
+  /** The standing count frame, assembled from every batch ever
+    * ingested — hand it to
+    * [[graft.ops.QualityClassifier.trainLogisticFromCounts]].
+    */
+  def counts(spark: SparkSession, db: String, countTable: String): DataFrame =
+    spark.table(s"`$db`.`$countTable`")
+      .select(col("doc_id"), col("y"), col("h"), col("c"))
+
+  /** Retrain from the standing table — the drift gate's trigger action
+    * (q196): the model refresh costs `rounds` gradient exchanges over
+    * counts, never a corpus re-tokenize.
+    */
+  def retrain(spark: SparkSession, db: String, countTable: String,
+              rounds: Int = 2, gMul: Long = 16L)
+      : QualityClassifier.LogisticModel =
+    QualityClassifier.trainLogisticFromCounts(
+      counts(spark, db, countTable), rounds, gMul)
+}

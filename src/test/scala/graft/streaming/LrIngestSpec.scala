@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ops.QualityClassifier
+
+/** Streaming classifier-feature maintenance: a model trained from the
+  * standing count table after N micro-batches must score byte-equal to
+  * one trained from scratch on every document ever ingested (any
+  * slicing), and replays must leave the table byte-identical — the
+  * LmIngest additivity contract transplanted to the classifier's
+  * labeled token counts.
+  */
+class LrIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val db = "graft_lr_spec"
+
+  override def afterAll(): Unit = {
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    super.afterAll()
+  }
+
+  // balanced planted fixture: marker tokens carry the class, shared
+  // noise tokens ride every doc
+  private val docs = Seq(
+    (0L, "alpha beta pos pos", 1L), (1L, "beta gamma pos", 1L),
+    (2L, "alpha gamma neg neg", 0L), (3L, "beta neg", 0L),
+    (4L, "gamma alpha pos", 1L), (5L, "alpha neg neg neg", 0L),
+    (6L, "beta beta pos pos", 1L), (7L, "gamma neg", 0L))
+  private val scoreDocs = Seq(
+    (10L, "pos pos alpha"), (11L, "neg gamma"), (12L, "unseen words"))
+    .toDF("doc_id", "text")
+
+  private def scores(m: QualityClassifier.LogisticModel): Seq[(Long, Long, Long, Boolean)] =
+    QualityClassifier.scoreLogistic(scoreDocs, m, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long, Boolean)].collect().toSeq
+
+  private def ingest(slices: Seq[Seq[(Long, String, Long)]],
+                     table: String): Unit = {
+    val sink = LrIngest.lrCountSink(spark, db, table, "doc_id", "text", "y")()
+    slices.zipWithIndex.foreach { case (b, i) =>
+      sink(b.toDF("doc_id", "text", "y"), i.toLong)
+    }
+  }
+
+  test("retrain from maintained counts equals from-scratch training, any slicing") {
+    val direct = QualityClassifier.trainLogistic(
+      docs.toDF("doc_id", "text", "y"), "doc_id", "text", "y")
+    val want = (direct.biasE6, scores(direct))
+    val slicings = Seq(Seq(docs), docs.grouped(3).toSeq, docs.map(Seq(_)))
+    for ((slicing, i) <- slicings.zipWithIndex) {
+      val t = s"c_$i"
+      ingest(slicing, t)
+      val m = LrIngest.retrain(spark, db, t)
+      assert((m.biasE6, scores(m)) === want,
+        s"slicing into ${slicing.size} batches")
+      graft.ops.CacheScope.release(spark)
+    }
+  }
+
+  test("replayed batch is a whole-batch no-op; zero-token batch appends nothing") {
+    val t = "r_0"
+    val sink = LrIngest.lrCountSink(spark, db, t, "doc_id", "text", "y")()
+    sink(docs.take(4).toDF("doc_id", "text", "y"), 0L)
+    val before = spark.table(s"`$db`.`$t`").collect().toSet
+    sink(docs.take(4).toDF("doc_id", "text", "y"), 0L) // replay
+    assert(spark.table(s"`$db`.`$t`").collect().toSet === before)
+    sink(Seq((20L, "", 1L), (21L, "   ", 0L)).toDF("doc_id", "text", "y"), 1L)
+    sink(Seq((20L, "", 1L), (21L, "   ", 0L)).toDF("doc_id", "text", "y"), 1L)
+    assert(spark.table(s"`$db`.`$t`").collect().toSet === before)
+    graft.ops.CacheScope.release(spark)
+  }
+
+  test("hashing-trick ingest: bucketed standing counts train the bucketed model") {
+    val t = "b_0"
+    val sink = LrIngest.lrCountSink(spark, db, t, "doc_id", "text", "y",
+      nBuckets = 1L << 30)()
+    docs.grouped(4).zipWithIndex.foreach { case (b, i) =>
+      sink(b.toDF("doc_id", "text", "y"), i.toLong)
+    }
+    // collision-free bucket count reproduces the unbucketed scores
+    // exactly under bucketed scoring (the q195 LrProbe contract)
+    val direct = QualityClassifier.trainLogistic(
+      docs.toDF("doc_id", "text", "y"), "doc_id", "text", "y",
+      nBuckets = 1L << 30)
+    val m = LrIngest.retrain(spark, db, t)
+    def bScores(mm: QualityClassifier.LogisticModel) =
+      QualityClassifier.scoreLogistic(scoreDocs, mm, "doc_id", "text",
+          nBuckets = 1L << 30)
+        .orderBy("doc_id").as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert((m.biasE6, bScores(m)) === ((direct.biasE6, bScores(direct))))
+    graft.ops.CacheScope.release(spark)
+  }
+}
