@@ -610,6 +610,55 @@ object Dedup {
       nChunks = maxHamming + 1, maxHamming)
   }
 
+  /** Incremental Hamming-radius pairing — [[hammingPairs]]' delta face
+    * (the minhashLshIncremental shape transplanted to 64-bit
+    * fingerprints, r19): pairs of `newSigs` against `standingSigs` ∪
+    * `newSigs` — exactly the pairs with at least one NEW endpoint.
+    * Folding successive batch deltas reproduces the one-shot
+    * [[hammingPairs]] pair set over everything ever seen, because each
+    * pair lands in the batch where its LATER endpoint arrives
+    * (spec-gated by `StreamingMediaSpec`; the driver face is q197).
+    *
+    * Scale shape: only the chunk keys of the BATCH meet the standing
+    * chunk frame in the equijoin — batch-sized build side (AQE
+    * broadcasts it at daily-delta scale), standing side streams; the
+    * standing signatures are 2 longs/item, never payload bytes.
+    */
+  def hammingPairsIncremental(newSigs: DataFrame, standingSigs: DataFrame,
+                              idCol: String, sigCol: String,
+                              maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming=$maxHamming: h+1 chunks need width >= 4 bits (h <= 15)")
+    val nChunks = maxHamming + 1
+    val width = 64 / nChunks
+    def chunked(df: DataFrame) = df
+      .select(col("id"), col("sh"),
+        explode(array((0 until nChunks).map { c =>
+          val w = if (c == nChunks - 1) 64 - c * width else width
+          val mask = if (w == 64) -1L else (1L << w) - 1L
+          struct(lit(c).as("chunk"),
+            shiftright(col("sh"), c * width).bitwiseAND(lit(mask)).as("ckey"))
+        }: _*)).as("cc"))
+      .select(col("id"), col("sh"), col("cc.chunk"), col("cc.ckey"))
+    // persist the batch side: it feeds both the probe side and the
+    // union's tail, and the caller's signature computation (a media
+    // decode kernel) must run once
+    val newP = newSigs.select(col(idCol).as("id"), col(sigCol).as("sh"))
+      .persistTracked()
+    val standing = standingSigs.select(col(idCol).as("id"),
+      col(sigCol).as("sh"))
+    val a = chunked(newP).alias("a")
+    val b = chunked(standing.unionByName(newP)).alias("b")
+    a.join(b,
+        col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
+          col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Shared blocking core over an (id, sh) frame — see
     * [[chunkBlockedPairs]] for the text path and [[hammingPairs]] for
     * the precomputed-signature path.

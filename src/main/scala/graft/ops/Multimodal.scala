@@ -976,4 +976,47 @@ object Multimodal {
     Dedup.hammingPairs(
       audioFingerprints(media).filter(col("afp").isNotNull),
       "media_id", "afp", maxHamming)
+
+  /** MIME-routed perceptual fingerprints for a mixed-payload media
+    * frame (r19 — the q194 front half as ONE reusable stage): sniff
+    * each payload's container on bytes alone ([[Mime.sniffMime]] —
+    * production media arrives untagged), route PNGs to the pixel
+    * decode → dHash kernel and WAVs to the PCM decode → frame-energy
+    * kernel, drop everything else (text and unknown containers carry
+    * no perceptual identity). Output (media_id, kind, fp) — 8-byte
+    * fingerprints tagged by modality so downstream pairing never
+    * crosses fingerprint spaces. Payload bytes never survive this
+    * stage: both kernels are narrow partition-local maps and only the
+    * (id, kind, fp) longs reach any exchange — the media doctrine.
+    */
+  def mediaFingerprints(media: DataFrame): DataFrame = {
+    val mimed = media.withColumn("mime", Mime.sniffMime(col("payload")))
+    imageDHash(mimed.filter(col("mime") === "image/png"))
+      .filter(col("dhash").isNotNull)
+      .select(col("media_id"), lit("image").as("kind"),
+        col("dhash").as("fp"))
+      .unionByName(
+        audioFingerprints(mimed.filter(col("mime") === "audio/wav"))
+          .filter(col("afp").isNotNull)
+          .select(col("media_id"), lit("audio").as("kind"),
+            col("afp").as("fp")))
+  }
+
+  /** Per-modality incremental Hamming pairing over
+    * [[mediaFingerprints]] frames: the batch delta against a STANDING
+    * fingerprint table, per kind (image fingerprints never pair with
+    * audio fingerprints — distinct spaces). Folding batch deltas
+    * reproduces the one-shot q194 pair set
+    * ([[graft.ops.Dedup.hammingPairsIncremental]]'s contract), so a
+    * streaming ingest maintains the same near-dup labeling the nightly
+    * batch run would compute.
+    */
+  def mediaPairsIncremental(newFps: DataFrame, standingFps: DataFrame,
+                            maxHamming: Int = 4): DataFrame =
+    Seq("image", "audio").map { k =>
+      Dedup.hammingPairsIncremental(
+        newFps.filter(col("kind") === k),
+        standingFps.filter(col("kind") === k),
+        "media_id", "fp", maxHamming)
+    }.reduce(_.unionByName(_))
 }
