@@ -115,8 +115,57 @@ object SparkEntry {
     minhashIndexArtifact(s, dir)
     dedupReport(s, dir)
     pqModelArtifact(s, dir)
+    lrModelArtifact(s, dir)
+    lrCleanModelArtifact(s, dir)
     ()
   }
+
+  /** The standing quality-classifier models (r19, r18 verdict #7):
+    * trained ONCE per (session, sf dir) and materialized to parquet —
+    * the production contract (a quality classifier is a nightly/weekly
+    * artifact; scoring queries price SCORING, the recurring work).
+    * Same memoization shape as [[pqModelArtifact]]; the scalar bias
+    * rides the memo. Training stays priced in-suite by exactly the
+    * tagged gate queries (q191 unbucketed, q195 bucketed, q196's
+    * retrain trigger), never by the scoring faces (q190/q192/q196
+    * baseline).
+    */
+  private val lrModels =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), (String, Long)]()
+
+  private def lrArtifact(s: SparkSession, dir: String, tag: String)
+                        (train: => DataFrame)
+      : ops.QualityClassifier.LogisticModel = {
+    val (wp, bias) = lrModels.computeIfAbsent((s, dir, tag), _ => {
+      val p = new java.io.File(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-$tag-${ProcessHandle.current().pid()}-" +
+          Integer.toHexString(dir.hashCode)).getAbsolutePath
+      val m = ops.QualityClassifier.trainLogistic(train, "doc_id", "text",
+        "y", rounds = 2, gMul = 16L)
+      m.w.write.mode("overwrite").parquet(p)
+      (p, m.biasE6)
+    })
+    ops.QualityClassifier.LogisticModel(s.read.parquet(wp), bias)
+  }
+
+  /** q190/q196's standing model: the full-corpus fixture's train half. */
+  private def lrModelArtifact(s: SparkSession, dir: String)
+      : ops.QualityClassifier.LogisticModel =
+    lrArtifact(s, dir, "lr")(
+      lrAugment(T(s, dir, "documents"))
+        .filter(pmod(col("doc_id"), lit(2L)) === 0L))
+
+  /** q192's standing model: trained on the banned-phrase-FILTERED
+    * pool's train half (a different model — the filter changes every
+    * gradient).
+    */
+  private def lrCleanModelArtifact(s: SparkSession, dir: String)
+      : ops.QualityClassifier.LogisticModel =
+    lrArtifact(s, dir, "lrclean")(
+      lrAugment(ops.Decontaminate.multiPatternFilter(
+          T(s, dir, "documents"), "text", Seq("batch batch", "dow win")))
+        .filter(pmod(col("doc_id"), lit(2L)) === 0L))
 
   /** q146's standing ANN artifacts (coarse IVF centroids + PQ codebooks
     * + THE ENCODED INDEX): trained/encoded ONCE per (session, sf dir)
@@ -198,7 +247,9 @@ object SparkEntry {
     "q149_pq_drift_gate", "q156_pca_gate", "q157_pca_ann_gate",
     "q171_kmeans_incremental", "q174_cc_incremental",
     "q177_pagerank_incremental", "q178_cc_label_fold",
-    "q186_ppr_seeds", "q191_quality_lr_gate", "q193_pq_streamed_serve")
+    "q186_ppr_seeds", "q191_quality_lr_gate", "q193_pq_streamed_serve",
+    "q195_quality_lr_bucketed_gate", "q196_quality_lr_drift_gate",
+    "q197_multimodal_streamed_curation")
 
   // ------------------------------------------------------------------
   // Query inventory
@@ -3473,11 +3524,14 @@ object SparkEntry {
     // replayed by the oracle as unrolled CTEs — the TRAINING
     // ARITHMETIC is under the hash gate (every weight, margin, clamp,
     // and floor-div), not just the scoring pass. Held-out doc scores.
+    // ARTIFACT-BACKED since r19 (r18 verdict #7): the scoring face
+    // reads the standing parquet model (lrModelArtifact — same
+    // deterministic training arithmetic, so the oracle's unrolled
+    // training replay still hash-matches); the training cost is priced
+    // in-suite by the tagged gates (q191/q195/q196) only.
     "q190_quality_lr_scores" -> ((s, dir) => {
       val aug = lrAugment(T(s, dir, "documents"))
-      val model = ops.QualityClassifier.trainLogistic(
-        aug.filter(pmod(col("doc_id"), lit(2L)) === 0L),
-        "doc_id", "text", "y", rounds = 2, gMul = 16L)
+      val model = lrModelArtifact(s, dir)
       ops.QualityClassifier.scoreLogistic(
         aug.filter(pmod(col("doc_id"), lit(2L)) === 1L), model,
         "doc_id", "text")
@@ -3518,9 +3572,10 @@ object SparkEntry {
       val clean = ops.Decontaminate.multiPatternFilter(
         T(s, dir, "documents"), "text", Seq("batch batch", "dow win"))
       val aug = lrAugment(clean)
-      val model = ops.QualityClassifier.trainLogistic(
-        aug.filter(pmod(col("doc_id"), lit(2L)) === 0L),
-        "doc_id", "text", "y", rounds = 2, gMul = 16L)
+      // artifact-backed (r19): the filtered-pool model is its own
+      // standing artifact — the filter changes every gradient, so it
+      // can never share q190's weights
+      val model = lrCleanModelArtifact(s, dir)
       val scored = ops.QualityClassifier.scoreLogistic(
           aug.filter(pmod(col("doc_id"), lit(2L)) === 1L), model,
           "doc_id", "text")
@@ -3612,45 +3667,7 @@ object SparkEntry {
     "q194_multimodal_curation" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
       val did = col("doc_id")
-      val base = did - pmod(did, lit(3L))
-      // q144's pixel synthesis verbatim, over the image subset
-      val ipos = pmod(did * lit(13L), lit(72L))
-      val pixels = flatten(transform(sequence(lit(0), lit(7)), y =>
-        transform(sequence(lit(0), lit(8)), x => {
-          val xl = x.cast("long"); val yl = y.cast("long")
-          val i = yl * lit(9L) + xl
-          val h = (base + lit(1L)) * lit(2654435761L) +
-            xl * lit(97L) + yl * lit(1031L)
-          val g = h.bitwiseXOR(shiftright(h, 7))
-          val p = pmod(g * lit(31L) + shiftright(g, 11), lit(241L))
-          when(pmod(did, lit(3L)) =!= lit(0L) && i === ipos,
-            pmod(p + lit(128L), lit(241L))).otherwise(p).cast("int")
-        })))
-      val pngs = ops.Multimodal.asGrayPngMediaTable(
-        docs.filter(pmod(did, lit(4L)).isin(0L, 2L)), "doc_id", 9, 8, pixels)
-      // q147's sample synthesis verbatim, over the audio subset
-      val apos = pmod(did * lit(13L), lit(520L))
-      val samples = transform(sequence(lit(0), lit(519)), i => {
-        val il = i.cast("long")
-        val h = (base + lit(1L)) * lit(2654435761L) + il * lit(7349L)
-        val g = h.bitwiseXOR(shiftright(h, 7))
-        val raw = pmod(g * lit(31L) + shiftright(g, 11), lit(30000L))
-        val rawP = when(pmod(did, lit(3L)) =!= lit(0L) && il === apos,
-          pmod(raw + lit(9000L), lit(30000L))).otherwise(raw)
-        (rawP - lit(15000L)).cast("int")
-      })
-      val wavs = ops.Multimodal.asPcmWavMediaTable(
-        docs.filter(pmod(did, lit(4L)) === 1L), "doc_id", 16000, samples)
-      // text payloads ride the SAME table (the "T " guard byte keeps a
-      // text prefix from colliding with a container magic — q163)
-      val texts = docs.filter(pmod(did, lit(4L)) === 3L)
-        .select(did.cast("long").as("media_id"), lit("text").as("media_type"),
-          encode(concat(lit("T "), substring(col("text"), 1, 64)), "UTF-8")
-            .as("payload"),
-          lit(null).cast("int").as("meta_width"),
-          lit(null).cast("int").as("meta_height"),
-          lit(null).cast("long").as("meta_duration_ms"))
-      val media = pngs.unionByName(wavs).unionByName(texts)
+      val media = multimodalMediaTable(s, dir)
       // SNIFF-ROUTE on payload bytes alone (never the kind column —
       // production media arrives untagged)
       val mimed = media.withColumn("mime",
@@ -3666,6 +3683,107 @@ object SparkEntry {
       ops.Dedup.keepBestByLabelFrame(scored, "doc_id", "score", labels)
         .select(col("doc_id"), col("score"))
     }),
+
+    // CLASSIFIER DRIFT GATE (r19, r18 verdict #5a) — the q149
+    // treatment for the standing LogisticModel: the ARTIFACT model
+    // (trained once off the timed path, the q190/q192 scoring source)
+    // scores (a) the fixture's held-out half — the accepted-baseline
+    // confidence — and (b) the SAME documents under a new marker
+    // regime the model has never seen (xmk/zmk replace qmk/jmk: the
+    // discriminative surface features left the corpus, the production
+    // vocabulary-drift failure). Confidence = mean |p−½| in e6,
+    // label-free, exact integer arithmetic. Drift trips the ratio gate
+    // (new·2 < base, the PQ drift gate's shape), and the RETRAIN
+    // TRIGGER is exercised in-query: a full retrain on the new
+    // regime's train half must recover held-out accuracy past the
+    // q191 floor. Everything — both trainings, both scorings, the
+    // confidence folds — replays in the oracle's unrolled CTEs.
+    "q196_quality_lr_drift_gate" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val odd = pmod(col("doc_id"), lit(2L)) === 1L
+      val model = lrModelArtifact(s, dir)
+      val base = ops.QualityClassifier.scoreConfidenceE6(
+          ops.QualityClassifier.scoreLogistic(
+            lrAugment(docs).filter(odd), model, "doc_id", "text"))
+        .select(col("n_scored"), col("conf_e6").as("base_conf_e6"))
+      val augNew = lrAugmentMk(docs, "xmk", "zmk")
+      val drift = ops.QualityClassifier.scoreConfidenceE6(
+          ops.QualityClassifier.scoreLogistic(
+            augNew.filter(odd), model, "doc_id", "text"))
+        .select(col("conf_e6").as("new_conf_e6"))
+      val re = ops.QualityClassifier.trainLogistic(
+        augNew.filter(pmod(col("doc_id"), lit(2L)) === 0L),
+        "doc_id", "text", "y", rounds = 2, gMul = 16L)
+      val heldNew = augNew.filter(odd)
+      val reAcc = ops.QualityClassifier.scoreLogistic(
+          heldNew, re, "doc_id", "text")
+        .join(heldNew.select(col("doc_id"), col("y")), Seq("doc_id"))
+        .agg(count(lit(1)).as("n_re"),
+          sum(when(col("pred") === (col("y") === 1L), 1L).otherwise(0L))
+            .as("n_correct"))
+      base.crossJoin(drift).crossJoin(reAcc).select(
+        col("n_scored"), col("base_conf_e6"), col("new_conf_e6"),
+        (col("new_conf_e6") * 2L < col("base_conf_e6"))
+          .as("drift_detected"),
+        (col("n_correct") * 10000L >= col("n_re") * 7000L)
+          .as("retrain_recovers"))
+    }),
+
+    // STREAMED MULTIMODAL CURATION (r19, r18 verdict #1 — the q193
+    // shape for the media family): the SAME mixed-payload corpus q194
+    // one-shots is folded in FOUR fingerprint slices through the exact
+    // per-batch arithmetic StreamingMedia runs (incremental Hamming
+    // pair delta vs the standing fingerprints, incremental CC fold of
+    // each delta), then the folded labels are compared row-for-row
+    // with q194's one-shot labeling. Equality is structural — each
+    // pair lands in the slice where its later endpoint arrives and the
+    // CC fold is exact — so any batch-dependence smuggled into the
+    // delta join or the label fold flips the boolean and fails the
+    // hash. Decode runs ONCE (fingerprints staged); payload bytes
+    // never shuffle.
+    "q197_multimodal_streamed_curation" -> ((s, dir) => {
+      val media = multimodalMediaTable(s, dir)
+      val fps = ops.Pipeline.stage("mm_fps",
+        ops.Multimodal.mediaFingerprints(media))
+      val sliceKey = pmod(xxhash64(col("media_id")), lit(4L))
+      val fpSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("kind",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("fp",
+          org.apache.spark.sql.types.LongType)))
+      val lblSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("label",
+          org.apache.spark.sql.types.LongType)))
+      var standing = s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], fpSchema)
+      var folded = s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], lblSchema)
+      for (i <- 0L until 4L) {
+        val slice = fps.filter(sliceKey === i)
+        val delta = ops.Multimodal.mediaPairsIncremental(slice, standing,
+          maxHamming = 4)
+        folded = ops.Dedup.connectedComponentsIncremental(folded,
+          delta.select(col("id_a"), col("id_b"))).localCheckpoint(true)
+        standing = standing.unionByName(slice)
+      }
+      val oneshot = ops.Dedup.connectedComponents(
+        Seq("image", "audio").map { k =>
+          ops.Dedup.hammingPairs(fps.filter(col("kind") === k),
+            "media_id", "fp", maxHamming = 4)
+        }.reduce(_.unionByName(_)).select(col("id_a"), col("id_b")))
+      val mism = folded.alias("a")
+        .join(oneshot.alias("b"), col("a.id") === col("b.id"), "full")
+        .filter(col("a.id").isNull || col("b.id").isNull ||
+          col("a.label") =!= col("b.label"))
+        .agg(count(lit(1)).as("mism"))
+      fps.agg(count(lit(1)).as("n_fingerprinted")).crossJoin(mism)
+        .select(col("n_fingerprinted"),
+          (col("mism") === 0L).as("fold_equals_oneshot"))
+    }),
   )
 
   /** The q190-q192 planted-label fixture: doc_id-derived labels
@@ -3674,12 +3792,73 @@ object SparkEntry {
     * (doc_id % 5 ≠ 4), the untouched corpus text as noise features.
     */
   private def lrAugment(docs: DataFrame): DataFrame =
+    lrAugmentMk(docs, "qmk", "jmk")
+
+  /** Marker-parameterized fixture (r19): q196's drift regime is the
+    * SAME concept (y map, coverage, noise text) under NEW surface
+    * markers — the features the standing model learned have left the
+    * corpus.
+    */
+  private def lrAugmentMk(docs: DataFrame, posMk: String,
+                          negMk: String): DataFrame =
     docs.select(col("doc_id"), col("lang"),
       concat(col("text"),
         when(pmod(col("doc_id"), lit(5L)) === 4L, lit(""))
-          .when(pmod(col("doc_id"), lit(4L)) <= 1L, lit(" qmk qmk qmk"))
-          .otherwise(lit(" jmk jmk jmk"))).as("text"),
+          .when(pmod(col("doc_id"), lit(4L)) <= 1L,
+            lit(s" $posMk $posMk $posMk"))
+          .otherwise(lit(s" $negMk $negMk $negMk"))).as("text"),
       (pmod(col("doc_id"), lit(4L)) <= 1L).cast("long").as("y"))
+
+  /** The q194/q197 mixed-payload media fixture: real PNG bytes for
+    * half the corpus (q144's planted pixel formula), real RIFF/PCM
+    * WAVs for a quarter (q147's sample formula), text payloads for
+    * the rest — all synthesized from `documents` so every downstream
+    * fingerprint replays arithmetically in the oracle.
+    */
+  private[graft] def multimodalMediaTable(s: SparkSession,
+                                          dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val did = col("doc_id")
+    val base = did - pmod(did, lit(3L))
+    // q144's pixel synthesis verbatim, over the image subset
+    val ipos = pmod(did * lit(13L), lit(72L))
+    val pixels = flatten(transform(sequence(lit(0), lit(7)), y =>
+      transform(sequence(lit(0), lit(8)), x => {
+        val xl = x.cast("long"); val yl = y.cast("long")
+        val i = yl * lit(9L) + xl
+        val h = (base + lit(1L)) * lit(2654435761L) +
+          xl * lit(97L) + yl * lit(1031L)
+        val g = h.bitwiseXOR(shiftright(h, 7))
+        val p = pmod(g * lit(31L) + shiftright(g, 11), lit(241L))
+        when(pmod(did, lit(3L)) =!= lit(0L) && i === ipos,
+          pmod(p + lit(128L), lit(241L))).otherwise(p).cast("int")
+      })))
+    val pngs = ops.Multimodal.asGrayPngMediaTable(
+      docs.filter(pmod(did, lit(4L)).isin(0L, 2L)), "doc_id", 9, 8, pixels)
+    // q147's sample synthesis verbatim, over the audio subset
+    val apos = pmod(did * lit(13L), lit(520L))
+    val samples = transform(sequence(lit(0), lit(519)), i => {
+      val il = i.cast("long")
+      val h = (base + lit(1L)) * lit(2654435761L) + il * lit(7349L)
+      val g = h.bitwiseXOR(shiftright(h, 7))
+      val raw = pmod(g * lit(31L) + shiftright(g, 11), lit(30000L))
+      val rawP = when(pmod(did, lit(3L)) =!= lit(0L) && il === apos,
+        pmod(raw + lit(9000L), lit(30000L))).otherwise(raw)
+      (rawP - lit(15000L)).cast("int")
+    })
+    val wavs = ops.Multimodal.asPcmWavMediaTable(
+      docs.filter(pmod(did, lit(4L)) === 1L), "doc_id", 16000, samples)
+    // text payloads ride the SAME table (the "T " guard byte keeps a
+    // text prefix from colliding with a container magic — q163)
+    val texts = docs.filter(pmod(did, lit(4L)) === 3L)
+      .select(did.cast("long").as("media_id"), lit("text").as("media_type"),
+        encode(concat(lit("T "), substring(col("text"), 1, 64)), "UTF-8")
+          .as("payload"),
+        lit(null).cast("int").as("meta_width"),
+        lit(null).cast("int").as("meta_height"),
+        lit(null).cast("long").as("meta_duration_ms"))
+    pngs.unionByName(wavs).unionByName(texts)
+  }
 
   // Shared CTE prefix for the q164/q165 oracles: quantize (float
   // widened to double, floor(x*1000)+1000 — non-negative so `//` ==
@@ -3779,44 +3958,50 @@ object SparkEntry {
     * ending with `zt(doc_id, z)` = held-out margins. String-keyed
     * where Spark is hash-keyed (the q113 contract); every other op is
     * integer arithmetic both engines replay bit-for-bit.
+    *
+    * r19: parameterized by the fixture MARKERS (q196's drift regime
+    * swaps qmk/jmk for xmk/zmk) and a CTE-name PREFIX so one query can
+    * unroll TWO independent trainings (q196 replays the baseline
+    * training AND the post-drift retrain side by side).
     */
-  private def lrOracleCtes(docSrc: String): String = {
+  private def lrOracleCtes(docSrc: String, posMk: String = "qmk",
+                           negMk: String = "jmk", p: String = ""): String = {
     val sig = "greatest(0, least(1000000, (" + fdivSql("z", "4") + ") + 500000))"
-    s"""aug AS (
+    s"""${p}aug AS (
            SELECT doc_id, lang,
              lower(text) || CASE WHEN doc_id % 5 = 4 THEN ''
-               WHEN doc_id % 4 <= 1 THEN ' qmk qmk qmk'
-               ELSE ' jmk jmk jmk' END AS text,
+               WHEN doc_id % 4 <= 1 THEN ' $posMk $posMk $posMk'
+               ELSE ' $negMk $negMk $negMk' END AS text,
              CAST(CASE WHEN doc_id % 4 <= 1 THEN 1 ELSE 0 END AS BIGINT) AS y
            FROM $docSrc),
-         cnt AS (
+         ${p}cnt AS (
            SELECT doc_id, y, w, CAST(count(*) AS BIGINT) AS c
            FROM (SELECT doc_id, y,
                    unnest(list_filter(string_split_regex(text, '\\s+'),
                      x -> length(x) > 0)) AS w
-                 FROM aug)
+                 FROM ${p}aug)
            GROUP BY 1, 2, 3),
-         tr AS (SELECT * FROM cnt WHERE doc_id % 2 = 0),
-         gden AS (SELECT 16 * CAST(count(DISTINCT doc_id) AS BIGINT) AS g FROM tr),
-         e1 AS (SELECT DISTINCT doc_id, 500000 - 1000000 * y AS e FROM tr),
-         gw1 AS (SELECT w, CAST(sum(e * c) AS BIGINT) AS gr
-                 FROM tr JOIN e1 USING (doc_id) GROUP BY 1),
-         w1 AS (SELECT w, -(${fdivSql("gr", "g")}) AS wt FROM gw1 CROSS JOIN gden),
-         b1 AS (SELECT -(${fdivSql("(SELECT CAST(sum(e) AS BIGINT) FROM e1)", "g")}) AS b FROM gden),
-         z2 AS (SELECT t.doc_id, any_value(t.y) AS y,
-                  (SELECT b FROM b1) + CAST(sum(t.c * w1.wt) AS BIGINT) AS z
-                FROM tr t JOIN w1 USING (w) GROUP BY t.doc_id),
-         e2 AS (SELECT doc_id, $sig - 1000000 * y AS e FROM z2),
-         gw2 AS (SELECT w, CAST(sum(e * c) AS BIGINT) AS gr
-                 FROM tr JOIN e2 USING (doc_id) GROUP BY 1),
-         w2 AS (SELECT w1.w, w1.wt - (${fdivSql("coalesce(gw2.gr, 0)", "g")}) AS wt
-                FROM w1 LEFT JOIN gw2 USING (w) CROSS JOIN gden),
-         b2 AS (SELECT (SELECT b FROM b1)
-                  - (${fdivSql("(SELECT CAST(sum(e) AS BIGINT) FROM e2)", "g")}) AS b FROM gden),
-         te AS (SELECT * FROM cnt WHERE doc_id % 2 = 1),
-         zt AS (SELECT t.doc_id, any_value(t.y) AS y,
-                  (SELECT b FROM b2) + CAST(sum(t.c * coalesce(w2.wt, 0)) AS BIGINT) AS z
-                FROM te t LEFT JOIN w2 USING (w) GROUP BY t.doc_id)"""
+         ${p}tr AS (SELECT * FROM ${p}cnt WHERE doc_id % 2 = 0),
+         ${p}gden AS (SELECT 16 * CAST(count(DISTINCT doc_id) AS BIGINT) AS g FROM ${p}tr),
+         ${p}e1 AS (SELECT DISTINCT doc_id, 500000 - 1000000 * y AS e FROM ${p}tr),
+         ${p}gw1 AS (SELECT w, CAST(sum(e * c) AS BIGINT) AS gr
+                 FROM ${p}tr JOIN ${p}e1 USING (doc_id) GROUP BY 1),
+         ${p}w1 AS (SELECT w, -(${fdivSql("gr", "g")}) AS wt FROM ${p}gw1 CROSS JOIN ${p}gden),
+         ${p}b1 AS (SELECT -(${fdivSql(s"(SELECT CAST(sum(e) AS BIGINT) FROM ${p}e1)", "g")}) AS b FROM ${p}gden),
+         ${p}z2 AS (SELECT t.doc_id, any_value(t.y) AS y,
+                  (SELECT b FROM ${p}b1) + CAST(sum(t.c * ${p}w1.wt) AS BIGINT) AS z
+                FROM ${p}tr t JOIN ${p}w1 USING (w) GROUP BY t.doc_id),
+         ${p}e2 AS (SELECT doc_id, $sig - 1000000 * y AS e FROM ${p}z2),
+         ${p}gw2 AS (SELECT w, CAST(sum(e * c) AS BIGINT) AS gr
+                 FROM ${p}tr JOIN ${p}e2 USING (doc_id) GROUP BY 1),
+         ${p}w2 AS (SELECT ${p}w1.w, ${p}w1.wt - (${fdivSql(s"coalesce(${p}gw2.gr, 0)", "g")}) AS wt
+                FROM ${p}w1 LEFT JOIN ${p}gw2 USING (w) CROSS JOIN ${p}gden),
+         ${p}b2 AS (SELECT (SELECT b FROM ${p}b1)
+                  - (${fdivSql(s"(SELECT CAST(sum(e) AS BIGINT) FROM ${p}e2)", "g")}) AS b FROM ${p}gden),
+         ${p}te AS (SELECT * FROM ${p}cnt WHERE doc_id % 2 = 1),
+         ${p}zt AS (SELECT t.doc_id, any_value(t.y) AS y,
+                  (SELECT b FROM ${p}b2) + CAST(sum(t.c * coalesce(${p}w2.wt, 0)) AS BIGINT) AS z
+                FROM ${p}te t LEFT JOIN ${p}w2 USING (w) GROUP BY t.doc_id)"""
   }
 
   private val lrSigSql: String =
@@ -7409,6 +7594,43 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS n_test,
            CAST(7000 AS BIGINT) AS floor_e4, true AS meets_floor
          FROM documents WHERE doc_id % 2 = 1""",
+
+    // TWO independent unrolled trainings side by side (baseline
+    // regime + the xmk/zmk drift regime via the CTE prefix), the
+    // cross-regime scoring of the new corpus under the OLD weights
+    // (zx), both confidence folds, and the retrain accuracy — every
+    // integer of the drift decision replays
+    "q196_quality_lr_drift_gate" ->
+      s"""WITH ${lrOracleCtes("documents")},
+         ${lrOracleCtes("documents", "xmk", "zmk", "n")},
+         zx AS (SELECT t.doc_id,
+                  (SELECT b FROM b2) + CAST(sum(t.c * coalesce(w2.wt, 0)) AS BIGINT) AS z
+                FROM nte t LEFT JOIN w2 USING (w) GROUP BY t.doc_id),
+         cb AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(abs($lrSigSql - 500000)) AS BIGINT) AS s FROM zt),
+         cn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(abs($lrSigSql - 500000)) AS BIGINT) AS s FROM zx),
+         ac AS (SELECT CAST(count(*) AS BIGINT) AS n_re,
+                  CAST(sum(CASE WHEN ($lrSigSql >= 500000) = (y = 1)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+                FROM nzt)
+         SELECT cb.n AS n_scored,
+           CAST(${fdivSql("cb.s", "cb.n")} AS BIGINT) AS base_conf_e6,
+           CAST(${fdivSql("cn.s", "cn.n")} AS BIGINT) AS new_conf_e6,
+           (${fdivSql("cn.s", "cn.n")}) * 2 < (${fdivSql("cb.s", "cb.n")})
+             AS drift_detected,
+           ac.n_correct * 10000 >= ac.n_re * 7000 AS retrain_recovers
+         FROM cb, cn, ac""",
+
+    // sliced-fold labels ≡ one-shot labels is structural (each pair
+    // lands in the slice where its later endpoint arrives; the CC fold
+    // is exact); the fingerprint census replays as the non-text media
+    // count — every PNG and WAV in the fixture decodes (q194's oracle
+    // proves the fingerprints themselves, hash-exact)
+    "q197_multimodal_streamed_curation" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_fingerprinted,
+           true AS fold_equals_oneshot
+         FROM documents WHERE doc_id % 4 <> 3""",
 
     // sliced-built-index serve ≡ one-shot serve is structural (pure
     // per-vector encoding + deterministic serve ranking); the index
