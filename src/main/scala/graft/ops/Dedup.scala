@@ -626,32 +626,47 @@ object Dedup {
     */
   def hammingPairsIncremental(newSigs: DataFrame, standingSigs: DataFrame,
                               idCol: String, sigCol: String,
-                              maxHamming: Int): DataFrame = {
+                              maxHamming: Int): DataFrame =
+    hammingPairsIncremental(newSigs, standingSigs, idCol, sigCol,
+      maxHamming, Nil)
+
+  /** `blockCols` are extra equi-join columns carried through the
+    * chunking — pairs only form within equal block values (e.g. the
+    * media family's `kind`: image fingerprints must never pair with
+    * audio fingerprints, and ONE blocked join over the union frame
+    * costs half the stages of per-kind calls — measured on q197,
+    * where stage-count overhead, not data, was the bill).
+    */
+  def hammingPairsIncremental(newSigs: DataFrame, standingSigs: DataFrame,
+                              idCol: String, sigCol: String,
+                              maxHamming: Int,
+                              blockCols: Seq[String]): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
       s"maxHamming=$maxHamming: h+1 chunks need width >= 4 bits (h <= 15)")
     val nChunks = maxHamming + 1
     val width = 64 / nChunks
+    def norm(df: DataFrame) = df.select(
+      col(idCol).as("id") +: col(sigCol).as("sh") +: blockCols.map(col): _*)
     def chunked(df: DataFrame) = df
-      .select(col("id"), col("sh"),
+      .select(col("id") +: col("sh") +: blockCols.map(col) :+
         explode(array((0 until nChunks).map { c =>
           val w = if (c == nChunks - 1) 64 - c * width else width
           val mask = if (w == 64) -1L else (1L << w) - 1L
           struct(lit(c).as("chunk"),
             shiftright(col("sh"), c * width).bitwiseAND(lit(mask)).as("ckey"))
-        }: _*)).as("cc"))
-      .select(col("id"), col("sh"), col("cc.chunk"), col("cc.ckey"))
+        }: _*)).as("cc"): _*)
+      .select(col("id") +: col("sh") +: blockCols.map(col) :+
+        col("cc.chunk") :+ col("cc.ckey"): _*)
     // persist the batch side: it feeds both the probe side and the
     // union's tail, and the caller's signature computation (a media
     // decode kernel) must run once
-    val newP = newSigs.select(col(idCol).as("id"), col(sigCol).as("sh"))
-      .persistTracked()
-    val standing = standingSigs.select(col(idCol).as("id"),
-      col(sigCol).as("sh"))
+    val newP = norm(newSigs).persistTracked()
     val a = chunked(newP).alias("a")
-    val b = chunked(standing.unionByName(newP)).alias("b")
-    a.join(b,
-        col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
-          col("a.id") =!= col("b.id"))
+    val b = chunked(norm(standingSigs).unionByName(newP)).alias("b")
+    val cond = (Seq("chunk", "ckey") ++ blockCols)
+      .map(c => col(s"a.$c") === col(s"b.$c"))
+      .reduce(_ && _) && col("a.id") =!= col("b.id")
+    a.join(b, cond)
       .select(least(col("a.id"), col("b.id")).as("id_a"),
         greatest(col("a.id"), col("b.id")).as("id_b"),
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))

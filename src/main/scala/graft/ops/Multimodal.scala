@@ -1013,10 +1013,6 @@ object Multimodal {
     */
   def mediaPairsIncremental(newFps: DataFrame, standingFps: DataFrame,
                             maxHamming: Int = 4): DataFrame =
-    Seq("image", "audio").map { k =>
-      Dedup.hammingPairsIncremental(
-        newFps.filter(col("kind") === k),
-        standingFps.filter(col("kind") === k),
-        "media_id", "fp", maxHamming)
-    }.reduce(_.unionByName(_))
+    Dedup.hammingPairsIncremental(newFps, standingFps, "media_id", "fp",
+      maxHamming, blockCols = Seq("kind"))
 }

@@ -110,4 +110,79 @@ object LrIngest {
       : QualityClassifier.LogisticModel =
     QualityClassifier.trainLogisticFromCounts(
       counts(spark, db, countTable), rounds, gMul)
+
+  def ensureMonitorTable(spark: SparkSession, db: String,
+                         monitorTable: String): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+    spark.sql(s"CREATE TABLE IF NOT EXISTS `$db`.`$monitorTable` " +
+      "(`__batch_id` BIGINT, `n_scored` BIGINT, `conf_e6` BIGINT, " +
+      "`drift` BOOLEAN) USING PARQUET")
+  }
+
+  /** The OPERATIONAL face of the q196 drift gate: a foreachBatch sink
+    * that scores each incoming batch against the STANDING model and
+    * appends one (batch_id, n_scored, conf_e6, drift) monitor row —
+    * the continuous form of the detector the gate proves pointwise.
+    * `drift` fires when the batch's confidence falls below half the
+    * accepted baseline (`baseConfE6` — q196's measured band for the
+    * standing model; the same ratio the gate replays), and only on
+    * non-empty scored batches (an empty or untokenizable batch is
+    * recorded with drift = false — no evidence is not drift evidence).
+    * `onDrift` is the retrain hook — wire it to [[retrain]] over the
+    * maintained count table for the closed loop: tokenize once at
+    * ingest, monitor every batch, refresh the model from standing
+    * counts when the monitor trips.
+    *
+    * Replay safety: single-row-per-batch keyed by `__batch_id`, the
+    * [[lrCountSink]] protocol — a replayed batch is detected by its
+    * own row and skipped whole (the monitor row, already written,
+    * stays authoritative; `onDrift` does not re-fire).
+    *
+    * Scale shape: one batch tokenize + one model-sized broadcast join
+    * + one map-side-combined fold per batch; the monitor row is O(1).
+    */
+  def driftMonitorSink(spark: SparkSession, db: String,
+                       monitorTable: String,
+                       model: QualityClassifier.LogisticModel,
+                       baseConfE6: Long, idCol: String, textCol: String,
+                       nBuckets: Long = 0L)
+                      (onDrift: (Long, Long) => Unit = (_, _) => ())
+      : (DataFrame, Long) => Unit = {
+    ensureMonitorTable(spark, db, monitorTable)
+    val target = s"`$db`.`$monitorTable`"
+    var expected = spark.table(target).count()
+    def awaitVisible(): Unit = TableSync.awaitVisible(spark,
+      Seq(((db, monitorTable), expected)))
+    (batch: DataFrame, batchId: Long) => {
+      val applied = !spark.table(target)
+        .filter(col("__batch_id") === batchId).isEmpty
+      if (!applied) {
+        try {
+          val scored =
+            if (batch.isEmpty) (0L, 0L)
+            else {
+              val r = QualityClassifier.scoreConfidenceE6(
+                QualityClassifier.scoreLogistic(
+                  batch.select(col(idCol).cast("long").as(idCol),
+                    col(textCol).cast("string").as(textCol)),
+                  model, idCol, textCol, nBuckets)).head()
+              (r.getLong(0), r.getLong(1))
+            }
+          val (n, conf) = scored
+          val drift = n > 0L && conf * 2L < baseConfE6
+          import spark.implicits._
+          Seq((batchId, n, conf, drift))
+            .toDF("__batch_id", "n_scored", "conf_e6", "drift")
+            .write.mode(SaveMode.Append).insertInto(target)
+          expected += 1L
+          awaitVisible()
+          if (drift) onDrift(batchId, conf)
+        } finally {
+          org.apache.spark.sql.graft.CatalogCache
+            .uncacheReferencing(spark, target)
+          ()
+        }
+      }
+    }
+  }
 }

@@ -74,6 +74,38 @@ class LrIngestSpec extends SparkSpec {
     graft.ops.CacheScope.release(spark)
   }
 
+  test("drift monitor: per-batch confidence rows, drift fires on collapse, replay is a no-op") {
+    val t = "mon_0"
+    val model = QualityClassifier.trainLogistic(
+      docs.toDF("doc_id", "text", "y"), "doc_id", "text", "y")
+    def confOf(rows: Seq[(Long, String)]): Long =
+      QualityClassifier.scoreConfidenceE6(
+        QualityClassifier.scoreLogistic(rows.toDF("doc_id", "text"),
+          model, "doc_id", "text")).head().getLong(1)
+    // baseline = the in-regime confidence (marker tokens present)
+    val inRegime = docs.map { case (id, tx, _) => (id + 100L, tx) }
+    val offRegime = docs.map { case (id, _, y) =>
+      (id + 200L, if (y == 1L) "xmk xmk noise" else "zmk zmk noise") }
+    val base = confOf(inRegime)
+    assert(base > 0L, "fixture must give a nonzero baseline confidence")
+    assert(confOf(offRegime) * 2L < base,
+      "fixture must collapse confidence under unseen markers")
+    val drifts = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val sink = LrIngest.driftMonitorSink(spark, db, t, model, base,
+      "doc_id", "text") { (b, c) => drifts += ((b, c)); () }
+    sink(inRegime.toDF("doc_id", "text"), 0L)
+    sink(offRegime.toDF("doc_id", "text"), 1L)
+    sink(offRegime.toDF("doc_id", "text"), 1L) // at-least-once replay
+    val rows = spark.table(s"`$db`.`$t`")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(rows === Seq(
+      (0L, inRegime.size.toLong, confOf(inRegime), false),
+      (1L, offRegime.size.toLong, confOf(offRegime), true)))
+    assert(drifts.toSeq === Seq((1L, confOf(offRegime))),
+      "onDrift fires once — not on the in-regime batch, not on replay")
+    graft.ops.CacheScope.release(spark)
+  }
+
   test("hashing-trick ingest: bucketed standing counts train the bucketed model") {
     val t = "b_0"
     val sink = LrIngest.lrCountSink(spark, db, t, "doc_id", "text", "y",
