@@ -666,12 +666,16 @@ object Dedup {
     val cond = (Seq("chunk", "ckey") ++ blockCols)
       .map(c => col(s"a.$c") === col(s"b.$c"))
       .reduce(_ && _) && col("a.id") =!= col("b.id")
+    // filter before the dedup exchange — same reasoning and receipts
+    // as chunkBlockedPairsFromSigs (a pair's hamming is chunk-
+    // independent; the dropDuplicates shuffle carries true pairs, not
+    // the standing-size-proportional candidate stream)
     a.join(b, cond)
       .select(least(col("a.id"), col("b.id")).as("id_a"),
         greatest(col("a.id"), col("b.id")).as("id_b"),
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
-      .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Shared blocking core over an (id, sh) frame — see
@@ -691,13 +695,21 @@ object Dedup {
       .select(col("id"), col("sh"), col("cc.chunk"), col("cc.ckey"))
     val a = chunked.alias("a")
     val b = chunked.alias("b")
+    // hamming FILTER before the dedup EXCHANGE (r19 — found by
+    // MediaDeltaProbe): a pair's hamming is identical on every chunk
+    // it collides in (same two sh values), so filtering first is
+    // semantics-preserving — and the dropDuplicates shuffle then
+    // carries TRUE pairs instead of the full candidate volume
+    // (measured: 2.2M candidate records → ~the pair count, per probe
+    // batch). At 10⁹ items the candidate stream is the dominant
+    // exchange; now it dies map-side inside the join stage.
     a.join(b,
         col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
-      .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Connected components over a near-duplicate pair list → cluster
