@@ -59,20 +59,32 @@ object SparkEntry {
     * first access if q93 runs first), pricing the derived-view shape a
     * production pipeline actually has.
     */
+  /** Per-(process, session, sf-dir) artifact directory (r19 ADVICE):
+    * the session identity keeps a second session in the same JVM (the
+    * bench's isolated cross-check) from overwriting a path the first
+    * session's artifact lazily reads, and the SANITIZED dir string
+    * (not its hashCode) keeps distinct sf dirs from ever sharing a
+    * file. Stable within a session, so repeated rebuilds overwrite in
+    * place instead of accumulating temp dirs.
+    */
+  private def artifactPath(s: SparkSession, dir: String, tag: String): String =
+    new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      s"graft-$tag-${ProcessHandle.current().pid()}-" +
+        Integer.toHexString(System.identityHashCode(s)) + "-" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+
   private val dedupReports =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Dedup.DedupReport]()
 
   private def rebuildDedupReport(s: SparkSession, dir: String): Dedup.DedupReport = {
-    // stable per-(process, sf-dir) artifact location (overwritten on
-    // rebuild): repeated builds in one process — bench reps, repeated
-    // q52 calls — must not accumulate unbounded temp dirs, while the
-    // pid component keeps concurrent JVMs (a Verify beside a Bench)
-    // from overwriting each other's live artifact mid-scan; hex
-    // hashCode avoids the math.abs(MinValue) trap
-    val path = new java.io.File(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      s"graft-dedup-labels-${ProcessHandle.current().pid()}-" +
-        Integer.toHexString(dir.hashCode)).getAbsolutePath
+    // stable per-(process, session, sf-dir) artifact location
+    // (overwritten on rebuild): repeated builds in one process — bench
+    // reps, repeated q52 calls — must not accumulate unbounded temp
+    // dirs, while the pid + session components keep concurrent JVMs
+    // (a Verify beside a Bench) AND sibling sessions in one JVM from
+    // overwriting each other's live artifact mid-scan
+    val path = artifactPath(s, dir, "dedup-labels")
     val rep = Dedup.report(dedupClusterPairs(s, dir), Some(path))
     dedupReports.put((s, dir), rep)
     rep
@@ -92,10 +104,7 @@ object SparkEntry {
 
   private def minhashIndexArtifact(s: SparkSession, dir: String): DataFrame = {
     val path = minhashIndexes.computeIfAbsent((s, dir), _ => {
-      val p = new java.io.File(
-        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-        s"graft-minhash-index-${ProcessHandle.current().pid()}-" +
-          Integer.toHexString(dir.hashCode)).getAbsolutePath
+      val p = artifactPath(s, dir, "minhash-index")
       Dedup.buildMinhashIndex(
           T(s, dir, "documents").filter(col("doc_id") % 2 === 0),
           "doc_id", "text", shingleN = 5, k = 32)
@@ -137,10 +146,7 @@ object SparkEntry {
                         (train: => DataFrame)
       : ops.QualityClassifier.LogisticModel = {
     val (wp, bias) = lrModels.computeIfAbsent((s, dir, tag), _ => {
-      val p = new java.io.File(
-        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-        s"graft-$tag-${ProcessHandle.current().pid()}-" +
-          Integer.toHexString(dir.hashCode)).getAbsolutePath
+      val p = artifactPath(s, dir, tag)
       val m = ops.QualityClassifier.trainLogistic(train, "doc_id", "text",
         "y", rounds = 2, gMul = 16L)
       m.w.write.mode("overwrite").parquet(p)
@@ -182,10 +188,7 @@ object SparkEntry {
 
   private def pqModelArtifact(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     val (cp, bp, ip) = pqModels.computeIfAbsent((s, dir), _ => {
-      def p(tag: String) = new java.io.File(
-        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-        s"graft-pq-$tag-${ProcessHandle.current().pid()}-" +
-          Integer.toHexString(dir.hashCode)).getAbsolutePath
+      def p(tag: String) = artifactPath(s, dir, s"pq-$tag")
       val emb = T(s, dir, "embeddings")
       val (cPath, bPath, iPath) = (p("cents"), p("books"), p("index"))
       Similarity.trainCentroids(emb, nCells = 8, iters = 2)

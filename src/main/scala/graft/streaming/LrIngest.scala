@@ -67,6 +67,11 @@ object LrIngest {
           .filter(col("__batch_id") === batchId).isEmpty
         if (applied) onBatch(batchId, 0L) // full replay: no-op
         else {
+          // getPersistentRDDs-diff release (r19 ADVICE): the
+          // localCheckpoint below truncates lineage, so its blocks are
+          // only ever freed explicitly — without this, a long-running
+          // stream leaks one orphaned checkpoint RDD per micro-batch
+          val preexisting = spark.sparkContext.getPersistentRDDs.keySet
           try {
             val rows = QualityClassifier.tokenCounts(
                 batch.select(col(idCol).cast("long").as(idCol),
@@ -84,6 +89,9 @@ object LrIngest {
               onBatch(batchId, n)
             }
           } finally {
+            spark.sparkContext.getPersistentRDDs
+              .filter { case (rddId, _) => !preexisting.contains(rddId) }
+              .values.foreach(_.unpersist(blocking = false))
             org.apache.spark.sql.graft.CatalogCache
               .uncacheReferencing(spark, target)
             ()
@@ -136,7 +144,12 @@ object LrIngest {
     * Replay safety: single-row-per-batch keyed by `__batch_id`, the
     * [[lrCountSink]] protocol — a replayed batch is detected by its
     * own row and skipped whole (the monitor row, already written,
-    * stays authoritative; `onDrift` does not re-fire).
+    * stays authoritative). `onDrift` RE-FIRES on replay of a batch
+    * whose row recorded drift=true (r19 ADVICE): a crash between the
+    * row append and the hook would otherwise lose the retrain trigger
+    * forever, so the hook's delivery contract is at-LEAST-once and the
+    * retrain must be idempotent — [[retrain]] is (it reads standing
+    * counts; training is deterministic).
     *
     * Scale shape: one batch tokenize + one model-sized broadcast join
     * + one map-side-combined fold per batch; the monitor row is O(1).
@@ -154,9 +167,15 @@ object LrIngest {
     def awaitVisible(): Unit = TableSync.awaitVisible(spark,
       Seq(((db, monitorTable), expected)))
     (batch: DataFrame, batchId: Long) => {
-      val applied = !spark.table(target)
-        .filter(col("__batch_id") === batchId).isEmpty
-      if (!applied) {
+      val prior = spark.table(target)
+        .filter(col("__batch_id") === batchId)
+        .select(col("drift"), col("conf_e6")).collect()
+      if (prior.nonEmpty) {
+        // replayed batch: the written row is authoritative, but a
+        // recorded drift's trigger may have been lost to a crash
+        // before the hook ran — re-fire it (idempotent retrain)
+        if (prior.head.getBoolean(0)) onDrift(batchId, prior.head.getLong(1))
+      } else {
         try {
           val scored =
             if (batch.isEmpty) (0L, 0L)

@@ -168,6 +168,18 @@ object StreamingCc {
     // protected only sequential callers). Set once, for the sink's
     // lifetime.
     val writeSession = spark.newSession()
+    // newSession() builds its SQLConf from the BOOT SparkConf, not the
+    // caller's runtime-set SQL confs (r19 ADVICE): without this copy,
+    // the merge write could silently run under different
+    // write-relevant settings (committer, compression, timezone...)
+    // than every other write in the job. Copy the caller's effective
+    // confs first, then pin the one deliberate divergence. Static/
+    // immutable entries throw on set — skipped (they are already
+    // shared via the SparkContext).
+    spark.conf.getAll.foreach { case (k, v) =>
+      try writeSession.conf.set(k, v)
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
+    }
     writeSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     def bucketOf(c: org.apache.spark.sql.Column) =
       pmod(xxhash64(c), lit(nBuckets.toLong)).cast("int")
