@@ -3657,11 +3657,13 @@ object SparkEntry {
     // composition on the media side, in production order under ONE
     // oracle: a mixed-payload media table (real PNG bytes for half the
     // corpus via q144's planted pixel formula, real RIFF/PCM WAVs for
-    // a quarter via q147's sample formula, text payloads for the rest)
-    // → MIME sniff ROUTES each payload to its decoder (text routed
-    // away entirely) → per-modality container decode → perceptual
-    // fingerprint → Hamming pairs → ONE connected-components run over
-    // the union pair set → keep-best per cluster by n_chars. The
+    // a quarter via q147's sample formula, real frame-carrying MP4s
+    // for an eighth — r20, with planted near-dup triples of their own
+    // — text payloads for the rest) → MIME sniff ROUTES each payload
+    // to its decoder (text routed away entirely) → per-modality
+    // container decode → perceptual fingerprint → Hamming pairs → ONE
+    // connected-components run over the union pair set → keep-best
+    // per cluster by n_chars. The
     // composition is the test: a sniff misroute, codec drift, or
     // fingerprint change moves the kept set exactly as the oracle's
     // arithmetic replay moves it. Payload bytes never shuffle (the
@@ -3679,9 +3681,13 @@ object SparkEntry {
           mimed.filter(col("mime") === "image/png"), maxHamming = 4)
         .unionByName(ops.Multimodal.audioNearDupPairs(
           mimed.filter(col("mime") === "audio/wav"), maxHamming = 4))
+        .unionByName(ops.Multimodal.videoNearDupPairs(
+          mimed.filter(col("mime") === "video/mp4"), maxHamming = 4))
       val labels = ops.Dedup.connectedComponents(
         pairs.select(col("id_a"), col("id_b")))
-      val scored = docs.filter(pmod(did, lit(4L)) =!= 3L)
+      // the keep-best pool is every fingerprintable payload — image,
+      // audio, and (r20) video; only the text eighth is routed away
+      val scored = docs.filter(pmod(did, lit(8L)) =!= 7L)
         .select(did, col("n_chars").as("score"))
       ops.Dedup.keepBestByLabelFrame(scored, "doc_id", "score", labels)
         .select(col("doc_id"), col("score"))
@@ -3830,9 +3836,14 @@ object SparkEntry {
 
   /** The q194/q197 mixed-payload media fixture: real PNG bytes for
     * half the corpus (q144's planted pixel formula), real RIFF/PCM
-    * WAVs for a quarter (q147's sample formula), text payloads for
-    * the rest — all synthesized from `documents` so every downstream
-    * fingerprint replays arithmetically in the oracle.
+    * WAVs for a quarter (q147's sample formula), real frame-carrying
+    * MP4s for an eighth (r20 — carved out of the former text slice so
+    * the image/audio arithmetic is byte-identical to r19; the video
+    * slice plants near-dup triples of its own: groups of three
+    * consecutive videos share a content base, the 2nd/3rd carry one
+    * perturbed pixel), text payloads for the final eighth — all
+    * synthesized from `documents` so every downstream fingerprint
+    * replays arithmetically in the oracle.
     */
   private[graft] def multimodalMediaTable(s: SparkSession,
                                           dir: String): DataFrame = {
@@ -3867,16 +3878,40 @@ object SparkEntry {
     })
     val wavs = ops.Multimodal.asPcmWavMediaTable(
       docs.filter(pmod(did, lit(4L)) === 1L), "doc_id", 16000, samples)
+    // the video slice (r20): 3-frame 9x8 MP4s whose pixel values are a
+    // declarative formula over the VIDEO-ORDINAL group base vb — three
+    // consecutive videos (vm = (did-3)/8 ∈ {3j, 3j+1, 3j+2}) share
+    // content, the 2nd/3rd get ONE perturbed pixel (a near-dup triple
+    // per group, the video twin of the image/audio planting)
+    val vm = ((did - lit(3L)) / lit(8L)).cast("long")
+    val vb = vm - pmod(vm, lit(3L))
+    val vpos = pmod(did * lit(13L), lit(216L))
+    val vpixels = flatten(transform(sequence(lit(0), lit(2)), f =>
+      flatten(transform(sequence(lit(0), lit(7)), y =>
+        transform(sequence(lit(0), lit(8)), x => {
+          val xl = x.cast("long"); val yl = y.cast("long")
+          val fl = f.cast("long")
+          val i = fl * lit(72L) + yl * lit(9L) + xl
+          val h = (vb + lit(1L)) * lit(2654435761L) +
+            xl * lit(97L) + yl * lit(1031L) + fl * lit(761L)
+          val g = h.bitwiseXOR(shiftright(h, 7))
+          val p = pmod(g * lit(31L) + shiftright(g, 11), lit(241L))
+          when(pmod(vm, lit(3L)) =!= lit(0L) && i === vpos,
+            pmod(p + lit(128L), lit(241L))).otherwise(p).cast("int")
+        })))))
+    val mp4s = ops.Multimodal.asMp4FramesMediaTable(
+      docs.filter(pmod(did, lit(8L)) === 3L), "doc_id",
+      timescale = 1000, w = 9, h = 8, nFrames = 3, pixels = vpixels)
     // text payloads ride the SAME table (the "T " guard byte keeps a
     // text prefix from colliding with a container magic — q163)
-    val texts = docs.filter(pmod(did, lit(4L)) === 3L)
+    val texts = docs.filter(pmod(did, lit(8L)) === 7L)
       .select(did.cast("long").as("media_id"), lit("text").as("media_type"),
         encode(concat(lit("T "), substring(col("text"), 1, 64)), "UTF-8")
           .as("payload"),
         lit(null).cast("int").as("meta_width"),
         lit(null).cast("int").as("meta_height"),
         lit(null).cast("long").as("meta_duration_ms"))
-    pngs.unionByName(wavs).unionByName(texts)
+    pngs.unionByName(wavs).unionByName(mp4s).unionByName(texts)
   }
 
   // Shared CTE prefix for the q164/q165 oracles: quantize (float
@@ -7512,16 +7547,19 @@ object SparkEntry {
          WHERE rank_in_group <= (500000 * n_in_group + 999999) // 1000000""",
 
     // the q144 + q147 arithmetic replays over their sniff-routed
-    // subsets (the %4 routing IS what the mime dispatch computes:
-    // PNG magic for %4∈{0,2}, RIFF/WAVE for %4=1, the "T " text guard
-    // for %4=3 — pinned per-doc by q163), the union pair set closes
-    // transitively (recursive CTE), and keep-best replays the
-    // (n_chars DESC, doc_id ASC) window with unpaired media passing
-    // through
+    // subsets (the routing IS what the mime dispatch computes:
+    // PNG magic for %4∈{0,2}, RIFF/WAVE for %4=1, the ISO-BMFF ftyp
+    // for %8=3, the "T " text guard for %8=7 — pinned per-doc by
+    // q163), the VIDEO fingerprint replays as the dHash of the
+    // per-position frame SUM (r20 — the temporal fold is exact
+    // integer arithmetic), the union pair set closes transitively
+    // (recursive CTE), and keep-best replays the (n_chars DESC,
+    // doc_id ASC) window with unpaired media passing through
     "q194_multimodal_curation" ->
       """WITH RECURSIVE
          img AS (SELECT doc_id, n_chars FROM documents WHERE doc_id % 4 IN (0, 2)),
          aud AS (SELECT doc_id, n_chars FROM documents WHERE doc_id % 4 = 1),
+         vid AS (SELECT doc_id, n_chars FROM documents WHERE doc_id % 8 = 3),
          hx AS (
            SELECT d.doc_id, xs.x AS x, ys.y AS y,
              ((d.doc_id - d.doc_id % 3) + 1) * 2654435761
@@ -7585,7 +7623,41 @@ object SparkEntry {
            SELECT a.doc_id AS id_a, b.doc_id AS id_b
            FROM fp a JOIN fp b ON a.doc_id < b.doc_id
            WHERE bit_count(xor(a.afp, b.afp)) <= 4),
-         pr AS (SELECT * FROM ip UNION ALL SELECT * FROM ap),
+         vhx AS (
+           SELECT d.doc_id, fs.f AS f, xs.x AS x, ys.y AS y,
+             ((((d.doc_id - 3) // 8) - ((d.doc_id - 3) // 8) % 3) + 1)
+               * 2654435761 + xs.x * 97 + ys.y * 1031 + fs.f * 761 AS h
+           FROM vid d
+           CROSS JOIN (SELECT unnest(range(0, 3)) AS f) fs
+           CROSS JOIN (SELECT unnest(range(0, 9)) AS x) xs
+           CROSS JOIN (SELECT unnest(range(0, 8)) AS y) ys),
+         vpx AS (
+           SELECT doc_id, x, y,
+             CASE WHEN ((doc_id - 3) // 8) % 3 <> 0
+                    AND f * 72 + y * 9 + x = (doc_id * 13) % 216
+               THEN ((g * 31 + (g >> 11)) % 241 + 128) % 241
+               ELSE (g * 31 + (g >> 11)) % 241
+             END AS p
+           FROM (SELECT doc_id, f, x, y, xor(h, h >> 7) AS g FROM vhx)),
+         vsm AS (SELECT doc_id, x, y, SUM(p) AS ps FROM vpx GROUP BY 1, 2, 3),
+         vdh AS (
+           SELECT l.doc_id,
+             CAST(COALESCE(SUM(
+               CASE WHEN l.ps < r.ps AND l.y * 8 + l.x = 63
+                 THEN CAST(-9223372036854775808 AS HUGEINT)
+               WHEN l.ps < r.ps
+                 THEN CAST(CAST(1 AS BIGINT) << (l.y * 8 + l.x) AS HUGEINT)
+               ELSE CAST(0 AS HUGEINT) END), 0) AS BIGINT) AS vfp
+           FROM vsm l JOIN vsm r
+             ON r.doc_id = l.doc_id AND r.y = l.y AND r.x = l.x + 1
+           WHERE l.x < 8
+           GROUP BY l.doc_id),
+         vp AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM vdh a JOIN vdh b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.vfp, b.vfp)) <= 4),
+         pr AS (SELECT * FROM ip UNION ALL SELECT * FROM ap
+                UNION ALL SELECT * FROM vp),
          e AS (SELECT id_a AS src, id_b AS dst FROM pr
                UNION SELECT id_b, id_a FROM pr),
          reach(id, r) AS (
@@ -7594,7 +7666,8 @@ object SparkEntry {
            SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
          labels AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
          pool AS (SELECT doc_id, n_chars FROM img
-                  UNION ALL SELECT doc_id, n_chars FROM aud),
+                  UNION ALL SELECT doc_id, n_chars FROM aud
+                  UNION ALL SELECT doc_id, n_chars FROM vid),
          best AS (
            SELECT p2.doc_id, p2.n_chars FROM pool p2
            JOIN labels l ON p2.doc_id = l.id
@@ -7644,12 +7717,12 @@ object SparkEntry {
     // sliced-fold labels ≡ one-shot labels is structural (each pair
     // lands in the slice where its later endpoint arrives; the CC fold
     // is exact); the fingerprint census replays as the non-text media
-    // count — every PNG and WAV in the fixture decodes (q194's oracle
-    // proves the fingerprints themselves, hash-exact)
+    // count — every PNG, WAV, and (r20) MP4 in the fixture decodes
+    // (q194's oracle proves the fingerprints themselves, hash-exact)
     "q197_multimodal_streamed_curation" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_fingerprinted,
            true AS fold_equals_oneshot
-         FROM documents WHERE doc_id % 4 <> 3""",
+         FROM documents WHERE doc_id % 8 <> 7""",
 
     // sliced-built-index serve ≡ one-shot serve is structural (pure
     // per-vector encoding + deterministic serve ranking); the index

@@ -499,6 +499,92 @@ object Multimodal {
       }(enc)
   }
 
+  /** [[dhash64]] over Long samples — the video fold accumulates frame
+    * sums, whose comparisons are what the hash reads; Long keeps the
+    * accumulation exact out to ~3.6·10¹⁶ summed luminance (255 per
+    * frame × everyN-sampled frame count), far past any real clip.
+    */
+  private[ops] def dhash64L(w: Int, h: Int, g: Array[Long]): Long = {
+    var sh = 0L
+    var y = 0
+    while (y < 8) {
+      val gy = y * h / 8
+      var x = 0
+      while (x < 8) {
+        val l = g(gy * w + x * w / 9)
+        val r = g(gy * w + (x + 1) * w / 9)
+        if (l < r) sh |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    sh
+  }
+
+  private val vfpSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("vfp", LongType, nullable = true)))
+
+  /** Per-payload VIDEO perceptual fingerprint (r20, r19 verdict #1 —
+    * video into the near-dup curation loop): every `everyN`-th frame is
+    * sliced out of the mdat (the [[videoFrameDHash]] seek, unsampled
+    * frames never materialized), the sampled frames are folded into ONE
+    * per-position luminance SUM (order-free, exact integer — the
+    * temporal-mean frame without the division), and the fold is dHashed
+    * ([[dhash64L]] — same grid compare the image path uses). A
+    * near-duplicate clip (re-encoded, a few perturbed pixels, a
+    * dropped tail frame under sampling) moves a handful of summed
+    * positions and therefore a handful of hash bits — exactly the
+    * Hamming-radius contract [[graft.ops.Dedup.hammingPairs]] consumes.
+    * Narrow per-partition map; video bytes never shuffle; (media_id,
+    * vfp) with null for undecodable payloads (never-throws).
+    */
+  def videoFingerprints(media: DataFrame, everyN: Int = 1): DataFrame = {
+    require(everyN >= 1)
+    val enc = org.apache.spark.sql.Encoders.row(vfpSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          val fp = for {
+            p <- Option(payload)
+            (_, _, w, h) <- parseMp4Header(p)
+            if w > 0 && h > 0
+            (s, e) <- findMdat(p)
+            frameBytes = w * h
+            nFrames = (e - s) / frameBytes
+            if nFrames > 0
+          } yield {
+            val acc = new Array[Long](frameBytes)
+            var f = 0
+            while (f < nFrames) {
+              var k = 0
+              while (k < frameBytes) {
+                acc(k) += (p(s + f * frameBytes + k) & 0xFF).toLong
+                k += 1
+              }
+              f += everyN
+            }
+            dhash64L(w, h, acc)
+          }
+          Row(id, fp.map(Long.box).orNull)
+        }
+      }(enc)
+  }
+
+  /** Perceptual near-duplicate video pairs: fingerprint each payload,
+    * then Hamming-radius pairing — the machinery's third consumer,
+    * completing the image/audio/video triple. Only (media_id, vfp)
+    * longs enter the exchange; frames and payloads stay
+    * partition-local.
+    */
+  def videoNearDupPairs(media: DataFrame, maxHamming: Int = 4,
+                        everyN: Int = 1): DataFrame =
+    Dedup.hammingPairs(
+      videoFingerprints(media, everyN).filter(col("vfp").isNotNull),
+      "media_id", "vfp", maxHamming)
+
   private val audioSchema = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("sample_rate", IntegerType, nullable = false),
@@ -981,15 +1067,19 @@ object Multimodal {
     * frame (r19 — the q194 front half as ONE reusable stage): sniff
     * each payload's container on bytes alone ([[Mime.sniffMime]] —
     * production media arrives untagged), route PNGs to the pixel
-    * decode → dHash kernel and WAVs to the PCM decode → frame-energy
-    * kernel, drop everything else (text and unknown containers carry
-    * no perceptual identity). Output (media_id, kind, fp) — 8-byte
-    * fingerprints tagged by modality so downstream pairing never
-    * crosses fingerprint spaces. Payload bytes never survive this
-    * stage: both kernels are narrow partition-local maps and only the
-    * (id, kind, fp) longs reach any exchange — the media doctrine.
+    * decode → dHash kernel, WAVs to the PCM decode → frame-energy
+    * kernel, and MP4s to the frame-fold → dHash kernel
+    * ([[videoFingerprints]] — r20, closing the video gap: a video
+    * payload entering the curation loop is fingerprinted and deduped
+    * like any other modality, not silently dropped), drop everything
+    * else (text and unknown containers carry no perceptual identity).
+    * Output (media_id, kind, fp) — 8-byte fingerprints tagged by
+    * modality so downstream pairing never crosses fingerprint spaces.
+    * Payload bytes never survive this stage: all three kernels are
+    * narrow partition-local maps and only the (id, kind, fp) longs
+    * reach any exchange — the media doctrine.
     */
-  def mediaFingerprints(media: DataFrame): DataFrame = {
+  def mediaFingerprints(media: DataFrame, videoEveryN: Int = 1): DataFrame = {
     val mimed = media.withColumn("mime", Mime.sniffMime(col("payload")))
     imageDHash(mimed.filter(col("mime") === "image/png"))
       .filter(col("dhash").isNotNull)
@@ -1000,6 +1090,12 @@ object Multimodal {
           .filter(col("afp").isNotNull)
           .select(col("media_id"), lit("audio").as("kind"),
             col("afp").as("fp")))
+      .unionByName(
+        videoFingerprints(mimed.filter(col("mime") === "video/mp4"),
+            videoEveryN)
+          .filter(col("vfp").isNotNull)
+          .select(col("media_id"), lit("video").as("kind"),
+            col("vfp").as("fp")))
   }
 
   /** Per-modality incremental Hamming pairing over

@@ -284,6 +284,44 @@ class MultimodalSpec extends SparkSpec {
       .as[(Long, Int, Long)].collect().toSet == all)
   }
 
+  test("videoFingerprints: frame-sum dhash, small-edit locality, sniff routing") {
+    val frame = (s: Long) => Array.tabulate(72) { i =>
+      ((s * 2654435761L + i * 97L) % 241).toInt.abs
+    }
+    val f0 = frame(1); val f1 = frame(2); val f2 = frame(3)
+    def mk(id: Long, fs: Array[Int]*) = Multimodal.asMp4FramesMediaTable(
+      Seq((id, fs.flatten.toSeq)).toDF("doc_id", "px"), "doc_id",
+      timescale = 600, w = 9, h = 8, nFrames = fs.length, $"px")
+    val media = mk(7L, f0, f1, f2)
+    val got = Multimodal.videoFingerprints(media)
+      .as[(Long, Option[Long])].head()
+    // the fingerprint IS the dhash of the per-position frame sum
+    val sums = Array.tabulate(72)(i =>
+      f0(i).toLong + f1(i).toLong + f2(i).toLong)
+    assert(got == (7L -> Some(Multimodal.dhash64L(9, 8, sums))))
+    // one perturbed pixel in one frame flips <= 2 bits (the near-dup
+    // locality the Hamming pairing consumes)
+    val f1e = f1.clone(); f1e(40) = (f1e(40) + 128) % 241
+    val gotE = Multimodal.videoFingerprints(mk(8L, f0, f1e, f2))
+      .as[(Long, Option[Long])].head()
+    assert(java.lang.Long.bitCount(got._2.get ^ gotE._2.get) <= 2)
+    // everyN sampling folds only the sampled frames
+    val sampled = Multimodal.videoFingerprints(media, everyN = 2)
+      .as[(Long, Option[Long])].head()
+    val sums02 = Array.tabulate(72)(i => f0(i).toLong + f2(i).toLong)
+    assert(sampled._2.contains(Multimodal.dhash64L(9, 8, sums02)))
+    // undecodable payloads fingerprint to null, never throw
+    val broken = Multimodal.asMediaTable(
+      Seq((999L, "garbage")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(Multimodal.videoFingerprints(broken)
+      .as[(Long, Option[Long])].head()._2.isEmpty)
+    // mediaFingerprints sniff-routes the MP4 as kind "video" (r20 —
+    // the curation loop's video leg) and drops the undecodable row
+    val routed = Multimodal.mediaFingerprints(media.unionByName(broken))
+      .as[(Long, String, Long)].collect().toSet
+    assert(routed == Set((7L, "video", got._2.get)))
+  }
+
   test("PCM WAV encode->decode round-trips signed samples; out-of-range clamps") {
     val pcm = Array(0, 1, -1, 32767, -32768, 15000, -15000, 123, -9999)
     val decoded = Multimodal.decodeWavPcm(Multimodal.encodePcmWav(16000, pcm))

@@ -27,14 +27,17 @@ class StreamingMediaSpec extends SparkSpec {
     super.afterAll()
   }
 
-  /** The q194 fixture in miniature over ids 0..35: real PNGs for
+  /** The q194 fixture in miniature over ids 0..47: real PNGs for
     * ids %4 ∈ {0,2} (pixels keyed on the id's group-of-3, one pixel
     * perturbed for 2 of 3 members → within-group near-dups at
     * Hamming ≤ 4), real PCM WAVs for ids %4 = 1 (same scheme on
-    * samples), text payloads for the rest (routed away by the sniff).
+    * samples), real 3-frame MP4s for ids %8 = 3 (r20 — video in the
+    * curation loop: pixels keyed on the VIDEO-ordinal group-of-3,
+    * near-dup triples of their own), text payloads for ids %8 = 7
+    * (routed away by the sniff).
     */
   private def media: DataFrame = {
-    val docs = (0L until 36L).map(i => (i, s"text body $i", 10L + i % 7))
+    val docs = (0L until 48L).map(i => (i, s"text body $i", 10L + i % 7))
       .toDF("doc_id", "text", "n_chars")
     val did = col("doc_id")
     val base = did - pmod(did, lit(3L))
@@ -64,13 +67,32 @@ class StreamingMediaSpec extends SparkSpec {
     })
     val wavs = Multimodal.asPcmWavMediaTable(
       docs.filter(pmod(did, lit(4L)) === 1L), "doc_id", 16000, samples)
-    val texts = docs.filter(pmod(did, lit(4L)) === 3L)
+    val vm = ((did - lit(3L)) / lit(8L)).cast("long")
+    val vb = vm - pmod(vm, lit(3L))
+    val vpos = pmod(did * lit(13L), lit(216L))
+    val vpixels = flatten(transform(sequence(lit(0), lit(2)), f =>
+      flatten(transform(sequence(lit(0), lit(7)), y =>
+        transform(sequence(lit(0), lit(8)), x => {
+          val xl = x.cast("long"); val yl = y.cast("long")
+          val fl = f.cast("long")
+          val i = fl * lit(72L) + yl * lit(9L) + xl
+          val h = (vb + lit(1L)) * lit(2654435761L) +
+            xl * lit(97L) + yl * lit(1031L) + fl * lit(761L)
+          val g = h.bitwiseXOR(shiftright(h, 7))
+          val p = pmod(g * lit(31L) + shiftright(g, 11), lit(241L))
+          when(pmod(vm, lit(3L)) =!= lit(0L) && i === vpos,
+            pmod(p + lit(128L), lit(241L))).otherwise(p).cast("int")
+        })))))
+    val mp4s = Multimodal.asMp4FramesMediaTable(
+      docs.filter(pmod(did, lit(8L)) === 3L), "doc_id",
+      timescale = 1000, w = 9, h = 8, nFrames = 3, pixels = vpixels)
+    val texts = docs.filter(pmod(did, lit(8L)) === 7L)
       .select(did.cast("long").as("media_id"), lit("text").as("media_type"),
         encode(concat(lit("T "), col("text")), "UTF-8").as("payload"),
         lit(null).cast("int").as("meta_width"),
         lit(null).cast("int").as("meta_height"),
         lit(null).cast("long").as("meta_duration_ms"))
-    pngs.unionByName(wavs).unionByName(texts)
+    pngs.unionByName(wavs).unionByName(mp4s).unionByName(texts)
   }
 
   /** The one-shot q194 labeling of the same corpus. */
@@ -81,6 +103,8 @@ class StreamingMediaSpec extends SparkSpec {
         mimed.filter(col("mime") === "image/png"), maxHamming = 4)
       .unionByName(Multimodal.audioNearDupPairs(
         mimed.filter(col("mime") === "audio/wav"), maxHamming = 4))
+      .unionByName(Multimodal.videoNearDupPairs(
+        mimed.filter(col("mime") === "video/mp4"), maxHamming = 4))
     Dedup.connectedComponents(pairs.select(col("id_a"), col("id_b")))
       .as[(Long, Long)].collect().toSet
   }
@@ -110,6 +134,8 @@ class StreamingMediaSpec extends SparkSpec {
   test("streamed media labels equal the one-shot q194 labeling, any slicing") {
     val expected = oneShotLabels
     assert(expected.nonEmpty, "fixture must produce near-dup clusters")
+    assert(expected.exists { case (id, _) => id % 8 == 3 },
+      "video rows must participate in the labeling (r19 verdict #1)")
     val rows = payloadRows
     val slicings = Seq(
       Seq(rows),                                     // one batch
