@@ -252,7 +252,7 @@ object SparkEntry {
     "q177_pagerank_incremental", "q178_cc_label_fold",
     "q186_ppr_seeds", "q191_quality_lr_gate", "q193_pq_streamed_serve",
     "q195_quality_lr_bucketed_gate", "q196_quality_lr_drift_gate",
-    "q197_multimodal_streamed_curation")
+    "q197_multimodal_streamed_curation", "q198_quality_lr_counts_retrain")
 
   // ------------------------------------------------------------------
   // Query inventory
@@ -3808,6 +3808,49 @@ object SparkEntry {
       fps.agg(count(lit(1)).as("n_fingerprinted")).crossJoin(mism)
         .select(col("n_fingerprinted"),
           (col("mism") === 0L).as("fold_equals_oneshot"))
+    }),
+
+    // COUNTS-BASED RETRAIN CONTRACT (r20, r19 verdict next #2 — the
+    // q197 shape applied to LrIngest): the fixture's train half is
+    // folded in TWO slices through the count-maintenance arithmetic
+    // lrCountSink runs per micro-batch (tokenize the slice once,
+    // append its (doc_id, y, h, c) rows), the model is trained FROM
+    // the folded standing counts, and its weight table is
+    // equality-joined against the from-scratch twin — the 100 TB
+    // retrain contract (retrain ≡ from-scratch, zero re-tokenize)
+    // made oracle-visible. The twin is the MEMOIZED artifact model
+    // (lrModelArtifact — the same frame q190/q196 score from, built
+    // once off the timed path: the verdict-#3 treatment, the
+    // from-scratch leg is the nightly artifact by the family's own
+    // production framing), so each rep prices the counts fold + the
+    // 2-round counts training + the equality join. n_w / sum_w_e6 /
+    // bias_e6 replay string-keyed in the oracle's unrolled training
+    // CTEs, so the hash gate covers the folded training's arithmetic,
+    // not just the equality boolean.
+    "q198_quality_lr_counts_retrain" -> ((s, dir) => {
+      val train = lrAugment(T(s, dir, "documents"))
+        .filter(pmod(col("doc_id"), lit(2L)) === 0L)
+      val sliceKey = pmod(xxhash64(col("doc_id")), lit(2L))
+      val counts = (0L until 2L).map { i =>
+        ops.QualityClassifier.tokenCounts(train.filter(sliceKey === i),
+          "doc_id", "text", Some("y"))
+      }.reduce(_ unionByName _)
+      val m = ops.QualityClassifier.trainLogisticFromCounts(counts,
+        rounds = 2, gMul = 16L)
+      val scratch = lrModelArtifact(s, dir)
+      val mism = m.w.alias("a")
+        .join(scratch.w.alias("b"), col("a.h") === col("b.h"), "full")
+        .filter(col("a.h").isNull || col("b.h").isNull ||
+          col("a.w_e6") =!= col("b.w_e6"))
+        .agg(count(lit(1)).as("mism"))
+      val nTrain = counts.select(col("doc_id")).distinct()
+        .agg(count(lit(1)).as("n_train"))
+      m.w.agg(count(lit(1)).as("n_w"), sum(col("w_e6")).as("sum_w_e6"))
+        .crossJoin(mism).crossJoin(nTrain)
+        .select(col("n_train"), col("n_w"), col("sum_w_e6"),
+          lit(m.biasE6).as("bias_e6"),
+          (col("mism") === 0L && lit(m.biasE6 == scratch.biasE6))
+            .as("fold_equals_scratch"))
     }),
   )
 
@@ -7723,6 +7766,21 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS n_fingerprinted,
            true AS fold_equals_oneshot
          FROM documents WHERE doc_id % 8 <> 7""",
+
+    // the folded-counts training replays in the SAME unrolled CTEs as
+    // q190's from-scratch training (count additivity means the folded
+    // standing table IS the one-shot count table, so one replay covers
+    // both legs); the equality boolean is structural. n_w counts the
+    // train vocabulary, sum_w_e6 folds every final weight — a drifted
+    // gradient anywhere moves it
+    "q198_quality_lr_counts_retrain" ->
+      s"""WITH ${lrOracleCtes("documents")}
+         SELECT
+           (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM tr) AS n_train,
+           (SELECT CAST(count(*) AS BIGINT) FROM w2) AS n_w,
+           (SELECT CAST(sum(wt) AS BIGINT) FROM w2) AS sum_w_e6,
+           (SELECT CAST(b AS BIGINT) FROM b2) AS bias_e6,
+           true AS fold_equals_scratch""",
 
     // sliced-built-index serve ≡ one-shot serve is structural (pure
     // per-vector encoding + deterministic serve ranking); the index

@@ -112,12 +112,22 @@ object LrIngest {
   /** Retrain from the standing table — the drift gate's trigger action
     * (q196): the model refresh costs `rounds` gradient exchanges over
     * counts, never a corpus re-tokenize.
+    *
+    * The returned weights are PINNED (localCheckpoint — vocab-sized,
+    * lineage truncated off the catalog table): the standing table
+    * keeps growing under the count sink, and a lazy weight plan over
+    * it would silently re-derive against the grown table on any cache
+    * eviction — the "standing model" would drift WITH the corpus and
+    * the monitor could never see confidence collapse (caught by the
+    * closed-loop spec, r20). A model is a point-in-time artifact.
     */
   def retrain(spark: SparkSession, db: String, countTable: String,
               rounds: Int = 2, gMul: Long = 16L)
-      : QualityClassifier.LogisticModel =
-    QualityClassifier.trainLogisticFromCounts(
+      : QualityClassifier.LogisticModel = {
+    val m = QualityClassifier.trainLogisticFromCounts(
       counts(spark, db, countTable), rounds, gMul)
+    m.copy(w = m.w.localCheckpoint(true))
+  }
 
   def ensureMonitorTable(spark: SparkSession, db: String,
                          monitorTable: String): Unit = {

@@ -101,8 +101,77 @@ class LrIngestSpec extends SparkSpec {
     assert(rows === Seq(
       (0L, inRegime.size.toLong, confOf(inRegime), false),
       (1L, offRegime.size.toLong, confOf(offRegime), true)))
-    assert(drifts.toSeq === Seq((1L, confOf(offRegime))),
-      "onDrift fires once — not on the in-regime batch, not on replay")
+    assert(drifts.toSeq === Seq((1L, confOf(offRegime)),
+        (1L, confOf(offRegime))),
+      "onDrift is at-LEAST-once (r19 ADVICE): it fires on the drifted " +
+        "batch AND on its replay (a crash between row append and hook " +
+        "must not lose the retrain trigger; retrain is idempotent) — " +
+        "never on the in-regime batch")
+    graft.ops.CacheScope.release(spark)
+  }
+
+  test("closed drift loop: monitor trips, onDrift retrains from standing counts, recovery") {
+    val (ct, mt, mt2) = ("loop_c", "loop_m", "loop_m2")
+    // baseline regime ingests through the count sink (tokenize once)
+    val countSink = LrIngest.lrCountSink(spark, db, ct,
+      "doc_id", "text", "y")()
+    docs.grouped(4).zipWithIndex.foreach { case (b, i) =>
+      countSink(b.toDF("doc_id", "text", "y"), i.toLong)
+    }
+    val m0 = LrIngest.retrain(spark, db, ct)
+    def conf(m: QualityClassifier.LogisticModel,
+             rows: Seq[(Long, String)]): Long =
+      QualityClassifier.scoreConfidenceE6(
+        QualityClassifier.scoreLogistic(rows.toDF("doc_id", "text"),
+          m, "doc_id", "text")).head().getLong(1)
+    val inRegime = docs.map { case (id, tx, _) => (id + 100L, tx) }
+    val newRegime = docs.map { case (id, _, y) =>
+      (id + 200L, if (y == 1L) "xmk xmk noise" else "zmk zmk noise") }
+    val base = conf(m0, inRegime)
+    // the CLOSED loop (r19 verdict next #6): the monitor's trigger IS
+    // LrIngest.retrain over the standing counts — by trip time those
+    // include the new regime's labeled examples (ingest runs beside
+    // the monitor), so the refresh re-tokenizes nothing
+    var retrained: Option[QualityClassifier.LogisticModel] = None
+    val monitor = LrIngest.driftMonitorSink(spark, db, mt, m0, base,
+      "doc_id", "text") { (_, _) =>
+      retrained = Some(LrIngest.retrain(spark, db, ct))
+    }
+    monitor(inRegime.toDF("doc_id", "text"), 0L)
+    assert(retrained.isEmpty, "in-regime traffic must not trip the loop")
+    // the regime shifts: labeled new-regime examples land in the count
+    // table; unlabeled new-regime traffic hits the monitor and trips it
+    val newLabeled = docs.map { case (id, _, y) =>
+      (id + 300L, if (y == 1L) "xmk xmk noise" else "zmk zmk noise", y) }
+    countSink(newLabeled.toDF("doc_id", "text", "y"), 10L)
+    monitor(newRegime.toDF("doc_id", "text"), 1L)
+    assert(retrained.nonEmpty, "drifted traffic must fire the retrain")
+    val m1 = retrained.get
+    // the refreshed model equals a from-scratch train over EVERYTHING
+    // ever ingested (the additivity contract through the loop)
+    val scratch = QualityClassifier.trainLogistic(
+      (docs ++ newLabeled).toDF("doc_id", "text", "y"),
+      "doc_id", "text", "y")
+    assert((m1.biasE6, scores(m1)) === ((scratch.biasE6, scores(scratch))))
+    // recovery, operationally: the refreshed model classifies the new
+    // regime correctly and a monitor re-anchored on it reports the
+    // same traffic as drift=false — the drift=true -> retrain ->
+    // drift=false sequence
+    val preds = QualityClassifier.scoreLogistic(
+        newRegime.toDF("doc_id", "text"), m1, "doc_id", "text")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._4)).toMap
+    val wantPos = newRegime.map { case (id, tx) => id -> tx.startsWith("xmk") }
+    assert(wantPos.forall { case (id, want) => preds(id) == want },
+      "refreshed model must separate the new regime's markers")
+    val monitor2 = LrIngest.driftMonitorSink(spark, db, mt2, m1,
+      conf(m1, newLabeled.map { case (id, tx, _) => (id, tx) }),
+      "doc_id", "text")()
+    monitor2(newRegime.toDF("doc_id", "text"), 0L)
+    val rows2 = spark.table(s"`$db`.`$mt2`")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(rows2.map(r => (r._1, r._4)) === Seq((0L, false)),
+      "re-anchored monitor must not re-trip on the recovered regime")
     graft.ops.CacheScope.release(spark)
   }
 
