@@ -26,24 +26,35 @@ import org.apache.spark.storage.StorageLevel
   * are gone afterwards, and localCheckpoint blocks CANNOT be recomputed,
   * so a released frame must not be re-collected).
   *
-  * Single-writer assumption: checkpoint tracking diffs the context's
-  * persistent-RDD table around the `localCheckpoint` call, so two
-  * sessions sharing one SparkContext must not run registered operators
-  * concurrently (Verify/Bench/tests are all sequential; a concurrent
-  * caller should scope sessions with `spark.newSession()` per thread —
-  * the registry is keyed by session).
+  * Concurrency model (r20 — the composed-session contract): the
+  * registry is scoped by (SparkContext, THREAD). A streaming sink's
+  * per-batch body runs driver-side on its query's microbatch thread,
+  * so CONCURRENT sinks on one session register, mark, and drain
+  * disjoint deques — one sink's per-batch `releaseSince` can never pop
+  * a sibling's in-flight frames (under the old session-keyed single
+  * deque it could, and did: the tail it drained interleaved both
+  * sinks' registrations). Context (not session) keying makes a
+  * streaming query's CLONED session drain through the constructor
+  * session's marks — they share the thread. Within one thread the
+  * single-writer stack discipline still holds: marks nest, the tail is
+  * yours. [[release]] sweeps every thread's deques for the context.
   */
 object CacheScope {
 
+  private type Key = (org.apache.spark.SparkContext, Thread)
+
   private val frames =
-    new ConcurrentHashMap[SparkSession, java.util.Deque[DataFrame]]()
+    new ConcurrentHashMap[Key, java.util.Deque[DataFrame]]()
   private val rdds =
-    new ConcurrentHashMap[SparkSession, java.util.Deque[RDD[_]]]()
+    new ConcurrentHashMap[Key, java.util.Deque[RDD[_]]]()
+
+  private def keyOf(spark: SparkSession): Key =
+    (spark.sparkContext, Thread.currentThread())
 
   private def frameQueue(spark: SparkSession) =
-    frames.computeIfAbsent(spark, _ => new java.util.concurrent.ConcurrentLinkedDeque[DataFrame]())
+    frames.computeIfAbsent(keyOf(spark), _ => new java.util.concurrent.ConcurrentLinkedDeque[DataFrame]())
   private def rddQueue(spark: SparkSession) =
-    rdds.computeIfAbsent(spark, _ => new java.util.concurrent.ConcurrentLinkedDeque[RDD[_]]())
+    rdds.computeIfAbsent(keyOf(spark), _ => new java.util.concurrent.ConcurrentLinkedDeque[RDD[_]]())
 
   /** Persist `df` and register it for the session's next [[release]]. */
   private[graft] def persist(df: DataFrame,
@@ -54,7 +65,7 @@ object CacheScope {
   }
 
   private val stageNames =
-    new ConcurrentHashMap[SparkSession, java.util.Deque[String]]()
+    new ConcurrentHashMap[Key, java.util.Deque[String]]()
 
   /** [[persist]] plus a stage name recorded for observability — the
     * [[Pipeline.stage]] backing. Names drain with [[release]].
@@ -62,34 +73,32 @@ object CacheScope {
   private[graft] def persistStage(name: String, df: DataFrame,
                                   level: StorageLevel): DataFrame = {
     val out = persist(df, level)
-    stageNames.computeIfAbsent(df.sparkSession,
+    stageNames.computeIfAbsent(keyOf(df.sparkSession),
       _ => new java.util.concurrent.ConcurrentLinkedDeque[String]()).add(name)
     out
   }
 
-  /** Stage names registered via [[persistStage]] since the last
-    * [[release]], in registration order (test/ops observability: a
-    * composition spec asserts its persist points exist by name).
+  /** Stage names registered via [[persistStage]] on THIS thread since
+    * the last [[release]], in registration order (test/ops
+    * observability: a composition spec asserts its persist points
+    * exist by name).
     */
   def stagedNames(spark: SparkSession): Seq[String] = {
     import scala.jdk.CollectionConverters._
-    Option(stageNames.get(spark)).map(_.asScala.toSeq).getOrElse(Seq.empty)
+    Option(stageNames.get(keyOf(spark))).map(_.asScala.toSeq).getOrElse(Seq.empty)
   }
 
   /** Eager localCheckpoint returning the checkpointed frame plus the
-    * checkpoint's backing RDDs (captured by diffing the persistent-RDD
-    * table — the checkpoint RDD is not reachable through the public
-    * DataFrame API). Iterative drivers unpersist the PREVIOUS round's
-    * RDDs with this handle once the next round is materialized.
+    * checkpoint's backing RDDs, read from the checkpointed plan's own
+    * LogicalRDD leaves (r20 — the old persistent-RDD-table diff raced
+    * with concurrent sinks: a sibling's blocks created inside the
+    * window were captured as "ours" and later unpersisted under it).
+    * Iterative drivers unpersist the PREVIOUS round's RDDs with this
+    * handle once the next round is materialized.
     */
   private[graft] def localCheckpointTracked(df: DataFrame): (DataFrame, Seq[RDD[_]]) = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
     val out = df.localCheckpoint(true)
-    val added = sc.getPersistentRDDs.collect {
-      case (id, r) if !before.contains(id) => r
-    }.toSeq
-    (out, added)
+    (out, org.apache.spark.sql.graft.CatalogCache.checkpointRdds(out))
   }
 
   /** Register checkpoint RDDs that must survive until [[release]]
@@ -106,55 +115,86 @@ object CacheScope {
   private[graft] def unpersistRdds(toDrop: Seq[RDD[_]]): Unit =
     toDrop.foreach(_.unpersist(blocking = false))
 
-  /** Release every intermediate registered against `spark` since the
-    * last release. Call after the terminal action on the consuming
-    * query; results derived from released operators must not be
-    * re-executed (checkpoint lineage is truncated by design).
+  /** Release every intermediate registered against `spark`'s CONTEXT —
+    * all sessions, all threads — since the last release. Call after
+    * the terminal action on the consuming query; results derived from
+    * released operators must not be re-executed (checkpoint lineage is
+    * truncated by design).
     */
   def release(spark: SparkSession): Unit = {
-    Option(frames.remove(spark)).foreach { q =>
-      q.forEach(df => { df.unpersist(blocking = false); () })
+    val ctx = spark.sparkContext
+    import scala.jdk.CollectionConverters._
+    frames.keySet.asScala.filter(_._1 eq ctx).toSeq.foreach { k =>
+      Option(frames.remove(k)).foreach { q =>
+        q.forEach(df => { df.unpersist(blocking = false); () })
+      }
     }
-    Option(rdds.remove(spark)).foreach { q =>
-      q.forEach(r => { r.unpersist(blocking = false); () })
+    rdds.keySet.asScala.filter(_._1 eq ctx).toSeq.foreach { k =>
+      Option(rdds.remove(k)).foreach { q =>
+        q.forEach(r => { r.unpersist(blocking = false); () })
+      }
     }
-    stageNames.remove(spark)
+    stageNames.keySet.asScala.filter(_._1 eq ctx).toSeq
+      .foreach(stageNames.remove)
     ()
   }
 
-  /** Number of currently-registered intermediates (test observability). */
-  def trackedCount(spark: SparkSession): Int =
-    Option(frames.get(spark)).map(_.size).getOrElse(0) +
-      Option(rdds.get(spark)).map(_.size).getOrElse(0)
+  /** Number of currently-registered intermediates across the context's
+    * threads (test observability). */
+  def trackedCount(spark: SparkSession): Int = {
+    val ctx = spark.sparkContext
+    import scala.jdk.CollectionConverters._
+    frames.asScala.collect { case ((c, _), q) if c eq ctx => q.size }.sum +
+      rdds.asScala.collect { case ((c, _), q) if c eq ctx => q.size }.sum
+  }
 
   /** Registry position snapshot for [[releaseSince]]. */
   final case class Mark(nFrames: Int, nRdds: Int)
 
-  /** Snapshot the current registry position. */
+  /** Snapshot the current thread's registry position. */
   private[graft] def mark(spark: SparkSession): Mark =
-    Mark(Option(frames.get(spark)).map(_.size).getOrElse(0),
-      Option(rdds.get(spark)).map(_.size).getOrElse(0))
+    Mark(Option(frames.get(keyOf(spark))).map(_.size).getOrElse(0),
+      Option(rdds.get(keyOf(spark))).map(_.size).getOrElse(0))
 
-  /** Release ONLY the intermediates registered after `mark` — the
-    * per-trigger drain for a streaming sink: without it the registry
-    * accretes one batch's worth of DataFrame plan references per
-    * trigger for the stream's lifetime (r10 review), but a full
-    * [[release]] would also tear down STANDING frames registered at
-    * sink creation (a trained model, a bloom sketch). Relies on the
-    * documented single-writer assumption: this batch's registrations
-    * are exactly the deque's tail.
+  /** Release ONLY the intermediates this THREAD registered after
+    * `mark` — the per-trigger drain for a streaming sink: without it
+    * the registry accretes one batch's worth of DataFrame plan
+    * references per trigger for the stream's lifetime (r10 review),
+    * but a full [[release]] would also tear down STANDING frames
+    * registered at sink creation (a trained model, a bloom sketch).
+    * Thread scoping (r20) makes the tail-is-yours invariant hold even
+    * with sibling sinks running concurrently on the same context;
+    * within a thread marks nest (stack discipline).
     */
   private[graft] def releaseSince(spark: SparkSession, m: Mark): Unit = {
-    Option(frames.get(spark)).foreach { q =>
+    Option(frames.get(keyOf(spark))).foreach { q =>
       while (q.size > m.nFrames) {
         Option(q.pollLast()).foreach(df => { df.unpersist(blocking = false); () })
       }
     }
-    Option(rdds.get(spark)).foreach { q =>
+    Option(rdds.get(keyOf(spark))).foreach { q =>
       while (q.size > m.nRdds) {
         Option(q.pollLast()).foreach(r => { r.unpersist(blocking = false); () })
       }
     }
+  }
+
+  /** Eager localCheckpoint whose backing blocks are registered on the
+    * CURRENT THREAD for its next [[releaseSince]]/[[release]] — the
+    * streaming sinks' per-batch checkpoint primitive (r20). Replaces
+    * the sinks' getPersistentRDDs-diff sweeps, which under CONCURRENT
+    * sinks on one context unpersisted sibling sinks' in-flight
+    * truncated-lineage blocks (anything created inside the diff
+    * window looked like "ours"). The blocks are read from the
+    * checkpointed plan's own leaves
+    * ([[org.apache.spark.sql.graft.CatalogCache.checkpointRdds]]), so
+    * attribution is exact.
+    */
+  private[graft] def localCheckpointScoped(df: DataFrame): DataFrame = {
+    val out = df.localCheckpoint(true)
+    registerRdds(df.sparkSession,
+      org.apache.spark.sql.graft.CatalogCache.checkpointRdds(out))
+    out
   }
 
   /** Chainable registered persist: `df.persistTracked()` ≡

@@ -39,4 +39,32 @@ object Mime {
       .when(hexAt(bin, 1, 8) === "574152432F312E30",
         lit("application/warc"))
       .otherwise(lit("application/octet-stream"))
+
+  /** Byte-level twin of [[sniffMime]] for single-pass JVM kernels
+    * (r20 — [[Multimodal.mediaFingerprints]] dispatches sniff+decode
+    * in ONE partition-local map instead of one filtered scan per
+    * modality): same signatures, same precedence, same fallback.
+    * Agreement with the Column chain is spec-pinned (`MimeSpec`).
+    */
+  def sniffMimeBytes(p: Array[Byte]): String = {
+    def at(i: Int, magic: Int*): Boolean =
+      p.length >= i + magic.length && {
+        var k = 0
+        while (k < magic.length && (p(i + k) & 0xFF) == magic(k)) k += 1
+        k == magic.length
+      }
+    if (p == null) "application/octet-stream"
+    else if (at(0, 0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)) "image/png"
+    else if (at(0, 0xFF, 0xD8, 0xFF)) "image/jpeg"
+    else if (at(0, 0x47, 0x49, 0x46, 0x38)) "image/gif"
+    else if (at(0, 0x25, 0x50, 0x44, 0x46)) "application/pdf"
+    else if (at(0, 0x1F, 0x8B)) "application/gzip"
+    else if (at(0, 0x50, 0x4B, 0x03, 0x04)) "application/zip"
+    else if (at(0, 0x52, 0x49, 0x46, 0x46) &&
+      at(8, 0x57, 0x41, 0x56, 0x45)) "audio/wav"
+    else if (at(4, 0x66, 0x74, 0x79, 0x70)) "video/mp4"
+    else if (at(0, 0x57, 0x41, 0x52, 0x43, 0x2F, 0x31, 0x2E, 0x30))
+      "application/warc"
+    else "application/octet-stream"
+  }
 }

@@ -539,6 +539,31 @@ object Multimodal {
     * Narrow per-partition map; video bytes never shuffle; (media_id,
     * vfp) with null for undecodable payloads (never-throws).
     */
+  /** The per-payload kernel behind [[videoFingerprints]] — also the
+    * video leg of the single-pass [[mediaFingerprints]] dispatch. */
+  private def videoFp64(payload: Array[Byte], everyN: Int): Option[Long] =
+    for {
+      p <- Option(payload)
+      (_, _, w, h) <- parseMp4Header(p)
+      if w > 0 && h > 0
+      (s, e) <- findMdat(p)
+      frameBytes = w * h
+      nFrames = (e - s) / frameBytes
+      if nFrames > 0
+    } yield {
+      val acc = new Array[Long](frameBytes)
+      var f = 0
+      while (f < nFrames) {
+        var k = 0
+        while (k < frameBytes) {
+          acc(k) += (p(s + f * frameBytes + k) & 0xFF).toLong
+          k += 1
+        }
+        f += everyN
+      }
+      dhash64L(w, h, acc)
+    }
+
   def videoFingerprints(media: DataFrame, everyN: Int = 1): DataFrame = {
     require(everyN >= 1)
     val enc = org.apache.spark.sql.Encoders.row(vfpSchema)
@@ -547,28 +572,7 @@ object Multimodal {
         rows.map { r =>
           val id = r.getLong(0)
           val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
-          val fp = for {
-            p <- Option(payload)
-            (_, _, w, h) <- parseMp4Header(p)
-            if w > 0 && h > 0
-            (s, e) <- findMdat(p)
-            frameBytes = w * h
-            nFrames = (e - s) / frameBytes
-            if nFrames > 0
-          } yield {
-            val acc = new Array[Long](frameBytes)
-            var f = 0
-            while (f < nFrames) {
-              var k = 0
-              while (k < frameBytes) {
-                acc(k) += (p(s + f * frameBytes + k) & 0xFF).toLong
-                k += 1
-              }
-              f += everyN
-            }
-            dhash64L(w, h, acc)
-          }
-          Row(id, fp.map(Long.box).orNull)
+          Row(id, videoFp64(payload, everyN).map(Long.box).orNull)
         }
       }(enc)
   }
@@ -1075,27 +1079,45 @@ object Multimodal {
     * else (text and unknown containers carry no perceptual identity).
     * Output (media_id, kind, fp) — 8-byte fingerprints tagged by
     * modality so downstream pairing never crosses fingerprint spaces.
-    * Payload bytes never survive this stage: all three kernels are
-    * narrow partition-local maps and only the (id, kind, fp) longs
+    * Payload bytes never survive this stage: the whole dispatch is ONE
+    * narrow partition-local map and only the (id, kind, fp) longs
     * reach any exchange — the media doctrine.
+    *
+    * SINGLE PASS (r20): the first cut was a 3-way union of
+    * mime-filtered kernel scans, and because the mime predicate sits
+    * on the PAYLOAD it cannot push into the source — every modality
+    * branch re-evaluated the entire upstream (measured on the q194
+    * fixture: the synthesis ran once per modality, 3x the decode
+    * stage's true cost, and each new modality would add another full
+    * pass). The byte-level sniff ([[Mime.sniffMimeBytes]] — the
+    * Column chain's spec-pinned twin) moves the dispatch inside the
+    * kernel: one scan, per-row route, identical output.
     */
   def mediaFingerprints(media: DataFrame, videoEveryN: Int = 1): DataFrame = {
-    val mimed = media.withColumn("mime", Mime.sniffMime(col("payload")))
-    imageDHash(mimed.filter(col("mime") === "image/png"))
-      .filter(col("dhash").isNotNull)
-      .select(col("media_id"), lit("image").as("kind"),
-        col("dhash").as("fp"))
-      .unionByName(
-        audioFingerprints(mimed.filter(col("mime") === "audio/wav"))
-          .filter(col("afp").isNotNull)
-          .select(col("media_id"), lit("audio").as("kind"),
-            col("afp").as("fp")))
-      .unionByName(
-        videoFingerprints(mimed.filter(col("mime") === "video/mp4"),
-            videoEveryN)
-          .filter(col("vfp").isNotNull)
-          .select(col("media_id"), lit("video").as("kind"),
-            col("vfp").as("fp")))
+    require(videoEveryN >= 1)
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("fp", LongType, nullable = false))))
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val p = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          val routed: Option[(String, Long)] = Mime.sniffMimeBytes(p) match {
+            case "image/png" =>
+              decodePngGray(p).map { case (w, h, g) =>
+                ("image", dhash64(w, h, g)) }
+            case "audio/wav" =>
+              decodeWavPcm(p).filter(_.nonEmpty)
+                .map(s => ("audio", audioFingerprint64(s)))
+            case "video/mp4" =>
+              videoFp64(p, videoEveryN).map(("video", _))
+            case _ => None
+          }
+          routed.map { case (k, fp) => Row(id, k, fp) }
+        }
+      }(enc)
   }
 
   /** Per-modality incremental Hamming pairing over

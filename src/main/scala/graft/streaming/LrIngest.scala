@@ -67,19 +67,21 @@ object LrIngest {
           .filter(col("__batch_id") === batchId).isEmpty
         if (applied) onBatch(batchId, 0L) // full replay: no-op
         else {
-          // getPersistentRDDs-diff release (r19 ADVICE): the
+          // scoped per-batch state (r19 ADVICE + r20): the
           // localCheckpoint below truncates lineage, so its blocks are
-          // only ever freed explicitly — without this, a long-running
-          // stream leaks one orphaned checkpoint RDD per micro-batch
-          val preexisting = spark.sparkContext.getPersistentRDDs.keySet
+          // only ever freed explicitly — without the drain, a
+          // long-running stream leaks one orphaned checkpoint RDD per
+          // micro-batch; the thread-scoped registry keeps the drain
+          // from touching sibling sinks' in-flight blocks
+          val scopeMark = graft.ops.CacheScope.mark(spark)
           try {
-            val rows = QualityClassifier.tokenCounts(
-                batch.select(col(idCol).cast("long").as(idCol),
-                  col(textCol).cast("string").as(textCol),
-                  col(labelCol).cast("long").as(labelCol)),
-                idCol, textCol, Some(labelCol), nBuckets)
-              .withColumn("__batch_id", lit(batchId))
-              .localCheckpoint(true)
+            val rows = graft.ops.CacheScope.localCheckpointScoped(
+              QualityClassifier.tokenCounts(
+                  batch.select(col(idCol).cast("long").as(idCol),
+                    col(textCol).cast("string").as(textCol),
+                    col(labelCol).cast("long").as(labelCol)),
+                  idCol, textCol, Some(labelCol), nBuckets)
+                .withColumn("__batch_id", lit(batchId)))
             val n = rows.count()
             if (n == 0L) onBatch(batchId, 0L) // untokenizable batch
             else {
@@ -89,9 +91,7 @@ object LrIngest {
               onBatch(batchId, n)
             }
           } finally {
-            spark.sparkContext.getPersistentRDDs
-              .filter { case (rddId, _) => !preexisting.contains(rddId) }
-              .values.foreach(_.unpersist(blocking = false))
+            graft.ops.CacheScope.releaseSince(spark, scopeMark)
             org.apache.spark.sql.graft.CatalogCache
               .uncacheReferencing(spark, target)
             ()

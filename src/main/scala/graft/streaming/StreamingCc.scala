@@ -80,25 +80,23 @@ object StreamingCc {
       else {
         val delta = pairs.select(col("id_a").cast("long").as("id_a"),
           col("id_b").cast("long").as("id_b")).persist()
-        val preexisting = spark.sparkContext.getPersistentRDDs.keySet
         val scopeMark = graft.ops.CacheScope.mark(spark)
         try {
           val nPairs = delta.count()
           val oldLabels = spark.table(target)
           // truncate lineage: the overwrite below must not read the
-          // files it replaces (the DimStore.lwwOverwrite doctrine)
-          val next = Dedup
-            .connectedComponentsIncremental(oldLabels, delta, maxIter)
-            .localCheckpoint(true)
+          // files it replaces (the DimStore.lwwOverwrite doctrine).
+          // Scoped (r20): blocks drain at the releaseSince below,
+          // never via a global RDD-table diff (which clobbered sibling
+          // sinks' concurrent batches).
+          val next = graft.ops.CacheScope.localCheckpointScoped(Dedup
+            .connectedComponentsIncremental(oldLabels, delta, maxIter))
           val nLabels = next.count()
           next.write.mode("overwrite").insertInto(target)
           expectedLabels = nLabels
           awaitVisible()
           onBatch(batchId, nPairs, nLabels)
         } finally {
-          spark.sparkContext.getPersistentRDDs
-            .filter { case (rddId, _) => !preexisting.contains(rddId) }
-            .values.foreach(_.unpersist(blocking = false))
           graft.ops.CacheScope.releaseSince(spark, scopeMark)
           delta.unpersist()
           // zombie-entry hygiene (the StreamingDedup r12 lesson): drop
@@ -191,17 +189,16 @@ object StreamingCc {
       else {
         val delta = pairs.select(col("id_a").cast("long").as("id_a"),
           col("id_b").cast("long").as("id_b")).persist()
-        val preexisting = spark.sparkContext.getPersistentRDDs.keySet
         val scopeMark = graft.ops.CacheScope.mark(spark)
         try {
           val nPairs = delta.count()
           val oldLabels = spark.table(target).select(col("id"), col("label"))
           // truncate lineage: the partition overwrite below must not
-          // read the files it replaces (the lwwOverwrite doctrine)
-          val changed = Dedup
+          // read the files it replaces (the lwwOverwrite doctrine);
+          // scoped blocks drain at releaseSince (r20)
+          val changed = graft.ops.CacheScope.localCheckpointScoped(Dedup
             .connectedComponentsIncrementalChanged(oldLabels, delta, maxIter)
-            .withColumn("bucket", bucketOf(col("id")))
-            .localCheckpoint(true)
+            .withColumn("bucket", bucketOf(col("id"))))
           val nChanged = changed.count()
           if (nChanged == 0L) onBatch(batchId, nPairs, 0L, 0L)
           else {
@@ -214,13 +211,13 @@ object StreamingCc {
             // anti join is the upsert's DELETE face, the union its
             // INSERT face. Checkpointed: it reads the files the
             // overwrite replaces.
-            val touched = spark.table(target)
-              .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*))
-              .join(changed.select(col("id")), Seq("id"), "left_anti")
-              .select(col("id"), col("label"), col("bucket"))
-              .unionByName(changed.select(col("id"), col("label"),
-                col("bucket")))
-              .localCheckpoint(true)
+            val touched = graft.ops.CacheScope.localCheckpointScoped(
+              spark.table(target)
+                .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*))
+                .join(changed.select(col("id")), Seq("id"), "left_anti")
+                .select(col("id"), col("label"), col("bucket"))
+                .unionByName(changed.select(col("id"), col("label"),
+                  col("bucket"))))
             // DYNAMIC partition overwrite: only the partitions present
             // in the frame (= the touched buckets) are replaced. Set
             // via session conf, NOT the writer option — insertInto on
@@ -252,9 +249,6 @@ object StreamingCc {
             onBatch(batchId, nPairs, nChanged, buckets.length.toLong)
           }
         } finally {
-          spark.sparkContext.getPersistentRDDs
-            .filter { case (rddId, _) => !preexisting.contains(rddId) }
-            .values.foreach(_.unpersist(blocking = false))
           graft.ops.CacheScope.releaseSince(spark, scopeMark)
           delta.unpersist()
           org.apache.spark.sql.graft.CatalogCache

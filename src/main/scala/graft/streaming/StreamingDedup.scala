@@ -105,13 +105,16 @@ object StreamingDedup {
       else {
         val b = batch.select(col(idCol).cast("long").as(idCol),
           col(textCol).cast("string").as(textCol)).persist()
-        // snapshot so only THIS batch's operator-internal persists are
+        // mark so only THIS batch's operator-internal persists are
         // released afterwards — a long-running stream must not accrete
-        // cached blocks across batches. The CacheScope mark drains the
-        // REGISTRY tail too (r10 review: blocks were freed but the
-        // per-batch DataFrame references accreted in the registry for
-        // the stream's lifetime).
-        val preexisting = spark.sparkContext.getPersistentRDDs.keySet
+        // cached blocks across batches (r10 review: blocks were freed
+        // but the per-batch DataFrame references accreted in the
+        // registry for the stream's lifetime). r20: the mark is
+        // THREAD-scoped and every operator checkpoint registers
+        // through CacheScope, so the drain below releases exactly this
+        // batch's blocks — the old getPersistentRDDs-diff sweep is
+        // gone (it clobbered sibling sinks' in-flight blocks when
+        // several sinks share one session).
         val scopeMark = graft.ops.CacheScope.mark(spark)
         try {
           val corpus = spark.table(s"`$db`.`$corpusTable`")
@@ -147,9 +150,6 @@ object StreamingDedup {
           expectedCorpus += nCorpus
           awaitVisible()
         } finally {
-          spark.sparkContext.getPersistentRDDs
-            .filter { case (rddId, _) => !preexisting.contains(rddId) }
-            .values.foreach(_.unpersist(blocking = false))
           graft.ops.CacheScope.releaseSince(spark, scopeMark)
           b.unpersist()
           // ZOMBIE-ENTRY HYGIENE (the r12 flake, ~2%/batch in

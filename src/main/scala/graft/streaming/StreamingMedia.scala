@@ -72,18 +72,20 @@ object StreamingMedia {
     (batch: DataFrame, batchId: Long) => {
       if (batch.isEmpty) onPairs(emptyPairs(spark), batchId)
       else {
-        val preexisting = spark.sparkContext.getPersistentRDDs.keySet
         val scopeMark = graft.ops.CacheScope.mark(spark)
         // decode + fingerprint ONCE per batch: the frame feeds the
         // pair join (twice: probe side and union tail), the replay
         // anti-join, and the append. localCheckpoint rather than
         // persist — the append below must not re-run the decode
         // kernels, and the pair plan must not re-read the table the
-        // append is about to grow
-        val fps = Multimodal.mediaFingerprints(
+        // append is about to grow. Scoped (r20): the blocks register
+        // on this thread and drain at the releaseSince below, so a
+        // sibling sink's concurrent batch can neither sweep them nor
+        // be swept by ours (the old getPersistentRDDs-diff did both).
+        val fps = graft.ops.CacheScope.localCheckpointScoped(
+          Multimodal.mediaFingerprints(
             batch.select(col("media_id").cast("long").as("media_id"),
-              col("payload")))
-          .localCheckpoint(true)
+              col("payload"))))
         try {
           val standing = spark.table(target)
             .select(col("id").as("media_id"), col("kind"), col("fp"))
@@ -94,11 +96,11 @@ object StreamingMedia {
           // table already holds — anti-join them away so the standing
           // table never duplicates (and the recomputed pair delta above
           // folds to no-ops downstream)
-          val fresh = fps.join(
-              spark.table(target).select(col("id").as("media_id")),
-              Seq("media_id"), "left_anti")
-            .select(col("media_id").as("id"), col("kind"), col("fp"))
-            .localCheckpoint(true)
+          val fresh = graft.ops.CacheScope.localCheckpointScoped(
+            fps.join(
+                spark.table(target).select(col("id").as("media_id")),
+                Seq("media_id"), "left_anti")
+              .select(col("media_id").as("id"), col("kind"), col("fp")))
           val n = fresh.count()
           if (n > 0L) {
             fresh.write.mode(SaveMode.Append).insertInto(target)
@@ -106,9 +108,6 @@ object StreamingMedia {
             awaitVisible()
           }
         } finally {
-          spark.sparkContext.getPersistentRDDs
-            .filter { case (rddId, _) => !preexisting.contains(rddId) }
-            .values.foreach(_.unpersist(blocking = false))
           graft.ops.CacheScope.releaseSince(spark, scopeMark)
           org.apache.spark.sql.graft.CatalogCache
             .uncacheReferencing(spark, target)

@@ -80,20 +80,22 @@ object VectorIngest {
       else {
         val b = batch.select(col("vec_id").cast("long").as("vec_id"),
           col("embedding")).persist()
-        val preexisting = spark.sparkContext.getPersistentRDDs.keySet
         val scopeMark = graft.ops.CacheScope.mark(spark)
         try {
           // id dedup vs the standing index: re-sent vectors must not
           // duplicate index rows (at-least-once sources re-deliver).
           // The anti join keys on the 8-byte id — index side streams
-          // map-side, embeddings never enter this exchange.
-          val fresh = b.join(
+          // map-side, embeddings never enter this exchange. Per-batch
+          // persists REGISTER on this thread (r20) so the releaseSince
+          // below frees them without the global RDD-table diff (which
+          // clobbered sibling sinks' concurrent batches).
+          val fresh = graft.ops.CacheScope.persist(b.join(
               spark.table(s"`$db`.`$indexTable`").select(col("vec_id")),
-              Seq("vec_id"), "left_anti")
-            .persist()
+              Seq("vec_id"), "left_anti"))
           if (fresh.isEmpty) onBatch(0L, 0L, false, batchId)
           else {
-            val delta = Similarity.pqIndex(fresh, cents, books, nSub).persist()
+            val delta = graft.ops.CacheScope.persist(
+              Similarity.pqIndex(fresh, cents, books, nSub))
             val nNew = delta.count()
             val err = Similarity.pqSelfErrorE6(fresh, delta, books)
               .select(col("mean_sq_err_e6")).head().getLong(0)
@@ -116,9 +118,6 @@ object VectorIngest {
             onBatch(nNew, err, driftFired, batchId)
           }
         } finally {
-          spark.sparkContext.getPersistentRDDs
-            .filter { case (rddId, _) => !preexisting.contains(rddId) }
-            .values.foreach(_.unpersist(blocking = false))
           graft.ops.CacheScope.releaseSince(spark, scopeMark)
           b.unpersist()
           org.apache.spark.sql.graft.CatalogCache

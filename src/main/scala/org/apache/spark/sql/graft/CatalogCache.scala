@@ -55,4 +55,19 @@ object CatalogCache {
   def rebind(df: org.apache.spark.sql.DataFrame,
              to: SparkSession): org.apache.spark.sql.DataFrame =
     to.internalCreateDataFrame(df.queryExecution.toRdd, df.schema)
+
+  /** The persisted RDDs backing an already-materialized
+    * `localCheckpoint(true)` Dataset, read from the checkpointed
+    * plan's `LogicalRDD` leaves — NOT by diffing the context's
+    * persistent-RDD table around the call (r20: the diff races with
+    * CONCURRENT sinks on the same context — a sibling sink's
+    * truncated-lineage blocks created inside the window get swept up
+    * and unpersisted, killing that sink's batch). Plan-leaf capture
+    * attributes the blocks to exactly this frame.
+    */
+  def checkpointRdds(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
 }

@@ -571,4 +571,58 @@ class DedupSpec extends SparkSpec {
     assert(big < small * 3 / 2,
       s"x10 standing must not grow the shuffle: $small -> $big records")
   }
+
+  test("incremental Hamming pairing shuffle stays pair-sized as the standing table grows x10") {
+    // the r19 candidate-stream contract (MediaDeltaProbe carries the
+    // sf0.1 record: 2.21M -> 101 shuffle records), LOCKED as a runtime
+    // assertion (r19 verdict next #4): the hamming FILTER runs BEFORE
+    // the dropDuplicates exchange, so with a fixed batch a x10
+    // standing fingerprint table must keep shuffle-write records flat
+    // and within a small factor of the TRUE pair count — the candidate
+    // stream (standing-size-proportional chunk-key matches) dies
+    // map-side. A regression reintroducing the post-exchange filter is
+    // oracle-invisible (same pair set) but grows this count with the
+    // standing size and fails here.
+    val shuf = new java.util.concurrent.atomic.AtomicLong
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        shuf.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+        ()
+      }
+    }
+    def kindOf(c: org.apache.spark.sql.Column) =
+      when(pmod(c, lit(3L)) === 0L, lit("audio")).otherwise(lit("image"))
+    // fixed batch: every 20th row is a planted near-dup of a standing
+    // row (fp equal up to one low bit), the rest xxhash-scattered so
+    // chunk-key matches stay sparse — the daily-delta regime
+    val batch = spark.range(600L).select(
+        (col("id") + lit(10000000L)).as("media_id"),
+        kindOf(col("id")).as("kind"),
+        when(pmod(col("id"), lit(20L)) === 0L,
+          xxhash64(col("id") * 7L).bitwiseXOR(lit(1L)))
+          .otherwise(xxhash64(col("id") + lit(5000000L))).as("fp"))
+      .localCheckpoint(true)
+    def standing(n: Long) = spark.range(n).select(
+        col("id").as("media_id"), kindOf(col("id")).as("kind"),
+        xxhash64(col("id") * 7L).as("fp"))
+      .localCheckpoint(true)
+    def measure(n: Long): (Long, Long) = {
+      spark.sparkContext.addSparkListener(l)
+      shuf.set(0L)
+      val nPairs = Dedup.hammingPairsIncremental(batch, standing(n),
+        "media_id", "fp", 4, blockCols = Seq("kind")).count()
+      org.apache.spark.graft.ShuffleDrain.flushListeners(spark.sparkContext)
+      spark.sparkContext.removeSparkListener(l)
+      CacheScope.release(spark)
+      (shuf.get(), nPairs)
+    }
+    val (small, pSmall) = measure(20000L)
+    val (big, pBig) = measure(200000L)
+    assert(pBig >= pSmall && pBig > 0L, "fixture must produce planted pairs")
+    assert(big < small * 3 / 2,
+      s"x10 standing must not grow the shuffle: $small -> $big records")
+    assert(big <= pBig * 10L + 200L,
+      s"shuffle must stay pair-sized: $big records for $pBig pairs")
+  }
 }

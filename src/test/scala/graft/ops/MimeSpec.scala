@@ -40,6 +40,23 @@ class MimeSpec extends SparkSpec {
     assert(row === (("image/png", "video/mp4", "application/warc")))
   }
 
+  test("sniffMimeBytes agrees with the Column chain on every case above") {
+    // the byte-level twin (r20 — the single-pass mediaFingerprints
+    // dispatch) must route every payload exactly as the Column chain
+    // does: same signatures, same precedence, same fallback
+    val hexes = Seq(
+      "89504E470D0A1A0A0000000D", "FFD8FFE000104A46", "474946383961",
+      "255044462D312E34", "1F8B0800", "504B030414000000",
+      "524946461000000057415645", "524946461000000041564920",
+      "000000106674797069736F6D", "574152432F312E300D0A",
+      "8950", "", "54206865780D")
+    for (h <- hexes) {
+      val bytes = h.sliding(2, 2).map(Integer.parseInt(_, 16).toByte).toArray
+      assert(Mime.sniffMimeBytes(bytes) === sniffHex(h), s"hex=$h")
+    }
+    assert(Mime.sniffMimeBytes(null) === "application/octet-stream")
+  }
+
   test("truncated, empty, and null payloads fall back — never throw") {
     // 2-byte prefix of a PNG: the 8-byte slice comes back short, no match
     assert(sniffHex("8950") === "application/octet-stream")
