@@ -121,9 +121,34 @@ class ComposedSinksSpec extends SparkSpec {
       case x => x
     }.toSeq).toSet
 
-  test("four concurrent sinks on one session equal their isolated twins") {
+  test("five concurrent sinks on one session equal their isolated twins") {
     val model = QualityClassifier.trainLogistic(
       labeledDocs.toDF("doc_id", "text", "y"), "doc_id", "text", "y")
+    // vector-ingest standing models (the VectorIngestSpec pattern:
+    // materialized off their training lineage — a standing sink must
+    // not read released checkpoint blocks)
+    val emb = graft.core.Tables.load(spark, "/root/testdata/sf0.01",
+      "embeddings").select(col("vec_id"), col("embedding"))
+    val vbase = emb.filter(col("vec_id") < 200)
+    def materialize(df: DataFrame) = spark.createDataFrame(
+      spark.sparkContext.parallelize(df.collect().toSeq), df.schema)
+    val cents = materialize(
+      graft.ops.Similarity.trainCentroids(vbase, nCells = 4, iters = 2))
+    val books = materialize(
+      graft.ops.Similarity.trainProductQuantizer(vbase, nSub = 8, k = 16,
+        iters = 2))
+    val baseErr = graft.ops.Similarity.pqSelfErrorE6(
+        vbase, graft.ops.Similarity.pqIndex(vbase, cents, books, nSub = 8),
+        books)
+      .select(col("mean_sq_err_e6")).head().getLong(0)
+    graft.ops.CacheScope.release(spark)
+    val vecWaves = Seq(
+      emb.filter(col("vec_id") >= 200 && col("vec_id") < 230),
+      emb.filter(col("vec_id") >= 230 && col("vec_id") < 260))
+      .map(_.as[(Long, Seq[Float])].collect().toSeq)
+    def vecSink(table: String) = VectorIngest.pqIngestSink(spark, db,
+      table, cents, books, nSub = 8, baseErrE6 = baseErr) {
+      (_, _, _, _) => () }
     val inRegime = labeledDocs.map { case (id, tx, _) => (id + 100L, tx) }
     val offRegime = labeledDocs.map { case (id, _, y) =>
       (id + 200L, if (y == 1L) "xmk xmk noise" else "zmk zmk noise") }
@@ -150,19 +175,22 @@ class ComposedSinksSpec extends SparkSpec {
       val (di, dq) = startStream[(Long, String)](Seq("doc_id", "text"),
         LrIngest.driftMonitorSink(spark, db, "cx_monitor", model, base,
           "doc_id", "text")())
+      val (vi, vq) = startStream[(Long, Seq[Float])](
+        Seq("vec_id", "embedding"), vecSink("cx_vindex"))
       try {
-        val waves = math.max(math.max(textWaves.size, mediaWaves.size),
-          math.max(countWaves.size, monitorWaves.size))
+        val waves = Seq(textWaves.size, mediaWaves.size, countWaves.size,
+          monitorWaves.size, vecWaves.size).max
         for (w <- 0 until waves) {
-          // enqueue this wave on EVERY stream first, so all four
+          // enqueue this wave on EVERY stream first, so all five
           // micro-batches are in flight together on their own threads
           textWaves.lift(w).foreach(s => ti.addData(s: _*))
           mediaWaves.lift(w).foreach(s => mi.addData(s: _*))
           countWaves.lift(w).foreach(s => ci.addData(s: _*))
           monitorWaves.lift(w).foreach(s => di.addData(s: _*))
-          Seq(tq, mq, cq, dq).foreach(_.processAllAvailable())
+          vecWaves.lift(w).foreach(s => vi.addData(s: _*))
+          Seq(tq, mq, cq, dq, vq).foreach(_.processAllAvailable())
         }
-      } finally Seq(tq, mq, cq, dq).foreach(_.stop())
+      } finally Seq(tq, mq, cq, dq, vq).foreach(_.stop())
     }
     runComposed()
     graft.ops.CacheScope.release(spark)
@@ -182,13 +210,16 @@ class ComposedSinksSpec extends SparkSpec {
       model, base, "doc_id", "text")()
     monitorWaves.zipWithIndex.foreach { case (s, i) =>
       dSink(s.toDF("doc_id", "text"), i.toLong) }
+    val vSink = vecSink("iso_vindex")
+    vecWaves.zipWithIndex.foreach { case (s, i) =>
+      vSink(s.toDF("vec_id", "embedding"), i.toLong) }
     graft.ops.CacheScope.release(spark)
 
     for ((cx, iso) <- Seq(
         "cx_corpus" -> "iso_corpus", "cx_index" -> "iso_index",
         "cx_tlabels" -> "iso_tlabels", "cx_fp" -> "iso_fp",
         "cx_mlabels" -> "iso_mlabels", "cx_counts" -> "iso_counts",
-        "cx_monitor" -> "iso_monitor")) {
+        "cx_monitor" -> "iso_monitor", "cx_vindex" -> "iso_vindex")) {
       assert(tableSet(cx) === tableSet(iso),
         s"composed-run table $cx must equal its isolated twin $iso")
       assert(tableSet(cx).nonEmpty, s"$cx must not be empty")
