@@ -863,7 +863,14 @@ object SparkEntry {
     // (synthesized from events) → lenient envelope parse → page split.
     // Exercises graft.apps.Pipelines under the oracle gate.
     "q45_log_pipeline" -> ((s, dir) => {
-      val raw = T(s, dir, "events").select(to_json(struct(
+      // ScanFanOut BEFORE the JSON round-trip (r20, guide §2.5): to_json
+      // + from_json over every event is a narrow CPU chain from a 1-file
+      // scan (measured: 2 tasks, wall ≈ task CPU). The exchange carries
+      // the 5 source columns, not the rendered JSON; the streaming face
+      // gets its width from Kafka partitions instead.
+      val raw = ops.ScanFanOut(T(s, dir, "events").select(
+        col("user_id"), col("event_type"), col("props"), col("value"),
+        col("ts"))).select(to_json(struct(
         struct(col("user_id").cast("string").as("mid"), lit("v1").as("vc"),
           lit("web").as("ch"), lit("310000").as("ar"), lit("0").as("is_new"))
           .as("common"),

@@ -101,6 +101,22 @@ object CacheScope {
     (out, org.apache.spark.sql.graft.CatalogCache.checkpointRdds(out))
   }
 
+  /** LAZY localCheckpoint (r20, guide §1.2 "fewer passes"): same
+    * truncated-lineage LogicalRDD plan as [[localCheckpointTracked]],
+    * but the blocks materialize on the caller's NEXT action instead of
+    * an extra eager count pass. The iterative fixpoint drivers (CC,
+    * PageRank) already run a convergence aggregate over each round's
+    * state — folding materialization into it halves the jobs per round.
+    * CONTRACT: the caller must run an action that computes EVERY
+    * partition of the returned frame (a full aggregate qualifies)
+    * before unpersisting the inputs the plan reads — until then the
+    * lineage is morally live even though the plan is truncated.
+    */
+  private[graft] def localCheckpointLazyTracked(df: DataFrame): (DataFrame, Seq[RDD[_]]) = {
+    val out = df.localCheckpoint(false)
+    (out, org.apache.spark.sql.graft.CatalogCache.checkpointRdds(out))
+  }
+
   /** Register checkpoint RDDs that must survive until [[release]]
     * (e.g. the final round's labels, still read by the returned frame).
     */

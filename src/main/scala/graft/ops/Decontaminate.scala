@@ -171,10 +171,15 @@ object Decontaminate {
                            idCol: String, textCol: String,
                            n: Int = 5): DataFrame = {
     require(n >= 2, s"n-gram order must be >= 2, got $n")
-    def grams(df: DataFrame): DataFrame = df.select(
-      col(idCol).as("doc_id"),
-      array_distinct(graft.functions.TextFunctions.wordNgrams(
-        graft.functions.TextFunctions.tokenize(lower(col(textCol))), n)).as("grams"))
+    // ScanFanOut (r20, guide §2.5): tokenize → n-grams → explode → hash
+    // is a narrow CPU-dense chain from the scan, so a few-file input
+    // runs it serially (measured on q108: 5 single-task stages,
+    // wall ≈ task CPU). One (id, text) exchange buys full width.
+    def grams(df: DataFrame): DataFrame =
+      ScanFanOut(df.select(col(idCol), col(textCol))).select(
+        col(idCol).as("doc_id"),
+        array_distinct(graft.functions.TextFunctions.wordNgrams(
+          graft.functions.TextFunctions.tokenize(lower(col(textCol))), n)).as("grams"))
     val docG = grams(corpus).filter(size(col("grams")) > 0)
       .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
         explode(col("grams")).as("g"))

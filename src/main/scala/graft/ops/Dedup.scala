@@ -761,7 +761,10 @@ object Dedup {
     val (edges, edgeRdds) = CacheScope.localCheckpointTracked(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
-    var (labels, labelRdds) = CacheScope.localCheckpointTracked(
+    // LAZY checkpoints (r20): each round's labelSum aggregate is the
+    // materializing action, so a round costs ONE pass over the state
+    // instead of an eager count pass plus the sum pass
+    var (labels, labelRdds) = CacheScope.localCheckpointLazyTracked(
       edges.select(col("src").as("id")).distinct()
         .withColumn("label", col("id")))
     // Convergence via the monotone invariant: min-label propagation only
@@ -785,10 +788,12 @@ object Dedup {
     while (!converged && i < maxIter) {
       val viaEdge = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("label"))
-      val (next, nextRdds) = CacheScope.localCheckpointTracked(
+      val (next, nextRdds) = CacheScope.localCheckpointLazyTracked(
         labels.select(col("id"), col("label"))
           .unionByName(viaEdge)
           .groupBy(col("id")).agg(min(col("label")).as("label")))
+      // materializes `next`'s blocks AND computes the convergence sum
+      // in one job (the lazy-checkpoint contract: a full aggregate)
       val nextSum = labelSum(next)
       // `next` is eagerly materialized, so the previous round's blocks
       // are dead — drop them NOW instead of leaking one checkpoint per
@@ -1123,10 +1128,17 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCols: Seq[Column], thresholdE4: Long): DataFrame = {
     val keys = blockCols.indices.map(i => s"blk_$i")
+    // tokenize ABOVE the fan-out exchange (r20): a projection under the
+    // exchange still runs at scan width — the whole point of the fan-out
+    // is that the CPU-dense tokenize runs wide. The exchange carries the
+    // raw text once either way.
     val base = fanOutScan(df.select(
-      (col(idCol).as("id") +:
-        array_distinct(TextFunctions.tokenize(lower(col(textCol)))).as("toks") +:
+      (col(idCol).as("id") +: col(textCol).as("__txt") +:
         blockCols.zipWithIndex.map { case (c, i) => c.as(s"blk_$i") }): _*))
+      .select(
+        (col("id") +:
+          array_distinct(TextFunctions.tokenize(lower(col("__txt")))).as("toks") +:
+          keys.map(col)): _*)
     val toks = base.select(
       (col("id") +: size(col("toks")).as("sz") +: keys.map(col)) :+
         explode(col("toks")).as("tok"): _*)
@@ -1230,10 +1242,16 @@ object Dedup {
                               blockCols: Seq[Column], thresholdE4: Long): DataFrame = {
     val keys = blockCols.indices.map(i => s"blk_$i")
     val t = thresholdE4.toDouble / 10000.0
+    // tokenize ABOVE the fan-out exchange (r20, the ngramJaccardPairs
+    // rationale — measured on q56: a 1.5 s single-task tokenize stage
+    // under the exchange)
     val base = fanOutScan(df.select(
-      (col(idCol).as("id") +:
-        array_distinct(TextFunctions.tokenize(lower(col(textCol)))).as("toks") +:
+      (col(idCol).as("id") +: col(textCol).as("__txt") +:
         blockCols.zipWithIndex.map { case (c, i) => c.as(s"blk_$i") }): _*))
+      .select(
+        (col("id") +:
+          array_distinct(TextFunctions.tokenize(lower(col("__txt")))).as("toks") +:
+          keys.map(col)): _*)
     val toks = base.select(
       (col("id") +: size(col("toks")).as("sz") +: keys.map(col)) :+
         explode(col("toks")).as("tok"): _*)
@@ -1465,11 +1483,17 @@ object Dedup {
     // both pair members must have ≥ minSize distinct tokens (containment
     // of a near-empty set is trivially 1), so sub-minSize docs can be
     // dropped before the explode — an exactness-preserving pre-filter
+    // tokenize ABOVE the fan-out exchange (r20, the ngramJaccardPairs
+    // rationale); the minSize filter rides above it too — a few extra
+    // sub-minSize text rows in the exchange vs a serial tokenize pass
     val base = fanOutScan(df.select(
-      (col(idCol).as("id") +:
-        array_distinct(TextFunctions.tokenize(lower(col(textCol)))).as("toks") +:
-        blockCols.zipWithIndex.map { case (c, i) => c.as(s"blk_$i") }): _*)
-      .filter(size(col("toks")) >= minSize))
+      (col(idCol).as("id") +: col(textCol).as("__txt") +:
+        blockCols.zipWithIndex.map { case (c, i) => c.as(s"blk_$i") }): _*))
+      .select(
+        (col("id") +:
+          array_distinct(TextFunctions.tokenize(lower(col("__txt")))).as("toks") +:
+          keys.map(col)): _*)
+      .filter(size(col("toks")) >= minSize)
     val toks = base.select(
       (col("id") +: size(col("toks")).as("sz") +: keys.map(col)) :+
         explode(col("toks")).as("tok"): _*)

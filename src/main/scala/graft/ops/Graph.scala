@@ -242,7 +242,9 @@ object Graph {
             .as("score"))
       case None => base.select(col("id"), col("tele").as("score"))
     }
-    var (state, stateRdds) = CacheScope.localCheckpointTracked(init0)
+    // LAZY checkpoint (r20): scoreSum below is the materializing action
+    // — one pass per round instead of an eager count pass plus the sum
+    var (state, stateRdds) = CacheScope.localCheckpointLazyTracked(init0)
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     def scoreSum(df: DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum(col("score").cast(dec38)), lit(0).cast(dec38)))
@@ -260,7 +262,9 @@ object Graph {
         .join(inflow, base("id") === inflow("dst"), "left")
         .select(col("id"),
           (col("tele") + coalesce(col("inflow"), lit(0L))).as("score"))
-      val (ck, r) = CacheScope.localCheckpointTracked(next)
+      val (ck, r) = CacheScope.localCheckpointLazyTracked(next)
+      // materializes ck's blocks AND computes the convergence sum in
+      // one job; only then is the previous round's state dead
       val nextSum = scoreSum(ck)
       CacheScope.unpersistRdds(stateRdds)
       state = ck

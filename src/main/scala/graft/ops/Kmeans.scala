@@ -98,7 +98,14 @@ object Kmeans {
     val id = col(idName)
     // quantized corpus: consumed once per assignment pass and once per
     // update join — a stage boundary so the quantization (and the scan
-    // under it) runs once, not per consumer (the q156/q157 lesson)
+    // under it) runs once, not per consumer (the q156/q157 lesson).
+    // NOT fanned out (r20, measured): fanning this frame propagated
+    // 32-wide partitioning into every downstream assignment/update/
+    // semantic-dedup stage whose per-task fixed cost (~0.25 s of
+    // interpreted-HOF/codegen setup) then dominated — q164's task CPU
+    // went 0.6 s → 16 s and q171's wall doubled. The within-query win
+    // (q165/q166) came from cosinePairsLabelExact's own fan-out, which
+    // is where the quadratic CPU actually lives.
     val q = Pipeline.stage(s"kmeans_quant_$idName",
       df.select(id, quantize(col(embName), scale, offset).as("qv")))
     // init: the k smallest ids' vectors (ids need not be 0..k-1).

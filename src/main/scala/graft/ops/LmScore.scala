@@ -57,6 +57,10 @@ object LmScore {
   final case class BigramModel(uni: DataFrame, bi: DataFrame,
                                nTokens: Long, vocab: Long)
 
+  // NOT fanned out (r20, measured): the plain tokenize is too cheap per
+  // row to pay the fan-out exchange's per-task overhead — the fanned
+  // variant moved q183 1.13 s → 3.25 s (task CPU 1.8 s → 33 s) and the
+  // whole LM/DSIR family up 1–2 s each. See QualityClassifier.features.
   private def toks(df: DataFrame, idCol: String, textCol: String) =
     df.select(col(idCol).as("doc_id"),
       TextFunctions.tokenize(lower(col(textCol))).as("toks"))

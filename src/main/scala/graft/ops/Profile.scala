@@ -47,6 +47,15 @@ object Profile {
     */
   private[ops] def wideAgg(df: DataFrame, exact: Boolean): DataFrame = {
     val fields = df.schema.fields.toSeq
+    // ScanFanOut (r20, guide §2.5): the exact multi-distinct aggregate
+    // plans through Expand — every input row is replicated once per
+    // distinct column before the partial agg — and the approx path pays
+    // one HLL update per column per row. Both are narrow CPU-dense
+    // chains from the scan, so a single-file input runs them on one core
+    // (measured on q120: one 2.8 s task). Aggregation is
+    // partitioning-invariant, so the fan-out exchange changes bytes
+    // moved (one table pass), not results.
+    val wide = ScanFanOut(df)
     val aggs: Seq[Column] = count(lit(1)).as("__n") +: fields.flatMap { f =>
       val c = col(f.name)
       val base = Seq(count(c).as(s"__nn_${f.name}"))
@@ -62,7 +71,7 @@ object Profile {
           canon(max(c), f.dataType).as(s"__max_${f.name}"))
       } else base
     }
-    df.agg(aggs.head, aggs.tail: _*)
+    wide.agg(aggs.head, aggs.tail: _*)
   }
 
   def summarize(df: DataFrame, exact: Boolean = true): DataFrame = {

@@ -94,6 +94,14 @@ object QualityClassifier {
                        labelCol: Option[String], nBuckets: Long): DataFrame = {
     val hcol = if (nBuckets > 0L) pmod(xxhash64(col("w")), lit(nBuckets))
                else xxhash64(col("w"))
+    // NOT fanned out (r20, measured): fanning the tokenize→explode→
+    // count chain to defaultParallelism multiplied the classifier
+    // family's task CPU ~2× (q196: 25 s → 58 s across +127 tasks,
+    // ~0.26 s/task of per-task fixed cost) and moved every gate's wall
+    // UP ~1 s — the plain tokenize here is too cheap per row to pay
+    // the fan-out's per-task overhead. Contrast ngramOverlapFraction
+    // (5-gram building) and the cosine pair scoring, where the same
+    // fan-out wins 1.3–2.6 s.
     val base = df.select(
       col(idCol).as("doc_id") +:
         labelCol.map(l => col(l).cast("long").as("y")).toSeq :+

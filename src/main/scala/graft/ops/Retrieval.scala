@@ -55,6 +55,9 @@ object Retrieval {
                queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
                topK: Int = 20): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    // NOT fanned out (r20, measured): plain tokenize is too cheap per
+    // row to pay the fan-out's per-task overhead (the retrieval family
+    // moved UP ~1 s/query fanned) — see QualityClassifier.features.
     val base = docs.select(col(idCol).as("doc_id"),
       TextFunctions.tokenize(lower(col(textCol))).as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))

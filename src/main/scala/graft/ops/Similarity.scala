@@ -54,6 +54,13 @@ object Similarity {
                                   nPlanes: Int, seeds: Seq[Int]): DataFrame = {
     require(nPlanes >= 1 && nPlanes <= 63,
       s"nPlanes=$nPlanes must be in [1, 63]: bucket bits pack into one BIGINT")
+    // NOT fanned out (r20, measured): the projection aggregate carries
+    // L·nPlanes sum(when(...)) columns (up to 1024 at 16 tables), and
+    // its PER-TASK expression/buffer initialization costs ~0.3 s CPU —
+    // a 32-way fan-out multiplied that fixed cost 32× (q128's task CPU
+    // went 4.4 s → 52.8 s) while the per-row work is tiny. The
+    // downstream per-pair verify paths get their width from the
+    // candidate-pair fan-out instead.
     val exploded = df.select(col(idName), col(embName),
         posexplode(col(embName)).as(Seq("i", "x")))
       .select(col(idName), col("i"), col("x"))
@@ -102,6 +109,10 @@ object Similarity {
     val probe = math.min(maxBcast + 1, Int.MaxValue.toLong).toInt
     val q = if (queries.select(col("vec_id")).limit(probe)
         .count() <= maxBcast) broadcast(qProj) else qProj
+    // NOT fanned out (r20, measured): the ANN query sets are small
+    // (bounded |Q|), so the |Q|×|C| scoring here is cheap per candidate
+    // row and the fan-out's per-task fixed cost moved q23/q157 UP
+    // (q58's task CPU went 0.5 s → 8 s across the family's fans).
     val c = candidates.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("c_emb"))
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
@@ -663,7 +674,15 @@ object Similarity {
     */
   def cosinePairsLabelExact(df: DataFrame, labelCol: String,
                             minSimE4: Long): DataFrame = {
-    val e = df.select(col("vec_id"), col(labelCol).as("__lbl"), col("embedding"))
+    // ScanFanOut (r20, guide §2.5): the within-label self-join broadcasts
+    // one side, so the quadratic per-pair cosine work runs at the PROBE
+    // side's width — which is the scan's file count (1 at test SFs) or
+    // AQE's byte-coalesced width on a post-shuffle input, both serial for
+    // CPU-dense small-byte frames (measured: 6 single-task stages,
+    // wall ≈ task CPU on q90). One (id, label, vector) exchange buys full
+    // width for every downstream pair evaluation.
+    val e = ScanFanOut(
+      df.select(col("vec_id"), col(labelCol).as("__lbl"), col("embedding")))
     e.alias("a").join(e.alias("b"),
         col("a.__lbl") === col("b.__lbl") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
@@ -727,10 +746,10 @@ object Similarity {
         .select(col("vec_id"), col("__lbl"), col("tb.tbl"), col("tb.bkt"))
       val a = tb.select(col("vec_id").as("id_a"), col("__lbl"), col("tbl"), col("bkt"))
       val b = tb.select(col("vec_id").as("id_b"), col("__lbl"), col("tbl"), col("bkt"))
-      val candPairs = a.join(b, Seq("__lbl", "tbl", "bkt"))
+      val candPairs = ScanFanOut(a.join(b, Seq("__lbl", "tbl", "bkt"))
         .filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"))
-        .distinct()
+        .distinct())
       // verify with the SAME expression on the RAW embeddings as the
       // exact branch — dot-of-normalized rounds differently in the last
       // ulp, which at the floor boundary could emit a pair the exact
@@ -762,10 +781,13 @@ object Similarity {
       "vec_id", nTables)
     val a = tb.select(col("vec_id").as("id_a"), col("tbl"), col("bkt"))
     val b = tb.select(col("vec_id").as("id_b"), col("tbl"), col("bkt"))
-    val candPairs = a.join(b, Seq("tbl", "bkt"))
+    // fanned after the distinct (r20): AQE coalesces the small pair set
+    // to one partition and the per-pair exact dot below would run serial
+    // — the minhashLshPairs verify-width lesson
+    val candPairs = ScanFanOut(a.join(b, Seq("tbl", "bkt"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
-      .distinct()
+      .distinct())
     val u = df.select(col("vec_id"),
       VectorFunctions.normalize(col("embedding")).as("u"))
     candPairs
