@@ -42,7 +42,12 @@ object SpanScrub {
                          k: Int, stride: Int, maxDf: Long): DataFrame = {
     require(k > 0 && stride > 0, s"k=$k stride=$stride must be positive")
     val text = col(textCol)
-    val wins = df.select(col(idCol).as("__id"), text.as("__t"))
+    // ScanFanOut (r20, guide §2.5): the window pass materializes len/stride
+    // k-char substrings per doc plus a distinct — heavy per row, and a
+    // narrow chain from the scan (measured on q102: 19 tasks, wall ≈ task
+    // CPU 3.7 s). Same winning profile as ngramOverlapFraction; the
+    // surgery join below keeps df itself untouched.
+    val wins = ScanFanOut(df.select(col(idCol).as("__id"), text.as("__t")))
       .filter(length(col("__t")) >= k)
       .select(col("__id"),
         explode(sequence(lit(0), length(col("__t")) - k, lit(stride))).as("off"),
