@@ -102,9 +102,12 @@ object Bench {
 
   // ONE definition of the session configs (round-2 postmortem: Bench
   // hand-copying them drifted once already — no AQE, no timezone — and
-  // cost the dedup family 2x)
+  // cost the dedup family 2x). The data dir rides along so the session's
+  // initial shuffle width is derived from the INPUT SIZE, not the core
+  // count (r21 — GraftSession.shufflePartitionsFor).
   def session(cpus: String): SparkSession =
-    graft.core.GraftSession.local(cpus.toInt)
+    graft.core.GraftSession.local(cpus.toInt,
+      sys.env.get("SPARK_GRAFT_SF_DIR"))
 
   /** JVM/codegen/scan warm-up: q01 covers scan+agg, q19 the dedup
     * family's explode/persist machinery, and a 60-row slice of the

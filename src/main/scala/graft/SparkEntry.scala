@@ -3920,6 +3920,16 @@ object SparkEntry {
         val slice = fps.filter(sliceKey === i)
         val delta = ops.Multimodal.mediaPairsIncremental(slice, standing,
           maxHamming = 4)
+        // EAGER checkpoint, deliberately (r21 A/B): the lazy form was
+        // tried and REVERTED — until a lazy local checkpoint
+        // materializes, every downstream task closure carries the
+        // UNTRUNCATED fold plan, and q197's per-task deserialization
+        // went 0.3 s → 4-15 s (wall 5.5-5.9 → 7.4-10.5 measured).
+        // Truncating the lineage eagerly is what keeps the per-slice
+        // task binaries small; the extra materialization pass is the
+        // cheaper side of that trade here (contrast the CC/PageRank
+        // round state, whose per-round plans are small, where lazy
+        // wins — the r20 change).
         folded = ops.Dedup.connectedComponentsIncremental(folded,
             delta.select(col("id_a"), col("id_b")))
           .coalesce(4).localCheckpoint(true)

@@ -16,8 +16,10 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // one definition of the session configs — see Bench.session
-    val spark = graft.core.GraftSession.local(cpus.toInt)
+    // one definition of the session configs — see Bench.session; the
+    // sfDir derives the size-adaptive shuffle width (r21), so Verify
+    // dumps run the same plans the bench times
+    val spark = graft.core.GraftSession.local(cpus.toInt, Some(sfDir))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

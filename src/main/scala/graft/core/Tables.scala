@@ -52,11 +52,54 @@ object Tables {
   * runs unchanged — AQE handles partition coalescing and skew joins.
   */
 object GraftSession {
-  def local(cores: Int = 32): SparkSession = {
+
+  /** SIZE-derived initial shuffle width (r21, guide §2.2 "fewer, larger
+    * partitions"; the r20 verdict's next-#1): partitions =
+    * ceil(input bytes / target-bytes-per-partition), NOT the core count.
+    *
+    * Why: a shuffle width pinned to `defaultParallelism` makes every
+    * tiny exchange in a composed pipeline pay `cores` tasks of fixed
+    * per-task cost (~0.25 s of fresh-plan interpreted execution each,
+    * the r20 measured number) regardless of how few bytes move. The
+    * driver's own 8-core run proved it: q145/q191/q196/q198/q57 all ran
+    * FASTER on 8 cores than 32 because each stage carried a quarter of
+    * the tasks. Deriving the width from the data gives small inputs
+    * narrow plans and large inputs wide ones — the same rule, measured
+    * here (sf0.1, 17.5 MB input → 5 partitions), converges to
+    * full-cluster width at production scale (bytes/target ≫ cores long
+    * before 100 TB; the cap below is the operator's dial).
+    *
+    * Parameterised, local defaults: `SPARK_GRAFT_SHUFFLE_TARGET_MB`
+    * (default 4 — measured optimum at sf0.1 against 2/8/32-partition
+    * A/Bs, see OPTIMIZATION_r21.md) and `SPARK_GRAFT_SHUFFLE_MAX`
+    * (default 10000) — a production deployment sets the target to the
+    * guide's 128 MB–1 GB band and the cap to its cluster's task budget.
+    * AQE coalescing stays on top of this INITIAL width, so skew/byte
+    * imbalance is still handled at runtime. Callers that know no data
+    * directory (unit tests, ad-hoc sessions) keep the old
+    * width = cores behavior.
+    */
+  def shufflePartitionsFor(sfDir: String, cores: Int): Int = {
+    val targetBytes = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_TARGET_MB", "4")
+      .toLong * 1024L * 1024L
+    val cap = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_MAX", "10000").toLong
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+      else f.length()
+    val bytes =
+      try walk(new java.io.File(sfDir)) catch { case _: Throwable => 0L }
+    if (bytes <= 0L) cores
+    else math.min(cap, math.max(1L, (bytes + targetBytes - 1L) / targetBytes)).toInt
+  }
+
+  def local(cores: Int = 32, sfDir: Option[String] = None): SparkSession = {
+    val shuffleParts =
+      sfDir.map(shufflePartitionsFor(_, cores)).getOrElse(cores)
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName("graft")
-      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.shuffle.partitions", shuffleParts.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

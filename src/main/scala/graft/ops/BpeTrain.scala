@@ -98,11 +98,21 @@ object BpeTrain {
       .select(explode(split(lower(col(textCol)), "\\s+")).as("word"))
       .filter(length(col("word")) > 0 && !col("word").contains(S))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-    var (dict, dictRdds) = CacheScope.localCheckpointTracked(
+    // LAZY checkpoints (r21 — the CC/PageRank r20 treatment, the
+    // documented leftover): each round's argmax aggregate (a global
+    // sorted-limit — every partition of `dict` is computed) is the
+    // materializing action, so a round costs ONE pass over the
+    // dictionary instead of an eager count pass plus the argmax pass.
+    var (dict, dictRdds) = CacheScope.localCheckpointLazyTracked(
       words.select(
         array_join(transform(split(col("word"), ""),
           c => concat(lit(S), c, lit(S))), "").as("sym"),
         col("freq")))
+    // the PREVIOUS round's blocks stay alive until the next round's
+    // argmax has materialized the current dict (the lazy-checkpoint
+    // contract: a full action before unpersisting the inputs the
+    // truncated plan reads)
+    var prevRdds: Seq[org.apache.spark.rdd.RDD[_]] = Nil
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[Row]
     var done = false
@@ -121,6 +131,10 @@ object BpeTrain {
         .filter(col("ct") >= minCount)
         .orderBy(col("ct").desc, col("x").asc, col("y").asc)
         .limit(want + 1).collect()
+      // the argmax just materialized dict's blocks over every
+      // partition — the previous round's state is now dead
+      CacheScope.unpersistRdds(prevRdds)
+      prevRdds = Nil
       if (top.isEmpty) done = true
       else {
         val cand = top.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
@@ -151,13 +165,16 @@ object BpeTrain {
         val rewritten = accepted.foldLeft(col("sym")) { case (sym, (a, b, _)) =>
           replace(sym, lit(S + a + S + S + b + S), lit(S + a + b + S))
         }
-        val (next, nextRdds) = CacheScope.localCheckpointTracked(
+        val (next, nextRdds) = CacheScope.localCheckpointLazyTracked(
           dict.withColumn("sym", rewritten))
-        CacheScope.unpersistRdds(dictRdds)
+        // `next` is LAZY and its plan reads dict's blocks — dict's
+        // drop waits for the next round's argmax (prevRdds above)
+        prevRdds = dictRdds
         dict = next
         dictRdds = nextRdds
       }
     }
+    CacheScope.unpersistRdds(prevRdds)
     CacheScope.unpersistRdds(dictRdds)
     spark.createDataFrame(
       spark.sparkContext.parallelize(merges.toSeq, 1), outSchema)

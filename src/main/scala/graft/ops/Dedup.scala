@@ -795,7 +795,8 @@ object Dedup {
       // materializes `next`'s blocks AND computes the convergence sum
       // in one job (the lazy-checkpoint contract: a full aggregate)
       val nextSum = labelSum(next)
-      // `next` is eagerly materialized, so the previous round's blocks
+      // `next`'s blocks were just materialized by the convergence sum
+      // (the lazy-checkpoint contract), so the previous round's blocks
       // are dead — drop them NOW instead of leaking one checkpoint per
       // round until a session-wide sweep
       CacheScope.unpersistRdds(labelRdds)
