@@ -42,8 +42,16 @@ object Dedup {
     * coalescing targets bytes-per-partition (64 MB advisory), which
     * collapses a few-hundred-KB candidate list into ONE partition and
     * serializes the verify math onto one core. An explicit repartition
-    * is exempt from AQE coalescing; width = the session's configured
-    * shuffle width (what the operator would have gotten pre-AQE).
+    * is exempt from AQE coalescing; width = full session parallelism.
+    *
+    * Deliberately NOT size-derived (r21 A/B, reverted): deriving this
+    * width from the corpus frame's bytes (the ScanFanOut formula, 8-19
+    * at sf0.1) regressed every verify-bearing query — q145 6.8→10.2 s,
+    * q56 3.0→4.4, q57 2.9→3.9, q31 2.5→3.2 — because per-pair verify
+    * CPU tracks the CANDIDATE count (quadratic in near-dup density),
+    * not the corpus bytes the candidates were drawn from. The
+    * candidate frame itself is join-derived, so its own stats estimate
+    * is unusable either way; full width is the measured optimum.
     */
   private def verifyWidth(df: DataFrame): Int = {
     val sc = df.sparkSession
